@@ -1,0 +1,185 @@
+"""Pure-Python DGIM sketch (Datar-Gionis-Indyk-Motwani sliding-window
+bit-counting), time-based variant.
+
+Semantics re-derived from the reference (see SURVEY.md §1.3, §2.3):
+
+- Buckets carry ``(ts, size)`` where ``ts`` is the event-time epoch
+  seconds of the *newest* 1-bit the bucket covers and ``size`` is a
+  power of two (reference ``Bucket.java:12-13``).
+- The bucket list is kept **newest first** (``DGIMAccumulator.java:51``).
+- Compaction: while three consecutive equal-size buckets exist at
+  ``i, i+1, i+2``, double bucket ``i+1``'s size (keeping its — the
+  newer merged bucket's — timestamp) and delete bucket ``i+2``;
+  restart the scan from 0 after each merge (``DGIMAccumulator.java:
+  120-146``, Java restart behavior is canonical).
+- Expiry: drop buckets with ``now - ts >= window_size``
+  (``DGIMAccumulator.java:153-161``).
+- Estimate (``mode="java"``, canonical — ``DGIMAccumulator.java:63-88``):
+  after expiry, 0 if empty; the full size if a single bucket remains;
+  otherwise sum of all bucket sizes except the oldest plus the oldest
+  halved **rounding up** ``(size + 1) // 2``.
+- Estimate (``mode="pyflink"`` — reference ``job.py:37-46``): always
+  halves the oldest bucket with **floor** division, even when it is
+  the only bucket.
+- Accumulator merge (``DGIMAccumulator.java:96-115``): union bucket
+  lists, take the max latest-timestamp, sort newest first, re-compact,
+  re-expire.  This makes the sketch a valid distributed partial
+  aggregate (Spark combine step).
+
+Deliberate deviation from the reference: the post-merge sort uses the
+total order ``(-ts, size)`` instead of timestamp-only, so that
+``merge`` is deterministic and commutative regardless of operand
+order — required for Spark partial aggregation, where combine order is
+nondeterministic.  For distinct timestamps this is identical to the
+reference's sort.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Sequence, Tuple
+
+MODE_JAVA = "java"
+MODE_PYFLINK = "pyflink"
+_MODES = (MODE_JAVA, MODE_PYFLINK)
+
+
+class DGIM:
+    """Sliding-window count-of-1-bits sketch over event-time seconds.
+
+    O(log^2 N) space; estimate error bounded by ~50% (the halved
+    oldest bucket).  ``window_size`` is in the same unit as the
+    timestamps passed to :meth:`add` (the reference uses epoch
+    seconds).
+    """
+
+    __slots__ = ("window_size", "mode", "buckets", "latest_ts")
+
+    def __init__(
+        self,
+        window_size: int,
+        mode: str = MODE_JAVA,
+        buckets: Iterable[Tuple[int, int]] | None = None,
+        latest_ts: int = 0,
+    ) -> None:
+        if window_size <= 0:
+            raise ValueError("window_size must be positive")
+        if mode not in _MODES:
+            raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
+        self.window_size = window_size
+        self.mode = mode
+        # list of [ts, size], newest first
+        self.buckets: List[List[int]] = [[int(t), int(s)] for t, s in (buckets or [])]
+        self.latest_ts = int(latest_ts)
+
+    # ------------------------------------------------------------------
+    # core operations
+    # ------------------------------------------------------------------
+    def add(self, ts: int) -> None:
+        """Record one 1-bit observed at event-time ``ts``."""
+        ts = int(ts)
+        self.buckets.insert(0, [ts, 1])
+        if ts > self.latest_ts:
+            self.latest_ts = ts
+        self._compact()
+        self._expire(self.latest_ts)
+
+    def add_bit(self, bit, ts: int) -> None:
+        """Record a bit with parse-skip tolerance: only values that
+        parse to the integer 1 enter the sketch (reference
+        ``DGIMAggregateFunction.java:60-70``)."""
+        try:
+            if int(bit) == 1:
+                self.add(ts)
+        except (TypeError, ValueError):
+            return
+
+    def _compact(self) -> None:
+        b = self.buckets
+        i = 0
+        while i + 2 < len(b):
+            if b[i][1] == b[i + 1][1] == b[i + 2][1]:
+                b[i + 1][1] *= 2  # keep the newer (i+1) bucket's timestamp
+                del b[i + 2]
+                i = 0  # Java restarts the scan after each merge
+            else:
+                i += 1
+
+    def _expire(self, now: int) -> None:
+        w = self.window_size
+        self.buckets = [bk for bk in self.buckets if now - bk[0] < w]
+
+    def estimate(self, at: int | None = None) -> int:
+        """Approximate number of 1-bits with ts in ``(at - window, at]``.
+
+        ``at`` defaults to the latest timestamp seen (the reference
+        evaluates at its ``latestTimestamp``)."""
+        now = self.latest_ts if at is None else int(at)
+        self._expire(now)
+        b = self.buckets
+        if not b:
+            return 0
+        if self.mode == MODE_JAVA:
+            if len(b) == 1:
+                return b[0][1]
+            return sum(bk[1] for bk in b[:-1]) + (b[-1][1] + 1) // 2
+        # pyflink mode: always floor-halve the oldest, even if single
+        return sum(bk[1] for bk in b[:-1]) + b[-1][1] // 2
+
+    def merge(self, other: "DGIM") -> "DGIM":
+        """In-place distributed combine; returns self."""
+        if other.window_size != self.window_size:
+            raise ValueError("cannot merge sketches with different window sizes")
+        self.buckets.extend([bk[0], bk[1]] for bk in other.buckets)
+        if other.latest_ts > self.latest_ts:
+            self.latest_ts = other.latest_ts
+        # newest first; deterministic total order (see module docstring)
+        self.buckets.sort(key=lambda bk: (-bk[0], bk[1]))
+        self._compact()
+        self._expire(self.latest_ts)
+        return self
+
+    # ------------------------------------------------------------------
+    # (de)serialization for Spark two-phase aggregation
+    # ------------------------------------------------------------------
+    def to_flat(self) -> List[int]:
+        """Flatten to ``[latest_ts, ts0, size0, ts1, size1, ...]``."""
+        out = [self.latest_ts]
+        for ts, size in self.buckets:
+            out.extend((ts, size))
+        return out
+
+    @classmethod
+    def from_flat(
+        cls, window_size: int, flat: Sequence[int], mode: str = MODE_JAVA
+    ) -> "DGIM":
+        it = iter(flat[1:])
+        return cls(
+            window_size,
+            mode=mode,
+            buckets=list(zip(it, it)),
+            latest_ts=flat[0] if flat else 0,
+        )
+
+    # ------------------------------------------------------------------
+    def __repr__(self) -> str:  # pragma: no cover
+        return (
+            f"DGIM(window={self.window_size}, mode={self.mode}, "
+            f"latest={self.latest_ts}, buckets={self.buckets})"
+        )
+
+
+def dgim_estimate_stream(
+    pairs: Iterable[Tuple[object, int]],
+    window_size: int,
+    mode: str = MODE_JAVA,
+) -> int:
+    """Replay a finite (bit, ts) stream sorted by ts ascending and
+    return the estimate at the max ts — mirrors the reference's batch
+    UDF (``job.py:51-85``) minus its wall-clock fallback, which is
+    banned as nondeterministic (SURVEY.md §5 item 3)."""
+    sk = DGIM(window_size, mode=mode)
+    for bit, ts in sorted(
+        ((b, t) for b, t in pairs if t is not None), key=lambda p: p[1]
+    ):
+        sk.add_bit(bit, ts)
+    return sk.estimate()

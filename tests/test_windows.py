@@ -1,0 +1,89 @@
+"""Windowed operators: exact tumble/hop vs. a hand-rolled pandas
+oracle, DGIM paths vs. error bound + cross-path agreement."""
+
+import pandas as pd
+import pytest
+
+from flink_window_dgim_traffic_spark.operators import windows as W
+
+
+@pytest.fixture(scope="module")
+def events_pdf(events):
+    pdf = events.select("event_id", "ts").toPandas()
+    pdf["bit"] = (pdf["event_id"] % 2).astype(int)
+    return pdf
+
+
+def pandas_tumble(pdf, size=60):
+    es = (pdf["ts"] - pd.Timestamp(0)) // pd.Timedelta(seconds=1)  # epoch sec
+    we = (es // size + 1) * size
+    g = pdf.assign(we=we).groupby("we")
+    return {
+        pd.Timestamp(k, unit="s").strftime("%Y-%m-%d %H:%M:%S"): (
+            int(v["bit"].sum()),
+            len(v),
+        )
+        for k, v in g
+    }
+
+
+def test_tumble_exact_matches_pandas(events, events_pdf):
+    got = {
+        r["window_end"]: (r["ones_exact"], r["n_rows"])
+        for r in W.tumble_exact(events).collect()
+    }
+    assert got == pandas_tumble(events_pdf)
+
+
+def test_hop_exact_row_multiplicity(events, events_pdf):
+    rows = W.hop_exact(events, 60, 10).collect()
+    # every event lands in exactly 6 windows
+    assert sum(r["n_rows"] for r in rows) == 6 * len(events_pdf)
+    assert sum(r["ones_exact"] for r in rows) == 6 * int(events_pdf["bit"].sum())
+    # window bounds are 60 s apart and slide-aligned
+    for r in rows[:50]:
+        s = pd.Timestamp(r["window_start"])
+        e = pd.Timestamp(r["window_end"])
+        assert (e - s).total_seconds() == 60
+        assert s.second % 10 == 0
+
+
+def test_tumble_dgim_bound_and_exact_twin(events, events_pdf):
+    oracle = pandas_tumble(events_pdf)
+    for r in W.tumble_dgim(events).collect():
+        exact, _ = oracle[r["window_end"]]
+        assert r["exact_count"] == exact
+        assert exact / 2 - 1 <= r["count_estimate"] <= 1.5 * exact + 1
+
+
+def test_dgim_paths_agree(events):
+    """applyInPandas, collect_list+UDF, and two-phase replay the same
+    per-window stream; single-partition replay paths must agree
+    exactly, two-phase within the merge error bound."""
+    a = {
+        r["window_end"]: r["count_estimate"]
+        for r in W.tumble_dgim(events).collect()
+    }
+    b = {
+        r["window_end"]: r["count_estimate"]
+        for r in W.tumble_dgim_collect(events).collect()
+    }
+    assert a == b
+    tp = {
+        r["window_end"]: (r["count_estimate"], r["exact_count"])
+        for r in W.tumble_dgim_two_phase(events).collect()
+    }
+    assert set(tp) == set(a)
+    for we, (est, exact) in tp.items():
+        assert exact / 2 - 1 <= est <= 1.5 * exact + 1
+
+
+def test_hop_dgim_bound(events):
+    rows = W.hop_dgim(events, 60, 10).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert (
+            r["exact_count"] / 2 - 1
+            <= r["count_estimate"]
+            <= 1.5 * r["exact_count"] + 1
+        )
