@@ -1,38 +1,379 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship DGIM windowed query at sf0.001.
+``queries()`` maps every implemented operator (SURVEY.md §2 + §7.6
+north-star extensions) to a (spark, sf_dir) → DataFrame callable.
+``oracle_sql()`` gives the DuckDB twin for every SQL-expressible
+query; sketch-based / hash-seeded operators (DGIM, HLL, MinHash-LSH,
+SimHash, sign-LSH ANN, lang-id) are rows-only by design — each one
+has an exact twin or bound assertion in tests/.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# make the package importable regardless of the caller's cwd
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from flink_window_dgim_traffic_spark.operators import dedup as D
+from flink_window_dgim_traffic_spark.operators import multimodal as M
+from flink_window_dgim_traffic_spark.operators import parsing as P
+from flink_window_dgim_traffic_spark.operators import relational as R
+from flink_window_dgim_traffic_spark.operators import similarity as S
+from flink_window_dgim_traffic_spark.operators import text as T
+from flink_window_dgim_traffic_spark.operators import windows as W
+from flink_window_dgim_traffic_spark.session import ship_package, table
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: two-phase distributed DGIM over 60 s tumbling windows
+    (the reference's core capability, SURVEY.md §2.3 W5) at sf0.001."""
+    ship_package(spark)
+    events = table(spark, "/root/testdata/sf0.001", "events")
+    return W.tumble_dgim_two_phase(events, size_sec=60)
+
+
+def _t(name: str):
+    """Table loader bound late so each callable is self-contained."""
+
+    def load(spark, sf_dir):
+        ship_package(spark)
+        return table(spark, sf_dir, name)
+
+    return load
+
+
+_events = _t("events")
+_lineitem = _t("lineitem")
+_orders = _t("orders")
+_customer = _t("customer")
+_supplier = _t("supplier")
+_nation = _t("nation")
+_region = _t("region")
+_documents = _t("documents")
+_embeddings = _t("embeddings")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # --- reference-parity windowed ops (SURVEY §2.3) ---
+        "tumble_exact": lambda s, d: W.tumble_exact(_events(s, d), 60),
+        "tumble_exact_1h": lambda s, d: W.tumble_exact(_events(s, d), 3600),
+        "hop_exact": lambda s, d: W.hop_exact(_events(s, d), 60, 10),
+        "tumble_dgim": lambda s, d: W.tumble_dgim(_events(s, d), 60),
+        "tumble_dgim_pyflink": lambda s, d: W.tumble_dgim(
+            _events(s, d), 60, mode="pyflink"
+        ),
+        "tumble_dgim_collect": lambda s, d: W.tumble_dgim_collect(_events(s, d), 60),
+        "tumble_dgim_two_phase": lambda s, d: W.tumble_dgim_two_phase(
+            _events(s, d), 60
+        ),
+        "hop_dgim": lambda s, d: W.hop_dgim(_events(s, d), 60, 10),
+        # --- parse/cast/filter ops (SURVEY §2.2) ---
+        "traffic_parse": lambda s, d: P.traffic_parse(
+            P.traffic_strings(_events(s, d))
+        ),
+        "traffic_parse_summary": lambda s, d: P.traffic_parse_summary(_events(s, d)),
+        # --- batch relational surface (north star) ---
+        "q1_pricing_summary": lambda s, d: R.q1_pricing_summary(_lineitem(s, d)),
+        "q3_shipping_priority": lambda s, d: R.q3_shipping_priority(
+            _customer(s, d), _orders(s, d), _lineitem(s, d)
+        ),
+        "q5_local_supplier": lambda s, d: R.q5_local_supplier(
+            _customer(s, d),
+            _orders(s, d),
+            _lineitem(s, d),
+            _supplier(s, d),
+            _nation(s, d),
+            _region(s, d),
+        ),
+        "top_customers_per_nation": lambda s, d: R.top_customers_per_nation(
+            _customer(s, d), _orders(s, d), _nation(s, d)
+        ),
+        "event_type_rollup": lambda s, d: R.event_type_rollup(_events(s, d)),
+        "distinct_users": lambda s, d: R.distinct_users(_events(s, d)),
+        "approx_distinct_users": lambda s, d: R.approx_distinct_users(_events(s, d)),
+        "sessionize": lambda s, d: R.sessionize(_events(s, d)),
+        "json_extract_stats": lambda s, d: R.json_extract_stats(_events(s, d)),
+        "nations_without_suppliers": lambda s, d: R.nations_without_suppliers(
+            _nation(s, d), _customer(s, d), _supplier(s, d)
+        ),
+        "asof_view_before_purchase": lambda s, d: R.asof_view_before_purchase(
+            _events(s, d)
+        ),
+        # --- dedup (north star) ---
+        "dedup_exact": lambda s, d: D.dedup_exact(_documents(s, d)),
+        "ngram_jaccard_pairs": lambda s, d: D.ngram_jaccard_pairs(
+            _documents(s, d), threshold=0.5
+        ),
+        "minhash_lsh_pairs": lambda s, d: D.minhash_lsh_pairs(
+            _documents(s, d), threshold=0.8
+        ),
+        "simhash_pairs": lambda s, d: D.simhash_pairs(_documents(s, d)),
+        # --- text analysis (north star) ---
+        "text_stats": lambda s, d: T.text_stats(_documents(s, d)),
+        "token_count_regex": lambda s, d: T.token_count_regex(_documents(s, d)),
+        "doc_fingerprint": lambda s, d: T.doc_fingerprint(_documents(s, d)),
+        "quality_score": lambda s, d: T.quality_score(_documents(s, d)),
+        "lang_id": lambda s, d: T.lang_id(_documents(s, d)),
+        # --- similarity search (north star) ---
+        "simsearch_topk": lambda s, d: S.simsearch_topk(_embeddings(s, d)),
+        "simsearch_ann_lsh": lambda s, d: S.simsearch_ann_lsh(_embeddings(s, d)),
+        "embedding_neardup": lambda s, d: S.embedding_neardup(
+            _embeddings(s, d), threshold=0.4
+        ),
+        # --- multimodal plumbing (north star) ---
+        "multimodal_features": lambda s, d: M.multimodal_features(_documents(s, d)),
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ----------------------------------------------------------------------
+# DuckDB oracle twins
+# ----------------------------------------------------------------------
+_REV = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), s -> s[1] * s[2]), "
+    "(x, y) -> x + y)"
+)
+_SQN = "list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y)"
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_SQN.format(a=a)}) * sqrt({_SQN.format(a=b)})))"
+    )
+
+
+def _tumble_sql(size: int) -> str:
+    return f"""
+WITH e AS (SELECT CAST(event_id % 2 AS INT) AS bit, ts FROM events),
+w AS (SELECT bit, (CAST(floor(epoch(ts)/{size}) AS BIGINT)*{size} + {size}) AS we FROM e)
+SELECT strftime(make_timestamp(we*1000000), '%Y-%m-%d %H:%M:%S') AS window_end,
+       CAST(sum(bit) AS BIGINT) AS ones_exact, count(*) AS n_rows
+FROM w GROUP BY we
+"""
+
+
+_TRAFFIC_RAW = """
+SELECT event_id,
+  CASE WHEN event_id % 97 = 0 THEN 'x'
+       ELSE CAST(event_id % 2 AS VARCHAR) END AS value,
+  CASE WHEN event_id % 101 = 0 THEN 'not-a-time'
+       ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') END AS ts_str
+FROM events
+"""
+
+_TRAFFIC_PARSED = f"""
+SELECT event_id, TRY_CAST(value AS INT) AS bit,
+       CAST(floor(epoch(try_strptime(ts_str, '%Y-%m-%dT%H:%M:%S.%f'))) AS BIGINT) AS ts_sec
+FROM ({_TRAFFIC_RAW}) raw
+WHERE TRY_CAST(value AS INT) IS NOT NULL
+  AND try_strptime(ts_str, '%Y-%m-%dT%H:%M:%S.%f') IS NOT NULL
+"""
+
+_SHINGLE_BASE = """
+tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM tok),
+sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM idx),
+n AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+"""
+
+_STOP_LIST = "('the','a','of','to','and','in','is','for','on','at')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    jac = (
+        "round(CAST(overlap AS DOUBLE) / CAST(na.c + nb.c - overlap AS DOUBLE), 6)"
+    )
+    return {
+        "tumble_exact": _tumble_sql(60),
+        "tumble_exact_1h": _tumble_sql(3600),
+        "hop_exact": """
+WITH e AS (SELECT CAST(event_id % 2 AS INT) AS bit, epoch(ts) AS es FROM events),
+x AS (SELECT bit, unnest(generate_series(
+        (CAST(floor((es - 60)/10) AS BIGINT) + 1) * 10,
+        CAST(floor(es/10) AS BIGINT) * 10, 10)) AS ws FROM e)
+SELECT strftime(make_timestamp(ws*1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(make_timestamp((ws+60)*1000000), '%Y-%m-%d %H:%M:%S') AS window_end,
+       CAST(sum(bit) AS BIGINT) AS ones_exact, count(*) AS n_rows
+FROM x GROUP BY ws
+""",
+        "traffic_parse": _TRAFFIC_PARSED,
+        "traffic_parse_summary": f"""
+SELECT count(*) AS n_valid, CAST(sum(bit) AS BIGINT) AS n_ones,
+       max(ts_sec) AS max_ts_sec
+FROM ({_TRAFFIC_PARSED}) p
+""",
+        "q1_pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+ CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+ CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+ CAST(sum({_REV}) AS DOUBLE) AS sum_disc_price,
+ CAST(sum({_REV} * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+ count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "q3_shipping_priority": f"""
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+ CAST(sum({_REV}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+        "q5_local_supplier": f"""
+SELECT n_name, CAST(sum({_REV}) AS DOUBLE) AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN supplier ON s_nationkey = n_nationkey
+JOIN lineitem ON l_suppkey = s_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+        "top_customers_per_nation": """
+WITH spend AS (
+ SELECT n_name, c_custkey, c_name,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+ FROM customer
+ JOIN orders ON o_custkey = c_custkey
+ JOIN nation ON n_nationkey = c_nationkey
+ GROUP BY 1, 2, 3)
+SELECT n_name, c_custkey, c_name, total_spend, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY n_name
+        ORDER BY total_spend DESC, c_custkey) AS rnk FROM spend) t
+WHERE rnk <= 3
+""",
+        "event_type_rollup": """
+SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY ROLLUP(event_type, day)
+""",
+        "distinct_users": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+""",
+        "sessionize": """
+WITH o AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+m AS (SELECT user_id, event_id, ts,
+      CASE WHEN prev_us IS NULL OR us - prev_us > 14400000000 THEN 1 ELSE 0 END AS new_sess
+      FROM o),
+s AS (SELECT user_id, ts,
+      CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+      FROM m)
+SELECT user_id, sess_id, count(*) AS n_events,
+ strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+ strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM s GROUP BY user_id, sess_id
+""",
+        "json_extract_stats": """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, count(*) AS n
+FROM events GROUP BY 1
+""",
+        "nations_without_suppliers": """
+SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+EXCEPT
+SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+""",
+        "asof_view_before_purchase": """
+WITH vp AS (SELECT * FROM events WHERE event_type IN ('view', 'purchase'))
+SELECT p.event_id, p.user_id,
+ strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+ strftime((SELECT max(v.ts) FROM vp v
+           WHERE v.user_id = p.user_id AND v.event_type = 'view'
+             AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id <= p.event_id))),
+          '%Y-%m-%d %H:%M:%S') AS last_view_ts
+FROM vp p WHERE p.event_type = 'purchase'
+""",
+        "dedup_exact": """
+SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+""",
+        "ngram_jaccard_pairs": f"""
+WITH {_SHINGLE_BASE}
+SELECT doc_a, doc_b, {jac} AS jaccard
+FROM inter JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+WHERE {jac} >= 0.5
+""",
+        "text_stats": """
+SELECT doc_id,
+ CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+ CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+ CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents
+""",
+        "token_count_regex": r"""
+SELECT doc_id,
+ CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_regex_tokens
+FROM documents
+""",
+        "doc_fingerprint": """
+SELECT doc_id,
+ list_reduce(list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)),
+             (a, b) -> (a * 131 + b) % 2147483647) AS fingerprint
+FROM documents
+""",
+        "quality_score": f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (SELECT doc_id, len(ws) AS n,
+      len(list_filter(ws, w -> w IN {_STOP_LIST})) AS stop_cnt FROM t)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(stop_cnt AS BIGINT) AS n_stopwords,
+ round(least(n, 50) / 50 * 0.5 + (1 - stop_cnt / n) * 0.5, 6) AS quality_score
+FROM c
+""",
+        "simsearch_topk": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+  round({_cos('qv', 'v')}, 6) AS score
+  FROM q JOIN e ON e.vec_id <> q.query_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk FROM scored)
+SELECT query_id, neighbor_id, score, rnk FROM r WHERE rnk <= 10
+""",
+        "embedding_neardup": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      round({_cos('a.v', 'b.v')}, 6) AS score
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, score FROM p WHERE score >= 0.4
+""",
+        "multimodal_features": """
+SELECT doc_id,
+ CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+ list_reduce(list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)),
+             (a, b) -> a + b) AS byte_sum,
+ CAST(len(list_distinct(string_split(text, ''))) AS BIGINT) AS n_distinct_bytes,
+ CAST(doc_id % 64 + 1 AS BIGINT) AS width
+FROM documents
+""",
+    }

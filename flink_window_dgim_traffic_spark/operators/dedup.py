@@ -1,0 +1,212 @@
+"""Deduplication operators over ``documents`` (north-star LLM-pipeline
+surface): exact, shingle-Jaccard, MinHash+LSH, SimHash.
+
+Design discipline follows the DGIM pattern (SURVEY.md §7.6): every
+operator is expressed as joins/aggregations that scale out — no
+whole-corpus collection anywhere.  The shingle→band→bucket-join LSH
+shape is the 100 TB path: candidate generation touches only hash
+buckets, never the O(n²) pair space.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+SHINGLE_K = 3  # 3-word shingles
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact dedup: one kept doc per identical text (hash groupBy —
+    scales as a single shuffle on a text hash)."""
+    return documents.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("keep_doc_id", "n_copies")
+
+
+def shingles(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Distinct k-word shingles per doc: (doc_id, s)."""
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + j) for j in range(k)]
+        ),
+    )
+    return (
+        documents.select("doc_id", F.explode(sh).alias("s")).distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.5, k: int = SHINGLE_K
+) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs via the relational
+    formulation: shingle inverted index self-join → per-pair
+    intersection counts → |A∩B| / (|A|+|B|-|A∩B|).  At scale the
+    inverted-index join only pairs docs that share a shingle."""
+    sh = shingles(documents, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    jac = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("c", "ca"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("c", "cb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("overlap").cast("double")
+                / (F.col("ca") + F.col("cb") - F.col("overlap")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("doc_a", "doc_b", "jaccard")
+
+
+# ----------------------------------------------------------------------
+# MinHash + LSH (approximate near-dup at scale)
+# ----------------------------------------------------------------------
+NUM_PERM = 64
+LSH_BANDS = 16  # 16 bands × 4 rows: P(candidate) ≈ 1-(1-j^4)^16
+
+
+def minhash_signatures(documents: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """(doc_id, perm, minhash): seeded xxhash64 per shingle per
+    permutation, min-reduced per doc.  All JVM-side."""
+    sh = shingles(documents)
+    hashed = sh.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_perm - 1)),
+                lambda i: F.xxhash64(F.col("s"), i),
+            )
+        ).alias("perm", "h"),
+    )
+    return hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = NUM_PERM,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Candidate pairs from LSH band buckets, verified with exact
+    shingle Jaccard ≥ threshold.  Output ≡ ngram_jaccard_pairs minus
+    LSH false negatives (recall ≈ 1 at j ≥ 0.8 with 16×4 bands)."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(documents, num_perm).withColumn(
+        "band", (F.col("perm") / rows_per_band).cast("int")
+    )
+    band_keys = sigs.groupBy("doc_id", "band").agg(
+        F.xxhash64(
+            F.concat_ws(",", F.sort_array(F.collect_list(F.struct("perm", "minhash"))).cast("string"))
+        ).alias("band_key")
+    )
+    a, b = band_keys.alias("a"), band_keys.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(documents, threshold=threshold)
+    return candidates.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+# ----------------------------------------------------------------------
+# SimHash (64-bit) near-dup
+# ----------------------------------------------------------------------
+def simhash_fingerprints(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc from token hashes (stable blake2b, NOT
+    Python's randomized hash()).  Vectorized Pandas UDF — the bit-vote
+    loop is genuinely imperative."""
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        def one(t: str) -> int:
+            votes = [0] * 64
+            for tok in (t or "").split():
+                h = int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                )
+                for i in range(64):
+                    votes[i] += 1 if (h >> i) & 1 else -1
+            fp = 0
+            for i in range(64):
+                if votes[i] > 0:
+                    fp |= 1 << i
+            # wrap to signed 64-bit for LongType
+            return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+        return texts.map(one)
+
+    return documents.select("doc_id", _simhash(F.col("text")).alias("simhash"))
+
+
+def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming, found via
+    the 4×16-bit chunk pigeonhole trick (a pair within distance 3 must
+    agree exactly on ≥1 of 4 chunks) — bucket join, not O(n²)."""
+    fps = simhash_fingerprints(documents)
+    chunks = fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_no", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_no") == F.col("b.chunk_no"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("bigint")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

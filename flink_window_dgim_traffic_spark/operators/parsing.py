@@ -45,7 +45,7 @@ def traffic_parse(raw: DataFrame) -> DataFrame:
     """
     parsed = raw.select(
         "event_id",
-        F.try_cast(F.col("value"), "int").alias("bit"),
+        F.col("value").try_cast("int").alias("bit"),
         F.unix_timestamp(
             F.try_to_timestamp(F.col("timestamp"), F.lit(ISO_US_SPARK))
         ).alias("ts_sec"),

@@ -1,0 +1,231 @@
+"""Batch relational operator surface over the TPC-H-ish driver tables.
+
+The reference itself has no joins/sorts/set-ops (SURVEY.md §2.4); this
+module is the driver's north-star "batch-queryable operator surface"
+(BASELINE.json).  Every query here has an exact DuckDB oracle twin in
+``__spark_entry__.oracle_sql``.
+
+Determinism conventions (so value hashes match the oracle):
+- money/measure aggregates are computed in DECIMAL (exact, associative)
+  and cast to DOUBLE at the end — identical bits in both engines;
+- computed integers are cast to BIGINT on both sides;
+- timestamps in output are formatted strings;
+- top-k queries always carry a unique tie-break key in the ORDER BY.
+
+Scale notes (100 TB): joins keep dimension tables broadcastable
+(region/nation/customer/supplier are tiny in TPC-H proportions); fact
+joins shuffle on their join keys with AQE handling skew; aggregations
+are partial (map-side combine) because they use built-in aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dec(c: str, prec: str = "12,2"):
+    return F.col(c).cast(f"decimal({prec})")
+
+
+def _one():
+    return F.lit(1).cast("decimal(4,2)")
+
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (filter → group → decimal sums)."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount", "4,2")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                _dec("l_extendedprice")
+                * (_one() - _dec("l_discount", "4,2"))
+                * (_one() + _dec("l_tax", "4,2"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Join-heavy top-10 revenue orders (broadcast dim + shuffle fact
+    join; deterministic tie-break on l_orderkey)."""
+    revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount", "4,2"))
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q5_local_supplier(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Multi-way join through the star schema (TPC-H Q5 shape)."""
+    revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount", "4,2"))
+    return (
+        region.filter(F.col("r_name") == "ASIA")
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(supplier, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(lineitem, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            customer,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+def top_customers_per_nation(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Ranking window function: top-3 spenders per nation."""
+    spend = (
+        customer.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name", "c_custkey", "c_name")
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("total_spend"), F.col("c_custkey")
+    )
+    return (
+        spend.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+def event_type_rollup(events: DataFrame) -> DataFrame:
+    """Grouping-sets/ROLLUP aggregate over events."""
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    return (
+        events.select("event_type", day, "value")
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def distinct_users(events: DataFrame) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group (oracle-checkable; the
+    approx_count_distinct sibling is a separate rows-only query)."""
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def approx_distinct_users(events: DataFrame) -> DataFrame:
+    """HyperLogLog++ sketch twin of distinct_users (rows-only check:
+    the estimate is engine-specific, like DGIM)."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+SESSION_GAP_SEC = 4 * 3600
+
+
+def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
+    """Gap-based sessionization via lag + running sum (the batch
+    equivalent of a session window).  Microsecond-exact gap compare so
+    the oracle (epoch_us) matches bit-for-bit."""
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(w)
+    new_sess = (
+        F.when(prev_us.isNull() | (us - prev_us > gap_sec * 1_000_000), 1)
+        .otherwise(0)
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = events.withColumn("sess_id", F.sum(new_sess).over(wsum).cast("bigint"))
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )
+
+
+def json_extract_stats(events: DataFrame) -> DataFrame:
+    """JSON field extraction from the props column + group count."""
+    return (
+        events.select(
+            F.get_json_object("props", "$.k").cast("bigint").alias("k_val")
+        )
+        .groupBy("k_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def nations_without_suppliers(
+    nation: DataFrame, customer: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """Set operation: nations with customers EXCEPT nations with
+    suppliers."""
+    with_cust = nation.join(
+        customer, F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("n_name")
+    with_supp = nation.join(
+        supplier, F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("n_name")
+    return with_cust.subtract(with_supp)  # EXCEPT (distinct) semantics
+
+
+def asof_view_before_purchase(events: DataFrame) -> DataFrame:
+    """As-of join (an operator Spark lacks natively): for each
+    'purchase' event, the most recent 'view' timestamp of the same
+    user at or before it.  Implemented scalably as a single-pass
+    window with last(ignorenulls) over the unioned, time-ordered
+    stream — no range join, no per-row subquery."""
+    ev = events.filter(F.col("event_type").isin("view", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    out = ev.withColumn("last_view_ts", F.last(view_ts, ignorenulls=True).over(w))
+    return out.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("last_view_ts", "yyyy-MM-dd HH:mm:ss").alias("last_view_ts"),
+    )

@@ -1,0 +1,148 @@
+"""Similarity search over the ``embeddings`` table (north-star
+LLM-pipeline surface): brute-force cosine top-k (correctness
+baseline), LSH-bucketed ANN (scale path), embedding near-dup pairs.
+
+All cosine math is JVM-side sequential folds (functions/vectors.py) so
+results are bit-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_window_dgim_traffic_spark.functions.vectors import (
+    as_double,
+    cosine,
+    dot,
+    sq_norm,
+)
+
+N_QUERY = 10  # vec_id < N_QUERY are the query vectors
+TOP_K = 10
+
+
+def _with_vec(embeddings: DataFrame) -> DataFrame:
+    return embeddings.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+
+
+def simsearch_topk(
+    embeddings: DataFrame, n_query: int = N_QUERY, k: int = TOP_K
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the small query set against
+    all vectors; rank by rounded score with vec_id tie-break.  This is
+    the exact baseline an ANN variant is measured against."""
+    e = _with_vec(embeddings)
+    q = e.filter(F.col("vec_id") < n_query).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def embedding_neardup(
+    embeddings: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold.  Brute-force pair join at
+    test scale; the LSH variant below is the 100 TB path."""
+    e = _with_vec(embeddings)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+# ----------------------------------------------------------------------
+# LSH-bucketed ANN — random-hyperplane signs as bucket keys
+# ----------------------------------------------------------------------
+N_PLANES = 8  # 8 sign bits → 256 buckets per table
+N_TABLES = 4  # OR-amplification across 4 independent tables
+
+
+def _plane(seed: int, dim: int, table: int) -> list:
+    """Deterministic pseudo-random hyperplane from a seeded LCG (no
+    numpy on executors needed — plain Python, computed driver-side)."""
+    x = (seed * 6364136223846793005 + 1442695040888963407 + table) % (1 << 64)
+    out = []
+    for _ in range(dim):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        out.append(((x >> 33) / float(1 << 31)) - 1.0)  # in [-1, 1)
+    return out
+
+
+def simsearch_ann_lsh(
+    embeddings: DataFrame,
+    n_query: int = N_QUERY,
+    k: int = TOP_K,
+    dim: int = 64,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """ANN top-k: sign-LSH buckets (per table) restrict the candidate
+    set; exact cosine re-rank inside the union of matching buckets.
+    Recall < 1 by construction — measured against simsearch_topk in
+    tests, not oracle-checked."""
+    e = _with_vec(embeddings)
+    # bucket key per table: packed sign bits of dot(v, plane_i)
+    for t in range(n_tables):
+        planes = [_plane(97 + i, dim, t) for i in range(n_planes)]
+        bits = [
+            F.when(
+                dot(F.col("v"), F.array(*[F.lit(p) for p in plane])) >= 0, 1
+            ).otherwise(0)
+            * (1 << i)
+            for i, plane in enumerate(planes)
+        ]
+        key = bits[0]
+        for bcol in bits[1:]:
+            key = key + bcol
+        e = e.withColumn(f"bucket_{t}", key)
+    bucket_cols = [f"bucket_{t}" for t in range(n_tables)]
+    q = e.filter(F.col("vec_id") < n_query).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        *[F.col(c).alias(f"q_{c}") for c in bucket_cols],
+    )
+    match_any = None
+    for c in bucket_cols:
+        cond = F.col(c) == F.col(f"q_{c}")
+        match_any = cond if match_any is None else (match_any | cond)
+    cands = (
+        F.broadcast(q)
+        .join(e, match_any & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -1,0 +1,118 @@
+"""Text-analysis operators over the ``documents`` table (north-star
+LLM-pipeline surface, SURVEY.md §7.6): token stats, regex token
+counting, rolling-hash fingerprinting, quality scoring, language-ID.
+
+All-JVM expressions (split / higher-order functions) — no Python in
+the hot path except language-ID, which is a vectorized Pandas UDF by
+design (profile lookup is genuinely non-relational).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# mirrored in the DuckDB oracle — keep in sync with __spark_entry__
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for", "on", "at")
+FP_MOD = 2147483647  # 2^31 - 1
+FP_BASE = 131
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-doc token counts and character length."""
+    t = _tokens()
+    return documents.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("n_distinct_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+def token_count_regex(documents: DataFrame) -> DataFrame:
+    """BPE-ish tokenizer proxy: count regex token matches (word runs,
+    digit runs, single punctuation) — the whitespace-split twin is in
+    text_stats."""
+    return documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), F.lit(0)))
+        .cast("bigint")
+        .alias("n_regex_tokens"),
+    )
+
+
+def doc_fingerprint(documents: DataFrame) -> DataFrame:
+    """Rolling polynomial hash over characters, mod 2^31-1 — a
+    deterministic document fingerprint computed with a sequential
+    JVM-side fold (no UDF), exactly reproducible in ANSI-ish SQL."""
+    chars = F.split(F.col("text"), "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
+    )
+    return documents.select("doc_id", fp.alias("fingerprint"))
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality score: length saturation + non-stopword
+    ratio.  Float ops are ordered identically to the oracle SQL so the
+    doubles match bit-for-bit."""
+    t = _tokens()
+    n = F.size(t)
+    stop_cnt = F.size(F.filter(t, lambda w: w.isin(*STOPWORDS)))
+    score = F.round(
+        F.least(n, F.lit(50)) / F.lit(50) * F.lit(0.5)
+        + (F.lit(1) - stop_cnt / n) * F.lit(0.5),
+        6,
+    )
+    return documents.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        stop_cnt.cast("bigint").alias("n_stopwords"),
+        score.alias("quality_score"),
+    )
+
+
+# ----------------------------------------------------------------------
+# language ID — n-gram profile heuristic (rows-only; not expressible in
+# ANSI SQL, verified by unit tests on constructed samples)
+# ----------------------------------------------------------------------
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "in"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": (),  # no latin markers → falls through to "und"/charset rule
+}
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Marker-word + charset language-ID heuristic as a vectorized
+    Pandas UDF.  Deterministic; ties broken by language code order."""
+
+    @pandas_udf("string")
+    def _pred(texts: pd.Series) -> pd.Series:
+        def one(t: str) -> str:
+            if t is None or not t.strip():
+                return "und"
+            if any(ord(ch) > 0x2E80 for ch in t):
+                return "zh"
+            words = set(t.lower().split())
+            best, best_hits = "und", 0
+            for lang in sorted(_LANG_MARKERS):
+                hits = len(words & set(_LANG_MARKERS[lang]))
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            return best
+
+        return texts.map(one)
+
+    return documents.select("doc_id", _pred(F.col("text")).alias("pred_lang"))

@@ -1,0 +1,107 @@
+"""Dedup + similarity operators: properties the DuckDB oracle can't
+check — LSH recall vs exact ground truth, SimHash on constructed
+dups, ANN recall vs brute force."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_window_dgim_traffic_spark.operators import dedup as D
+from flink_window_dgim_traffic_spark.operators import similarity as S
+from flink_window_dgim_traffic_spark.session import table
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return table(spark, sf_dir, "embeddings")
+
+
+def test_dedup_exact_keeps_min_doc_id(spark):
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "aa"), (3, "bb"), (7, "aa")], ["doc_id", "text"]
+    )
+    got = {r["keep_doc_id"]: r["n_copies"] for r in D.dedup_exact(df).collect()}
+    assert got == {1: 3, 3: 1}
+
+
+def test_shingles_small_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y")], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_id"], r["s"]) for r in D.shingles(df, 3).collect()
+    }
+    assert got == {(1, "a b c"), (1, "b c d")}  # doc 2 too short → none
+
+
+def test_minhash_lsh_recall_and_precision(documents):
+    """LSH candidates verified by exact Jaccard: precision must be 1
+    (subset of exact pairs); recall ≈ 1 at j ≥ 0.8 with 16×4 bands."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(documents, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_pairs(documents, threshold=0.8).collect()
+    }
+    assert lsh <= exact  # precision 1 by construction
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.9, f"LSH recall {recall} below 0.9 ({len(exact)} truth)"
+
+
+def test_simhash_near_dup_detected(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different words about spark window aggregation " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in D.simhash_pairs(df, 6).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_deterministic(documents):
+    a = D.simhash_fingerprints(documents.limit(50)).collect()
+    b = D.simhash_fingerprints(documents.limit(50)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_simsearch_topk_shape(embeddings):
+    rows = S.simsearch_topk(embeddings, n_query=5, k=7).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rs in by_q.items():
+        assert len(rs) == 7
+        scores = [r["score"] for r in sorted(rs, key=lambda r: r["rnk"])]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_ann_recall_vs_bruteforce(embeddings):
+    """Sign-LSH ANN top-10 must recover a decent fraction of the true
+    top-10 (unclustered data is the hard case; bound is modest)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.simsearch_topk(embeddings).collect()
+    }
+    ann = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.simsearch_ann_lsh(embeddings).collect()
+    }
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.3, f"ANN recall {recall:.2f} too low"
+
+
+def test_embedding_neardup_symmetric_free(embeddings):
+    rows = S.embedding_neardup(embeddings, threshold=0.35).collect()
+    assert all(r["vec_a"] < r["vec_b"] for r in rows)
+    assert all(r["score"] >= 0.35 for r in rows)

@@ -1,0 +1,102 @@
+"""Relational operator sanity (the heavy value validation is the
+DuckDB oracle via tools/check_oracle.py; these cover semantics the
+oracle can't — plan shape, approx sketch bounds, asof correctness on
+constructed data)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_window_dgim_traffic_spark.operators import relational as R
+from flink_window_dgim_traffic_spark.session import table
+
+
+@pytest.fixture(scope="module")
+def tpch(spark, sf_dir):
+    return {
+        n: table(spark, sf_dir, n)
+        for n in ["customer", "orders", "lineitem", "supplier", "nation", "region"]
+    }
+
+
+def test_q1_aggregate_invariants(tpch):
+    rows = R.q1_pricing_summary(tpch["lineitem"]).collect()
+    assert 1 <= len(rows) <= 9  # |returnflag| x |linestatus|
+    for r in rows:
+        assert r["sum_disc_price"] <= r["sum_base_price"]
+        assert r["sum_charge"] >= r["sum_disc_price"]
+        assert r["count_order"] > 0
+
+
+def test_q3_topk_ordered(tpch):
+    rows = R.q3_shipping_priority(
+        tpch["customer"], tpch["orders"], tpch["lineitem"]
+    ).collect()
+    assert len(rows) <= 10
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_top_customers_rank_bounds(tpch):
+    rows = R.top_customers_per_nation(
+        tpch["customer"], tpch["orders"], tpch["nation"]
+    ).collect()
+    per_nation = {}
+    for r in rows:
+        per_nation.setdefault(r["n_name"], []).append(r["rnk"])
+    for n, rnks in per_nation.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+        assert len(rnks) <= 3
+
+
+def test_approx_distinct_within_hll_error(events):
+    for r in R.approx_distinct_users(events).collect():
+        exact = r["n_users"]
+        approx = r["approx_users"]
+        assert abs(approx - exact) <= max(2, 0.1 * exact)
+
+
+def test_asof_on_constructed_stream(spark):
+    base = datetime.datetime(2024, 1, 1)
+    mk = lambda s: base + datetime.timedelta(seconds=s)
+    rows = [
+        (1, mk(0), 7, "view", 0.0, "{}"),
+        (2, mk(10), 7, "purchase", 1.0, "{}"),
+        (3, mk(20), 7, "view", 0.0, "{}"),
+        (4, mk(30), 7, "purchase", 1.0, "{}"),
+        (5, mk(5), 8, "purchase", 1.0, "{}"),  # user 8: no prior view
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["event_id"]: r["last_view_ts"] for r in R.asof_view_before_purchase(ev).collect()}
+    assert got[2] == "2024-01-01 00:00:00"
+    assert got[4] == "2024-01-01 00:00:20"
+    assert got[5] is None
+
+
+def test_sessionize_gap_split(spark):
+    base = datetime.datetime(2024, 1, 1)
+    mk = lambda h: base + datetime.timedelta(hours=h)
+    rows = [
+        (1, mk(0), 7, "view", 0.0, "{}"),
+        (2, mk(1), 7, "view", 0.0, "{}"),   # same session (gap 1h < 4h)
+        (3, mk(9), 7, "view", 0.0, "{}"),   # new session (gap 8h)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = R.sessionize(ev).collect()
+    assert len(got) == 2
+    sizes = sorted(r["n_events"] for r in got)
+    assert sizes == [1, 2]
+
+
+def test_q3_plan_broadcasts_dimension(tpch):
+    """Plan audit: the customer dim side must be broadcast, not
+    shuffled (scale requirement)."""
+    plan = R.q3_shipping_priority(
+        tpch["customer"], tpch["orders"], tpch["lineitem"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
