@@ -25,6 +25,7 @@ from typing import Iterable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from flink_window_dgim_traffic_spark.dgim import DGIM, MODE_JAVA
 
@@ -84,7 +85,7 @@ def hop_exact(
 
 
 # ----------------------------------------------------------------------
-# DGIM windowed estimate — applyInPandas (whole-window replay)
+# DGIM windowed estimate — collect_list + VECTORIZED replay UDF
 # ----------------------------------------------------------------------
 def _dgim_window_cols(events: DataFrame, size_sec: int) -> DataFrame:
     return with_bit(events).select(
@@ -94,16 +95,24 @@ def _dgim_window_cols(events: DataFrame, size_sec: int) -> DataFrame:
     )
 
 
-def _replay_group(pdf: pd.DataFrame, size_sec: int, mode: str):
-    """Replay one window's rows (sorted by ts) through the sketch."""
-    sk = DGIM(size_sec, mode=mode)
-    ones = 0
-    sub = pdf.sort_values("ts_sec", kind="mergesort")
-    for b, t in zip(sub["bit"].to_numpy(), sub["ts_sec"].to_numpy()):
-        if b == 1:
-            sk.add(int(t))
-            ones += 1
-    return sk.estimate(), ones
+def _replay_pairs_udf(size_sec: int, mode: str):
+    """Vectorized (Arrow-batched) whole-window replay: one Python
+    invocation per batch of windows, not per window — per-group
+    applyInPandas overhead dominates wall time at many-small-windows
+    shape, so it is avoided everywhere."""
+
+    @pandas_udf("bigint")
+    def est(pairs: pd.Series) -> pd.Series:
+        def one(lst) -> int:
+            sk = DGIM(size_sec, mode=mode)
+            for p in sorted(lst, key=lambda r: r["ts_sec"]):
+                if p["bit"] == 1:
+                    sk.add(int(p["ts_sec"]))
+            return sk.estimate()
+
+        return pairs.map(one)
+
+    return est
 
 
 def tumble_dgim(
@@ -111,24 +120,22 @@ def tumble_dgim(
 ) -> DataFrame:
     """DGIM estimate per tumbling window + exact twin column.
 
-    ``applyInPandas`` = one Arrow batch per window group, replacing the
-    reference's MULTISET ``COLLECT`` (SURVEY §3.3)."""
-
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        est, ones = _replay_group(pdf, size_sec, mode)
-        return pd.DataFrame(
-            {
-                "window_end": [pdf["we"].iloc[0].strftime(TS_FMT_PY)],
-                "count_estimate": [est],
-                "exact_count": [ones],
-            }
-        )
-
+    ``collect_list(struct)`` per window (the Spark shape of the
+    reference's MULTISET ``COLLECT``, SURVEY §3.3) + a vectorized
+    Pandas-UDF replay.  A pathologically hot window concentrates in
+    one task here — ``tumble_dgim_two_phase`` is the bounded-shuffle
+    shape for that case."""
     return (
         _dgim_window_cols(events, size_sec)
         .groupBy("we")
-        .applyInPandas(
-            fn, "window_end string, count_estimate bigint, exact_count bigint"
+        .agg(
+            F.collect_list(F.struct("bit", "ts_sec")).alias("pairs"),
+            F.sum("bit").cast("bigint").alias("exact_count"),
+        )
+        .select(
+            F.date_format("we", TS_FMT_SPARK).alias("window_end"),
+            _replay_pairs_udf(size_sec, mode)("pairs").alias("count_estimate"),
+            "exact_count",
         )
     )
 
@@ -137,10 +144,9 @@ def tumble_dgim_collect(
     events: DataFrame, size_sec: int = 60, mode: str = MODE_JAVA
 ) -> DataFrame:
     """Literal W13/W14 mapping: ``collect_list(struct(bit, ts))`` per
-    window + scalar UDF replay (reference ``job.py:175-184``).  Kept for
-    parity; ``tumble_dgim`` / ``tumble_dgim_two_phase`` are the
-    preferred shapes (collect_list concentrates a whole window in one
-    task — fine at reference rates, not the 100 TB path)."""
+    window + row-at-a-time scalar UDF replay with parse tolerance
+    (reference ``job.py:175-184``).  Kept for parity with the PyFlink
+    job; the vectorized ``tumble_dgim`` is the fast path."""
 
     @F.udf("bigint")
     def dgim_est(pairs):
@@ -167,36 +173,107 @@ def hop_dgim(
     mode: str = MODE_JAVA,
 ) -> DataFrame:
     """DGIM estimate per hopping window (reference sliding job,
-    ``SlidingWindowStreamingJob.java:92-111``) + exact twin."""
-
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        est, ones = _replay_group(pdf, size_sec, mode)
-        return pd.DataFrame(
-            {
-                "window_start": [pdf["ws"].iloc[0].strftime(TS_FMT_PY)],
-                "window_end": [pdf["we"].iloc[0].strftime(TS_FMT_PY)],
-                "count_estimate": [est],
-                "exact_count": [ones],
-            }
-        )
-
+    ``SlidingWindowStreamingJob.java:92-111``) + exact twin, same
+    vectorized-replay shape as tumble_dgim."""
     w = F.window("ts", f"{size_sec} seconds", f"{slide_sec} seconds")
     ev = with_bit(events).select(
         w.alias("w"), "bit", F.unix_timestamp("ts").alias("ts_sec")
     )
-    ev = ev.select(
-        F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "bit", "ts_sec"
-    )
-    return ev.groupBy("ws", "we").applyInPandas(
-        fn,
-        "window_start string, window_end string, "
-        "count_estimate bigint, exact_count bigint",
+    return (
+        ev.select(
+            F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "bit", "ts_sec"
+        )
+        .groupBy("ws", "we")
+        .agg(
+            F.collect_list(F.struct("bit", "ts_sec")).alias("pairs"),
+            F.sum("bit").cast("bigint").alias("exact_count"),
+        )
+        .select(
+            F.date_format("ws", TS_FMT_SPARK).alias("window_start"),
+            F.date_format("we", TS_FMT_SPARK).alias("window_end"),
+            _replay_pairs_udf(size_sec, mode)("pairs").alias("count_estimate"),
+            "exact_count",
+        )
     )
 
 
 # ----------------------------------------------------------------------
 # DGIM two-phase: map-side partial sketches + sketch-only shuffle
 # ----------------------------------------------------------------------
+def _two_phase(
+    ev: DataFrame, key_cols: list, out_cols: list, size_sec: int, mode: str
+) -> DataFrame:
+    """Generic two-phase DGIM over pre-assigned windows.  ``ev`` must
+    have ``key_cols`` (timestamps) + ``bit`` + ``ts_sec``; output has
+    ``out_cols`` (formatted strings) + estimate/exact/n_rows."""
+
+    def phase1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # accumulate across all Arrow batches of this partition so each
+        # (partition, window) emits exactly one sketch
+        sketches: dict = {}
+        counters: dict = {}
+        for pdf in batches:
+            for key, sub in pdf.groupby(key_cols, sort=False):
+                if not isinstance(key, tuple):
+                    key = (key,)
+                sk = sketches.get(key)
+                if sk is None:
+                    sk = sketches[key] = DGIM(size_sec, mode=mode)
+                    counters[key] = [0, 0]
+                sub = sub.sort_values("ts_sec", kind="mergesort")
+                for b, t in zip(sub["bit"].to_numpy(), sub["ts_sec"].to_numpy()):
+                    if b == 1:
+                        sk.add(int(t))
+                        counters[key][0] += 1
+                counters[key][1] += len(sub)
+        if sketches:
+            keys = list(sketches.keys())
+            out = {
+                kc: [k[i] for k in keys] for i, kc in enumerate(key_cols)
+            }
+            out["flat"] = [sk.to_flat() for sk in sketches.values()]
+            out["ones"] = [c[0] for c in counters.values()]
+            out["nrows"] = [c[1] for c in counters.values()]
+            yield pd.DataFrame(out)
+
+    @pandas_udf("bigint")
+    def merge_est(flats: pd.Series) -> pd.Series:
+        # vectorized merge: one Python call per Arrow batch of windows
+        def one(lst) -> int:
+            acc = DGIM(size_sec, mode=mode)
+            for flat in lst:
+                acc.merge(DGIM.from_flat(size_sec, list(flat), mode=mode))
+            return acc.estimate()
+
+        return flats.map(one)
+
+    key_schema = ", ".join(f"{k} timestamp" for k in key_cols)
+    # local parquet often arrives as a single partition; spread phase 1
+    # across cores (on a real cluster the source is already split)
+    if ev.rdd.getNumPartitions() < ev.sparkSession.sparkContext.defaultParallelism:
+        ev = ev.repartition(ev.sparkSession.sparkContext.defaultParallelism)
+    partials = ev.mapInPandas(
+        phase1, f"{key_schema}, flat array<bigint>, ones bigint, nrows bigint"
+    )
+    return (
+        partials.groupBy(*key_cols)
+        .agg(
+            F.collect_list("flat").alias("flats"),
+            F.sum("ones").alias("exact_count"),
+            F.sum("nrows").alias("n_rows"),
+        )
+        .select(
+            *[
+                F.date_format(kc, TS_FMT_SPARK).alias(oc)
+                for kc, oc in zip(key_cols, out_cols)
+            ],
+            merge_est("flats").alias("count_estimate"),
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+        )
+    )
+
+
 def tumble_dgim_two_phase(
     events: DataFrame, size_sec: int = 60, mode: str = MODE_JAVA
 ) -> DataFrame:
@@ -206,52 +283,42 @@ def tumble_dgim_two_phase(
     rows; phase 2 shuffles only the flattened O(log²N) sketches and
     merges them per window.  At 100 TB this shuffles megabytes, not
     terabytes."""
+    ev = _dgim_window_cols(events, size_sec)
+    return _two_phase(ev, ["we"], ["window_end"], size_sec, mode)
 
-    def phase1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # accumulate across all Arrow batches of this partition so each
-        # (partition, window) emits exactly one sketch
-        sketches: dict = {}
-        counters: dict = {}
-        for pdf in batches:
-            for we, sub in pdf.groupby("we", sort=False):
-                sk = sketches.get(we)
-                if sk is None:
-                    sk = sketches[we] = DGIM(size_sec, mode=mode)
-                    counters[we] = [0, 0]
-                sub = sub.sort_values("ts_sec", kind="mergesort")
-                for b, t in zip(sub["bit"].to_numpy(), sub["ts_sec"].to_numpy()):
-                    if b == 1:
-                        sk.add(int(t))
-                        counters[we][0] += 1
-                counters[we][1] += len(sub)
-        if sketches:
-            yield pd.DataFrame(
-                {
-                    "we": list(sketches.keys()),
-                    "flat": [sk.to_flat() for sk in sketches.values()],
-                    "ones": [c[0] for c in counters.values()],
-                    "nrows": [c[1] for c in counters.values()],
-                }
-            )
 
-    def phase2(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = DGIM(size_sec, mode=mode)
-        for flat in pdf["flat"]:
-            acc.merge(DGIM.from_flat(size_sec, list(flat), mode=mode))
-        return pd.DataFrame(
-            {
-                "window_end": [pdf["we"].iloc[0].strftime(TS_FMT_PY)],
-                "count_estimate": [acc.estimate()],
-                "exact_count": [int(pdf["ones"].sum())],
-                "n_rows": [int(pdf["nrows"].sum())],
-            }
+def hop_dgim_two_phase(
+    events: DataFrame,
+    size_sec: int = 60,
+    slide_sec: int = 10,
+    mode: str = MODE_JAVA,
+) -> DataFrame:
+    """Two-phase DGIM over hopping windows: explicit window-explode
+    (integer µs arithmetic, identical to the oracle's generate_series)
+    then the same partial-sketch shuffle.  The scale path for the
+    reference's sliding job — per-row cost is the 6× explode, the
+    shuffle stays sketch-sized."""
+    s_us, l_us = size_sec * 1_000_000, slide_sec * 1_000_000
+    ev = (
+        with_bit(events)
+        .withColumn("es_us", F.unix_micros(F.col("ts")))
+        .withColumn(
+            "ws_us",
+            F.explode(
+                F.sequence(
+                    (F.expr(f"(es_us - {s_us}) DIV {l_us}") + 1) * l_us,
+                    F.expr(f"es_us DIV {l_us}") * l_us,
+                    F.lit(l_us),
+                )
+            ),
         )
-
-    partials = _dgim_window_cols(events, size_sec).mapInPandas(
-        phase1, "we timestamp, flat array<bigint>, ones bigint, nrows bigint"
+        .select(
+            F.timestamp_micros(F.col("ws_us")).alias("ws"),
+            F.timestamp_micros(F.col("ws_us") + s_us).alias("we"),
+            "bit",
+            F.unix_timestamp("ts").alias("ts_sec"),
+        )
     )
-    return partials.groupBy("we").applyInPandas(
-        phase2,
-        "window_end string, count_estimate bigint, "
-        "exact_count bigint, n_rows bigint",
+    return _two_phase(
+        ev, ["ws", "we"], ["window_start", "window_end"], size_sec, mode
     )

@@ -1,0 +1,170 @@
+"""Structured Streaming jobs mirroring the reference's three Flink
+pipelines (SURVEY.md §3): JSON source → parse/filter → event-time
+tumble/hop window → DGIM or exact aggregate → append or upsert sink.
+
+Differences by design (SURVEY §7.0/§7.4): event-time + watermark
+instead of the reference's untestable processing-time windows
+(``PROCTIME()``); upsert-kafka emulated with foreachBatch writing
+keyed JSON records (the reference PK is "NOT ENFORCED" anyway,
+``StreamingJob.java:63``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_window_dgim_traffic_spark.operators.parsing import ISO_US_SPARK
+
+TRAFFIC_SCHEMA = T.StructType(
+    [
+        T.StructField("value", T.StringType()),
+        T.StructField("timestamp", T.StringType()),
+    ]
+)
+
+
+def file_traffic_stream(spark, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source replay of the traffic fixture (one JSON file per
+    micro-batch) — the deterministic stand-in for the Kafka source."""
+    return (
+        spark.readStream.schema(TRAFFIC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def kafka_traffic_stream(spark, bootstrap: str, topic: str) -> DataFrame:
+    """Kafka JSON source per the reference DDL (S1/S2): permissive
+    decode of the message value.  Requires a broker (not in this
+    container)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "latest")
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), TRAFFIC_SCHEMA).alias("j")
+    ).select("j.value", "j.timestamp")
+
+
+def parse_traffic(raw: DataFrame) -> DataFrame:
+    """Permissive parse (P2-P6): try-cast bit, try-parse event-time
+    timestamp, drop nulls.  Adds both the TimestampType ``ts`` (for
+    windows/watermarks) and epoch-seconds ``ts_sec`` (for DGIM)."""
+    parsed = raw.select(
+        F.col("value").try_cast("int").alias("bit"),
+        F.try_to_timestamp(F.col("timestamp"), F.lit(ISO_US_SPARK)).alias("ts"),
+    )
+    return parsed.filter(
+        F.col("bit").isNotNull() & F.col("ts").isNotNull()
+    ).withColumn("ts_sec", F.unix_timestamp("ts"))
+
+
+def tumble_exact_stream(
+    parsed: DataFrame, size_sec: int = 60, watermark: str = "10 seconds"
+) -> DataFrame:
+    """Streaming W1 twin: event-time tumbling count of 1-bits.
+    Watermark closes windows in append mode (the reference needs none
+    because proctime windows can't be late)."""
+    return (
+        parsed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{size_sec} seconds").alias("w"))
+        .agg(
+            F.sum("bit").cast("bigint").alias("ones_exact"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "ones_exact",
+            "n_rows",
+        )
+    )
+
+
+def hop_exact_stream(
+    parsed: DataFrame,
+    size_sec: int = 60,
+    slide_sec: int = 10,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming W2 twin (HOP window, composite key like S5)."""
+    return (
+        parsed.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", f"{size_sec} seconds", f"{slide_sec} seconds").alias("w")
+        )
+        .agg(
+            F.sum("bit").cast("bigint").alias("ones_exact"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "ones_exact",
+            "n_rows",
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# upsert sink emulation (S4/S5)
+# ----------------------------------------------------------------------
+def to_upsert_records(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Changelog layout of the reference's upsert-kafka sink: JSON key
+    (PK columns) + JSON value (full row) — ``StreamingJob.java:59-75``."""
+    return df.select(
+        F.to_json(F.struct(*key_cols)).alias("key"),
+        F.to_json(F.struct(*df.columns)).alias("value"),
+    )
+
+
+def upsert_foreach_batch_writer(out_dir: str, key_cols: list[str]):
+    """foreachBatch writer for update-mode windowed aggregates: each
+    micro-batch appends keyed JSON records to out_dir (stand-in for
+    the upsert-kafka topic; compaction = last record per key wins).
+    With a real broker the same records go to ``format("kafka")``."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            to_upsert_records(batch_df, key_cols)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .json(out_dir)
+        )
+
+    return write
+
+
+def read_upsert_state(spark, out_dir: str) -> DataFrame:
+    """Materialize the upsert log: last value per key (what a
+    compacted Kafka topic / Flink changelog consumer would see)."""
+    log = spark.read.schema(
+        "key string, value string, batch_id long"
+    ).json(out_dir)
+    w = F.struct(F.col("batch_id")).alias("ord")
+    return (
+        log.groupBy("key")
+        .agg(F.max_by("value", F.col("batch_id")).alias("value"))
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
+    """Start a memory-sink query (tests) and process all available."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,78 @@
+"""Incremental streaming DGIM via ``applyInPandasWithState`` — the
+bounded-state alternative to per-window replay (SURVEY.md §7.3).
+
+The reference keeps one DGIM accumulator per open window inside
+Flink's window operator (``DGIMAggregateFunction.java:41-71``); here
+the sketch lives in the Spark state store keyed by window end, updated
+once per micro-batch and emitted in update mode.  State per key is the
+flattened bucket list — O(log² N), exactly the bound the sketch
+exists for.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from flink_window_dgim_traffic_spark.dgim import DGIM, MODE_JAVA
+
+STATE_SCHEMA = "flat array<bigint>"
+OUTPUT_SCHEMA = (
+    "window_end string, count_estimate bigint, exact_count bigint, n_rows bigint"
+)
+
+
+def make_dgim_update_fn(size_sec: int, mode: str = MODE_JAVA):
+    """Build the applyInPandasWithState update function (importable at
+    module scope so cloudpickle ships only the closure config)."""
+
+    def update(
+        key: Tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (flat, ones, nrows) = state.get
+            sk = DGIM.from_flat(size_sec, list(flat), mode=mode)
+        else:
+            sk, ones, nrows = DGIM(size_sec, mode=mode), 0, 0
+        for pdf in pdfs:
+            sub = pdf.sort_values("ts_sec", kind="mergesort")
+            for b, t in zip(sub["bit"].to_numpy(), sub["ts_sec"].to_numpy()):
+                if b == 1:
+                    sk.add(int(t))
+                    ones += 1
+            nrows += len(sub)
+        state.update((sk.to_flat(), ones, nrows))
+        yield pd.DataFrame(
+            {
+                "window_end": [key[0].strftime("%Y-%m-%d %H:%M:%S")],
+                "count_estimate": [sk.estimate()],
+                "exact_count": [ones],
+                "n_rows": [nrows],
+            }
+        )
+
+    return update
+
+
+def tumble_dgim_stream(
+    parsed, size_sec: int = 60, mode: str = MODE_JAVA
+):
+    """Update-mode streaming DGIM per tumbling window.  Input must be
+    ``parse_traffic`` output (bit, ts, ts_sec)."""
+    from pyspark.sql import functions as F
+
+    keyed = parsed.select(
+        F.window("ts", f"{size_sec} seconds").getItem("end").alias("we"),
+        "bit",
+        "ts_sec",
+    )
+    return keyed.groupBy("we").applyInPandasWithState(
+        make_dgim_update_fn(size_sec, mode),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA + ", ones bigint, nrows bigint",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

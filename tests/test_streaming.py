@@ -1,0 +1,158 @@
+"""Structured Streaming parity: file-source replay of the traffic
+fixture must reproduce the batch results exactly; upsert sink log
+compacts to the final window values; stateful incremental DGIM equals
+batch replay when chunks arrive in time order."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_window_dgim_traffic_spark.operators import windows as W
+from flink_window_dgim_traffic_spark.sources.traffic import (
+    traffic_bits_df,
+    write_traffic_json,
+)
+from flink_window_dgim_traffic_spark.streaming import jobs as J
+from flink_window_dgim_traffic_spark.streaming.stateful_dgim import (
+    tumble_dgim_stream,
+)
+
+DURATION = 240.0  # 4 windows of 60 s
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("traffic_json")
+    write_traffic_json(str(d), duration_sec=DURATION, seed=42, n_chunks=3)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def batch_parsed(spark):
+    return J.parse_traffic(traffic_bits_df(spark, DURATION, seed=42))
+
+
+def _batch_expect(batch_parsed):
+    # batch tumble_exact derives bit from event_id parity; feeding
+    # bit itself as event_id keeps parity == bit.
+    return {
+        r["window_end"]: (r["ones_exact"], r["n_rows"])
+        for r in W.tumble_exact(
+            batch_parsed.withColumnRenamed("bit", "event_bit").withColumn(
+                "event_id", F.col("event_bit").cast("bigint")
+            ),
+            60,
+        ).collect()
+    }
+
+
+def test_stream_tumble_append_closed_windows(spark, fixture_dir, batch_parsed):
+    """Append mode emits exactly the watermark-closed windows; each
+    must equal the batch value.  The final window stays open (its end
+    is past the last watermark) — correct Spark semantics."""
+    stream = J.parse_traffic(J.file_traffic_stream(spark, fixture_dir))
+    J.run_stream_to_memory(
+        J.tumble_exact_stream(stream), "t_tumble", output_mode="append"
+    )
+    got = {
+        r["window_end"]: (r["ones_exact"], r["n_rows"])
+        for r in spark.sql("SELECT * FROM t_tumble").collect()
+    }
+    expect = _batch_expect(batch_parsed)
+    assert got.items() <= expect.items()
+    assert len(got) >= 3  # all but the still-open last window
+
+
+def test_stream_tumble_update_matches_batch(spark, fixture_dir, batch_parsed):
+    """Update mode (the reference's upsert output, S4): final update
+    per window equals the batch result for ALL windows."""
+    stream = J.parse_traffic(J.file_traffic_stream(spark, fixture_dir))
+    J.run_stream_to_memory(
+        J.tumble_exact_stream(stream, watermark="0 seconds"),
+        "t_tumble_upd",
+        output_mode="update",
+    )
+    final = {}
+    for r in spark.sql("SELECT * FROM t_tumble_upd").collect():
+        final[r["window_end"]] = (r["ones_exact"], r["n_rows"])
+    assert final == _batch_expect(batch_parsed)
+
+
+def test_stream_hop_update_matches_batch(spark, fixture_dir, batch_parsed):
+    """Update-mode hop (composite key window_start+window_end, S5):
+    final updates equal the batch hop aggregation for every window."""
+    stream = J.parse_traffic(J.file_traffic_stream(spark, fixture_dir))
+    J.run_stream_to_memory(
+        J.hop_exact_stream(stream, watermark="0 seconds"), "t_hop", "update"
+    )
+    final = {}
+    for r in spark.sql("SELECT * FROM t_hop").collect():
+        final[(r["window_start"], r["window_end"])] = (
+            r["ones_exact"],
+            r["n_rows"],
+        )
+    ev = batch_parsed.withColumn("event_id", F.col("bit").cast("bigint"))
+    expect = {
+        (r["window_start"], r["window_end"]): (r["ones_exact"], r["n_rows"])
+        for r in W.hop_exact(ev, 60, 10).collect()
+    }
+    assert final == expect
+    n_batch = batch_parsed.count()
+    assert sum(n for _, n in final.values()) == 6 * n_batch
+
+
+def test_upsert_log_compaction(spark, fixture_dir, tmp_path):
+    """Update-mode + foreachBatch upsert: the compacted log equals the
+    final per-window aggregate (S4 semantics, PK = window_end)."""
+    out = str(tmp_path / "upsert_log")
+    stream = J.parse_traffic(J.file_traffic_stream(spark, fixture_dir))
+    agg = J.tumble_exact_stream(stream, watermark="0 seconds")
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(J.upsert_foreach_batch_writer(out, ["window_end"]))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = J.read_upsert_state(spark, out).collect()
+    final = {}
+    for r in state:
+        import json
+
+        v = json.loads(r["value"])
+        final[v["window_end"]] = (v["ones_exact"], v["n_rows"])
+    batch = traffic_bits_df(spark, DURATION, seed=42)
+    parsed = J.parse_traffic(batch)
+    expect = {
+        r["we"]: (r["ones"], r["n"])
+        for r in parsed.groupBy(
+            F.date_format(
+                F.window("ts", "60 seconds").getItem("end"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("we")
+        )
+        .agg(F.sum("bit").cast("bigint").alias("ones"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == expect
+
+
+def test_stateful_dgim_matches_batch_replay(spark, fixture_dir, batch_parsed):
+    """Chunks are time-ordered, so incremental state updates replay
+    the same sorted stream as the batch path — estimates must be
+    IDENTICAL, and the final update per window is the one that
+    counts."""
+    stream = J.parse_traffic(J.file_traffic_stream(spark, fixture_dir))
+    J.run_stream_to_memory(tumble_dgim_stream(stream, 60), "t_dgim", "update")
+    # update mode emits one row per (batch, window); keep the last
+    upd = spark.sql("SELECT * FROM t_dgim").collect()
+    final = {}
+    for r in upd:  # memory sink preserves batch order
+        final[r["window_end"]] = (r["count_estimate"], r["exact_count"], r["n_rows"])
+
+    ev = batch_parsed.withColumn("event_id", F.col("bit").cast("bigint"))
+    expect = {
+        r["window_end"]: (r["count_estimate"], r["exact_count"])
+        for r in W.tumble_dgim(ev, 60).collect()
+    }
+    assert set(final) == set(expect)
+    for we, (est, exact, _n) in final.items():
+        assert (est, exact) == expect[we], f"window {we}"
