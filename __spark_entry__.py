@@ -76,6 +76,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _events(s, d), 60
         ),
         "hop_dgim": lambda s, d: W.hop_dgim(_events(s, d), 60, 10),
+        "hop_dgim_two_phase": lambda s, d: W.hop_dgim_two_phase(
+            _events(s, d), 60, 10
+        ),
         # --- parse/cast/filter ops (SURVEY §2.2) ---
         "traffic_parse": lambda s, d: P.traffic_parse(
             P.traffic_strings(_events(s, d))
@@ -350,20 +353,25 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(stop_cnt AS BIGINT) AS n_stop
  round(least(n, 50) / 50 * 0.5 + (1 - stop_cnt / n) * 0.5, 6) AS quality_score
 FROM c
 """,
+        # norms precomputed per vector, pair score = dot/(na*nb) —
+        # the exact expression shape of similarity._pair_score so the
+        # doubles match bit-for-bit
         "simsearch_topk": f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt({_SQN.format(a='embedding::DOUBLE[]')}) AS nrm FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e WHERE vec_id < 10),
 scored AS (SELECT query_id, e.vec_id AS neighbor_id,
-  round({_cos('qv', 'v')}, 6) AS score
+  round({_DOT.format(a='qv', b='v')} / (qnrm * nrm), 6) AS score
   FROM q JOIN e ON e.vec_id <> q.query_id),
 r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
         ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk FROM scored)
 SELECT query_id, neighbor_id, score, rnk FROM r WHERE rnk <= 10
 """,
         "embedding_neardup": f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt({_SQN.format(a='embedding::DOUBLE[]')}) AS nrm FROM embeddings),
 p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      round({_cos('a.v', 'b.v')}, 6) AS score
+      round({_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6) AS score
       FROM e a JOIN e b ON a.vec_id < b.vec_id)
 SELECT vec_a, vec_b, score FROM p WHERE score >= 0.4
 """,

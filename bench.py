@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Each query is materialized through the noop sink (full execution, no
+collect-to-driver cost)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entrymod  # noqa: E402
+from flink_window_dgim_traffic_spark.session import get_spark, table  # noqa: E402
+
+# representative slice of the operator surface (each family present)
+BENCH_QUERIES = [
+    "tumble_exact",
+    "hop_exact",
+    "tumble_dgim",
+    "tumble_dgim_two_phase",
+    "hop_dgim_two_phase",
+    "traffic_parse_summary",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "top_customers_per_nation",
+    "sessionize",
+    "asof_view_before_purchase",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "text_stats",
+    "doc_fingerprint",
+    "quality_score",
+    "simsearch_topk",
+    "embedding_neardup",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="bench")
+
+    # warm the session (JVM init, parquet footer reads) outside timings
+    table(spark, sf_dir, "events").count()
+
+    qs = entrymod.queries()
+    extra = [n for n in BENCH_QUERIES if n not in qs]
+    if extra:
+        raise SystemExit(f"bench queries missing from queries(): {extra}")
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

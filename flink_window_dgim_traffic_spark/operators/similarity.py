@@ -13,7 +13,6 @@ from pyspark.sql import functions as F
 
 from flink_window_dgim_traffic_spark.functions.vectors import (
     as_double,
-    cosine,
     dot,
     sq_norm,
 )
@@ -23,9 +22,19 @@ TOP_K = 10
 
 
 def _with_vec(embeddings: DataFrame) -> DataFrame:
+    """Vectors cast to double with the L2 norm precomputed ONCE per
+    vector — pairwise score is then a single fold + one divide
+    (``dot / (na * nb)``), ~3× less per-pair work than recomputing
+    norms inside the pair join.  The oracle mirrors this exact
+    expression shape so doubles stay bit-identical."""
+    v = as_double(F.col("embedding"))
     return embeddings.select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
+        "vec_id", v.alias("v"), F.sqrt(sq_norm(v)).alias("nrm")
     )
+
+
+def _pair_score(va, vb, na, nb):
+    return F.round(dot(va, vb) / (na * nb), 6)
 
 
 def simsearch_topk(
@@ -36,7 +45,9 @@ def simsearch_topk(
     the exact baseline an ANN variant is measured against."""
     e = _with_vec(embeddings)
     q = e.filter(F.col("vec_id") < n_query).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         F.broadcast(q)
@@ -44,7 +55,9 @@ def simsearch_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
+            _pair_score(
+                F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -62,14 +75,22 @@ def embedding_neardup(
     """All pairs with cosine ≥ threshold.  Brute-force pair join at
     test scale; the LSH variant below is the 100 TB path."""
     e = _with_vec(embeddings)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+            _pair_score(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
@@ -124,6 +145,7 @@ def simsearch_ann_lsh(
     q = e.filter(F.col("vec_id") < n_query).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
         *[F.col(c).alias(f"q_{c}") for c in bucket_cols],
     )
     match_any = None
@@ -136,7 +158,9 @@ def simsearch_ann_lsh(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
+            _pair_score(
+                F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
