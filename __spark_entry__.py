@@ -132,6 +132,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": lambda s, d: S.embedding_neardup(
             _embeddings(s, d), threshold=0.4
         ),
+        "embedding_neardup_blocked": lambda s, d: S.embedding_neardup_blocked(
+            _embeddings(s, d), threshold=0.4
+        ),
         # --- multimodal plumbing (north star) ---
         "multimodal_features": lambda s, d: M.multimodal_features(_documents(s, d)),
     }
@@ -196,6 +199,16 @@ inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
 """
 
 _STOP_LIST = "('the','a','of','to','and','in','is','for','on','at')"
+
+
+_NEARDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt({_SQN.format(a='embedding::DOUBLE[]')}) AS nrm FROM embeddings),
+p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      round({_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6) AS score
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, score FROM p WHERE score >= 0.4
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -367,14 +380,9 @@ r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
         ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk FROM scored)
 SELECT query_id, neighbor_id, score, rnk FROM r WHERE rnk <= 10
 """,
-        "embedding_neardup": f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-           sqrt({_SQN.format(a='embedding::DOUBLE[]')}) AS nrm FROM embeddings),
-p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      round({_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6) AS score
-      FROM e a JOIN e b ON a.vec_id < b.vec_id)
-SELECT vec_a, vec_b, score FROM p WHERE score >= 0.4
-""",
+        "embedding_neardup": _NEARDUP_SQL,
+        # bit-exact twin (BLAS screen + exact rescore) — same oracle
+        "embedding_neardup_blocked": _NEARDUP_SQL,
         "multimodal_features": """
 SELECT doc_id,
  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

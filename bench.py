@@ -43,7 +43,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "quality_score",
     "simsearch_topk",
-    "embedding_neardup",
+    "embedding_neardup_blocked",
     "multimodal_features",
 ]
 

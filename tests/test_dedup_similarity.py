@@ -105,3 +105,13 @@ def test_embedding_neardup_symmetric_free(embeddings):
     rows = S.embedding_neardup(embeddings, threshold=0.35).collect()
     assert all(r["vec_a"] < r["vec_b"] for r in rows)
     assert all(r["score"] >= 0.35 for r in rows)
+
+
+def test_embedding_neardup_blocked_bit_identical(embeddings):
+    """The BLAS-screened twin must reproduce the brute-force pair join
+    exactly — same pairs, same rounded doubles."""
+    exact = {tuple(r) for r in S.embedding_neardup(embeddings, 0.35).collect()}
+    fast = {
+        tuple(r) for r in S.embedding_neardup_blocked(embeddings, 0.35).collect()
+    }
+    assert fast == exact
