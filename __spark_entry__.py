@@ -75,7 +75,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumble_dgim_two_phase": lambda s, d: W.tumble_dgim_two_phase(
             _events(s, d), 60
         ),
+        "tumble_dgim_fast": lambda s, d: W.tumble_dgim_fast(_events(s, d), 60),
         "hop_dgim": lambda s, d: W.hop_dgim(_events(s, d), 60, 10),
+        "hop_dgim_fast": lambda s, d: W.hop_dgim_fast(_events(s, d), 60, 10),
         "hop_dgim_two_phase": lambda s, d: W.hop_dgim_two_phase(
             _events(s, d), 60, 10
         ),

@@ -26,7 +26,9 @@ BENCH_QUERIES = [
     "tumble_exact",
     "hop_exact",
     "tumble_dgim",
+    "tumble_dgim_fast",
     "tumble_dgim_two_phase",
+    "hop_dgim_fast",
     "hop_dgim_two_phase",
     "traffic_parse_summary",
     "q1_pricing_summary",

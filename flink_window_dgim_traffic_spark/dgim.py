@@ -168,6 +168,37 @@ class DGIM:
         )
 
 
+# mode -> (incrementally-grown sketch, [g(0), g(1), ...])
+_COUNT_TABLES: dict = {}
+
+
+def count_estimate_table(n_max: int, mode: str = MODE_JAVA) -> List[int]:
+    """``g[n]`` = DGIM estimate after ``n`` sequential 1-bit inserts
+    with no expiry.
+
+    When every bit in a window lies within the sketch horizon of the
+    newest bit — always true for the reference's windowed queries,
+    where horizon == window size and the in-window timestamp spread is
+    strictly less than the window size — no bucket ever expires, the
+    compaction cascade is driven purely by bucket *sizes*, and the
+    final estimate is a pure function of the 1-bit count.  This is the
+    logical rewrite ``DGIM_ESTIMATE(bit, ts) → g(sum(bit))`` that
+    SURVEY.md §4 anticipates; property-tested equal to full replay in
+    tests/test_dgim.py.
+
+    The table is grown incrementally and memoized per mode; the cost
+    of extending to ``n_max`` is O(n_max · log n_max) once per worker.
+    """
+    st = _COUNT_TABLES.get(mode)
+    if st is None:
+        st = _COUNT_TABLES[mode] = (DGIM(1 << 60, mode=mode), [0])
+    sk, tab = st
+    while len(tab) <= n_max:
+        sk.add(0)
+        tab.append(sk.estimate())
+    return tab
+
+
 def dgim_estimate_stream(
     pairs: Iterable[Tuple[object, int]],
     window_size: int,

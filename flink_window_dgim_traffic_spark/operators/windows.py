@@ -20,7 +20,7 @@ canonical).  Bits derive from ``event_id % 2`` per FIXTURES.md §F3.
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -198,62 +198,157 @@ def hop_dgim(
 
 
 # ----------------------------------------------------------------------
+# DGIM fast path: the DGIM_ESTIMATE → g(sum(bit)) logical rewrite
+# ----------------------------------------------------------------------
+def _count_est_udf(mode: str):
+    """Arrow-batched lookup ``ones → g(ones)`` (dgim.count_estimate_table)."""
+
+    @pandas_udf("bigint")
+    def g(ones: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from flink_window_dgim_traffic_spark.dgim import count_estimate_table
+
+        n = ones.fillna(0).to_numpy(dtype="int64")
+        hi = int(n.max()) if len(n) else 0
+        tab = np.asarray(count_estimate_table(hi, mode), dtype="int64")
+        return pd.Series(tab[n])
+
+    return g
+
+
+def tumble_dgim_fast(
+    events: DataFrame, size_sec: int = 60, mode: str = MODE_JAVA
+) -> DataFrame:
+    """Optimizer fast path for the reference's tumbling DGIM query
+    (SURVEY.md §4 anticipates exactly this rewrite): horizon == window
+    size ⇒ every in-window bit is within the horizon of the newest bit
+    ⇒ no bucket ever expires ⇒ the compaction cascade depends only on
+    the 1-bit count ⇒ ``DGIM_ESTIMATE ≡ g(sum(bit))``.
+
+    The whole plan is JVM-side (scan → map-side partial sum → shuffle
+    of tiny (window, count) pairs → final sum); Python is one memoized
+    table lookup per output row.  Result is *identical* to
+    :func:`tumble_dgim` replay (asserted in tests), at exact-count
+    cost — the 100 TB shape for this query family."""
+    return (
+        with_bit(events)
+        .groupBy(F.window("ts", f"{size_sec} seconds").alias("w"))
+        .agg(F.sum("bit").cast("bigint").alias("exact_count"))
+        .select(
+            F.date_format(F.col("w.end"), TS_FMT_SPARK).alias("window_end"),
+            _count_est_udf(mode)(F.col("exact_count")).alias("count_estimate"),
+            "exact_count",
+        )
+    )
+
+
+def hop_dgim_fast(
+    events: DataFrame,
+    size_sec: int = 60,
+    slide_sec: int = 10,
+    mode: str = MODE_JAVA,
+) -> DataFrame:
+    """Same ``DGIM_ESTIMATE → g(sum(bit))`` rewrite over hopping
+    windows; the size/slide explode happens inside Spark's native
+    ``window()`` generator, never in Python.  Identical output to
+    :func:`hop_dgim` (asserted in tests)."""
+    return (
+        with_bit(events)
+        .groupBy(
+            F.window("ts", f"{size_sec} seconds", f"{slide_sec} seconds").alias("w")
+        )
+        .agg(F.sum("bit").cast("bigint").alias("exact_count"))
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT_SPARK).alias("window_start"),
+            F.date_format(F.col("w.end"), TS_FMT_SPARK).alias("window_end"),
+            _count_est_udf(mode)(F.col("exact_count")).alias("count_estimate"),
+            "exact_count",
+        )
+    )
+
+
+# ----------------------------------------------------------------------
 # DGIM two-phase: map-side partial sketches + sketch-only shuffle
 # ----------------------------------------------------------------------
+def _phase1_fn(key_cols: list, size_sec: int, mode: str):
+    """Per-partition partial sketches: one ``(key, flat-sketch, ones,
+    nrows)`` row per distinct key in the partition.  Sort-based single
+    pass — pandas ``groupby`` materializes a sub-frame per group,
+    which is pathological when most groups hold ~1 row (sparse
+    windows)."""
+
+    def phase1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sketches: dict = {}
+        counters: dict = {}
+        for pdf in batches:
+            pdf = pdf.sort_values([*key_cols, "ts_sec"], kind="mergesort")
+            key_arrs = [pdf[k].to_numpy() for k in key_cols]
+            bits = pdf["bit"].to_numpy()
+            tss = pdf["ts_sec"].to_numpy()
+            prev_key = None
+            sk = cnt = None
+            for i in range(len(pdf)):
+                key = tuple(a[i] for a in key_arrs)
+                if key != prev_key:
+                    sk = sketches.get(key)
+                    if sk is None:
+                        sk = sketches[key] = DGIM(size_sec, mode=mode)
+                        counters[key] = [0, 0]
+                    cnt = counters[key]
+                    prev_key = key
+                if bits[i] == 1:
+                    sk.add(int(tss[i]))
+                    cnt[0] += 1
+                cnt[1] += 1
+        if sketches:
+            keys = list(sketches.keys())
+            out = {kc: [k[i] for k in keys] for i, kc in enumerate(key_cols)}
+            out["flat"] = [sk.to_flat() for sk in sketches.values()]
+            out["ones"] = [c[0] for c in counters.values()]
+            out["nrows"] = [c[1] for c in counters.values()]
+            yield pd.DataFrame(out)
+
+    return phase1
+
+
+def _merge_est_udf(size_sec: int, mode: str):
+    """Arrow-batched final merge: fold each window's partial sketches
+    with ``DGIM.merge`` (W11) and estimate.  Single-partial windows
+    (the common case for sparse data) skip the merge entirely."""
+
+    @pandas_udf("bigint")
+    def merge_est(flats: pd.Series) -> pd.Series:
+        def one(lst) -> int:
+            acc = DGIM.from_flat(size_sec, list(lst[0]), mode=mode)
+            for flat in lst[1:]:
+                acc.merge(DGIM.from_flat(size_sec, list(flat), mode=mode))
+            return acc.estimate()
+
+        return flats.map(one)
+
+    return merge_est
+
+
+def _spread(ev: DataFrame) -> DataFrame:
+    # local parquet often arrives as a single partition; spread phase 1
+    # across cores (on a real cluster the source is already split)
+    par = ev.sparkSession.sparkContext.defaultParallelism
+    if ev.rdd.getNumPartitions() < par:
+        ev = ev.repartition(par)
+    return ev
+
+
 def _two_phase(
     ev: DataFrame, key_cols: list, out_cols: list, size_sec: int, mode: str
 ) -> DataFrame:
     """Generic two-phase DGIM over pre-assigned windows.  ``ev`` must
     have ``key_cols`` (timestamps) + ``bit`` + ``ts_sec``; output has
     ``out_cols`` (formatted strings) + estimate/exact/n_rows."""
-
-    def phase1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # accumulate across all Arrow batches of this partition so each
-        # (partition, window) emits exactly one sketch
-        sketches: dict = {}
-        counters: dict = {}
-        for pdf in batches:
-            for key, sub in pdf.groupby(key_cols, sort=False):
-                if not isinstance(key, tuple):
-                    key = (key,)
-                sk = sketches.get(key)
-                if sk is None:
-                    sk = sketches[key] = DGIM(size_sec, mode=mode)
-                    counters[key] = [0, 0]
-                sub = sub.sort_values("ts_sec", kind="mergesort")
-                for b, t in zip(sub["bit"].to_numpy(), sub["ts_sec"].to_numpy()):
-                    if b == 1:
-                        sk.add(int(t))
-                        counters[key][0] += 1
-                counters[key][1] += len(sub)
-        if sketches:
-            keys = list(sketches.keys())
-            out = {
-                kc: [k[i] for k in keys] for i, kc in enumerate(key_cols)
-            }
-            out["flat"] = [sk.to_flat() for sk in sketches.values()]
-            out["ones"] = [c[0] for c in counters.values()]
-            out["nrows"] = [c[1] for c in counters.values()]
-            yield pd.DataFrame(out)
-
-    @pandas_udf("bigint")
-    def merge_est(flats: pd.Series) -> pd.Series:
-        # vectorized merge: one Python call per Arrow batch of windows
-        def one(lst) -> int:
-            acc = DGIM(size_sec, mode=mode)
-            for flat in lst:
-                acc.merge(DGIM.from_flat(size_sec, list(flat), mode=mode))
-            return acc.estimate()
-
-        return flats.map(one)
-
     key_schema = ", ".join(f"{k} timestamp" for k in key_cols)
-    # local parquet often arrives as a single partition; spread phase 1
-    # across cores (on a real cluster the source is already split)
-    if ev.rdd.getNumPartitions() < ev.sparkSession.sparkContext.defaultParallelism:
-        ev = ev.repartition(ev.sparkSession.sparkContext.defaultParallelism)
-    partials = ev.mapInPandas(
-        phase1, f"{key_schema}, flat array<bigint>, ones bigint, nrows bigint"
+    partials = _spread(ev).mapInPandas(
+        _phase1_fn(key_cols, size_sec, mode),
+        f"{key_schema}, flat array<bigint>, ones bigint, nrows bigint",
     )
     return (
         partials.groupBy(*key_cols)
@@ -267,7 +362,7 @@ def _two_phase(
                 F.date_format(kc, TS_FMT_SPARK).alias(oc)
                 for kc, oc in zip(key_cols, out_cols)
             ],
-            merge_est("flats").alias("count_estimate"),
+            _merge_est_udf(size_sec, mode)("flats").alias("count_estimate"),
             F.col("exact_count").cast("bigint").alias("exact_count"),
             F.col("n_rows").cast("bigint").alias("n_rows"),
         )
@@ -293,32 +388,57 @@ def hop_dgim_two_phase(
     slide_sec: int = 10,
     mode: str = MODE_JAVA,
 ) -> DataFrame:
-    """Two-phase DGIM over hopping windows: explicit window-explode
-    (integer µs arithmetic, identical to the oracle's generate_series)
-    then the same partial-sketch shuffle.  The scale path for the
-    reference's sliding job — per-row cost is the 6× explode, the
-    shuffle stays sketch-sized."""
+    """Two-phase DGIM over hopping windows with **pane sharing** (the
+    classic panes optimization for overlapping windows): phase 1
+    builds one partial sketch per (input partition × slide-aligned
+    pane) — each raw row is touched exactly ONCE, with no size/slide
+    row explode; phase 2 fans each pane sketch out to the size/slide
+    hop windows that contain it (sketch-sized rows only, integer µs
+    arithmetic identical to the oracle's generate_series) and merges
+    per window (W11).  At 100 TB the shuffle volume is
+    panes × O(log²N) regardless of the window-overlap factor; the 6×
+    multiplication happens after the data is already sketch-sized."""
+    if size_sec % slide_sec != 0:
+        raise ValueError("size_sec must be a multiple of slide_sec")
     s_us, l_us = size_sec * 1_000_000, slide_sec * 1_000_000
-    ev = (
-        with_bit(events)
-        .withColumn("es_us", F.unix_micros(F.col("ts")))
-        .withColumn(
-            "ws_us",
-            F.explode(
-                F.sequence(
-                    (F.expr(f"(es_us - {s_us}) DIV {l_us}") + 1) * l_us,
-                    F.expr(f"es_us DIV {l_us}") * l_us,
-                    F.lit(l_us),
-                )
-            ),
+    ev = with_bit(events).select(
+        F.expr(f"unix_micros(ts) DIV {l_us} * {l_us}").alias("pane_us"),
+        "bit",
+        F.unix_timestamp("ts").alias("ts_sec"),
+    )
+
+    partials = _spread(ev).mapInPandas(
+        _phase1_fn(["pane_us"], size_sec, mode),
+        "pane_us bigint, flat array<bigint>, ones bigint, nrows bigint",
+    )
+    # windows [ws, ws+size) containing pane [p, p+slide):
+    # ws ∈ {p - size + slide, ..., p} stepping by slide
+    fanned = partials.withColumn(
+        "ws_us",
+        F.explode(
+            F.sequence(
+                F.col("pane_us") - F.lit(s_us - l_us),
+                F.col("pane_us"),
+                F.lit(l_us),
+            )
+        ),
+    )
+    return (
+        fanned.groupBy("ws_us")
+        .agg(
+            F.collect_list("flat").alias("flats"),
+            F.sum("ones").alias("exact_count"),
+            F.sum("nrows").alias("n_rows"),
         )
         .select(
-            F.timestamp_micros(F.col("ws_us")).alias("ws"),
-            F.timestamp_micros(F.col("ws_us") + s_us).alias("we"),
-            "bit",
-            F.unix_timestamp("ts").alias("ts_sec"),
+            F.date_format(
+                F.timestamp_micros(F.col("ws_us")), TS_FMT_SPARK
+            ).alias("window_start"),
+            F.date_format(
+                F.timestamp_micros(F.col("ws_us") + s_us), TS_FMT_SPARK
+            ).alias("window_end"),
+            _merge_est_udf(size_sec, mode)("flats").alias("count_estimate"),
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
         )
-    )
-    return _two_phase(
-        ev, ["ws", "we"], ["window_start", "window_end"], size_sec, mode
     )

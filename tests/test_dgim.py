@@ -202,3 +202,39 @@ def test_partitioned_merge_matches_bound(ts_list, n_parts):
     est = acc.estimate()
     exact = exact_count(ts_list, acc.latest_ts, window)
     assert exact / 2 - 1 <= est <= 1.5 * exact + 1
+
+
+# ----------------------------------------------------------------------
+# count-only fast path (the DGIM_ESTIMATE → g(sum(bit)) rewrite)
+# ----------------------------------------------------------------------
+@settings(max_examples=200, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=300),
+    base=st.integers(min_value=0, max_value=10**9),
+    data=st.data(),
+    mode=st.sampled_from([MODE_JAVA, MODE_PYFLINK]),
+)
+def test_estimate_is_pure_function_of_count(n, base, data, mode):
+    """When every bit lies within the horizon of the newest bit (ts
+    spread < window size), full replay estimate == g(count): the
+    validity proof of windows.tumble_dgim_fast / hop_dgim_fast."""
+    from flink_window_dgim_traffic_spark.dgim import count_estimate_table
+
+    offsets = data.draw(
+        st.lists(st.integers(0, 59), min_size=n, max_size=n)
+    )
+    sk = DGIM(60, mode=mode)
+    for t in sorted(base + o for o in offsets):
+        sk.add(t)
+    assert sk.estimate() == count_estimate_table(n, mode)[n]
+
+
+def test_count_table_within_error_bound():
+    """g(n) obeys the DGIM bound for every n (NOT monotone in n: the
+    halved-oldest-bucket term can dip when the cascade restructures —
+    e.g. java g(14)=12 but g(15)=11, and again at 31 and 63)."""
+    from flink_window_dgim_traffic_spark.dgim import count_estimate_table
+
+    tab = count_estimate_table(5000, MODE_JAVA)
+    for n in range(1, 5001):
+        assert n / 2 - 1 <= tab[n] <= 1.5 * n + 1  # DGIM error bound

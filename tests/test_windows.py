@@ -78,6 +78,34 @@ def test_dgim_paths_agree(events):
         assert exact / 2 - 1 <= est <= 1.5 * exact + 1
 
 
+def test_tumble_dgim_fast_identical_to_replay(events):
+    """The g(sum(bit)) rewrite must reproduce full replay exactly —
+    per window, both modes (the rewrite's validity proof lives in
+    test_dgim.py::test_estimate_is_pure_function_of_count)."""
+    for mode in ("java", "pyflink"):
+        fast = {
+            (r["window_end"]): (r["count_estimate"], r["exact_count"])
+            for r in W.tumble_dgim_fast(events, mode=mode).collect()
+        }
+        replay = {
+            (r["window_end"]): (r["count_estimate"], r["exact_count"])
+            for r in W.tumble_dgim(events, mode=mode).collect()
+        }
+        assert fast == replay
+
+
+def test_hop_dgim_fast_identical_to_replay(events):
+    fast = {
+        (r["window_start"], r["window_end"]): (r["count_estimate"], r["exact_count"])
+        for r in W.hop_dgim_fast(events, 60, 10).collect()
+    }
+    replay = {
+        (r["window_start"], r["window_end"]): (r["count_estimate"], r["exact_count"])
+        for r in W.hop_dgim(events, 60, 10).collect()
+    }
+    assert fast == replay
+
+
 def test_hop_dgim_bound(events):
     rows = W.hop_dgim(events, 60, 10).collect()
     assert len(rows) > 0
