@@ -30,21 +30,22 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
 
 
 def shingles(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """Distinct k-word shingles per doc: (doc_id, s)."""
-    ws = F.split(F.col("text"), " ")
-    n = F.size(ws)
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, i + j) for j in range(k)]
-        ),
-    )
-    return (
-        documents.select("doc_id", F.explode(sh).alias("s")).distinct()
-    )
+    """Distinct k-word shingles per doc: (doc_id, s).
+
+    Single-pass regex with a word-start lookbehind and overlapping
+    lookahead capture — one codegen'd scan projection, no shuffle
+    before the ``distinct``.  (A ``transform(sequence, i ->
+    element_at(split, ...))`` formulation re-evaluates ``split(text)``
+    per position — no common-subexpression elimination inside
+    higher-order-function lambdas — and is O(words²) per doc, ~6×
+    slower measured.)  Tokenization contract: words are separated by
+    single spaces, the shape of the ``documents`` corpus and of the
+    DuckDB oracle's ``string_split(text, ' ')``."""
+    pat = r"(?<![^ ])(?=(" + r" ".join([r"[^ ]+"] * k) + r"))"
+    return documents.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(pat), 1)).alias("s"),
+    ).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -85,20 +86,33 @@ NUM_PERM = 64
 LSH_BANDS = 16  # 16 bands × 4 rows: P(candidate) ≈ 1-(1-j^4)^16
 
 
+def _minhash_wide(documents: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """One row per doc with ``num_perm`` min-hash columns ``h0..h{n-1}``."""
+    sh = shingles(documents)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
+    )
+
+
 def minhash_signatures(documents: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     """(doc_id, perm, minhash): seeded xxhash64 per shingle per
-    permutation, min-reduced per doc.  All JVM-side."""
-    sh = shingles(documents)
-    hashed = sh.select(
+    permutation, min-reduced per doc.  All JVM-side.
+
+    Column-wise formulation: ``num_perm`` min-aggregate columns over
+    the shingle rows, instead of exploding shingles × permutations
+    into rows — map-side partial ``min`` means the shuffle carries one
+    ``num_perm``-wide row per doc, not |shingles|×num_perm rows.  The
+    per-row (perm) shape is restored afterwards from doc-sized data."""
+    mins = _minhash_wide(documents, num_perm)
+    return mins.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_perm - 1)),
-                lambda i: F.xxhash64(F.col("s"), i),
-            )
-        ).alias("perm", "h"),
+        F.posexplode(F.array(*[F.col(f"h{i}") for i in range(num_perm)])).alias(
+            "perm", "minhash"
+        ),
     )
-    return hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("minhash"))
 
 
 def minhash_lsh_pairs(
@@ -111,13 +125,24 @@ def minhash_lsh_pairs(
     shingle Jaccard ≥ threshold.  Output ≡ ngram_jaccard_pairs minus
     LSH false negatives (recall ≈ 1 at j ≥ 0.8 with 16×4 bands)."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(documents, num_perm).withColumn(
-        "band", (F.col("perm") / rows_per_band).cast("int")
-    )
-    band_keys = sigs.groupBy("doc_id", "band").agg(
-        F.xxhash64(
-            F.concat_ws(",", F.sort_array(F.collect_list(F.struct("perm", "minhash"))).cast("string"))
-        ).alias("band_key")
+    # band key = hash of the band's r signature columns, computed on
+    # the one-row-per-doc wide aggregate (no per-perm rows, no
+    # collect_list shuffle)
+    band_keys = _minhash_wide(documents, num_perm).select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col(f"h{b * rows_per_band + j}")
+                            for j in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
     )
     a, b = band_keys.alias("a"), band_keys.alias("b")
     candidates = (
@@ -148,18 +173,37 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
 
     @pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
-        def one(t: str) -> int:
-            votes = [0] * 64
-            for tok in (t or "").split():
-                h = int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+        import numpy as np
+
+        # per-batch vocabulary cache: hash each distinct token once,
+        # pre-unpacked to its ±1 bit votes (tokens repeat heavily)
+        tok_bits: dict = {}
+        shifts = np.arange(64, dtype=np.uint64)
+
+        def bits_of(tok: str):
+            v = tok_bits.get(tok)
+            if v is None:
+                h = np.uint64(
+                    int.from_bytes(
+                        hashlib.blake2b(tok.encode(), digest_size=8).digest(),
+                        "big",
+                    )
                 )
-                for i in range(64):
-                    votes[i] += 1 if (h >> i) & 1 else -1
-            fp = 0
-            for i in range(64):
-                if votes[i] > 0:
-                    fp |= 1 << i
+                v = tok_bits[tok] = (
+                    ((h >> shifts) & np.uint64(1)).astype(np.int32) * 2 - 1
+                )
+            return v
+
+        def one(t: str) -> int:
+            toks = (t or "").split()
+            if not toks:
+                return 0
+            votes = np.sum([bits_of(tok) for tok in toks], axis=0)
+            fp = int(
+                np.bitwise_or.reduce(
+                    (votes > 0).astype(np.uint64) << shifts
+                )
+            )
             # wrap to signed 64-bit for LongType
             return fp - (1 << 64) if fp >= (1 << 63) else fp
 
