@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search (north star) ---
         "simsearch_topk": lambda s, d: S.simsearch_topk(_embeddings(s, d)),
         "simsearch_ann_lsh": lambda s, d: S.simsearch_ann_lsh(_embeddings(s, d)),
+        "simsearch_ann_ivf": lambda s, d: S.simsearch_ann_ivf(_embeddings(s, d)),
         "embedding_neardup": lambda s, d: S.embedding_neardup(
             _embeddings(s, d), threshold=0.4
         ),

@@ -8,8 +8,10 @@ results are bit-identical to the DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from flink_window_dgim_traffic_spark.functions.vectors import (
     as_double,
@@ -178,6 +180,99 @@ def embedding_neardup_blocked(
         embeddings.select("vec_id")
         .repartition(par)
         .mapInPandas(block, "vec_a bigint, vec_b bigint, score double")
+    )
+
+
+# ----------------------------------------------------------------------
+# IVF-bucketed ANN — k-means coarse quantizer, nprobe cluster search
+# ----------------------------------------------------------------------
+def simsearch_ann_ivf(
+    embeddings: DataFrame,
+    n_query: int = N_QUERY,
+    k: int = TOP_K,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_n: int = 2048,
+    iters: int = 8,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: a small k-means codebook is
+    trained driver-side on a deterministic sample (seeded, ordered —
+    no wall-clock or unseeded randomness), broadcast to executors,
+    and every vector is assigned to its nearest centroid in one
+    Arrow-batched map.  Each query probes its ``nprobe`` nearest
+    clusters; candidates are joined on cluster id (an equi-join —
+    shuffle by cluster, no pair explosion) and re-ranked with the
+    exact sequential-fold cosine used by :func:`simsearch_topk`.
+
+    Scale model: codebook is O(n_centroids·dim) and broadcast;
+    assignment is map-only; the candidate join touches ~nprobe/
+    n_centroids of the corpus per query.  Recall measured against
+    brute force in tests (like the sign-LSH variant)."""
+    import numpy as np
+
+    rows = (
+        embeddings.orderBy("vec_id")
+        .limit(sample_n)
+        .select(as_double(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.RandomState(97)
+    C = Xn[rng.choice(len(Xn), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)  # cosine == dot on unit vectors
+        for c in range(n_centroids):
+            members = Xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[c] = m / n
+
+    @pandas_udf("int")
+    def nearest_centroid(vecs: pd.Series) -> pd.Series:
+        V = np.array(list(vecs), dtype=np.float64)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        return pd.Series(np.argmax(V @ C.T, axis=1).astype("int32"))
+
+    @pandas_udf("array<int>")
+    def probe_centroids(vecs: pd.Series) -> pd.Series:
+        V = np.array(list(vecs), dtype=np.float64)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        order = np.argsort(-(V @ C.T), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype("int32")))
+
+    e = _with_vec(embeddings).withColumn(
+        "cluster", nearest_centroid(F.col("v"))
+    )
+    q = (
+        e.filter(F.col("vec_id") < n_query)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            F.explode(probe_centroids(F.col("v"))).alias("cluster"),
+        )
+    )
+    cands = (
+        F.broadcast(q)
+        .join(e, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _pair_score(
+                F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
     )
 
 

@@ -101,6 +101,26 @@ def test_ann_recall_vs_bruteforce(embeddings):
     assert recall >= 0.3, f"ANN recall {recall:.2f} too low"
 
 
+def test_ivf_recall_vs_bruteforce(embeddings):
+    """IVF with nprobe=4/16 clusters must recover a decent fraction
+    of the true top-10 and be deterministic across runs."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.simsearch_topk(embeddings).collect()
+    }
+    ivf1 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.simsearch_ann_ivf(embeddings).collect()
+    }
+    ivf2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.simsearch_ann_ivf(embeddings).collect()
+    }
+    assert ivf1 == ivf2  # seeded training + stable argsort
+    recall = len(ivf1 & exact) / len(exact)
+    assert recall >= 0.3, f"IVF recall {recall:.2f} too low"
+
+
 def test_embedding_neardup_symmetric_free(embeddings):
     rows = S.embedding_neardup(embeddings, threshold=0.35).collect()
     assert all(r["vec_a"] < r["vec_b"] for r in rows)
