@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- multimodal plumbing (north star) ---
         "multimodal_features": lambda s, d: M.multimodal_features(_documents(s, d)),
+        "multimodal_frame_stats": lambda s, d: M.multimodal_frame_stats(
+            _documents(s, d)
+        ),
     }
 
 
@@ -386,6 +389,17 @@ SELECT query_id, neighbor_id, score, rnk FROM r WHERE rnk <= 10
         "embedding_neardup": _NEARDUP_SQL,
         # bit-exact twin (BLAS screen + exact rescore) — same oracle
         "embedding_neardup_blocked": _NEARDUP_SQL,
+        # frames = consecutive 64-byte slices of the utf-8 payload;
+        # every 4th kept: kept = floor((n_frames-1)/4)+1 for n>=1
+        "multimodal_frame_stats": """
+WITH f AS (SELECT doc_id,
+           octet_length(encode(text)) // 64 AS n_frames
+           FROM documents)
+SELECT doc_id,
+ CAST((n_frames - 1) // 4 + 1 AS BIGINT) AS n_frames_kept,
+ CAST(((n_frames - 1) // 4 + 1) * 64 AS BIGINT) AS bytes_kept
+FROM f WHERE n_frames >= 1
+""",
         "multimodal_features": """
 SELECT doc_id,
  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -73,6 +73,84 @@ def extract_byte_features(blobs: DataFrame) -> DataFrame:
     )
 
 
+def resize_media(
+    blobs: DataFrame, target_w: int = 32, target_h: int = 32
+) -> DataFrame:
+    """Resize plumbing: nearest-neighbor downsample of the payload
+    interpreted as a ``meta.width × meta.height`` byte raster (the
+    deterministic stand-in for image resize — a real codec would
+    decode first, see :func:`decode_media`).  Output carries the
+    resized payload + updated metadata; batch shape and schema are
+    exactly what a PIL-backed version would produce."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_payload = []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                w, h = int(meta["width"]), int(meta["height"])
+                raster = np.frombuffer(payload, dtype=np.uint8)[: w * h]
+                if len(raster) < w * h:  # pad short payloads
+                    raster = np.pad(raster, (0, w * h - len(raster)))
+                raster = raster.reshape(h, w)
+                # nearest-neighbor index grid (deterministic)
+                yi = (np.arange(target_h) * h) // target_h
+                xi = (np.arange(target_w) * w) // target_w
+                out_payload.append(raster[np.ix_(yi, xi)].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out_payload,
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return blobs.mapInPandas(
+        resize, "doc_id bigint, payload binary, width int, height int"
+    )
+
+
+def frame_sample(
+    blobs: DataFrame, frame_bytes: int = 64, every_nth: int = 4
+) -> DataFrame:
+    """Frame-sampling plumbing: treat the payload as a stream of
+    fixed-size frames and keep every n-th (the video-keyframe-sample
+    shape: one row out per kept frame, frame index carried).  A codec
+    version would replace the byte-slicing with container demux."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // frame_bytes
+                for i in range(0, n_frames, every_nth):
+                    ids.append(doc_id)
+                    fidx.append(i)
+                    frames.append(
+                        payload[i * frame_bytes : (i + 1) * frame_bytes]
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": fidx, "frame": frames}
+            )
+
+    return blobs.mapInPandas(
+        sample, "doc_id bigint, frame_no int, frame binary"
+    )
+
+
 def multimodal_features(documents: DataFrame) -> DataFrame:
     """End-to-end multimodal pipeline: attach blob → byte features."""
     return extract_byte_features(with_media_blob(documents))
+
+
+def multimodal_frame_stats(documents: DataFrame) -> DataFrame:
+    """End-to-end frame pipeline: blob → every-4th 64-byte frame →
+    per-doc kept-frame count and byte checksum (oracle-checkable:
+    both are pure functions of the text length/bytes)."""
+    frames = frame_sample(with_media_blob(documents))
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames_kept"),
+        F.sum(F.octet_length("frame")).cast("bigint").alias("bytes_kept"),
+    )

@@ -65,3 +65,34 @@ def test_media_blob_schema_and_features(documents):
 def test_decode_stub_contract():
     with pytest.raises(NotImplementedError):
         M.decode_media(b"\x00\x01", "image/png")
+
+
+def test_resize_media_shape(spark):
+    from flink_window_dgim_traffic_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, "x" * 500), (2, "short")], ["doc_id", "text"]
+    )
+    out = M.resize_media(M.with_media_blob(df), 8, 8).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert set(by_id) == {1, 2}
+    for r in out:
+        assert r["width"] == 8 and r["height"] == 8
+        assert len(r["payload"]) == 64  # 8x8 raster, always full size
+    # deterministic
+    out2 = M.resize_media(M.with_media_blob(df), 8, 8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_frame_sample_every_nth(spark):
+    from flink_window_dgim_traffic_spark.operators import multimodal as M
+
+    # 300 bytes -> 4 full 64-byte frames -> keep frames 0 (every 4th)
+    df = spark.createDataFrame([(1, "a" * 300)], ["doc_id", "text"])
+    rows = M.frame_sample(M.with_media_blob(df)).collect()
+    assert [r["frame_no"] for r in rows] == [0]
+    assert all(len(r["frame"]) == 64 for r in rows)
+    # 600 bytes -> 9 frames -> keep 0, 4, 8
+    df = spark.createDataFrame([(1, "a" * 600)], ["doc_id", "text"])
+    rows = M.frame_sample(M.with_media_blob(df)).collect()
+    assert sorted(r["frame_no"] for r in rows) == [0, 4, 8]
