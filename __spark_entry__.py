@@ -102,7 +102,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_per_nation": lambda s, d: R.top_customers_per_nation(
             _customer(s, d), _orders(s, d), _nation(s, d)
         ),
+        "q6_revenue_change": lambda s, d: R.q6_revenue_change(_lineitem(s, d)),
         "event_type_rollup": lambda s, d: R.event_type_rollup(_events(s, d)),
+        "event_type_cube": lambda s, d: R.event_type_cube(_events(s, d)),
+        "user_moving_spend": lambda s, d: R.user_moving_spend(_events(s, d)),
+        "orders_with_expensive_items": lambda s, d: R.orders_with_expensive_items(
+            _orders(s, d), _lineitem(s, d)
+        ),
         "distinct_users": lambda s, d: R.distinct_users(_events(s, d)),
         "approx_distinct_users": lambda s, d: R.approx_distinct_users(_events(s, d)),
         "sessionize": lambda s, d: R.sessionize(_events(s, d)),
@@ -136,6 +142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _embeddings(s, d), threshold=0.4
         ),
         "embedding_neardup_blocked": lambda s, d: S.embedding_neardup_blocked(
+            _embeddings(s, d), threshold=0.4
+        ),
+        "embedding_neardup_lsh": lambda s, d: S.embedding_neardup_lsh(
             _embeddings(s, d), threshold=0.4
         ),
         # --- multimodal plumbing (north star) ---
@@ -295,6 +304,42 @@ SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        count(*) AS n,
        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY ROLLUP(event_type, day)
+""",
+        "q6_revenue_change": """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(4,2)) >= CAST('0.05' AS DECIMAL(4,2))
+  AND CAST(l_discount AS DECIMAL(4,2)) <= CAST('0.07' AS DECIMAL(4,2))
+  AND CAST(l_quantity AS DECIMAL(12,2)) < CAST(24 AS DECIMAL(12,2))
+""",
+        "event_type_cube": """
+SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY CUBE(event_type, day)
+""",
+        "user_moving_spend": """
+SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+ CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
+   PARTITION BY user_id ORDER BY ts, event_id
+   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_sum,
+ count(*) OVER (
+   PARTITION BY user_id ORDER BY ts, event_id
+   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS trailing_n
+FROM events
+""",
+        "orders_with_expensive_items": """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+ CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND CAST(l_extendedprice AS DECIMAL(12,2)) >
+                    CAST(90000.0 AS DECIMAL(12,2)))
 """,
         "distinct_users": """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

@@ -129,6 +129,79 @@ def top_customers_per_nation(
     )
 
 
+def q6_revenue_change(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6 shape: tight scan-level filter conjunction (date range
+    + discount band + quantity cap) into a single global aggregate —
+    the pushdown/pruning benchmark query.  One row out."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (_dec("l_discount", "4,2") >= F.lit("0.05").cast("decimal(4,2)"))
+            & (_dec("l_discount", "4,2") <= F.lit("0.07").cast("decimal(4,2)"))
+            & (_dec("l_quantity") < F.lit(24).cast("decimal(12,2)"))
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", "4,2"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def event_type_cube(events: DataFrame) -> DataFrame:
+    """CUBE aggregate (all grouping sets of event_type × day)."""
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    return (
+        events.select("event_type", day, "value")
+        .cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def user_moving_spend(events: DataFrame, frame: int = 7) -> DataFrame:
+    """Sliding ROWS-frame window aggregate per user: trailing
+    ``frame``-row sum/count of ``value`` ordered by time.  Sums stay
+    DECIMAL until the final cast so the oracle matches bit-for-bit."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-(frame - 1), 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.sum(_dec("value")).over(w).cast("double").alias("trailing_sum"),
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+    )
+
+
+def orders_with_expensive_items(
+    orders: DataFrame, lineitem: DataFrame, min_price: float = 90000.0
+) -> DataFrame:
+    """LEFT SEMI join (EXISTS): orders having at least one line item
+    above ``min_price`` — the fact-side filter join that plans as a
+    broadcast/shuffled semi join, never a row-multiplying inner."""
+    pricey = lineitem.filter(
+        _dec("l_extendedprice") > F.lit(min_price).cast("decimal(12,2)")
+    )
+    return (
+        orders.join(
+            pricey, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            _dec("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )
+
+
 def event_type_rollup(events: DataFrame) -> DataFrame:
     """Grouping-sets/ROLLUP aggregate over events."""
     day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")

@@ -183,6 +183,63 @@ def embedding_neardup_blocked(
     )
 
 
+def embedding_neardup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 8,
+) -> DataFrame:
+    """100 TB path for embedding near-dup: sign-LSH bucket equi-join
+    generates candidate pairs (same bucket in ANY of ``n_tables``
+    tables), exact sequential-fold cosine verifies.  Precision 1 by
+    construction (every emitted pair passes the exact check, same
+    expression as :func:`embedding_neardup`); recall < 1, measured in
+    tests.  No all-pairs join and no driver-side collect — candidate
+    volume is bucket-sized, shuffles are on bucket keys."""
+    e = _with_vec(embeddings)
+    pair_sets = []
+    for t in range(n_tables):
+        planes = [_plane(131 + i, dim, t) for i in range(n_planes)]
+        bits = [
+            F.when(
+                dot(F.col("v"), F.array(*[F.lit(p) for p in plane])) >= 0, 1
+            ).otherwise(0)
+            * (1 << i)
+            for i, plane in enumerate(planes)
+        ]
+        key = bits[0]
+        for bcol in bits[1:]:
+            key = key + bcol
+        bk = e.select("vec_id", "v", "nrm", key.alias("bucket"))
+        a = bk.select(
+            F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+            F.col("nrm").alias("na"), "bucket",
+        )
+        b = bk.select(
+            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"), "bucket",
+        )
+        pair_sets.append(
+            a.join(b, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", "va", "vb", "na", "nb")
+        )
+    cands = pair_sets[0]
+    for p in pair_sets[1:]:
+        cands = cands.unionByName(p)
+    return (
+        cands.dropDuplicates(["vec_a", "vec_b"])
+        .select(
+            "vec_a",
+            "vec_b",
+            _pair_score(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 # ----------------------------------------------------------------------
 # IVF-bucketed ANN — k-means coarse quantizer, nprobe cluster search
 # ----------------------------------------------------------------------

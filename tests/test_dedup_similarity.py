@@ -135,3 +135,23 @@ def test_embedding_neardup_blocked_bit_identical(embeddings):
         tuple(r) for r in S.embedding_neardup_blocked(embeddings, 0.35).collect()
     }
     assert fast == exact
+
+
+def test_embedding_neardup_lsh_precision_and_recall(embeddings):
+    """LSH candidates are exact-verified, so precision is 1 by
+    construction; recall against the brute-force truth must be
+    reasonable at 8 tables x 6 planes."""
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["score"]
+        for r in S.embedding_neardup(embeddings, 0.4).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["score"]
+        for r in S.embedding_neardup_lsh(embeddings, 0.4).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]  # identical rounded scores
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.5, f"LSH neardup recall {recall:.2f}"
