@@ -109,6 +109,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_with_expensive_items": lambda s, d: R.orders_with_expensive_items(
             _orders(s, d), _lineitem(s, d)
         ),
+        "event_type_counts_salted": lambda s, d: R.event_type_counts_salted(
+            _events(s, d)
+        ),
         "distinct_users": lambda s, d: R.distinct_users(_events(s, d)),
         "approx_distinct_users": lambda s, d: R.approx_distinct_users(_events(s, d)),
         "sessionize": lambda s, d: R.sessionize(_events(s, d)),
@@ -344,6 +347,12 @@ WHERE EXISTS (SELECT 1 FROM lineitem
         "distinct_users": """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
        count(*) AS n_events
+FROM events GROUP BY event_type
+""",
+        # the salted two-stage aggregate must equal the plain GROUP BY
+        "event_type_counts_salted": """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type
 """,
         "sessionize": """

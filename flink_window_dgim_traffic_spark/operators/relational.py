@@ -215,6 +215,27 @@ def event_type_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def event_type_counts_salted(events: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Skew-resistant two-stage aggregate: ``event_type`` has a
+    handful of hot keys, so at 100 TB a direct groupBy funnels each
+    key through one reducer.  Stage 1 groups by (key, salt) —
+    ``n_salts``-way parallelism per hot key — stage 2 folds the salted
+    partials.  Sums stay DECIMAL (exact, associative) until the final
+    cast, so the result is bit-identical to the direct groupBy and to
+    the oracle's plain GROUP BY."""
+    salted = events.withColumn(
+        "salt", F.pmod(F.col("event_id"), F.lit(n_salts))
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(_dec("value")).alias("psum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").cast("bigint").alias("n"),
+        F.sum("psum").cast("double").alias("sum_value"),
+    )
+
+
 def distinct_users(events: DataFrame) -> DataFrame:
     """Exact COUNT(DISTINCT) per group (oracle-checkable; the
     approx_count_distinct sibling is a separate rows-only query)."""

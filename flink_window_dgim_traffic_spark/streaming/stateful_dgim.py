@@ -60,8 +60,9 @@ def make_dgim_update_fn(size_sec: int, mode: str = MODE_JAVA):
 def tumble_dgim_stream(
     parsed, size_sec: int = 60, mode: str = MODE_JAVA
 ):
-    """Update-mode streaming DGIM per tumbling window.  Input must be
-    ``parse_traffic`` output (bit, ts, ts_sec)."""
+    """Update-mode streaming DGIM per tumbling window (the reference's
+    Java tumbling + PyFlink jobs).  Input must be ``parse_traffic``
+    output (bit, ts, ts_sec)."""
     from pyspark.sql import functions as F
 
     keyed = parsed.select(
@@ -72,6 +73,69 @@ def tumble_dgim_stream(
     return keyed.groupBy("we").applyInPandasWithState(
         make_dgim_update_fn(size_sec, mode),
         outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA + ", ones bigint, nrows bigint",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+HOP_OUTPUT_SCHEMA = (
+    "window_start string, window_end string, "
+    "count_estimate bigint, exact_count bigint, n_rows bigint"
+)
+
+
+def make_hop_dgim_update_fn(size_sec: int, mode: str = MODE_JAVA):
+    """Like :func:`make_dgim_update_fn` but keyed by (window_start,
+    window_end) — the composite upsert key of the reference's sliding
+    job (``SlidingWindowStreamingJob.java:72-74``)."""
+
+    def update(key, pdfs, state):
+        if state.exists:
+            (flat, ones, nrows) = state.get
+            sk = DGIM.from_flat(size_sec, list(flat), mode=mode)
+        else:
+            sk, ones, nrows = DGIM(size_sec, mode=mode), 0, 0
+        for pdf in pdfs:
+            sub = pdf.sort_values("ts_sec", kind="mergesort")
+            for b, t in zip(sub["bit"].to_numpy(), sub["ts_sec"].to_numpy()):
+                if b == 1:
+                    sk.add(int(t))
+                    ones += 1
+            nrows += len(sub)
+        state.update((sk.to_flat(), ones, nrows))
+        yield pd.DataFrame(
+            {
+                "window_start": [key[0].strftime("%Y-%m-%d %H:%M:%S")],
+                "window_end": [key[1].strftime("%Y-%m-%d %H:%M:%S")],
+                "count_estimate": [sk.estimate()],
+                "exact_count": [ones],
+                "n_rows": [nrows],
+            }
+        )
+
+    return update
+
+
+def hop_dgim_stream(
+    parsed, size_sec: int = 60, slide_sec: int = 10, mode: str = MODE_JAVA
+):
+    """Update-mode streaming DGIM per hopping window — the reference's
+    sliding job (``SlidingWindowStreamingJob.java:92-111``) as a
+    stateful stream.  Each record updates size/slide window states;
+    state per key stays O(log² N)."""
+    from pyspark.sql import functions as F
+
+    keyed = parsed.select(
+        F.window("ts", f"{size_sec} seconds", f"{slide_sec} seconds").alias("w"),
+        "bit",
+        "ts_sec",
+    ).select(
+        F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "bit", "ts_sec"
+    )
+    return keyed.groupBy("ws", "we").applyInPandasWithState(
+        make_hop_dgim_update_fn(size_sec, mode),
+        outputStructType=HOP_OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA + ", ones bigint, nrows bigint",
         outputMode="update",
         timeoutConf="NoTimeout",

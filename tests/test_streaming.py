@@ -156,3 +156,29 @@ def test_stateful_dgim_matches_batch_replay(spark, fixture_dir, batch_parsed):
     assert set(final) == set(expect)
     for we, (est, exact, _n) in final.items():
         assert (est, exact) == expect[we], f"window {we}"
+
+
+def test_stateful_hop_dgim_matches_batch_replay(spark, fixture_dir, batch_parsed):
+    """Streaming sliding-window DGIM (the reference's second job):
+    final update per (ws, we) must equal the batch hop replay."""
+    from flink_window_dgim_traffic_spark.streaming.stateful_dgim import (
+        hop_dgim_stream,
+    )
+
+    stream = J.parse_traffic(J.file_traffic_stream(spark, fixture_dir))
+    J.run_stream_to_memory(hop_dgim_stream(stream, 60, 10), "t_hop_dgim", "update")
+    final = {}
+    for r in spark.sql("SELECT * FROM t_hop_dgim").collect():
+        final[(r["window_start"], r["window_end"])] = (
+            r["count_estimate"],
+            r["exact_count"],
+        )
+    ev = batch_parsed.withColumn("event_id", F.col("bit").cast("bigint"))
+    expect = {
+        (r["window_start"], r["window_end"]): (
+            r["count_estimate"],
+            r["exact_count"],
+        )
+        for r in W.hop_dgim(ev, 60, 10).collect()
+    }
+    assert final == expect
