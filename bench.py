@@ -65,6 +65,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        # bench hygiene: drain accumulated JVM garbage before timing so
+        # query N doesn't pay query N-1's GC debt (measured noise was
+        # up to 5x on otherwise ~1 s queries)
+        spark._jvm.System.gc()
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
