@@ -114,6 +114,10 @@ def embedding_neardup_blocked(
     rows = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v")).collect()
     import math
 
+    if not rows:
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_a bigint, vec_b bigint, score double"
+        )
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
 
@@ -273,8 +277,14 @@ def simsearch_ann_ivf(
         .select(as_double(F.col("embedding")).alias("v"))
         .collect()
     )
+    if not rows:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, score double, rnk bigint"
+        )
     X = np.array([r["v"] for r in rows], dtype=np.float64)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    n_centroids = min(n_centroids, len(Xn))  # tiny-corpus degenerate case
+    nprobe = min(nprobe, n_centroids)
     rng = np.random.RandomState(97)
     C = Xn[rng.choice(len(Xn), size=n_centroids, replace=False)]
     for _ in range(iters):

@@ -1,0 +1,80 @@
+"""Empty-input robustness: every operator family must return an empty
+(or correctly-degenerate) result on empty tables, not raise.  At scale
+empty partitions and empty filtered subsets are routine."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_window_dgim_traffic_spark.operators import dedup as D
+from flink_window_dgim_traffic_spark.operators import multimodal as M
+from flink_window_dgim_traffic_spark.operators import relational as R
+from flink_window_dgim_traffic_spark.operators import similarity as S
+from flink_window_dgim_traffic_spark.operators import text as T
+from flink_window_dgim_traffic_spark.operators import windows as W
+from flink_window_dgim_traffic_spark.session import table
+
+
+@pytest.fixture(scope="module")
+def empty(spark, sf_dir):
+    def load(name):
+        return table(spark, sf_dir, name).filter(F.lit(False))
+
+    return load
+
+
+def test_windows_empty(empty):
+    ev = empty("events")
+    assert W.tumble_exact(ev).count() == 0
+    assert W.hop_exact(ev).count() == 0
+    assert W.tumble_dgim(ev).count() == 0
+    assert W.tumble_dgim_fast(ev).count() == 0
+    assert W.hop_dgim_fast(ev).count() == 0
+    assert W.tumble_dgim_two_phase(ev).count() == 0
+    assert W.hop_dgim_two_phase(ev).count() == 0
+
+
+def test_relational_empty(empty):
+    ev = empty("events")
+    assert R.sessionize(ev).count() == 0
+    assert R.user_moving_spend(ev).count() == 0
+    assert R.event_type_counts_salted(ev).count() == 0
+    # global aggregates produce one degenerate row
+    assert R.q6_revenue_change(empty("lineitem")).count() == 1
+    # cube/rollup of empty input: only the grand-total grouping set
+    assert R.event_type_cube(ev).count() <= 1
+
+
+def test_dedup_empty(empty):
+    docs = empty("documents")
+    assert D.dedup_exact(docs).count() == 0
+    assert D.shingles(docs).count() == 0
+    assert D.ngram_jaccard_pairs(docs).count() == 0
+    assert D.minhash_lsh_pairs(docs).count() == 0
+    assert D.simhash_pairs(docs).count() == 0
+
+
+def test_text_multimodal_empty(empty):
+    docs = empty("documents")
+    assert T.text_stats(docs).count() == 0
+    assert T.lang_id(docs).count() == 0
+    assert M.multimodal_features(docs).count() == 0
+    assert M.frame_sample(M.with_media_blob(docs)).count() == 0
+    assert M.resize_media(M.with_media_blob(docs)).count() == 0
+
+
+def test_similarity_empty(empty):
+    emb = empty("embeddings")
+    assert S.simsearch_topk(emb).count() == 0
+    assert S.simsearch_ann_lsh(emb).count() == 0
+    assert S.simsearch_ann_ivf(emb).count() == 0
+    assert S.embedding_neardup(emb).count() == 0
+    assert S.embedding_neardup_blocked(emb).count() == 0
+    assert S.embedding_neardup_lsh(emb).count() == 0
+
+
+def test_ivf_tiny_corpus(spark, sf_dir):
+    """Fewer vectors than centroids must degrade gracefully."""
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    rows = S.simsearch_ann_ivf(emb, n_query=3, k=10).collect()
+    # 3 queries x up to 4 neighbors each, all present
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
