@@ -115,6 +115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": lambda s, d: R.distinct_users(_events(s, d)),
         "approx_distinct_users": lambda s, d: R.approx_distinct_users(_events(s, d)),
         "sessionize": lambda s, d: R.sessionize(_events(s, d)),
+        "session_window_counts": lambda s, d: R.session_window_counts(
+            _events(s, d)
+        ),
         "json_extract_stats": lambda s, d: R.json_extract_stats(_events(s, d)),
         "nations_without_suppliers": lambda s, d: R.nations_without_suppliers(
             _nation(s, d), _customer(s, d), _supplier(s, d)
@@ -370,6 +373,26 @@ SELECT user_id, sess_id, count(*) AS n_events,
  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
 FROM s GROUP BY user_id, sess_id
+""",
+        # Spark session_window merges events with gap STRICTLY below
+        # the gap duration (new session when diff >= gap); window end
+        # is last event ts + gap
+        "session_window_counts": """
+WITH o AS (SELECT user_id, ts, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+           FROM events),
+m AS (SELECT user_id, ts,
+      CASE WHEN prev_us IS NULL OR us - prev_us >= 14400000000 THEN 1 ELSE 0 END AS new_sess
+      FROM o),
+s AS (SELECT user_id, ts,
+      sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS UNBOUNDED PRECEDING) AS sess
+      FROM m)
+SELECT user_id,
+ strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+ strftime(max(ts) + INTERVAL '14400 seconds', '%Y-%m-%d %H:%M:%S') AS session_end_plus_gap,
+ count(*) AS n_events
+FROM s GROUP BY user_id, sess
 """,
         "json_extract_stats": """
 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, count(*) AS n

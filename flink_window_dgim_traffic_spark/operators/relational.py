@@ -278,6 +278,36 @@ def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
     )
 
 
+def session_window_counts(
+    events: DataFrame, gap_sec: int = SESSION_GAP_SEC
+) -> DataFrame:
+    """Spark-native session windows (``F.session_window`` — the
+    dynamic-gap window operator the reference lacks): per-user
+    sessions close after ``gap_sec`` of inactivity.  Twin of
+    :func:`sessionize` (lag+cumsum), but windowing is done by the
+    engine; window end is last-event-ts + gap by definition."""
+    return (
+        events.groupBy(
+            "user_id",
+            F.session_window("ts", f"{gap_sec} seconds").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+        )
+        .select(
+            "user_id",
+            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end_plus_gap"
+            ),
+            "n_events",
+        )
+    )
+
+
 def json_extract_stats(events: DataFrame) -> DataFrame:
     """JSON field extraction from the props column + group count."""
     return (
