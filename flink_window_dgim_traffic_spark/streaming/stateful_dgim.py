@@ -23,15 +23,26 @@ OUTPUT_SCHEMA = (
 )
 
 
-def make_dgim_update_fn(size_sec: int, mode: str = MODE_JAVA):
+def make_dgim_update_fn(size_sec: int, mode: str = MODE_JAVA, evict: bool = False):
     """Build the applyInPandasWithState update function (importable at
-    module scope so cloudpickle ships only the closure config)."""
+    module scope so cloudpickle ships only the closure config).
+
+    With ``evict=True`` (requires a watermark + EventTimeTimeout) the
+    state for a window is dropped once the event-time watermark passes
+    its end: per-key state is O(log² N) by the sketch, and eviction
+    makes TOTAL state O(open windows) instead of O(all windows ever) —
+    the difference between bounded and unbounded state at 100 TB."""
 
     def update(
         key: Tuple,
         pdfs: Iterator[pd.DataFrame],
         state,
     ) -> Iterator[pd.DataFrame]:
+        if evict and state.hasTimedOut:
+            # watermark passed window end: final value was already
+            # emitted in update mode; just drop the state
+            state.remove()
+            return
         if state.exists:
             (flat, ones, nrows) = state.get
             sk = DGIM.from_flat(size_sec, list(flat), mode=mode)
@@ -45,6 +56,9 @@ def make_dgim_update_fn(size_sec: int, mode: str = MODE_JAVA):
                     ones += 1
             nrows += len(sub)
         state.update((sk.to_flat(), ones, nrows))
+        if evict:
+            # drop state once the watermark reaches the window end
+            state.setTimeoutTimestamp(int(key[0].timestamp() * 1000))
         yield pd.DataFrame(
             {
                 "window_end": [key[0].strftime("%Y-%m-%d %H:%M:%S")],
@@ -58,24 +72,37 @@ def make_dgim_update_fn(size_sec: int, mode: str = MODE_JAVA):
 
 
 def tumble_dgim_stream(
-    parsed, size_sec: int = 60, mode: str = MODE_JAVA
+    parsed,
+    size_sec: int = 60,
+    mode: str = MODE_JAVA,
+    watermark: str | None = None,
 ):
     """Update-mode streaming DGIM per tumbling window (the reference's
     Java tumbling + PyFlink jobs).  Input must be ``parse_traffic``
-    output (bit, ts, ts_sec)."""
+    output (bit, ts, ts_sec).
+
+    With ``watermark`` set, window state is EVICTED once the watermark
+    passes the window end (EventTimeTimeout) — total state bounded by
+    open windows."""
     from pyspark.sql import functions as F
 
-    keyed = parsed.select(
+    evict = watermark is not None
+    src = parsed.withWatermark("ts", watermark) if evict else parsed
+    # keep the watermarked ts column itself: EventTimeTimeout requires
+    # the event-time attribute to reach the stateful operator
+    extra = ("ts",) if evict else ()
+    keyed = src.select(
         F.window("ts", f"{size_sec} seconds").getItem("end").alias("we"),
         "bit",
         "ts_sec",
+        *extra,
     )
     return keyed.groupBy("we").applyInPandasWithState(
-        make_dgim_update_fn(size_sec, mode),
+        make_dgim_update_fn(size_sec, mode, evict=evict),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA + ", ones bigint, nrows bigint",
         outputMode="update",
-        timeoutConf="NoTimeout",
+        timeoutConf="EventTimeTimeout" if evict else "NoTimeout",
     )
 
 

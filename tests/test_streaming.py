@@ -182,3 +182,36 @@ def test_stateful_hop_dgim_matches_batch_replay(spark, fixture_dir, batch_parsed
         for r in W.hop_dgim(ev, 60, 10).collect()
     }
     assert final == expect
+
+
+def test_stateful_dgim_with_eviction_matches_and_bounds_state(
+    spark, fixture_dir, batch_parsed
+):
+    """Watermarked stateful DGIM: same final values AND closed-window
+    state evicted (numRowsTotal < number of windows seen)."""
+    stream = J.parse_traffic(J.file_traffic_stream(spark, fixture_dir))
+    q = (
+        tumble_dgim_stream(stream, 60, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("t_dgim_evict")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+
+    final = {}
+    for r in spark.sql("SELECT * FROM t_dgim_evict").collect():
+        final[r["window_end"]] = (r["count_estimate"], r["exact_count"])
+    ev = batch_parsed.withColumn("event_id", F.col("bit").cast("bigint"))
+    expect = {
+        r["window_end"]: (r["count_estimate"], r["exact_count"])
+        for r in W.tumble_dgim(ev, 60).collect()
+    }
+    assert final == expect
+    # all windows except the last (still at/after the final watermark)
+    # must have been evicted
+    assert state_rows < len(expect), (
+        f"state holds {state_rows} rows for {len(expect)} windows - no eviction"
+    )
