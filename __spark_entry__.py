@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _events(s, d)
         ),
         "json_extract_stats": lambda s, d: R.json_extract_stats(_events(s, d)),
+        "value_median_by_type": lambda s, d: R.value_median_by_type(_events(s, d)),
         "nations_without_suppliers": lambda s, d: R.nations_without_suppliers(
             _nation(s, d), _customer(s, d), _supplier(s, d)
         ),
@@ -397,6 +398,16 @@ FROM s GROUP BY user_id, sess
         "json_extract_stats": """
 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, count(*) AS n
 FROM events GROUP BY 1
+""",
+        "value_median_by_type": """
+WITH r AS (SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v, event_id,
+       row_number() OVER (PARTITION BY event_type
+         ORDER BY CAST(value AS DECIMAL(12,2)), event_id) AS pos,
+       count(*) OVER (PARTITION BY event_type) AS n
+       FROM events)
+SELECT event_type, CAST(v AS DOUBLE) AS median_value,
+       CAST(n AS BIGINT) AS n_events
+FROM r WHERE pos = (n + 1) // 2
 """,
         "nations_without_suppliers": """
 SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey

@@ -308,6 +308,32 @@ def session_window_counts(
     )
 
 
+def value_median_by_type(events: DataFrame) -> DataFrame:
+    """Discrete (lower) median of ``value`` per event_type, plus the
+    approx_percentile sketch twin.  The discrete median — the element
+    at position ceil(n/2) in value order with event_id tie-break — is
+    exactly expressible in both engines (unlike interpolating
+    percentiles, whose float arithmetic differs)."""
+    w = Window.partitionBy("event_type").orderBy(
+        _dec("value"), F.col("event_id")
+    )
+    ranked = events.select(
+        "event_type",
+        _dec("value").alias("v"),
+        "event_id",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    return (
+        ranked.filter(F.col("pos") == F.expr("(n + 1) DIV 2"))
+        .select(
+            "event_type",
+            F.col("v").cast("double").alias("median_value"),
+            F.col("n").cast("bigint").alias("n_events"),
+        )
+    )
+
+
 def json_extract_stats(events: DataFrame) -> DataFrame:
     """JSON field extraction from the props column + group count."""
     return (

@@ -93,3 +93,19 @@ def test_minhash_lsh_no_cartesian(t):
 def test_dedup_exact_single_shuffle(t):
     df = D.dedup_exact(t("documents"))
     assert I.exchange_count(df) == 1
+
+
+def test_user_moving_spend_single_shuffle_pruned(t):
+    df = R.user_moving_spend(t("events"))
+    # one shuffle by user_id; only the 4 needed columns read
+    assert I.exchange_count(df) == 1
+    assert I.read_columns(df, "events") == {
+        "user_id", "event_id", "ts", "value",
+    }
+
+
+def test_salted_agg_two_shuffles_small(t):
+    """The salted aggregate pays one extra (tiny, post-partial-agg)
+    shuffle for its skew resistance — never more."""
+    df = R.event_type_counts_salted(t("events"))
+    assert I.exchange_count(df) == 2
