@@ -215,3 +215,53 @@ def test_stateful_dgim_with_eviction_matches_and_bounds_state(
     assert state_rows < len(expect), (
         f"state holds {state_rows} rows for {len(expect)} windows - no eviction"
     )
+
+
+def test_stateful_dgim_checkpoint_restart(spark, tmp_path, batch_parsed):
+    """Kill-and-restart durability: a checkpointed stateful DGIM query
+    resumed over late-arriving files must produce the same final
+    per-window values as one uninterrupted batch pass."""
+    import shutil
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    all_files = write_traffic_json(
+        str(tmp_path / "staging"), duration_sec=DURATION, seed=42, n_chunks=4
+    )
+
+    out = str(tmp_path / "upsert_out")
+
+    def run_once():
+        stream = J.parse_traffic(J.file_traffic_stream(spark, str(src_dir)))
+        q = (
+            tumble_dgim_stream(stream, 60)
+            .writeStream.outputMode("update")
+            .foreachBatch(J.upsert_foreach_batch_writer(out, ["window_end"]))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # first run sees only the first two chunks
+    for f in all_files[:2]:
+        shutil.copy(f, src_dir)
+    run_once()
+    # the rest arrive while the query is down; restart from checkpoint
+    for f in all_files[2:]:
+        shutil.copy(f, src_dir)
+    run_once()
+
+    import json as _json
+
+    final = {}
+    for r in J.read_upsert_state(spark, out).collect():
+        v = _json.loads(r["value"])
+        final[v["window_end"]] = (v["count_estimate"], v["exact_count"])
+    ev = batch_parsed.withColumn("event_id", F.col("bit").cast("bigint"))
+    expect = {
+        r["window_end"]: (r["count_estimate"], r["exact_count"])
+        for r in W.tumble_dgim(ev, 60).collect()
+    }
+    assert final == expect
