@@ -34,8 +34,15 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_revenue_change",
     "top_customers_per_nation",
+    "event_type_cube",
+    "event_type_counts_salted",
+    "value_median_by_type",
+    "user_moving_spend",
+    "orders_with_expensive_items",
     "sessionize",
+    "session_window_counts",
     "asof_view_before_purchase",
     "dedup_exact",
     "ngram_jaccard_pairs",
@@ -45,8 +52,11 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "quality_score",
     "simsearch_topk",
+    "simsearch_ann_ivf",
     "embedding_neardup_blocked",
+    "embedding_neardup_lsh",
     "multimodal_features",
+    "multimodal_frame_stats",
 ]
 
 

@@ -201,38 +201,61 @@ def embedding_neardup_lsh(
     expression as :func:`embedding_neardup`); recall < 1, measured in
     tests.  No all-pairs join and no driver-side collect — candidate
     volume is bucket-sized, shuffles are on bucket keys."""
+    import numpy as np
+
     e = _with_vec(embeddings)
-    pair_sets = []
-    for t in range(n_tables):
-        planes = [_plane(131 + i, dim, t) for i in range(n_planes)]
-        bits = [
-            F.when(
-                dot(F.col("v"), F.array(*[F.lit(p) for p in plane])) >= 0, 1
-            ).otherwise(0)
-            * (1 << i)
-            for i, plane in enumerate(planes)
-        ]
-        key = bits[0]
-        for bcol in bits[1:]:
-            key = key + bcol
-        bk = e.select("vec_id", "v", "nrm", key.alias("bucket"))
-        a = bk.select(
-            F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-            F.col("nrm").alias("na"), "bucket",
-        )
-        b = bk.select(
-            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-            F.col("nrm").alias("nb"), "bucket",
-        )
-        pair_sets.append(
-            a.join(b, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b", "va", "vb", "na", "nb")
-        )
-    cands = pair_sets[0]
-    for p in pair_sets[1:]:
-        cands = cands.unionByName(p)
+    # all tables' bucket keys in ONE vectorized pass (a gemm against
+    # the 48 plane normals beats 48 interpreted HOF folds per row by
+    # ~10×; keys are bucketing heuristics, so numpy's dot is fine —
+    # only pair SCORES need the bit-exact JVM fold).  Candidates are
+    # then pure (table, bucket) equi-joins over INT rows — vectors
+    # never ride through the candidate shuffle/dedup, they are
+    # attached once at the end by two key joins.
+    P = np.array(
+        [
+            _plane(131 + i, dim, t)
+            for t in range(n_tables)
+            for i in range(n_planes)
+        ],
+        dtype=np.float64,
+    )  # (n_tables*n_planes, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<int>")
+    def bucket_keys(vecs: pd.Series) -> pd.Series:
+        V = np.array(list(vecs), dtype=np.float64)
+        signs = (V @ P.T >= 0).astype(np.int64)  # (n, tables*planes)
+        signs = signs.reshape(len(V), n_tables, n_planes)
+        keys = (signs * weights).sum(axis=2).astype("int32")
+        return pd.Series(list(keys))
+
+    buckets = e.select(
+        "vec_id",
+        F.posexplode(bucket_keys(F.col("v"))).alias("tbl", "bucket"),
+    )
+    a = buckets.select(
+        F.col("vec_id").alias("vec_a"), "tbl", "bucket"
+    )
+    b = buckets.select(
+        F.col("vec_id").alias("vec_b"), "tbl", "bucket"
+    )
+    pairs = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     return (
-        cands.dropDuplicates(["vec_a", "vec_b"])
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
