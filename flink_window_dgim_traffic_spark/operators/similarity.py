@@ -396,21 +396,35 @@ def simsearch_ann_lsh(
     set; exact cosine re-rank inside the union of matching buckets.
     Recall < 1 by construction — measured against simsearch_topk in
     tests, not oracle-checked."""
+    import numpy as np
+
     e = _with_vec(embeddings)
-    # bucket key per table: packed sign bits of dot(v, plane_i)
+    # bucket key per table: packed sign bits of dot(v, plane_i),
+    # all tables in one vectorized gemm (keys are bucketing
+    # heuristics; exact scores below use the JVM fold)
+    P = np.array(
+        [
+            _plane(97 + i, dim, t)
+            for t in range(n_tables)
+            for i in range(n_planes)
+        ],
+        dtype=np.float64,
+    )
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("array<int>")
+    def all_bucket_keys(vecs: pd.Series) -> pd.Series:
+        V = np.array(list(vecs), dtype=np.float64)
+        signs = (V @ P.T >= 0).astype(np.int64)
+        keys = (
+            signs.reshape(len(V), n_tables, n_planes) * weights
+        ).sum(axis=2).astype("int32")
+        return pd.Series(list(keys))
+
+    e = e.withColumn("bks", all_bucket_keys(F.col("v")))
     for t in range(n_tables):
-        planes = [_plane(97 + i, dim, t) for i in range(n_planes)]
-        bits = [
-            F.when(
-                dot(F.col("v"), F.array(*[F.lit(p) for p in plane])) >= 0, 1
-            ).otherwise(0)
-            * (1 << i)
-            for i, plane in enumerate(planes)
-        ]
-        key = bits[0]
-        for bcol in bits[1:]:
-            key = key + bcol
-        e = e.withColumn(f"bucket_{t}", key)
+        e = e.withColumn(f"bucket_{t}", F.col("bks").getItem(t))
+    e = e.drop("bks")
     bucket_cols = [f"bucket_{t}" for t in range(n_tables)]
     q = e.filter(F.col("vec_id") < n_query).select(
         F.col("vec_id").alias("query_id"),
