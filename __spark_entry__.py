@@ -159,6 +159,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_stats": lambda s, d: M.multimodal_frame_stats(
             _documents(s, d)
         ),
+        "multimodal_resize_stats": lambda s, d: M.multimodal_resize_stats(
+            _documents(s, d)
+        ),
     }
 
 
@@ -487,6 +490,25 @@ SELECT doc_id,
  CAST((n_frames - 1) // 4 + 1 AS BIGINT) AS n_frames_kept,
  CAST(((n_frames - 1) // 4 + 1) * 64 AS BIGINT) AS bytes_kept
 FROM f WHERE n_frames >= 1
+""",
+        # resized pixel (r,c) of a w×h byte raster (utf-8 text bytes,
+        # zero-padded): index = ((r*h) // 16)*w + (c*w) // 16 —
+        # identical to the numpy nearest-neighbor grid in resize_media
+        "multimodal_resize_stats": """
+WITH d AS (SELECT doc_id, text, doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h,
+           octet_length(encode(text)) AS len FROM documents),
+cells AS (SELECT doc_id, w, h, len, text,
+          unnest(generate_series(0, 255)) AS cell FROM d),
+px AS (SELECT doc_id,
+       ((cell // 16) * h) // 16 * w + ((cell % 16) * w) // 16 AS idx,
+       len, text FROM cells),
+b AS (SELECT doc_id,
+      CASE WHEN idx < len THEN unicode(text[CAST(idx + 1 AS INT)])
+           ELSE 0 END AS byte
+      FROM px)
+SELECT doc_id, CAST(sum(byte) AS BIGINT) AS px_sum,
+       CAST(count(DISTINCT byte) AS BIGINT) AS n_distinct_px
+FROM b GROUP BY doc_id
 """,
         "multimodal_features": """
 SELECT doc_id,

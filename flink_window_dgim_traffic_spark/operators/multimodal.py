@@ -145,6 +145,32 @@ def multimodal_features(documents: DataFrame) -> DataFrame:
     return extract_byte_features(with_media_blob(documents))
 
 
+def multimodal_resize_stats(
+    documents: DataFrame, target_w: int = 16, target_h: int = 16
+) -> DataFrame:
+    """End-to-end resize pipeline: blob → ``target_w×target_h``
+    nearest-neighbor raster → per-doc pixel checksum/cardinality.
+    Oracle-checkable: every sampled pixel is a pure index function of
+    (doc_id, text) — the DuckDB twin replays the same index math."""
+    resized = resize_media(with_media_blob(documents), target_w, target_h)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "px_sum": pdf["payload"].map(lambda b: sum(b)).astype("int64"),
+                    "n_distinct_px": pdf["payload"]
+                    .map(lambda b: len(set(b)))
+                    .astype("int64"),
+                }
+            )
+
+    return resized.mapInPandas(
+        stats, "doc_id bigint, px_sum bigint, n_distinct_px bigint"
+    )
+
+
 def multimodal_frame_stats(documents: DataFrame) -> DataFrame:
     """End-to-end frame pipeline: blob → every-4th 64-byte frame →
     per-doc kept-frame count and byte checksum (oracle-checkable:
