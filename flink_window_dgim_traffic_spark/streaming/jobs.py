@@ -11,9 +11,6 @@ keyed JSON records (the reference PK is "NOT ENFORCED" anyway,
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T

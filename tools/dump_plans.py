@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: the formatted physical plans of the headline
+queries at sf0.01, with the scale-relevant properties called out.
+Run after changing any operator: ``python tools/dump_plans.py``."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entrymod  # noqa: E402
+from flink_window_dgim_traffic_spark.plans import inspect as I  # noqa: E402
+from flink_window_dgim_traffic_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# query -> one-line "why this plan is the plan you'd want at 100 TB"
+SHOWCASE = {
+    "q1_pricing_summary": "filter pushed to scan, 7/16 columns read, "
+    "map-side partial agg, ONE shuffle",
+    "q6_revenue_change": "whole filter conjunction at the scan, "
+    "global agg over a pruned 4-column read",
+    "tumble_exact": "2-column read, single shuffle on the window key",
+    "tumble_dgim_fast": "the DGIM→g(sum(bit)) rewrite: plan is "
+    "identical to tumble_exact plus one Arrow lookup",
+    "tumble_dgim_two_phase": "mapInPandas partial sketches, shuffle "
+    "carries (window, O(log²N) sketch) rows only",
+    "hop_dgim_two_phase": "pane sharing: rows touched once, the 6× "
+    "window fan-out happens on sketch-sized rows",
+    "q5_local_supplier": "region/nation/supplier broadcast, fact "
+    "joins shuffled on keys, no cartesian",
+    "simsearch_topk": "query side broadcast; non-equi join is "
+    "broadcast-nested-loop, never a shuffle cartesian",
+    "minhash_lsh_pairs": "band keys from a one-row-per-doc wide "
+    "aggregate; candidate joins are bucket equi-joins",
+    "event_type_counts_salted": "two shuffles by design: salted "
+    "partials then tiny final fold (skew resistance)",
+}
+
+
+def main() -> None:
+    spark = get_spark(app_name="dump_plans")
+    qs = entrymod.queries()
+    out = [
+        "# PLANS — physical plans of headline queries (sf0.01)",
+        "",
+        "Regenerate with `python tools/dump_plans.py`.  Each section",
+        "states the scale property the plan carries, then the",
+        "`explain(\"formatted\")` output (AQE initial plan).",
+        "",
+    ]
+    for name, why in SHOWCASE.items():
+        df = qs[name](spark, SF_DIR)
+        out.append(f"## {name}")
+        out.append("")
+        out.append(f"**Why this plan:** {why}.")
+        out.append("")
+        out.append("```")
+        out.append(I.plan_text(df).strip())
+        out.append("```")
+        out.append("")
+    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote PLANS.md with {len(SHOWCASE)} plans")
+
+
+if __name__ == "__main__":
+    main()
