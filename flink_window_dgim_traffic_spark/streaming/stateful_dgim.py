@@ -106,6 +106,78 @@ def tumble_dgim_stream(
     )
 
 
+# ----------------------------------------------------------------------
+# transformWithStateInPandas variant (Spark 4.x StatefulProcessor API)
+# ----------------------------------------------------------------------
+def tws_available() -> bool:
+    """True when the transformWithStateInPandas runtime can start
+    (requires protobuf for its state-server protocol)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+def tumble_dgim_stream_tws(parsed, size_sec: int = 60, mode: str = MODE_JAVA):
+    """Same incremental tumbling DGIM as :func:`tumble_dgim_stream`,
+    on the current-generation ``transformWithStateInPandas`` API
+    (typed ValueState handle instead of the single state tuple).
+    Kept alongside the applyInPandasWithState path so both stateful
+    APIs stay exercised; outputs are tested identical.
+
+    NOTE: the TWS runtime needs ``google.protobuf`` (its state-server
+    protocol), which this container lacks — the test gates on
+    :func:`tws_available`; on a normal Spark 4.x install it runs."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class DGIMProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._st = handle.getValueState(
+                "sketch", "flat array<bigint>, ones bigint, nrows bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._st.exists():
+                flat, ones, nrows = self._st.get()
+                sk = DGIM.from_flat(size_sec, list(flat), mode=mode)
+            else:
+                sk, ones, nrows = DGIM(size_sec, mode=mode), 0, 0
+            for pdf in rows:
+                sub = pdf.sort_values("ts_sec", kind="mergesort")
+                for b, t in zip(
+                    sub["bit"].to_numpy(), sub["ts_sec"].to_numpy()
+                ):
+                    if b == 1:
+                        sk.add(int(t))
+                        ones += 1
+                nrows += len(sub)
+            self._st.update((sk.to_flat(), ones, nrows))
+            yield pd.DataFrame(
+                {
+                    "window_end": [key[0].strftime("%Y-%m-%d %H:%M:%S")],
+                    "count_estimate": [sk.estimate()],
+                    "exact_count": [ones],
+                    "n_rows": [nrows],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    keyed = parsed.select(
+        F.window("ts", f"{size_sec} seconds").getItem("end").alias("we"),
+        "bit",
+        "ts_sec",
+    )
+    return keyed.groupBy("we").transformWithStateInPandas(
+        statefulProcessor=DGIMProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 HOP_OUTPUT_SCHEMA = (
     "window_start string, window_end string, "
     "count_estimate bigint, exact_count bigint, n_rows bigint"

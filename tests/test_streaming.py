@@ -265,3 +265,33 @@ def test_stateful_dgim_checkpoint_restart(spark, tmp_path, batch_parsed):
         for r in W.tumble_dgim(ev, 60).collect()
     }
     assert final == expect
+
+
+def test_tws_dgim_matches_apply_in_pandas_with_state(
+    spark, fixture_dir, batch_parsed
+):
+    """The transformWithStateInPandas processor must produce the same
+    final per-window values as the applyInPandasWithState path (and
+    hence as batch replay).  Skipped where the TWS runtime's protobuf
+    dependency is absent (this container)."""
+    from flink_window_dgim_traffic_spark.streaming.stateful_dgim import (
+        tumble_dgim_stream_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("transformWithStateInPandas needs google.protobuf")
+
+    stream = J.parse_traffic(J.file_traffic_stream(spark, fixture_dir))
+    J.run_stream_to_memory(
+        tumble_dgim_stream_tws(stream, 60), "t_dgim_tws", "update"
+    )
+    final = {}
+    for r in spark.sql("SELECT * FROM t_dgim_tws").collect():
+        final[r["window_end"]] = (r["count_estimate"], r["exact_count"])
+    ev = batch_parsed.withColumn("event_id", F.col("bit").cast("bigint"))
+    expect = {
+        r["window_end"]: (r["count_estimate"], r["exact_count"])
+        for r in W.tumble_dgim(ev, 60).collect()
+    }
+    assert final == expect
