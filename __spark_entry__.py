@@ -25,6 +25,7 @@ if _REPO not in sys.path:
 from flink_window_dgim_traffic_spark.operators import dedup as D
 from flink_window_dgim_traffic_spark.operators import multimodal as M
 from flink_window_dgim_traffic_spark.operators import parsing as P
+from flink_window_dgim_traffic_spark.operators import sql_surface as Q
 from flink_window_dgim_traffic_spark.operators import relational as R
 from flink_window_dgim_traffic_spark.operators import similarity as S
 from flink_window_dgim_traffic_spark.operators import text as T
@@ -65,6 +66,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- reference-parity windowed ops (SURVEY §2.3) ---
         "tumble_exact": lambda s, d: W.tumble_exact(_events(s, d), 60),
+        "sql_tumble_exact": lambda s, d: Q.sql_tumble_exact(s, d, 60),
+        "sql_hop_exact": lambda s, d: Q.sql_hop_exact(s, d, 60, 10),
         "tumble_exact_1h": lambda s, d: W.tumble_exact(_events(s, d), 3600),
         "hop_exact": lambda s, d: W.hop_exact(_events(s, d), 60, 10),
         "tumble_dgim": lambda s, d: W.tumble_dgim(_events(s, d), 60),
@@ -137,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": lambda s, d: D.simhash_pairs(_documents(s, d)),
         # --- text analysis (north star) ---
         "text_stats": lambda s, d: T.text_stats(_documents(s, d)),
+        "text_normalize": lambda s, d: T.text_normalize(_documents(s, d)),
         "token_count_regex": lambda s, d: T.token_count_regex(_documents(s, d)),
         "doc_fingerprint": lambda s, d: T.doc_fingerprint(_documents(s, d)),
         "quality_score": lambda s, d: T.quality_score(_documents(s, d)),
@@ -242,6 +246,7 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "tumble_exact": _tumble_sql(60),
+        "sql_tumble_exact": _tumble_sql(60),
         "tumble_exact_1h": _tumble_sql(3600),
         "hop_exact": """
 WITH e AS (SELECT CAST(event_id % 2 AS INT) AS bit, epoch(ts) AS es FROM events),
@@ -252,6 +257,24 @@ SELECT strftime(make_timestamp(ws*1000000), '%Y-%m-%d %H:%M:%S') AS window_start
        strftime(make_timestamp((ws+60)*1000000), '%Y-%m-%d %H:%M:%S') AS window_end,
        CAST(sum(bit) AS BIGINT) AS ones_exact, count(*) AS n_rows
 FROM x GROUP BY ws
+""",
+        "sql_hop_exact": """
+WITH e AS (SELECT CAST(event_id % 2 AS INT) AS bit, epoch(ts) AS es FROM events),
+x AS (SELECT bit, unnest(generate_series(
+        (CAST(floor((es - 60)/10) AS BIGINT) + 1) * 10,
+        CAST(floor(es/10) AS BIGINT) * 10, 10)) AS ws FROM e)
+SELECT strftime(make_timestamp(ws*1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(make_timestamp((ws+60)*1000000), '%Y-%m-%d %H:%M:%S') AS window_end,
+       CAST(sum(bit) AS BIGINT) AS ones_exact, count(*) AS n_rows
+FROM x GROUP BY ws
+""",
+        "text_normalize": """
+SELECT doc_id,
+ trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                     ' +', ' ', 'g')) AS norm_text,
+ CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+FROM documents
 """,
         "traffic_parse": _TRAFFIC_PARSED,
         "traffic_parse_summary": f"""

@@ -1,0 +1,68 @@
+"""Spark SQL surface: the reference is SQL-first (its three jobs are
+``CREATE TABLE`` + ``INSERT INTO ... SELECT`` strings,
+``StreamingJob.java:37-98``), so a migrating user gets the same
+entry style here — register the tables as views, write Spark SQL.
+
+``sql_tumble_exact`` is the flagship windowed query expressed purely
+in SQL (same plan Catalyst produces for the DataFrame version;
+oracle-checked for identical values).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_window_dgim_traffic_spark.session import table
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view (idempotent)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def sql_tumble_exact(
+    spark: SparkSession, sf_dir: str, size_sec: int = 60
+) -> DataFrame:
+    """The reference's tumbling count as one Spark SQL statement
+    (window TVF in GROUP BY, like the Flink SQL original)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT date_format(window.end, 'yyyy-MM-dd HH:mm:ss') AS window_end,
+               CAST(sum(pmod(event_id, 2)) AS BIGINT) AS ones_exact,
+               count(*) AS n_rows
+        FROM events
+        GROUP BY window(ts, '{size_sec} seconds')
+        """
+    )
+
+
+def sql_hop_exact(
+    spark: SparkSession, sf_dir: str, size_sec: int = 60, slide_sec: int = 10
+) -> DataFrame:
+    """The reference's sliding (HOP) count as one Spark SQL statement."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS window_start,
+               date_format(window.end, 'yyyy-MM-dd HH:mm:ss') AS window_end,
+               CAST(sum(pmod(event_id, 2)) AS BIGINT) AS ones_exact,
+               count(*) AS n_rows
+        FROM events
+        GROUP BY window(ts, '{size_sec} seconds', '{slide_sec} seconds')
+        """
+    )

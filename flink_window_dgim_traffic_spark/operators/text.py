@@ -81,6 +81,24 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
 
 
+def text_normalize(documents: DataFrame) -> DataFrame:
+    """Canonical text normalization for dedup pipelines: lowercase,
+    strip non-alphanumerics to spaces, collapse whitespace runs, trim.
+    Pure JVM regex ops; the oracle applies the identical regex chain."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return documents.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )
+
+
 # ----------------------------------------------------------------------
 # language ID — n-gram profile heuristic (rows-only; not expressible in
 # ANSI SQL, verified by unit tests on constructed samples)
