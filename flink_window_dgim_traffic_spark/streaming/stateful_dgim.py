@@ -184,12 +184,17 @@ HOP_OUTPUT_SCHEMA = (
 )
 
 
-def make_hop_dgim_update_fn(size_sec: int, mode: str = MODE_JAVA):
+def make_hop_dgim_update_fn(
+    size_sec: int, mode: str = MODE_JAVA, evict: bool = False
+):
     """Like :func:`make_dgim_update_fn` but keyed by (window_start,
     window_end) — the composite upsert key of the reference's sliding
     job (``SlidingWindowStreamingJob.java:72-74``)."""
 
     def update(key, pdfs, state):
+        if evict and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             (flat, ones, nrows) = state.get
             sk = DGIM.from_flat(size_sec, list(flat), mode=mode)
@@ -203,6 +208,8 @@ def make_hop_dgim_update_fn(size_sec: int, mode: str = MODE_JAVA):
                     ones += 1
             nrows += len(sub)
         state.update((sk.to_flat(), ones, nrows))
+        if evict:
+            state.setTimeoutTimestamp(int(key[1].timestamp() * 1000))
         yield pd.DataFrame(
             {
                 "window_start": [key[0].strftime("%Y-%m-%d %H:%M:%S")],
@@ -217,25 +224,39 @@ def make_hop_dgim_update_fn(size_sec: int, mode: str = MODE_JAVA):
 
 
 def hop_dgim_stream(
-    parsed, size_sec: int = 60, slide_sec: int = 10, mode: str = MODE_JAVA
+    parsed,
+    size_sec: int = 60,
+    slide_sec: int = 10,
+    mode: str = MODE_JAVA,
+    watermark: str | None = None,
 ):
     """Update-mode streaming DGIM per hopping window — the reference's
     sliding job (``SlidingWindowStreamingJob.java:92-111``) as a
     stateful stream.  Each record updates size/slide window states;
-    state per key stays O(log² N)."""
+    state per key stays O(log² N).  With ``watermark`` set, a
+    window's state is evicted once the watermark passes its end
+    (same EventTimeTimeout pattern as the tumbling job)."""
     from pyspark.sql import functions as F
 
-    keyed = parsed.select(
+    evict = watermark is not None
+    src = parsed.withWatermark("ts", watermark) if evict else parsed
+    extra = ("ts",) if evict else ()
+    keyed = src.select(
         F.window("ts", f"{size_sec} seconds", f"{slide_sec} seconds").alias("w"),
         "bit",
         "ts_sec",
+        *extra,
     ).select(
-        F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "bit", "ts_sec"
+        F.col("w.start").alias("ws"),
+        F.col("w.end").alias("we"),
+        "bit",
+        "ts_sec",
+        *extra,
     )
     return keyed.groupBy("ws", "we").applyInPandasWithState(
-        make_hop_dgim_update_fn(size_sec, mode),
+        make_hop_dgim_update_fn(size_sec, mode, evict=evict),
         outputStructType=HOP_OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA + ", ones bigint, nrows bigint",
         outputMode="update",
-        timeoutConf="NoTimeout",
+        timeoutConf="EventTimeTimeout" if evict else "NoTimeout",
     )

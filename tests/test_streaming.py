@@ -295,3 +295,39 @@ def test_tws_dgim_matches_apply_in_pandas_with_state(
         for r in W.tumble_dgim(ev, 60).collect()
     }
     assert final == expect
+
+
+def test_stateful_hop_dgim_eviction(spark, fixture_dir, batch_parsed):
+    """Hop DGIM with watermark eviction: values equal batch replay,
+    closed windows evicted from the state store."""
+    from flink_window_dgim_traffic_spark.streaming.stateful_dgim import (
+        hop_dgim_stream,
+    )
+
+    stream = J.parse_traffic(J.file_traffic_stream(spark, fixture_dir))
+    q = (
+        hop_dgim_stream(stream, 60, 10, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("t_hop_dgim_evict")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    final = {}
+    for r in spark.sql("SELECT * FROM t_hop_dgim_evict").collect():
+        final[(r["window_start"], r["window_end"])] = (
+            r["count_estimate"],
+            r["exact_count"],
+        )
+    ev = batch_parsed.withColumn("event_id", F.col("bit").cast("bigint"))
+    expect = {
+        (r["window_start"], r["window_end"]): (
+            r["count_estimate"],
+            r["exact_count"],
+        )
+        for r in W.hop_dgim(ev, 60, 10).collect()
+    }
+    assert final == expect
+    assert state_rows < len(expect)
