@@ -99,13 +99,18 @@ def _replay_pairs_udf(size_sec: int, mode: str):
     """Vectorized (Arrow-batched) whole-window replay: one Python
     invocation per batch of windows, not per window — per-group
     applyInPandas overhead dominates wall time at many-small-windows
-    shape, so it is avoided everywhere."""
+    shape, so it is avoided everywhere.
+
+    Expects the pair list pre-sorted by (ts_sec, bit) — the caller
+    sorts JVM-side with ``sort_array`` (same estimate: same-timestamp
+    1-bit inserts commute, 0-bits are no-ops, so only the ts order
+    matters and that is preserved)."""
 
     @pandas_udf("bigint")
     def est(pairs: pd.Series) -> pd.Series:
         def one(lst) -> int:
             sk = DGIM(size_sec, mode=mode)
-            for p in sorted(lst, key=lambda r: r["ts_sec"]):
+            for p in lst:
                 if p["bit"] == 1:
                     sk.add(int(p["ts_sec"]))
             return sk.estimate()
@@ -113,6 +118,12 @@ def _replay_pairs_udf(size_sec: int, mode: str):
         return pairs.map(one)
 
     return est
+
+
+def _sorted_pairs():
+    """JVM-side per-window sort of the collected (ts_sec, bit) structs
+    — replaces a Python ``sorted()`` per window in the replay UDF."""
+    return F.sort_array(F.collect_list(F.struct("ts_sec", "bit")))
 
 
 def tumble_dgim(
@@ -129,7 +140,7 @@ def tumble_dgim(
         _dgim_window_cols(events, size_sec)
         .groupBy("we")
         .agg(
-            F.collect_list(F.struct("bit", "ts_sec")).alias("pairs"),
+            _sorted_pairs().alias("pairs"),
             F.sum("bit").cast("bigint").alias("exact_count"),
         )
         .select(
@@ -185,7 +196,7 @@ def hop_dgim(
         )
         .groupBy("ws", "we")
         .agg(
-            F.collect_list(F.struct("bit", "ts_sec")).alias("pairs"),
+            _sorted_pairs().alias("pairs"),
             F.sum("bit").cast("bigint").alias("exact_count"),
         )
         .select(
