@@ -58,6 +58,7 @@ _customer = _t("customer")
 _supplier = _t("supplier")
 _nation = _t("nation")
 _region = _t("region")
+_part = _t("part")
 _documents = _t("documents")
 _embeddings = _t("embeddings")
 
@@ -79,6 +80,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _events(s, d), 60
         ),
         "tumble_dgim_fast": lambda s, d: W.tumble_dgim_fast(_events(s, d), 60),
+        "tumble_dgim_by_user": lambda s, d: W.tumble_dgim_by_user_fast(
+            _events(s, d), 60
+        ),
         "hop_dgim": lambda s, d: W.hop_dgim(_events(s, d), 60, 10),
         "hop_dgim_fast": lambda s, d: W.hop_dgim_fast(_events(s, d), 60, 10),
         "hop_dgim_two_phase": lambda s, d: W.hop_dgim_two_phase(
@@ -101,6 +105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _supplier(s, d),
             _nation(s, d),
             _region(s, d),
+        ),
+        "q14_promo_revenue": lambda s, d: R.q14_promo_revenue(
+            _lineitem(s, d), _part(s, d)
         ),
         "top_customers_per_nation": lambda s, d: R.top_customers_per_nation(
             _customer(s, d), _orders(s, d), _nation(s, d)
@@ -318,6 +325,15 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name
+""",
+        "q14_promo_revenue": f"""
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV}
+                     ELSE CAST(0 AS DECIMAL(4,2)) END) AS DOUBLE) AS promo_revenue,
+       CAST(sum({_REV}) AS DOUBLE) AS total_revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-02-01'
 """,
         "top_customers_per_nation": """
 WITH spend AS (

@@ -150,6 +150,32 @@ def q6_revenue_change(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: fact⋈dim join + conditional aggregation (the
+    PROMO share of revenue in one month).  The part side is filterable
+    and broadcast-sized; revenue ratio stays DECIMAL→DOUBLE at the
+    end."""
+    revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount", "4,2"))
+    j = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return j.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", revenue).otherwise(
+                F.lit(0).cast("decimal(4,2)")
+            )
+        )
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(revenue).cast("double").alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def event_type_cube(events: DataFrame) -> DataFrame:
     """CUBE aggregate (all grouping sets of event_type × day)."""
     day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")

@@ -254,6 +254,29 @@ def tumble_dgim_fast(
     )
 
 
+def tumble_dgim_by_user_fast(
+    events: DataFrame, size_sec: int = 60, mode: str = MODE_JAVA
+) -> DataFrame:
+    """Keyed sketch: one DGIM estimate per (user, window) — the shape
+    a real deployment uses (per-interface / per-host counters; the
+    reference only aggregates globally).  Same ``g(sum(bit))`` rewrite
+    as :func:`tumble_dgim_fast`, with the key as an extra group
+    column; at scale this is a single shuffle on (window, user)."""
+    return (
+        with_bit(events)
+        .groupBy(
+            F.window("ts", f"{size_sec} seconds").alias("w"), F.col("user_id")
+        )
+        .agg(F.sum("bit").cast("bigint").alias("exact_count"))
+        .select(
+            F.date_format(F.col("w.end"), TS_FMT_SPARK).alias("window_end"),
+            "user_id",
+            _count_est_udf(mode)(F.col("exact_count")).alias("count_estimate"),
+            "exact_count",
+        )
+    )
+
+
 def hop_dgim_fast(
     events: DataFrame,
     size_sec: int = 60,

@@ -115,3 +115,23 @@ def test_hop_dgim_bound(events):
             <= r["count_estimate"]
             <= 1.5 * r["exact_count"] + 1
         )
+
+
+def test_tumble_dgim_by_user_consistency(events):
+    """Keyed sketch: per-user exacts roll up to the global window
+    exact, and every estimate equals g(exact) (no expiry possible)."""
+    from flink_window_dgim_traffic_spark.dgim import count_estimate_table
+
+    by_user = W.tumble_dgim_by_user_fast(events).collect()
+    glob = {
+        r["window_end"]: r["exact_count"]
+        for r in W.tumble_dgim_fast(events).collect()
+    }
+    agg = {}
+    for r in by_user:
+        agg[r["window_end"]] = agg.get(r["window_end"], 0) + r["exact_count"]
+    assert all(agg.get(we, 0) == v for we, v in glob.items())
+    tab = count_estimate_table(
+        max(r["exact_count"] for r in by_user), "java"
+    )
+    assert all(r["count_estimate"] == tab[r["exact_count"]] for r in by_user)
