@@ -48,24 +48,39 @@ def shingles(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     ).distinct()
 
 
-def ngram_jaccard_pairs(
-    documents: DataFrame, threshold: float = 0.5, k: int = SHINGLE_K
+def _jaccard_pairs(
+    documents: DataFrame, k: int, restrict_to: DataFrame | None = None
 ) -> DataFrame:
-    """Exact shingle-Jaccard near-dup pairs via the relational
-    formulation: shingle inverted index self-join → per-pair
-    intersection counts → |A∩B| / (|A|+|B|-|A∩B|).  At scale the
-    inverted-index join only pairs docs that share a shingle."""
+    """Exact shingle-Jaccard via the inverted-index formulation:
+    shingle self-join → per-pair intersection counts → |A∩B| /
+    (|A|+|B|-|A∩B|).  With ``restrict_to`` (doc_a, doc_b), the join is
+    semi-filtered to those pairs BEFORE the per-pair aggregation — the
+    LSH verify path at 100 TB only pays for candidate pairs, never the
+    full shares-a-shingle pair space."""
     sh = shingles(documents, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("overlap"))
+    inter = a.join(
+        b,
+        (F.col("a.s") == F.col("b.s"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
-    jac = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("c", "ca"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("c", "cb"), "doc_b")
+    if restrict_to is not None:
+        inter = inter.join(restrict_to, ["doc_a", "doc_b"], "left_semi")
+    inter = inter.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("overlap")
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("c", "ca"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("c", "cb"),
+            "doc_b",
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -74,9 +89,19 @@ def ngram_jaccard_pairs(
                 6,
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
-    return jac.select("doc_a", "doc_b", "jaccard")
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.5, k: int = SHINGLE_K
+) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs (inverted-index self-join;
+    only docs sharing a shingle ever pair)."""
+    return (
+        _jaccard_pairs(documents, k)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 # ----------------------------------------------------------------------
@@ -157,8 +182,11 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    exact = ngram_jaccard_pairs(documents, threshold=threshold)
-    return candidates.join(exact, ["doc_a", "doc_b"]).select(
+    # exact verification restricted to the candidate pairs (semi-join
+    # pushed below the per-pair aggregation — at scale only candidate
+    # pairs are ever aggregated, not the full shingle-sharing space)
+    verified = _jaccard_pairs(documents, SHINGLE_K, restrict_to=candidates)
+    return verified.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "jaccard"
     )
 

@@ -104,6 +104,13 @@ def test_user_moving_spend_single_shuffle_pruned(t):
     }
 
 
+def test_q14_broadcasts_part(t):
+    df = R.q14_promo_revenue(t("lineitem"), t("part"))
+    assert "l_shipdate" in I.pushed_filter_columns(df, "lineitem")
+    assert I.broadcast_join_count(df) >= 1
+    assert not I.has_cartesian(df)
+
+
 def test_salted_agg_two_shuffles_small(t):
     """The salted aggregate pays one extra (tiny, post-partial-agg)
     shuffle for its skew resistance — never more."""
