@@ -106,6 +106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _nation(s, d),
             _region(s, d),
         ),
+        "q18_large_volume_customers": lambda s, d: R.q18_large_volume_customers(
+            _customer(s, d), _orders(s, d), _lineitem(s, d)
+        ),
         "q14_promo_revenue": lambda s, d: R.q14_promo_revenue(
             _lineitem(s, d), _part(s, d)
         ),
@@ -325,6 +328,20 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name
+""",
+        "q18_large_volume_customers": """
+WITH big AS (
+ SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+ FROM lineitem GROUP BY l_orderkey
+ HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > CAST(250.0 AS DECIMAL(12,2)))
+SELECT c_custkey, c_name, o_orderkey,
+ strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+ CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+ CAST(total_qty AS DOUBLE) AS total_qty
+FROM big JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
 """,
         "q14_promo_revenue": f"""
 SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV}

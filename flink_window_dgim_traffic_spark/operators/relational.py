@@ -176,6 +176,38 @@ def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
 
 
+def q18_large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 250.0,
+) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over an aggregated fact (orders whose
+    total quantity exceeds a threshold), joined back to dimensions,
+    top-20 by order value.  The heavy groupBy happens FIRST on the
+    narrow (orderkey, quantity) projection; only qualifying orders
+    join customer."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > F.lit(min_qty).cast("decimal(12,2)"))
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            _dec("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
 def event_type_cube(events: DataFrame) -> DataFrame:
     """CUBE aggregate (all grouping sets of event_type × day)."""
     day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
