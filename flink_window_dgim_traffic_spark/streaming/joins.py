@@ -1,0 +1,53 @@
+"""Stream-stream interval join — the stateful join capability the
+reference lacks entirely (its jobs are single-stream aggregations).
+
+The canonical shape: for each purchase, the views by the same user in
+the preceding ``max_delay`` interval.  Both sides carry watermarks so
+Spark can bound the join state: a view's row is dropped from state
+once the purchase-side watermark passes ``view.ts + max_delay``.
+Results are tested identical to the equivalent batch interval join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def view_purchase_interval_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    max_delay_sec: int = 3600,
+    watermark: str = "0 seconds",
+    streaming: bool = True,
+) -> DataFrame:
+    """Purchases joined to same-user views within the trailing
+    ``max_delay_sec``: ``view.ts ∈ [purchase.ts - max_delay,
+    purchase.ts]``.  Works on streaming inputs (watermarked, bounded
+    state) and batch inputs (``streaming=False``) with identical
+    semantics — the equality is what tests assert."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    if streaming:
+        v = v.withWatermark("v_ts", watermark)
+        p = p.withWatermark("p_ts", watermark)
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_delay_sec} SECONDS"))
+    )
+    return v.join(p, cond).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+    )
