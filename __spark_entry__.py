@@ -148,6 +148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _documents(s, d), threshold=0.8
         ),
         "simhash_pairs": lambda s, d: D.simhash_pairs(_documents(s, d)),
+        "neardup_clusters": lambda s, d: D.neardup_clusters(
+            D.ngram_jaccard_pairs(_documents(s, d), threshold=0.8)
+        ),
         # --- text analysis (north star) ---
         "text_stats": lambda s, d: T.text_stats(_documents(s, d)),
         "text_normalize": lambda s, d: T.text_normalize(_documents(s, d)),
@@ -492,6 +495,25 @@ WITH {_SHINGLE_BASE}
 SELECT doc_a, doc_b, {jac} AS jaccard
 FROM inter JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
 WHERE {jac} >= 0.5
+""",
+        # connected components of the jaccard>=0.8 pair graph via
+        # recursive transitive closure (components are small dup
+        # groups, so the closure stays tiny)
+        "neardup_clusters": f"""
+WITH RECURSIVE {_SHINGLE_BASE},
+jp AS (SELECT doc_a, doc_b
+       FROM inter JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+       WHERE round(CAST(overlap AS DOUBLE) / CAST(na.c + nb.c - overlap AS DOUBLE), 6) >= 0.8),
+e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+      UNION SELECT doc_b, doc_a FROM jp),
+nodes AS (SELECT DISTINCT a AS doc FROM e),
+reach AS (
+  SELECT doc, doc AS r FROM nodes
+  UNION
+  SELECT reach.doc, e.b FROM reach JOIN e ON reach.r = e.a
+)
+SELECT doc AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY doc
 """,
         "text_stats": """
 SELECT doc_id,

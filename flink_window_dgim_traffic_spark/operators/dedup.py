@@ -192,6 +192,60 @@ def minhash_lsh_pairs(
 
 
 # ----------------------------------------------------------------------
+# near-dup clusters: connected components over the pair graph
+# ----------------------------------------------------------------------
+def neardup_clusters(
+    pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Turn near-dup PAIRS into dedup DECISIONS: connected components
+    of the (doc_a, doc_b) graph via iterative label propagation —
+    every doc gets the MIN doc_id of its component as ``cluster_id``.
+
+    Each iteration is two join+aggregate rounds (propagate the
+    smallest known label across edges), converging in O(diameter)
+    iterations; near-dup components are tiny (dup groups), so 2-3
+    iterations suffice in practice and ``max_iters`` is a hard stop.
+    No driver-side graph — state is a (doc_id, label) DataFrame, so
+    the algorithm scales with the cluster like everything else.
+    Deterministic: labels are mins, independent of execution order."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+    )
+    labels = edges.select(F.col("a").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    for _ in range(max_iters):
+        # smallest neighbor label per node
+        neigh = (
+            edges.join(labels, edges["b"] == labels["doc_id"])
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut lineage
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+# ----------------------------------------------------------------------
 # SimHash (64-bit) near-dup
 # ----------------------------------------------------------------------
 def simhash_fingerprints(documents: DataFrame) -> DataFrame:

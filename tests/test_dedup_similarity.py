@@ -155,3 +155,36 @@ def test_embedding_neardup_lsh_precision_and_recall(embeddings):
     if exact:
         recall = len(lsh) / len(exact)
         assert recall >= 0.5, f"LSH neardup recall {recall:.2f}"
+
+
+def test_neardup_clusters_transitive_closure(spark):
+    """Label propagation must produce exact connected components:
+    chain 1-2-3, pair 10-11, isolated pairs don't merge."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.neardup_clusters(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
+
+
+def test_neardup_clusters_on_lsh_pairs(documents):
+    """End-to-end: LSH pairs -> clusters; every edge must be within
+    one cluster, and cluster ids are component minima."""
+    pairs = D.minhash_lsh_pairs(documents, threshold=0.8)
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.neardup_clusters(pairs).collect()
+    }
+    for r in pairs.collect():
+        assert labels[r["doc_a"]] == labels[r["doc_b"]]
+    for doc, lab in labels.items():
+        assert lab <= doc
+        assert labels[lab] == lab  # the representative is its own label
