@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "neardup_clusters",
     "text_stats",
     "doc_fingerprint",
     "quality_score",

@@ -212,6 +212,10 @@ def neardup_clusters(
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
         .distinct()
+        # materialize once: every iteration joins against edges, and
+        # without this the full upstream pair pipeline (e.g. the
+        # shingle self-join) would re-execute per iteration
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("a").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("label")
