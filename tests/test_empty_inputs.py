@@ -78,3 +78,8 @@ def test_ivf_tiny_corpus(spark, sf_dir):
     rows = S.simsearch_ann_ivf(emb, n_query=3, k=10).collect()
     # 3 queries x up to 4 neighbors each, all present
     assert {r["query_id"] for r in rows} == {0, 1, 2}
+
+
+def test_neardup_clusters_empty(spark):
+    pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert D.neardup_clusters(pairs).count() == 0
