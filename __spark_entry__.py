@@ -25,6 +25,7 @@ if _REPO not in sys.path:
 from flink_window_dgim_traffic_spark.operators import dedup as D
 from flink_window_dgim_traffic_spark.operators import multimodal as M
 from flink_window_dgim_traffic_spark.operators import parsing as P
+from flink_window_dgim_traffic_spark.operators import pipeline as PL
 from flink_window_dgim_traffic_spark.operators import sql_surface as Q
 from flink_window_dgim_traffic_spark.operators import relational as R
 from flink_window_dgim_traffic_spark.operators import similarity as S
@@ -151,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": lambda s, d: D.neardup_clusters(
             D.ngram_jaccard_pairs(_documents(s, d), threshold=0.8)
         ),
+        "training_corpus": lambda s, d: PL.training_corpus(_documents(s, d)),
         # --- text analysis (north star) ---
         "text_stats": lambda s, d: T.text_stats(_documents(s, d)),
         "text_normalize": lambda s, d: T.text_normalize(_documents(s, d)),
@@ -514,6 +516,34 @@ reach AS (
 )
 SELECT doc AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
 FROM reach GROUP BY doc
+""",
+        # full pipeline: exact dedup -> near-dup representative keep
+        # (recursive closure of jaccard>=0.8 among survivors) ->
+        # quality gate; same three stages as operators/pipeline.py
+        "training_corpus": f"""
+WITH RECURSIVE
+k1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+d AS (SELECT doc_id, text FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM k1)),
+{_SHINGLE_BASE.replace("FROM documents", "FROM d")},
+jp AS (SELECT doc_a, doc_b
+       FROM inter JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+       WHERE round(CAST(overlap AS DOUBLE) / CAST(na.c + nb.c - overlap AS DOUBLE), 6) >= 0.8),
+e AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+nodes AS (SELECT DISTINCT a AS doc FROM e),
+reach AS (SELECT doc, doc AS r FROM nodes
+          UNION
+          SELECT reach.doc, e.b FROM reach JOIN e ON reach.r = e.a),
+lab AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc),
+kept AS (SELECT doc_id, text FROM d
+         WHERE doc_id NOT IN (SELECT doc FROM lab WHERE cluster <> doc)),
+t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
+c AS (SELECT doc_id, len(ws) AS n,
+      len(list_filter(ws, w -> w IN {_STOP_LIST})) AS stop_cnt FROM t)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+ round(least(n, 50) / 50 * 0.5 + (1 - stop_cnt / n) * 0.5, 6) AS quality_score
+FROM c
+WHERE round(least(n, 50) / 50 * 0.5 + (1 - stop_cnt / n) * 0.5, 6) >= 0.5
 """,
         "text_stats": """
 SELECT doc_id,

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "neardup_clusters",
+    "training_corpus",
     "text_stats",
     "doc_fingerprint",
     "quality_score",
