@@ -140,6 +140,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_view_before_purchase": lambda s, d: R.asof_view_before_purchase(
             _events(s, d)
         ),
+        "event_type_pivot": lambda s, d: R.event_type_pivot(_events(s, d)),
+        "value_percentiles_by_type": lambda s, d: R.value_percentiles_by_type(
+            _events(s, d)
+        ),
+        "users_view_and_purchase": lambda s, d: R.users_view_and_purchase(
+            _events(s, d)
+        ),
         # --- dedup (north star) ---
         "dedup_exact": lambda s, d: D.dedup_exact(_documents(s, d)),
         "ngram_jaccard_pairs": lambda s, d: D.ngram_jaccard_pairs(
@@ -487,6 +494,30 @@ SELECT p.event_id, p.user_id,
              AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id <= p.event_id))),
           '%Y-%m-%d %H:%M:%S') AS last_view_ts
 FROM vp p WHERE p.event_type = 'purchase'
+""",
+        "event_type_pivot": """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+ CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+ CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+ CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+ CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+ CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY 1
+""",
+        # quantile_cont shares Spark percentile()'s (n-1)*p rank
+        # interpolation; round(6) absorbs interpolation-order ulps
+        "value_percentiles_by_type": """
+SELECT event_type,
+ round(quantile_cont(value, 0.5), 6) AS p50,
+ round(quantile_cont(value, 0.9), 6) AS p90,
+ round(quantile_cont(value, 0.99), 6) AS p99,
+ count(*) AS n
+FROM events GROUP BY event_type
+""",
+        "users_view_and_purchase": """
+SELECT user_id FROM events WHERE event_type = 'view'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
 """,
         "dedup_exact": """
 SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies

@@ -437,3 +437,63 @@ def asof_view_before_purchase(events: DataFrame) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.date_format("last_view_ts", "yyyy-MM-dd HH:mm:ss").alias("last_view_ts"),
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_pivot(events: DataFrame) -> DataFrame:
+    """PIVOT: one row per day, one count column per event type.
+
+    The pivot values are declared explicitly (``EVENT_TYPES``) — with an
+    implicit pivot Spark must run an extra distinct-values job over the
+    full fact table before it can even plan, which at 100 TB is a whole
+    wasted scan.  Declared values keep it a single partial-aggregated
+    groupBy.  Missing (day, type) combos are 0, matching the oracle's
+    ``count(*) FILTER`` shape."""
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+        "day"
+    )
+    pivoted = (
+        events.select(day, "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+def value_percentiles_by_type(events: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles (PERCENTILE_CONT semantics) of
+    ``value`` per event type.  Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the classic (n-1)*p rank-interpolation
+    definition; results are rounded to 6 places to absorb the one-ulp
+    differences interpolation order can produce.  Scale note: exact
+    percentiles need a per-group sort — at 100 TB the production path
+    is ``approx_percentile`` (t-digest-style mergeable sketch, partial
+    aggregation, no sort); that twin is asserted within tolerance in
+    tests."""
+    ps = [0.5, 0.9, 0.99]
+    exact = F.percentile("value", F.array(*[F.lit(p) for p in ps]))
+    return events.groupBy("event_type").agg(
+        *[
+            F.round(F.get(exact, i), 6).alias(f"p{int(p * 100)}")
+            for i, p in enumerate(ps)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def users_view_and_purchase(events: DataFrame) -> DataFrame:
+    """INTERSECT (distinct set semantics): users who both viewed and
+    purchased.  Plans as a distinct-aggregate + hash semi join on
+    user_id — one shuffle each side, no row multiplication."""
+    viewers = events.filter(F.col("event_type") == "view").select("user_id")
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return viewers.intersect(buyers)

@@ -1,0 +1,76 @@
+"""Streaming dedup (dropDuplicatesWithinWatermark): duplicates that
+arrive within the watermark delay are suppressed, the survivor set
+equals batch dedup, and the state store is bounded by eviction rather
+than retaining every key ever seen."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_window_dgim_traffic_spark.streaming import jobs as J
+from flink_window_dgim_traffic_spark.streaming.dedup import dedup_stream
+
+N_IDS = 300  # one event per second, 5 minutes
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def dup_fixture_dir(tmp_path_factory):
+    """Time-ordered JSON chunks; every 3rd event appears twice
+    (adjacent redelivery, the at-least-once shape) — 400 rows total."""
+    d = tmp_path_factory.mktemp("dup_events")
+    rows = []
+    for i in range(N_IDS):
+        ts = f"2026-01-01T00:{i // 60:02d}:{i % 60:02d}.000000"
+        rows.append({"event_id": i, "ts": ts, "value": float(i)})
+        if i % 3 == 0:
+            rows.append({"event_id": i, "ts": ts, "value": float(i)})
+    per = len(rows) // 4
+    for c in range(4):
+        chunk = rows[c * per :] if c == 3 else rows[c * per : (c + 1) * per]
+        with open(f"{d}/chunk_{c}.json", "w") as f:
+            f.write("\n".join(json.dumps(r) for r in chunk))
+    return str(d)
+
+
+def _stream(spark, path):
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .json(path)
+    )
+
+
+def test_stream_dedup_matches_batch(spark, dup_fixture_dir):
+    deduped = dedup_stream(
+        _stream(spark, dup_fixture_dir), ["event_id"], delay="30 seconds"
+    )
+    q = J.run_stream_to_memory(deduped, "t_dedup", output_mode="append")
+    got = spark.sql("SELECT event_id, value FROM t_dedup").collect()
+    assert len(got) == N_IDS  # every duplicate suppressed
+    assert sorted(r["event_id"] for r in got) == list(range(N_IDS))
+    # state is bounded: eviction kept strictly fewer keys than the
+    # total distinct keys streamed (watermark advanced across chunks)
+    state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    assert 0 < state_rows < N_IDS
+
+
+def test_stream_dedup_composite_key(spark, dup_fixture_dir):
+    """Composite-key dedup: (event_id, value) — still exactly-once
+    per key within the watermark."""
+    deduped = dedup_stream(
+        _stream(spark, dup_fixture_dir),
+        ["event_id", "value"],
+        delay="30 seconds",
+    )
+    J.run_stream_to_memory(deduped, "t_dedup2", output_mode="append")
+    assert spark.sql("SELECT * FROM t_dedup2").count() == N_IDS
