@@ -165,3 +165,49 @@ def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.awaitTermination()
     return q
+
+
+def session_exact_stream(
+    parsed: DataFrame,
+    gap_sec: int = 300,
+    watermark: str = "10 seconds",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming session windows: the dynamic-gap operator the
+    reference lacks entirely (SURVEY.md §2.4 — "no session windows").
+    ``session_window`` state merges adjacent sessions as rows arrive
+    and the watermark both closes sessions (append mode) and evicts
+    their state — bounded by active sessions, not stream history.
+
+    Spark rejects *global* session aggregation in streaming, so a
+    keyless call groups by a constant — correct for the single-
+    interface traffic stream, but it serializes session-merge state
+    through one task.  At scale ALWAYS pass ``key_cols`` (user,
+    interface, host): state and merging then partition by key."""
+    # keyless: a constant key expression inside groupBy is constant-
+    # folded away and Spark again sees a (forbidden) global session
+    # aggregation; materializing it as a projected column first keeps
+    # it a real grouping attribute
+    if not key_cols:
+        parsed = parsed.withColumn("_global", F.crc32(F.lit("_")) * 0)
+    keys = [F.col(c) for c in (key_cols or ["_global"])]
+    out_keys = list(key_cols) if key_cols else []
+    return (
+        parsed.withWatermark("ts", watermark)
+        .groupBy(*keys, F.session_window("ts", f"{gap_sec} seconds").alias("w"))
+        .agg(
+            F.sum("bit").cast("bigint").alias("ones_exact"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            *out_keys,
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end_plus_gap"
+            ),
+            "ones_exact",
+            "n_rows",
+        )
+    )

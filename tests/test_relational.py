@@ -100,3 +100,43 @@ def test_q3_plan_broadcasts_dimension(tpch):
         tpch["customer"], tpch["orders"], tpch["lineitem"]
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_value_percentiles_vs_approx_sketch(events):
+    """The production 100 TB path (approx_percentile t-digest sketch)
+    must land within tolerance of the exact interpolated percentiles."""
+    exact = {r["event_type"]: r for r in R.value_percentiles_by_type(events).collect()}
+    approx = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.approx_percentile("value", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)).alias("ap")
+        )
+        .collect()
+    }
+    for et, ex in exact.items():
+        spread = max(ex["p99"] - ex["p50"], 1e-9)
+        assert abs(approx[et]["ap"][0] - ex["p50"]) <= 0.05 * spread
+        assert abs(approx[et]["ap"][1] - ex["p90"]) <= 0.05 * spread
+
+
+def test_event_type_pivot_row_conservation(events):
+    """Pivot counts must sum back to the table row count, and every
+    declared type column exists even if a day has no such events."""
+    out = R.event_type_pivot(events)
+    assert set(out.columns) == {"day"} | {f"n_{t}" for t in R.EVENT_TYPES}
+    total = out.select(
+        sum(F.sum(f"n_{t}") for t in R.EVENT_TYPES).alias("s")
+    ).collect()[0]["s"]
+    assert total == events.count()
+
+
+def test_users_view_and_purchase_set_semantics(spark):
+    rows = [
+        (1, 7, "view"), (2, 7, "view"), (3, 7, "purchase"),  # both
+        (4, 8, "view"),                                       # view only
+        (5, 9, "purchase"),                                   # purchase only
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    got = [r["user_id"] for r in R.users_view_and_purchase(ev).collect()]
+    assert got == [7]  # distinct: user 7 appears once despite 2 views
