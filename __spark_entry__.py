@@ -147,6 +147,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "users_view_and_purchase": lambda s, d: R.users_view_and_purchase(
             _events(s, d)
         ),
+        "value_quartiles_by_type": lambda s, d: R.value_quartiles_by_type(
+            _events(s, d)
+        ),
+        "party_contact_counts": lambda s, d: R.party_contact_counts(
+            _customer(s, d), _supplier(s, d)
+        ),
         # --- dedup (north star) ---
         "dedup_exact": lambda s, d: D.dedup_exact(_documents(s, d)),
         "ngram_jaccard_pairs": lambda s, d: D.ngram_jaccard_pairs(
@@ -518,6 +524,22 @@ FROM events GROUP BY event_type
 SELECT user_id FROM events WHERE event_type = 'view'
 INTERSECT
 SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+        "value_quartiles_by_type": """
+WITH q AS (SELECT event_type, value,
+            ntile(4) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS quartile
+           FROM events)
+SELECT event_type, CAST(quartile AS INT) AS quartile, count(*) AS n,
+ round(min(value), 6) AS lo, round(max(value), 6) AS hi
+FROM q GROUP BY event_type, quartile
+""",
+        "party_contact_counts": """
+SELECT nationkey, role, count(*) AS n FROM (
+  SELECT c_nationkey AS nationkey, 'customer' AS role FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey, 'supplier' AS role FROM supplier
+) GROUP BY nationkey, role
 """,
         "dedup_exact": """
 SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies

@@ -41,6 +41,11 @@ BENCH_QUERIES = [
     "event_type_cube",
     "event_type_counts_salted",
     "value_median_by_type",
+    "value_percentiles_by_type",
+    "value_quartiles_by_type",
+    "event_type_pivot",
+    "users_view_and_purchase",
+    "party_contact_counts",
     "user_moving_spend",
     "orders_with_expensive_items",
     "sessionize",

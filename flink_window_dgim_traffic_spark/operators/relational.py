@@ -445,27 +445,29 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 def event_type_pivot(events: DataFrame) -> DataFrame:
     """PIVOT: one row per day, one count column per event type.
 
-    The pivot values are declared explicitly (``EVENT_TYPES``) — with an
-    implicit pivot Spark must run an extra distinct-values job over the
-    full fact table before it can even plan, which at 100 TB is a whole
-    wasted scan.  Declared values keep it a single partial-aggregated
-    groupBy.  Missing (day, type) combos are 0, matching the oracle's
-    ``count(*) FILTER`` shape."""
+    The pivot values are declared explicitly (``EVENT_TYPES``), and the
+    rotation is a single-pass conditional aggregation rather than
+    ``DataFrame.pivot``: the built-in pivot needs the value list too
+    (else an extra distinct-values job — a whole wasted scan at
+    100 TB) and STILL plans two shuffles (partial by (day, type), then
+    repivot by day).  ``count_if`` per declared value is one
+    partial-aggregated shuffle on ``day`` with identical semantics:
+    missing (day, type) combos are 0, the oracle's ``count(*) FILTER``
+    shape."""
     day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
         "day"
     )
-    pivoted = (
+    return (
         events.select(day, "event_type")
         .groupBy("day")
-        .pivot("event_type", list(EVENT_TYPES))
-        .agg(F.count(F.lit(1)))
-    )
-    return pivoted.select(
-        "day",
-        *[
-            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
-            for t in EVENT_TYPES
-        ],
+        .agg(
+            *[
+                F.count_if(F.col("event_type") == t)
+                .cast("bigint")
+                .alias(f"n_{t}")
+                for t in EVENT_TYPES
+            ]
+        )
     )
 
 
@@ -497,3 +499,48 @@ def users_view_and_purchase(events: DataFrame) -> DataFrame:
     viewers = events.filter(F.col("event_type") == "view").select("user_id")
     buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
     return viewers.intersect(buyers)
+
+
+def value_quartiles_by_type(events: DataFrame) -> DataFrame:
+    """NTILE ranking: bucket each event into its within-type value
+    quartile, then summarize each quartile.  The ORDER BY carries
+    event_id as tie-break so bucket assignment is total-ordered and
+    deterministic (oracle-matchable).  Scale note: one shuffle to
+    partition by type; the per-partition sort is the cost — at 100 TB
+    the approx_percentile cut-point formulation replaces the full
+    sort."""
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value"), F.col("event_id")
+    )
+    return (
+        events.select(
+            "event_type", "value", F.ntile(4).over(w).alias("quartile")
+        )
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+def party_contact_counts(
+    customer: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """UNION ALL of the two party tables under a role tag, aggregated
+    per nation and role — the bag-semantics set operation (the
+    reference has none, SURVEY.md §2.4).  Unions are free at scale
+    (no shuffle; partitions concatenate) — the single shuffle is the
+    final aggregate's."""
+    c = customer.select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("role")
+    )
+    s = supplier.select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("role")
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("nationkey", "role")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

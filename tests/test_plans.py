@@ -116,3 +116,18 @@ def test_salted_agg_two_shuffles_small(t):
     shuffle for its skew resistance — never more."""
     df = R.event_type_counts_salted(t("events"))
     assert I.exchange_count(df) == 2
+
+
+def test_pivot_single_shuffle_pruned(t):
+    """Conditional-aggregation pivot: ONE shuffle (DataFrame.pivot
+    plans two), and only (ts, event_type) read from the scan."""
+    df = R.event_type_pivot(t("events"))
+    assert I.exchange_count(df) == 1
+    assert I.read_columns(df, "events") == {"ts", "event_type"}
+
+
+def test_union_all_no_extra_shuffle(t):
+    """UNION ALL concatenates partitions; the only shuffle is the
+    final aggregate's."""
+    df = R.party_contact_counts(t("customer"), t("supplier"))
+    assert I.exchange_count(df) == 1

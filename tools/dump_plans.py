@@ -38,6 +38,10 @@ SHOWCASE = {
     "aggregate; candidate joins are bucket equi-joins",
     "event_type_counts_salted": "two shuffles by design: salted "
     "partials then tiny final fold (skew resistance)",
+    "event_type_pivot": "pivot values declared up front: ONE "
+    "partial-aggregated shuffle, no distinct-values pre-scan",
+    "training_corpus": "three-stage pipeline stays key-joins + "
+    "anti-joins end to end; no collect, no cartesian",
 }
 
 
