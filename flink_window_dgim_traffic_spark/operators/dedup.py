@@ -236,14 +236,18 @@ def neardup_clusters(
                 ).alias("label"),
             )
         )
+        # checkpoint FIRST (one materialization), then diff the two
+        # materialized frames — computing `changed` off the lazy plan
+        # would execute the propagate join a second time
+        new_ckpt = new_labels.localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
+            new_ckpt.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.label") != F.col("o.label"))
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # cut lineage
+        labels = new_ckpt
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id"))

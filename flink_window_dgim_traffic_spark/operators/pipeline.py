@@ -36,9 +36,12 @@ def training_corpus(
     keep_exact = documents.groupBy("text").agg(
         F.min("doc_id").alias("doc_id")
     )
+    # three consumers read the survivors (shingle pipeline, shingle
+    # sizes, final anti-join/quality) — checkpoint so the dedup
+    # semi-join runs once, not per consumer
     kept = documents.join(
         keep_exact.select("doc_id"), "doc_id", "left_semi"
-    )
+    ).localCheckpoint(eager=False)
     # stage 2: near-dup removal among the survivors — only cluster
     # representatives (label == own doc_id) stay; docs outside any
     # cluster are untouched (anti join keeps them)
