@@ -168,6 +168,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus": lambda s, d: PL.training_corpus(_documents(s, d)),
         # --- text analysis (north star) ---
         "text_stats": lambda s, d: T.text_stats(_documents(s, d)),
+        "top_ngrams": lambda s, d: T.top_ngrams(_documents(s, d)),
+        "doc_length_histogram": lambda s, d: T.doc_length_histogram(
+            _documents(s, d)
+        ),
         "text_normalize": lambda s, d: T.text_normalize(_documents(s, d)),
         "token_count_regex": lambda s, d: T.token_count_regex(_documents(s, d)),
         "doc_fingerprint": lambda s, d: T.doc_fingerprint(_documents(s, d)),
@@ -597,6 +601,20 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
  round(least(n, 50) / 50 * 0.5 + (1 - stop_cnt / n) * 0.5, 6) AS quality_score
 FROM c
 WHERE round(least(n, 50) / 50 * 0.5 + (1 - stop_cnt / n) * 0.5, 6) >= 0.5
+""",
+        "top_ngrams": """
+WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i+1])) AS ngram
+      FROM t WHERE len(ws) >= 2)
+SELECT ngram, count(*) AS n_occurrences FROM g GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram LIMIT 20
+""",
+        "doc_length_histogram": """
+SELECT CAST((length(text) // 100) * 100 AS BIGINT) AS len_from,
+       CAST((length(text) // 100 + 1) * 100 AS BIGINT) AS len_to,
+       count(*) AS n_docs
+FROM documents GROUP BY 1, 2
 """,
         "text_stats": """
 SELECT doc_id,

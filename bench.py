@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "neardup_clusters",
     "training_corpus",
     "text_stats",
+    "top_ngrams",
+    "doc_length_histogram",
     "doc_fingerprint",
     "quality_score",
     "simsearch_topk",

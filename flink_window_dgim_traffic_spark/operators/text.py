@@ -134,3 +134,42 @@ def lang_id(documents: DataFrame) -> DataFrame:
         return texts.map(one)
 
     return documents.select("doc_id", _pred(F.col("text")).alias("pred_lang"))
+
+
+def top_ngrams(documents: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-wide word n-gram frequency, top-``k`` (deterministic
+    tie-break on the ngram itself) — the vocabulary/contamination
+    audit every corpus build runs.  Same single-pass overlapping
+    lookahead regex as the shingle extractor (dedup.shingles), but
+    WITHOUT per-doc distinct: frequency wants the bag.  Scale shape:
+    explode → one partial-aggregated shuffle on the ngram →
+    TakeOrderedAndProject (never a global sort of the full ngram
+    table)."""
+    pat = r"(?<![^ ])(?=(" + r" ".join([r"[^ ]+"] * n) + r"))"
+    grams = documents.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(1))
+        ).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "ngram")
+        .limit(k)
+    )
+
+
+def doc_length_histogram(documents: DataFrame, bin_chars: int = 100) -> DataFrame:
+    """Document length distribution in fixed-width character bins —
+    the first plot anyone makes over a new corpus.  One
+    partial-aggregated shuffle on the bin id."""
+    bin_id = (F.length("text") / F.lit(bin_chars)).cast("bigint")
+    return (
+        documents.groupBy(bin_id.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            (F.col("bin") * bin_chars).cast("bigint").alias("len_from"),
+            ((F.col("bin") + 1) * bin_chars).cast("bigint").alias("len_to"),
+            "n_docs",
+        )
+    )

@@ -96,3 +96,28 @@ def test_frame_sample_every_nth(spark):
     df = spark.createDataFrame([(1, "a" * 600)], ["doc_id", "text"])
     rows = M.frame_sample(M.with_media_blob(df)).collect()
     assert sorted(r["frame_no"] for r in rows) == [0, 4, 8]
+
+
+def test_top_ngrams_hand_corpus(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x"), (3, "solo")],
+        ["doc_id", "text"],
+    )
+    got = [
+        (r["ngram"], r["n_occurrences"])
+        for r in T.top_ngrams(docs, n=2, k=10).collect()
+    ]
+    # bag counts (not per-doc distinct), ties broken by ngram asc
+    assert got == [("a b", 3), ("b a", 1), ("b c", 1), ("b x", 1)]
+
+
+def test_doc_length_histogram_bins(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 5), (2, "y" * 150), (3, "z" * 199), (4, "w" * 200)],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["len_from"], r["len_to"]): r["n_docs"]
+        for r in T.doc_length_histogram(docs).collect()
+    }
+    assert got == {(0, 100): 1, (100, 200): 2, (200, 300): 1}
