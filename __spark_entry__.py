@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumble_exact": lambda s, d: W.tumble_exact(_events(s, d), 60),
         "sql_tumble_exact": lambda s, d: Q.sql_tumble_exact(s, d, 60),
         "sql_hop_exact": lambda s, d: Q.sql_hop_exact(s, d, 60, 10),
+        "sql_tumble_dgim": lambda s, d: Q.sql_tumble_dgim(s, d, 60),
         "tumble_exact_1h": lambda s, d: W.tumble_exact(_events(s, d), 3600),
         "hop_exact": lambda s, d: W.hop_exact(_events(s, d), 60, 10),
         "tumble_dgim": lambda s, d: W.tumble_dgim(_events(s, d), 60),

@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "hop_exact",
     "tumble_dgim",
     "tumble_dgim_fast",
+    "sql_tumble_dgim",
     "tumble_dgim_two_phase",
     "hop_dgim_fast",
     "hop_dgim_two_phase",

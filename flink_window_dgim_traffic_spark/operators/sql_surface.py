@@ -66,3 +66,44 @@ def sql_hop_exact(
         GROUP BY window(ts, '{size_sec} seconds', '{slide_sec} seconds')
         """
     )
+
+
+def register_dgim_udf(
+    spark: SparkSession, size_sec: int = 60, mode: str = "java"
+) -> None:
+    """Register DGIM_ESTIMATE as a SQL function — the reference's
+    registration shape (`createTemporarySystemFunction("DGIM_ESTIMATE",
+    new DGIMAggregateFunction(60))`, StreamingJob.java:78): the window
+    size is baked into the registered instance, not passed per call.
+    Spark's SQL-registerable Python functions are scalar, so the
+    aggregation boundary is COLLECT (the PyFlink job's shape,
+    job.py:170-184): the windowed pair list is assembled and sorted
+    JVM-side, and the registered (Arrow-batched) scalar UDF replays
+    each window's list through the sketch."""
+    from flink_window_dgim_traffic_spark.operators.windows import (
+        _replay_pairs_udf,
+    )
+
+    spark.udf.register("DGIM_ESTIMATE", _replay_pairs_udf(size_sec, mode))
+
+
+def sql_tumble_dgim(
+    spark: SparkSession, sf_dir: str, size_sec: int = 60
+) -> DataFrame:
+    """The reference's flagship statement end-to-end in SQL: windowed
+    DGIM estimate next to its exact twin, via the registered
+    DGIM_ESTIMATE function."""
+    register_views(spark, sf_dir)
+    register_dgim_udf(spark, size_sec)
+    return spark.sql(
+        f"""
+        SELECT date_format(window.end, 'yyyy-MM-dd HH:mm:ss') AS window_end,
+               DGIM_ESTIMATE(sort_array(collect_list(struct(
+                   unix_timestamp(ts) AS ts_sec,
+                   CAST(pmod(event_id, 2) AS INT) AS bit)))) AS count_estimate,
+               CAST(sum(pmod(event_id, 2)) AS BIGINT) AS exact_count,
+               count(*) AS n_rows
+        FROM events
+        GROUP BY window(ts, '{size_sec} seconds')
+        """
+    )

@@ -135,3 +135,23 @@ def test_tumble_dgim_by_user_consistency(events):
         max(r["exact_count"] for r in by_user), "java"
     )
     assert all(r["count_estimate"] == tab[r["exact_count"]] for r in by_user)
+
+
+def test_sql_registered_dgim_matches_dataframe_path(spark, sf_dir, events):
+    """The SQL-registered DGIM_ESTIMATE function (the reference's
+    createTemporarySystemFunction shape) must produce exactly the
+    DataFrame replay path's estimates."""
+    from flink_window_dgim_traffic_spark.operators import sql_surface as Q
+
+    via_sql = {
+        r["window_end"]: (r["count_estimate"], r["exact_count"])
+        for r in Q.sql_tumble_dgim(spark, sf_dir).collect()
+    }
+    via_df = {
+        r["window_end"]: r["count_estimate"]
+        for r in W.tumble_dgim(events).collect()
+    }
+    assert set(via_sql) == set(via_df)
+    for we, (est, exact) in via_sql.items():
+        assert est == via_df[we]
+        assert exact / 2 - 1 <= est <= 1.5 * exact + 1
