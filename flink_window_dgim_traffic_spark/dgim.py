@@ -168,6 +168,44 @@ class DGIM:
         )
 
 
+def count_estimate_closed(n: int, mode: str = MODE_JAVA) -> int:
+    """Closed form of ``g(n)`` = the DGIM estimate after ``n``
+    sequential 1-bit inserts with no expiry.
+
+    Derivation: with no expiry the compaction cascade ("three equal
+    sizes → double the middle one") maintains exactly the unique
+    *zeroless binary representation* of ``n`` — bucket sizes are
+    powers of two with each power appearing once or twice (digits in
+    {1, 2}; uniqueness because the minimal/maximal sums with top
+    digit at position m are 2^(m+1)-1 and 2^(m+2)-2, which tile the
+    integers).  Hence the oldest bucket is ``2^m`` with
+    ``m = floor(log2(n+1)) - 1``, and
+
+    - java mode (``DGIMAccumulator.java:63-88``): 0 if n=0, n if a
+      single bucket (n=1), else ``n - 2^m + (2^m + 1)//2``
+    - pyflink mode (reference ``job.py:37-46``): 0 if n=0, else
+      ``n - 2^m + 2^m // 2`` (floor halving, even when single)
+
+    Property-tested equal to :func:`count_estimate_table` (which
+    replays the actual sketch) in tests/test_dgim.py; the same
+    expression, spelled in ANSI SQL, is the DuckDB oracle for the
+    ``tumble_dgim_bound`` driver query — making the windowed DGIM
+    estimate value itself hash-checkable against an independent
+    engine."""
+    if mode not in _MODES:
+        raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
+    n = int(n)
+    if n <= 0:
+        return 0
+    m = (n + 1).bit_length() - 2  # floor(log2(n+1)) - 1
+    pw = 1 << m
+    if mode == MODE_JAVA:
+        if n == 1:
+            return 1
+        return n - pw + (pw + 1) // 2
+    return n - pw + pw // 2
+
+
 # mode -> (incrementally-grown sketch, [g(0), g(1), ...])
 _COUNT_TABLES: dict = {}
 

@@ -254,6 +254,53 @@ def tumble_dgim_fast(
     )
 
 
+def tumble_dgim_bound(
+    events: DataFrame, size_sec: int = 60, mode: str = MODE_JAVA
+) -> DataFrame:
+    """DGIM error-bound surface (VERDICT r01 §next-round 4): per
+    tumbling window emit the estimate NEXT TO its exact count, the
+    absolute/relative error, and the bound check — the reference's
+    ``C/2 ≤ E ≤ 3C/2`` guarantee (``DGIMAccumulator.java:76-87``,
+    halved-oldest-bucket argument) as a queryable column instead of a
+    test-only assertion.
+
+    The estimate is the replay-equivalent ``g(sum(bit))`` fast path
+    (see :func:`tumble_dgim_fast`); the DuckDB oracle recomputes it
+    from the *closed form* (``dgim.count_estimate_closed``), so the
+    hash check anchors the estimate VALUES of the whole DGIM family
+    against an independent engine: oracle ⇔ closed form ⇔ memoized
+    table (property test) ⇔ sketch replay (equality tests) ⇔ the
+    two-phase merge path (bound tests).
+
+    ``rel_err`` is a single IEEE-754 division of two exact integers
+    (no rounding step — bit-identical across engines, unlike
+    ``round(x, 6)`` whose HALF_UP/HALF_EVEN difference bites exactly
+    when ``exact`` is a power of two)."""
+    est = _count_est_udf(mode)(F.col("exact_count"))
+    return (
+        with_bit(events)
+        .groupBy(F.window("ts", f"{size_sec} seconds").alias("w"))
+        .agg(F.sum("bit").cast("bigint").alias("exact_count"))
+        .select(
+            F.date_format(F.col("w.end"), TS_FMT_SPARK).alias("window_end"),
+            est.alias("count_estimate"),
+            "exact_count",
+        )
+        .withColumn(
+            "abs_err",
+            F.abs(F.col("count_estimate") - F.col("exact_count")).cast("bigint"),
+        )
+        .withColumn(
+            "rel_err",
+            F.col("abs_err").cast("double")
+            / F.greatest(F.col("exact_count"), F.lit(1)).cast("double"),
+        )
+        .withColumn(
+            "within_bound", F.col("abs_err") * 2 <= F.col("exact_count")
+        )
+    )
+
+
 def tumble_dgim_by_user_fast(
     events: DataFrame, size_sec: int = 60, mode: str = MODE_JAVA
 ) -> DataFrame:

@@ -238,3 +238,31 @@ def test_count_table_within_error_bound():
     tab = count_estimate_table(5000, MODE_JAVA)
     for n in range(1, 5001):
         assert n / 2 - 1 <= tab[n] <= 1.5 * n + 1  # DGIM error bound
+
+
+@given(
+    st.one_of(
+        st.integers(min_value=0, max_value=4096),
+        st.integers(min_value=0, max_value=10**9),
+    ),
+    st.sampled_from([MODE_JAVA, MODE_PYFLINK]),
+)
+@settings(max_examples=200, deadline=None)
+def test_closed_form_matches_replay_table(n, mode):
+    """count_estimate_closed (the DuckDB-oracle expression for
+    tumble_dgim_bound) equals the sketch-replay-grown table — the
+    link that makes the windowed DGIM estimate hash-checkable."""
+    from flink_window_dgim_traffic_spark.dgim import (
+        count_estimate_closed,
+        count_estimate_table,
+    )
+
+    if n <= 200_000:  # replay table is O(n); spot-check big n by replay
+        assert count_estimate_closed(n, mode) == count_estimate_table(n, mode)[n]
+    else:
+        # replaying 10^9 inserts is too slow; instead check the closed
+        # form's invariants directly: est <= n, error == oldest/2-ish
+        m = (n + 1).bit_length() - 2
+        est = count_estimate_closed(n, mode)
+        assert n - (1 << m) <= est <= n
+        assert 2 * abs(est - n) <= n
