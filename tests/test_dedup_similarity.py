@@ -128,13 +128,22 @@ def test_embedding_neardup_symmetric_free(embeddings):
 
 
 def test_embedding_neardup_blocked_bit_identical(embeddings):
-    """The BLAS-screened twin must reproduce the brute-force pair join
-    exactly — same pairs, same rounded doubles."""
+    """The distributed block-screened twin must reproduce the
+    brute-force pair join exactly — same pairs, same rounded doubles —
+    both in the degenerate single-block case and with many blocks
+    (cross-block pairs, either orientation of ids across blocks)."""
     exact = {tuple(r) for r in S.embedding_neardup(embeddings, 0.35).collect()}
-    fast = {
+    single = {
         tuple(r) for r in S.embedding_neardup_blocked(embeddings, 0.35).collect()
     }
-    assert fast == exact
+    assert single == exact
+    multi = {
+        tuple(r)
+        for r in S.embedding_neardup_blocked(
+            embeddings, 0.35, block_rows=7
+        ).collect()
+    }
+    assert multi == exact
 
 
 def test_embedding_neardup_lsh_precision_and_recall(embeddings):
