@@ -197,3 +197,110 @@ def test_neardup_clusters_on_lsh_pairs(documents):
     for doc, lab in labels.items():
         assert lab <= doc
         assert labels[lab] == lab  # the representative is its own label
+
+
+def test_prefix_filter_output_identical_to_naive(documents, spark):
+    """The df-ordered prefix filter (skew guard) must be LOSSLESS:
+    ngram_jaccard_pairs output equals the naive full shingle
+    self-join at the same threshold, for a low and a high threshold."""
+    from pyspark.sql import functions as F
+
+    def naive(threshold):
+        sh = D.shingles(documents)
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("overlap"))
+        )
+        j = (
+            inter.join(
+                sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                    "c", "ca"
+                ),
+                "doc_a",
+            )
+            .join(
+                sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                    "c", "cb"
+                ),
+                "doc_b",
+            )
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("overlap").cast("double")
+                    / (
+                        F.col("ca") + F.col("cb") - F.col("overlap")
+                    ).cast("double"),
+                    6,
+                ),
+            )
+        )
+        return {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in j.filter(F.col("jaccard") >= threshold).collect()
+        }
+
+    for t in (0.5, 0.8):
+        got = {
+            tuple(r) for r in D.ngram_jaccard_pairs(documents, threshold=t).collect()
+        }
+        assert got == naive(t), f"prefix filter lost/added pairs at t={t}"
+
+
+def test_prefix_filter_hot_shingle(spark):
+    """A boilerplate shingle shared by EVERY doc must not create
+    all-pairs candidates, and must not change the exact output: docs
+    that share only the hot shingle have tiny Jaccard and stay out;
+    true near-dups are still found."""
+    boiler = "terms of service apply"
+    rows = [(i, f"unique{i} text number {i} " + boiler) for i in range(40)]
+    rows += [(100, "alpha beta gamma delta " + boiler),
+             (101, "alpha beta gamma delta " + boiler)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert got == {(100, 101)}
+    # and the candidate set itself is skew-bounded: the hot shingles
+    # (df == 42) must not appear in any doc's prefix here
+    sh = D.shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    cand = D._prefix_candidates(sh, sizes, 0.8)
+    assert cand.count() < 42 * 41 / 2 / 4, "candidate volume looks quadratic"
+
+
+def test_jaccard_heavy_path_exact(spark):
+    """Force the heavy branch of the skew split (cap below the hot
+    shingle's df) and check the output is still EXACTLY the naive
+    Jaccard — including pairs whose entire intersection is heavy
+    shingles (the heavy-dominated prefix recovery path)."""
+    boiler = "terms of service apply now"  # 3 heavy 3-shingles at df>=10
+    rows = [(i, f"unique{i} text number {i} " + boiler) for i in range(10)]
+    # heavy-dominated near-dup pair: intersection is ONLY heavy shingles
+    rows += [(100, boiler), (101, boiler)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for t in (0.3, 0.8):
+        got = {
+            tuple(r)
+            for r in D._jaccard_pairs(docs, 3, prefix_threshold=t, hot_df=2)
+            .filter(F.col("jaccard") >= t)
+            .select("doc_a", "doc_b", "jaccard")
+            .collect()
+        }
+        want = {
+            tuple(r)
+            for r in D.ngram_jaccard_pairs(docs, threshold=t).collect()
+        }  # default cap=256 ⇒ everything light here ⇒ classic self-join
+        assert got == want, f"heavy path diverged at t={t}"
+    assert (100, 101, 1.0) in want
