@@ -32,6 +32,18 @@ total order ``(-ts, size)`` instead of timestamp-only, so that
 order — required for Spark partial aggregation, where combine order is
 nondeterministic.  For distinct timestamps this is identical to the
 reference's sort.
+
+Second deliberate deviation — expiry clock: :meth:`add` expires
+against ``self.latest_ts`` (the max timestamp seen) rather than the
+just-inserted timestamp (``DGIMAccumulator.java:55`` expires at the
+inserted ts; reference ``job.py:16-21`` expires on EVERY bit, 0s
+included, at that bit's ts).  The behaviors differ only for
+out-of-order inserts or trailing 0-bits once the in-stream timestamp
+spread reaches ``window_size``; monotone expiry keeps the sketch
+well-defined under merge, where operand max-timestamps interleave.
+Every in-repo call site sorts by ts and estimates at the window end,
+where all three definitions coincide (property-tested in
+``tests/test_dgim.py``).
 """
 
 from __future__ import annotations

@@ -35,20 +35,38 @@ def file_traffic_stream(spark, path: str, max_files_per_trigger: int = 1) -> Dat
     )
 
 
-def kafka_traffic_stream(spark, bootstrap: str, topic: str) -> DataFrame:
-    """Kafka JSON source per the reference DDL (S1/S2): permissive
-    decode of the message value.  Requires a broker (not in this
-    container)."""
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topic)
-        .option("startingOffsets", "latest")
-        .load()
-    )
+def kafka_source_options(bootstrap: str, topic: str) -> dict[str, str]:
+    """Reader options for the Kafka JSON source, mirroring the
+    reference DDL's connector properties (``StreamingJob.java:37-49``:
+    topic, bootstrap servers, latest offsets).  Pure — unit-testable
+    without a broker."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": topic,
+        "startingOffsets": "latest",
+    }
+
+
+def decode_traffic_kafka(raw: DataFrame) -> DataFrame:
+    """Permissive JSON decode of Kafka wire records (S2): binary
+    ``value`` → string → ``from_json`` against the traffic schema.
+    Works on ANY frame with Kafka's wire columns (static or
+    streaming), which is how the broker-less tests exercise the real
+    decode path the Kafka source uses."""
     return raw.select(
         F.from_json(F.col("value").cast("string"), TRAFFIC_SCHEMA).alias("j")
     ).select("j.value", "j.timestamp")
+
+
+def kafka_traffic_stream(spark, bootstrap: str, topic: str) -> DataFrame:
+    """Kafka JSON source per the reference DDL (S1/S2): permissive
+    decode of the message value.  Requires a broker + the
+    spark-sql-kafka connector (neither in this container); the
+    options/decode seams are unit-tested broker-free."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(bootstrap, topic).items():
+        reader = reader.option(k, v)
+    return decode_traffic_kafka(reader.load())
 
 
 def parse_traffic(raw: DataFrame) -> DataFrame:
@@ -147,7 +165,6 @@ def read_upsert_state(spark, out_dir: str) -> DataFrame:
     log = spark.read.schema(
         "key string, value string, batch_id long"
     ).json(out_dir)
-    w = F.struct(F.col("batch_id")).alias("ord")
     return (
         log.groupBy("key")
         .agg(F.max_by("value", F.col("batch_id")).alias("value"))

@@ -11,6 +11,7 @@ exists for.
 
 from __future__ import annotations
 
+from datetime import timezone
 from typing import Iterator, Tuple
 
 import pandas as pd
@@ -56,12 +57,19 @@ def make_dgim_update_fn(size_sec: int, mode: str = MODE_JAVA, evict: bool = Fals
                     ones += 1
             nrows += len(sub)
         state.update((sk.to_flat(), ones, nrows))
+        # The grouping key arrives as a NAIVE datetime in the Spark
+        # session timezone (UTC per session.py).  Derive BOTH the
+        # timeout epoch and the window label from the same explicit
+        # naive-as-UTC reading — `.timestamp()` on a naive datetime
+        # would instead apply the HOST timezone, shifting eviction by
+        # the UTC offset on non-UTC hosts.
+        we_utc = key[0].replace(tzinfo=timezone.utc)
         if evict:
             # drop state once the watermark reaches the window end
-            state.setTimeoutTimestamp(int(key[0].timestamp() * 1000))
+            state.setTimeoutTimestamp(int(we_utc.timestamp() * 1000))
         yield pd.DataFrame(
             {
-                "window_end": [key[0].strftime("%Y-%m-%d %H:%M:%S")],
+                "window_end": [we_utc.strftime("%Y-%m-%d %H:%M:%S")],
                 "count_estimate": [sk.estimate()],
                 "exact_count": [ones],
                 "n_rows": [nrows],

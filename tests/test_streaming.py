@@ -331,3 +331,61 @@ def test_stateful_hop_dgim_eviction(spark, fixture_dir, batch_parsed):
     }
     assert final == expect
     assert state_rows < len(expect)
+
+
+# ----------------------------------------------------------------------
+# Kafka seams, broker-free (S1/S6): the decode projection and the
+# connector options are the parts of kafka_traffic_stream that carry
+# logic — exercise both on static frames with Kafka's wire schema.
+# ----------------------------------------------------------------------
+def test_kafka_decode_matches_file_source_parse(spark, batch_parsed):
+    """decode_traffic_kafka over Kafka-wire records (binary value +
+    broker metadata) must yield exactly what the file source yields
+    for the same JSON payloads — including malformed payloads
+    surviving as nulls for parse_traffic to drop."""
+    payloads = [
+        '{"value": "1", "timestamp": "2024-05-01T00:00:00.000000"}',
+        '{"value": "0", "timestamp": "2024-05-01T00:00:01.000000"}',
+        '{"value": "garbage", "timestamp": "2024-05-01T00:00:02.000000"}',
+        "not json at all",
+    ]
+    wire = spark.createDataFrame(
+        [
+            (None, p.encode("utf-8"), "traffic", 0, i)
+            for i, p in enumerate(payloads)
+        ],
+        "key binary, value binary, topic string, partition int, offset long",
+    )
+    decoded = J.decode_traffic_kafka(wire)
+    assert decoded.columns == ["value", "timestamp"]
+    rows = decoded.orderBy(F.col("value").asc_nulls_last()).collect()
+    assert [r["value"] for r in rows] == ["0", "1", "garbage", None]
+    parsed = J.parse_traffic(decoded).orderBy("ts").collect()
+    assert [(r["bit"], r["ts_sec"]) for r in parsed] == [
+        (1, 1714521600),
+        (0, 1714521601),
+    ]
+
+
+def test_kafka_source_options_match_reference_ddl(spark):
+    """The connector options mirror the reference DDL properties, and
+    the writeStream builder accepts the kafka format + options without
+    a broker (validation happens at start(), which needs one)."""
+    opts = J.kafka_source_options("broker:9092", "traffic")
+    assert opts == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "subscribe": "traffic",
+        "startingOffsets": "latest",
+    }
+    # sink builder seam: keyed upsert records route to format("kafka")
+    # with the same bootstrap option; building the writer is broker-free
+    records = J.to_upsert_records(
+        spark.createDataFrame([("2024-05-01 00:00:00", 3)], "window_end string, ones bigint"),
+        ["window_end"],
+    )
+    writer = (
+        records.write.format("kafka")
+        .option("kafka.bootstrap.servers", "broker:9092")
+        .option("topic", "traffic-out")
+    )
+    assert writer is not None
