@@ -10,6 +10,7 @@ collect-to-driver cost)."""
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -21,7 +22,9 @@ sys.path.insert(0, REPO)
 import __spark_entry__ as entrymod  # noqa: E402
 from flink_window_dgim_traffic_spark.session import get_spark, table  # noqa: E402
 
-# representative slice of the operator surface (each family present)
+# Every queries() entry is benched except the exclusions documented in
+# BASELINE.md §"Bench exclusions" (plan-identical twins and deliberate
+# anti-pattern parity demos).
 BENCH_QUERIES = [
     "tumble_exact",
     "hop_exact",
@@ -29,6 +32,8 @@ BENCH_QUERIES = [
     "tumble_dgim_fast",
     "sql_tumble_dgim",
     "tumble_dgim_two_phase",
+    "tumble_dgim_by_user",
+    "tumble_dgim_bound",
     "hop_dgim_fast",
     "hop_dgim_two_phase",
     "traffic_parse_summary",
@@ -40,7 +45,12 @@ BENCH_QUERIES = [
     "q18_large_volume_customers",
     "top_customers_per_nation",
     "event_type_cube",
+    "event_type_rollup",
     "event_type_counts_salted",
+    "distinct_users",
+    "approx_distinct_users",
+    "json_extract_stats",
+    "nations_without_suppliers",
     "value_median_by_type",
     "value_percentiles_by_type",
     "value_quartiles_by_type",
@@ -59,16 +69,22 @@ BENCH_QUERIES = [
     "neardup_clusters",
     "training_corpus",
     "text_stats",
+    "sequence_pack",
+    "text_normalize",
+    "token_count_regex",
+    "lang_id",
     "top_ngrams",
     "doc_length_histogram",
     "doc_fingerprint",
     "quality_score",
     "simsearch_topk",
+    "simsearch_ann_lsh",
     "simsearch_ann_ivf",
     "embedding_neardup_blocked",
     "embedding_neardup_lsh",
     "multimodal_features",
     "multimodal_frame_stats",
+    "multimodal_resize_stats",
 ]
 
 
@@ -92,10 +108,19 @@ def main() -> None:
         # amortize to zero at scale and would otherwise dominate these
         # ~1 s queries (steady-state timing methodology, BASELINE.md)
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        # bench hygiene: drain accumulated JVM garbage before timing so
-        # query N doesn't pay query N-1's GC debt (measured noise was
-        # up to 5x on otherwise ~1 s queries)
+        # bench hygiene: drop Python-side py4j handles FIRST (they pin
+        # prior queries' localCheckpoint RDD blocks — the ContextCleaner
+        # can only release them once the Python references die), then
+        # drain accumulated JVM garbage, so query N doesn't pay query
+        # N-1's GC debt or hold its checkpoint blocks (measured noise
+        # was up to 5x on otherwise ~1 s queries, growing with the
+        # number of checkpoint-heavy queries already run)
+        gc.collect()
         spark._jvm.System.gc()
+        # let the async ContextCleaner finish dropping freed blocks —
+        # it otherwise competes with the timed run (measured +1 s on
+        # checkpoint-heavy queries late in the bench order)
+        time.sleep(0.5)
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

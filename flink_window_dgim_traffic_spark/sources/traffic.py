@@ -71,6 +71,12 @@ def write_traffic_json(
         with open(fp, "w") as f:
             for v, ts in chunk:
                 f.write(json.dumps({"value": v, "timestamp": ts}) + "\n")
+        # the file stream source orders files by MODIFICATION TIME;
+        # chunks written within one clock tick would replay in
+        # arbitrary order, so a late chunk could advance the watermark
+        # past an unread older one (dropping it as late data).
+        # Distinct increasing mtimes pin replay to event-time order.
+        os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
         files.append(fp)
     return files
 

@@ -4,6 +4,7 @@ equals batch dedup, and the state store is bounded by eviction rather
 than retaining every key ever seen."""
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -36,8 +37,16 @@ def dup_fixture_dir(tmp_path_factory):
     per = len(rows) // 4
     for c in range(4):
         chunk = rows[c * per :] if c == 3 else rows[c * per : (c + 1) * per]
-        with open(f"{d}/chunk_{c}.json", "w") as f:
+        path = f"{d}/chunk_{c}.json"
+        with open(path, "w") as f:
             f.write("\n".join(json.dumps(r) for r in chunk))
+        # the file stream source orders files by modification time;
+        # chunks written within one mtime tick would be read in
+        # ARBITRARY order, letting a late chunk advance the watermark
+        # past an unread older chunk (observed flake: one whole chunk
+        # dropped as late data).  Distinct increasing mtimes pin the
+        # in-event-time order.
+        os.utime(path, (1_700_000_000 + c, 1_700_000_000 + c))
     return str(d)
 
 

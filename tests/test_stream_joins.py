@@ -33,6 +33,13 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
             coerce_timestamps="us",
             allow_truncated_timestamps=True,
         )
+        # pin replay order: the file source sorts by mtime, and
+        # same-tick writes would replay in arbitrary order (watermark
+        # could then drop an older chunk wholesale)
+        os.utime(
+            str(src / f"chunk_{i:02d}.parquet"),
+            (1_700_000_000 + i, 1_700_000_000 + i),
+        )
 
     stream = (
         spark.readStream.schema(
