@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "training_corpus",
     "text_stats",
     "sequence_pack",
+    "corpus_mix",
+    "contamination_check",
+    "bm25_topk",
     "text_normalize",
     "token_count_regex",
     "lang_id",

@@ -1,0 +1,128 @@
+"""Corpus-construction operators for LLM training-data prep
+(north-star surface, no reference counterpart): deterministic weighted
+source mixing with train/val/test splitting, and benchmark-
+contamination auditing.
+
+Both are the map-only / broadcast-join shapes that survive 100 TB:
+
+- ``corpus_mix`` touches each row once — the keep/split decision is a
+  pure function of ``doc_id`` (md5-derived uniform integer vs a bigint
+  threshold), so there is NO shuffle, no sampling state, and the same
+  doc lands in the same split on every run, on any cluster layout, at
+  any parallelism.  Integer-threshold comparison (rather than a float
+  ``rand() < p``) keeps the decision exactly reproducible in ANSI SQL
+  for the oracle and immune to float-rounding drift.
+- ``contamination_check`` joins the corpus's shingles against the
+  benchmark set's shingles.  Benchmark/eval suites are tiny and fixed
+  while the corpus grows, so the benchmark side is broadcast: the scan
+  side never shuffles for the join, only for the final per-doc count
+  aggregation (partially aggregated map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import SHINGLE_K, shingles
+
+# 2^60: md5-derived hash values are uniform in [0, 2^60) (15 hex chars)
+HASH_SPACE = 1 << 60
+# rate_q/4 sampling thresholds compare h < rate_q * 2^58 in exact
+# bigint arithmetic (2^58 * 4 == 2^60, no overflow, no floats)
+_QUARTER = 1 << 58
+# floor(0.90 * 2^60), floor(0.95 * 2^60): train/val split cut points
+_TRAIN_CUT = 1037629354146162278
+_VAL_CUT = 1095275429376504627
+
+
+def _hash60(salt: str) -> F.Column:
+    """Uniform bigint in [0, 2^60) from md5(salt:doc_id) — identical
+    expression exists in DuckDB (``CAST('0x'||substr(md5(..),1,15) AS
+    BIGINT)``), so sampling decisions are oracle-checkable."""
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+
+
+def corpus_mix(documents: DataFrame) -> DataFrame:
+    """Weighted per-source sampling + deterministic train/val/test
+    split.
+
+    Source weight is derived from the source id (``srcN`` keeps
+    ``(N mod 4 + 1)/4`` of its docs — the corpus-mixing knob large
+    pipelines express as per-source epochs/repetition factors), and
+    the 90/5/5 split hash is salted independently of the sampling
+    hash so membership in the corpus and membership in a split are
+    uncorrelated.  Map-only; no shuffle, no state, rerun-stable.
+    """
+    src_num = F.substring("source", 4, 10).cast("bigint")
+    rate_q = F.pmod(src_num, F.lit(4)) + F.lit(1)  # 1..4 quarters
+    h_mix = _hash60("mix")
+    h_split = _hash60("split")
+    return (
+        documents.select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            rate_q.alias("rate_q"),
+            h_mix.alias("h_mix"),
+            h_split.alias("h_split"),
+        )
+        .filter(F.col("h_mix") < F.col("rate_q") * F.lit(_QUARTER))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            F.when(F.col("h_split") < _TRAIN_CUT, "train")
+            .when(F.col("h_split") < _VAL_CUT, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+def contamination_check(
+    documents: DataFrame,
+    benchmark_source: str = "src0",
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Benchmark decontamination audit: for every non-benchmark doc,
+    the fraction of its distinct k-word shingles that also appear in
+    the benchmark partition's shingle set.
+
+    Output: (doc_id, n_shingles, n_contaminated, contamination_ratio).
+    Docs whose ratio exceeds a policy threshold get dropped before
+    training; the audit emits all docs so the threshold stays a
+    downstream choice.  Scale shape: the benchmark shingle set is
+    broadcast (eval suites are fixed-size while the corpus grows), so
+    the corpus side is a map-side hash probe; the only shuffle is the
+    partially-aggregated per-doc count.
+    """
+    is_bench = F.col("source") == benchmark_source
+    bench = (
+        shingles(documents.filter(is_bench), k)
+        .select("s")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    doc_sh = shingles(documents.filter(~is_bench), k)
+    return (
+        doc_sh.join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated") / F.col("n_shingles"), 6
+            ).alias("contamination_ratio"),
+        )
+    )

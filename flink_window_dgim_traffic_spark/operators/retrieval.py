@@ -1,0 +1,87 @@
+"""Keyword retrieval over ``documents``: BM25 scoring (north-star
+surface — the lexical-search sibling of ``similarity.simsearch_topk``).
+
+Scale shape: for a FIXED query-term list the score needs only (a) one
+tiny corpus-stats aggregate — N, avgdl, per-term document frequency —
+broadcast back to every task, and (b) per-doc term frequencies computed
+inside the row with JVM higher-order functions.  No explode, no
+inverted-index shuffle, no join on terms: the whole query is one scan +
+one broadcast of a single stats row + TakeOrderedAndProject for the
+top-k.  (Building a materialized inverted index only pays off for
+high-QPS serving, which is not a batch engine's job.)
+
+Float discipline: every arithmetic step is written in the same order as
+the DuckDB oracle (exact-int tf/df/dl, exact avgdl since token counts
+sum exactly in doubles, then one ln per term), and the final score is
+rounded to 6 dp on both sides before the ORDER BY, so the top-k set and
+order are engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+QUERY_TERMS = ("join", "hash", "scan")
+TOP_K = 10
+
+
+def bm25_topk(
+    documents: DataFrame,
+    terms: tuple[str, ...] = QUERY_TERMS,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Top-``k`` docs by BM25 for the fixed ``terms`` query.
+
+    Output: (doc_id, bm25) ordered by score desc, doc_id asc.
+    idf uses the BM25+-style always-positive form
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+    """
+    toks = F.split(F.col("text"), " ")
+    d = documents.select(
+        "doc_id",
+        toks.alias("ws"),
+        F.size(toks).cast("double").alias("dl"),
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.array_contains("ws", t).cast("bigint"))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    scored = d.join(F.broadcast(stats))
+    score = None
+    for i, t in enumerate(terms):
+        tf = F.size(
+            F.filter(F.col("ws"), lambda w: w == F.lit(t))  # noqa: B023
+        ).cast("double")
+        df = F.col(f"df_{i}")
+        idf = F.log(
+            F.lit(1.0) + (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        )
+        # tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)), constants
+        # pre-folded to the same literals the oracle SQL spells out
+        comp = (
+            idf
+            * (tf * F.lit(BM25_K1 + 1))
+            / (
+                tf
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1 - BM25_B)
+                    + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+                )
+            )
+        )
+        score = comp if score is None else score + comp
+    return (
+        scored.select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(k)
+    )

@@ -1,0 +1,170 @@
+"""Corpus construction (mix/split, contamination audit) and BM25
+retrieval: hand-computed fixtures plus determinism/distribution
+invariants on the driver corpus."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_window_dgim_traffic_spark.operators import corpus as C
+from flink_window_dgim_traffic_spark.operators import retrieval as RT
+from flink_window_dgim_traffic_spark.session import table
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------- mix
+
+
+def test_corpus_mix_deterministic(documents):
+    a = sorted(r["doc_id"] for r in C.corpus_mix(documents).collect())
+    b = sorted(r["doc_id"] for r in C.corpus_mix(documents).collect())
+    assert a == b and len(a) > 0
+
+
+def test_corpus_mix_full_rate_sources_keep_everything(documents):
+    # srcN with N % 4 == 3 has rate 4/4: every doc must survive
+    full = documents.filter(
+        F.pmod(F.substring("source", 4, 10).cast("bigint"), F.lit(4)) == 3
+    )
+    kept = C.corpus_mix(documents).filter(
+        F.pmod(F.substring("source", 4, 10).cast("bigint"), F.lit(4)) == 3
+    )
+    assert kept.count() == full.count()
+
+
+def test_corpus_mix_rates_scale_with_source_weight(documents):
+    # aggregate keep-rate per weight class must be ordered 1/4 < 1.0
+    # (statistical, but each class has ~125 docs at sf0.001)
+    by_q = {
+        r["q"]: r["kept"]
+        for r in C.corpus_mix(documents)
+        .groupBy(
+            (
+                F.pmod(F.substring("source", 4, 10).cast("bigint"), F.lit(4))
+                + 1
+            ).alias("q")
+        )
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .collect()
+    }
+    totals = {
+        r["q"]: r["n"]
+        for r in documents.groupBy(
+            (
+                F.pmod(F.substring("source", 4, 10).cast("bigint"), F.lit(4))
+                + 1
+            ).alias("q")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rate_1 = by_q.get(1, 0) / totals[1]
+    rate_4 = by_q[4] / totals[4]
+    assert rate_4 == 1.0
+    assert rate_1 < 0.5  # expected 0.25
+
+
+def test_corpus_mix_split_distribution(documents):
+    counts = {
+        r["split"]: r["n"]
+        for r in C.corpus_mix(documents)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] / total > 0.8  # expected 0.90
+
+
+# ------------------------------------------------------ contamination
+
+
+def test_contamination_hand_computed(spark):
+    # benchmark doc: "a b c d"  → shingles {a b c, b c d}
+    # doc 1 copies "a b c" + fresh tail: shingles {a b c, b c x, c x y}
+    #   → 1 of 3 contaminated
+    # doc 2 disjoint: 0 contaminated
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d", "src0"),
+            (1, "a b c x y", "src1"),
+            (2, "p q r s t", "src1"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_shingles"],
+            r["n_contaminated"],
+            r["contamination_ratio"],
+        )
+        for r in C.contamination_check(df).collect()
+    }
+    assert got == {1: (3, 1, round(1 / 3, 6)), 2: (3, 0, 0.0)}
+
+
+def test_contamination_excludes_benchmark_and_covers_corpus(documents):
+    out = C.contamination_check(documents)
+    n_bench = documents.filter(F.col("source") == "src0").count()
+    assert out.count() == documents.count() - n_bench
+    assert out.filter(
+        (F.col("contamination_ratio") < 0) | (F.col("contamination_ratio") > 1)
+    ).count() == 0
+
+
+# --------------------------------------------------------------- bm25
+
+
+def _bm25_ref(docs, terms, k1=1.2, b=0.75):
+    """Plain-Python BM25 for the fixture (same idf form)."""
+    ws = {d: t.split(" ") for d, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(w) for w in ws.values()) / n
+    scores = {}
+    for d, w in ws.items():
+        s = 0.0
+        for t in terms:
+            df = sum(1 for x in ws.values() if t in x)
+            tf = w.count(t)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + b * len(w) / avgdl)
+            )
+        scores[d] = round(s, 6)
+    return scores
+
+
+def test_bm25_hand_computed(spark):
+    docs = {
+        0: "join join hash filter",
+        1: "scan scan scan scan scan scan",
+        2: "filter group sort sort",
+        3: "join hash scan join hash scan join",
+    }
+    df = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in RT.bm25_topk(df, terms=("join", "hash", "scan"), k=4).collect()
+    }
+    ref = _bm25_ref(docs, ("join", "hash", "scan"))
+    assert got.keys() == ref.keys()
+    for d in ref:
+        assert got[d] == pytest.approx(ref[d], abs=1e-6)
+    # the no-query-term doc must rank last
+    ranked = sorted(got, key=lambda d: (-got[d], d))
+    assert ranked[-1] == 2
+
+
+def test_bm25_topk_limit_and_order(documents):
+    rows = RT.bm25_topk(documents, k=10).collect()
+    assert len(rows) == 10
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)

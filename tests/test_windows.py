@@ -155,3 +155,41 @@ def test_sql_registered_dgim_matches_dataframe_path(spark, sf_dir, events):
     for we, (est, exact) in via_sql.items():
         assert est == via_df[we]
         assert exact / 2 - 1 <= est <= 1.5 * exact + 1
+
+
+def test_sql_twins_equal_dataframe_windows(spark, sf_dir, events):
+    """The spark.sql TVF twins (past the driver's correctness window,
+    oracle entries retained) must return exactly the DataFrame path's
+    rows — they are the same logical plan expressed in SQL."""
+    from flink_window_dgim_traffic_spark.operators import sql_surface as Q
+
+    assert sorted(
+        map(tuple, Q.sql_tumble_exact(spark, sf_dir, 60).collect())
+    ) == sorted(map(tuple, W.tumble_exact(events, 60).collect()))
+    assert sorted(
+        map(tuple, Q.sql_hop_exact(spark, sf_dir, 60, 10).collect())
+    ) == sorted(map(tuple, W.hop_exact(events, 60, 10).collect()))
+
+
+def test_tumble_1h_aggregates_60s_windows(events):
+    """tumble_exact(3600) must equal the per-hour rollup of
+    tumble_exact(60): window widths nest exactly."""
+    from datetime import datetime, timedelta
+
+    fmt = "%Y-%m-%d %H:%M:%S"
+    fine = W.tumble_exact(events, 60).collect()
+    coarse = {
+        r["window_end"]: (r["ones_exact"], r["n_rows"])
+        for r in W.tumble_exact(events, 3600).collect()
+    }
+    agg: dict = {}
+    for r in fine:
+        # a 60 s window (we-60, we] lies in the hour window ending at
+        # the first hour boundary >= we
+        we = datetime.strptime(r["window_end"], fmt)
+        rem = (we.minute * 60 + we.second) % 3600
+        hour_end = we if rem == 0 else we + timedelta(seconds=3600 - rem)
+        key = hour_end.strftime(fmt)
+        o, n = agg.get(key, (0, 0))
+        agg[key] = (o + r["ones_exact"], n + r["n_rows"])
+    assert agg == coarse
