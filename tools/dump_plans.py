@@ -42,6 +42,17 @@ SHOWCASE = {
     "partial-aggregated shuffle, no distinct-values pre-scan",
     "training_corpus": "three-stage pipeline stays key-joins + "
     "anti-joins end to end; no collect, no cartesian",
+    "corpus_mix": "map-only: scan → filter → project, ZERO shuffles; "
+    "sampling is an integer compare against an md5-derived column",
+    "contamination_check": "benchmark shingles broadcast (eval sets "
+    "are fixed-size); corpus side is a map-side probe + one "
+    "partially-aggregated shuffle on doc_id",
+    "bm25_topk": "corpus stats (N, avgdl, df) reduced to ONE row and "
+    "broadcast; scoring is in-row; TakeOrderedAndProject caps the "
+    "top-k without a global sort",
+    "sequence_pack": "single shuffle on (source, shard); the prefix "
+    "sum is per-shard, so the window never degenerates to one "
+    "global-order partition",
 }
 
 
