@@ -22,6 +22,7 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from flink_window_dgim_traffic_spark.operators import bpe as BP
 from flink_window_dgim_traffic_spark.operators import corpus as C
 from flink_window_dgim_traffic_spark.operators import dedup as D
 from flink_window_dgim_traffic_spark.operators import multimodal as M
@@ -212,6 +213,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "simhash_pairs": lambda s, d: D.simhash_pairs(_documents(s, d)),
         "lang_id": lambda s, d: T.lang_id(_documents(s, d)),
+        # BPE tokenizer: train-on-bounded-sample + map-only encode;
+        # vocab and counts are deterministic (doc_id-ordered sample,
+        # lexicographic tie-breaks) but not ANSI-SQL-expressible —
+        # hand-computed vectors + invariants in tests/test_bpe.py
+        "bpe_token_count": lambda s, d: BP.bpe_token_count(_documents(s, d)),
+        "bpe_vocab": lambda s, d: BP.bpe_vocab(_documents(s, d)),
         "simsearch_ann_lsh": lambda s, d: S.simsearch_ann_lsh(_embeddings(s, d)),
         "simsearch_ann_ivf": lambda s, d: S.simsearch_ann_ivf(_embeddings(s, d)),
         "approx_distinct_users": lambda s, d: R.approx_distinct_users(_events(s, d)),

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "text_normalize",
     "token_count_regex",
+    "bpe_token_count",
     "lang_id",
     "top_ngrams",
     "doc_length_histogram",
