@@ -83,3 +83,22 @@ def test_ivf_tiny_corpus(spark, sf_dir):
 def test_neardup_clusters_empty(spark):
     pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
     assert D.neardup_clusters(pairs).count() == 0
+
+
+def test_corpus_prep_empty(empty):
+    from flink_window_dgim_traffic_spark.operators import bpe as B
+    from flink_window_dgim_traffic_spark.operators import corpus as C
+    from flink_window_dgim_traffic_spark.operators import packing as PK
+    from flink_window_dgim_traffic_spark.operators import retrieval as RT
+
+    docs = empty("documents")
+    assert C.corpus_mix(docs).count() == 0
+    assert C.contamination_check(docs).count() == 0
+    assert PK.sequence_pack(docs).count() == 0
+    assert PK.pack_stats(docs).count() == 0
+    # bm25 of an empty corpus: no docs to rank
+    assert RT.bm25_topk(docs).count() == 0
+    # bpe training on an empty sample learns nothing; encode yields 0
+    assert B.bpe_train_merges(docs) == []
+    assert B.bpe_token_count(docs, merges=[]).count() == 0
+    assert B.bpe_vocab(docs, n_merges=0).count() == 0
