@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Streaming throughput benchmark: events/sec through the streaming
+jobs, measured end-to-end (file-source replay -> parse -> stateful
+operator -> noop-ish sink) with the availableNow trigger.
+
+Context (BASELINE.md): the reference's operating point is
+producer-bound at ~50 msg/s (single Python Kafka producer,
+generate-traffic.py:66-68) — it publishes no engine-capacity number.
+This tool measures OUR engine capacity on the same workload shape so
+the matches-or-beats comparison is explicit.
+
+Usage: python tools/bench_streaming.py [duration_sec] (default 20000,
+~1M events).  Prints one JSON line per pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from flink_window_dgim_traffic_spark.session import get_spark  # noqa: E402
+from flink_window_dgim_traffic_spark.sources.traffic import (  # noqa: E402
+    write_traffic_json,
+)
+from flink_window_dgim_traffic_spark.streaming import jobs as J  # noqa: E402
+from flink_window_dgim_traffic_spark.streaming.stateful_dgim import (  # noqa: E402
+    tumble_dgim_stream,
+)
+
+
+def run_pipeline(spark, fixture_dir: str, name: str, build) -> dict:
+    """Replay the whole fixture through `build(parsed)` and time it."""
+    stream = J.parse_traffic(
+        J.file_traffic_stream(spark, fixture_dir, max_files_per_trigger=1000)
+    )
+    df, mode = build(stream)
+    ckpt = tempfile.mkdtemp(prefix=f"bench_stream_{name}_")
+    t0 = time.time()
+    q = (
+        df.writeStream.format("memory")
+        .queryName(f"bench_{name}")
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    elapsed = time.time() - t0
+    n_in = sum(
+        p["numInputRows"] for p in q.recentProgress if p["numInputRows"]
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "pipeline": name,
+        "events": n_in,
+        "sec": round(elapsed, 3),
+        "events_per_sec": round(n_in / elapsed) if elapsed > 0 else None,
+    }
+
+
+def main() -> None:
+    duration = float(sys.argv[1]) if len(sys.argv) > 1 else 20000.0
+    spark = get_spark(
+        app_name="bench_streaming",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    )
+    fixture = tempfile.mkdtemp(prefix="bench_stream_fixture_")
+    # ~50 events per event-time second; 8 chunks -> a few micro-batches
+    write_traffic_json(fixture, duration_sec=duration, n_chunks=8)
+    # steady-state methodology (BASELINE.md): one untimed warmup run
+    # pays file-index build, plan compile, and JIT once
+    run_pipeline(
+        spark,
+        fixture,
+        "warmup",
+        lambda s: (J.tumble_exact_stream(s, 60), "append"),
+    )
+    results = [
+        run_pipeline(
+            spark,
+            fixture,
+            "tumble_exact_stream",
+            lambda s: (J.tumble_exact_stream(s, 60), "append"),
+        ),
+        run_pipeline(
+            spark,
+            fixture,
+            "hop_exact_stream",
+            lambda s: (J.hop_exact_stream(s, 60, 10), "append"),
+        ),
+        run_pipeline(
+            spark,
+            fixture,
+            "tumble_dgim_stream",
+            lambda s: (
+                tumble_dgim_stream(s, 60, watermark="10 seconds"),
+                "update",
+            ),
+        ),
+    ]
+    shutil.rmtree(fixture, ignore_errors=True)
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
