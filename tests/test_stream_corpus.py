@@ -1,0 +1,98 @@
+"""Batch/stream unification for the stateless corpus operators: the
+SAME operator functions (corpus_mix, text/quality projections, BPE
+encode) applied to a streaming DataFrame must emit exactly the batch
+result — no reimplementation, no state, map-only plans run as-is under
+the streaming runner."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_window_dgim_traffic_spark.operators import bpe as B
+from flink_window_dgim_traffic_spark.operators import corpus as C
+from flink_window_dgim_traffic_spark.operators import text as T
+from flink_window_dgim_traffic_spark.session import table
+
+
+@pytest.fixture(scope="module")
+def doc_stream_dir(spark, sf_dir, tmp_path_factory):
+    """documents replayed as 3 parquet chunks with pinned mtimes."""
+    d = tmp_path_factory.mktemp("doc_chunks")
+    pdf = table(spark, sf_dir, "documents").orderBy("doc_id").toPandas()
+    n = len(pdf)
+    for i in range(3):
+        chunk = pdf.iloc[i * n // 3 : (i + 1) * n // 3]
+        p = str(d / f"chunk_{i:02d}.parquet")
+        chunk.to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    return str(d)
+
+
+def _doc_stream(spark, path):
+    return (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, "
+            "source string, n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def _run(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def test_corpus_mix_on_stream_matches_batch(spark, sf_dir, doc_stream_dir):
+    q = _run(C.corpus_mix(_doc_stream(spark, doc_stream_dir)), "t_mix_stream")
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM t_mix_stream").collect())
+    )
+    want = sorted(
+        map(tuple, C.corpus_mix(table(spark, sf_dir, "documents")).collect())
+    )
+    assert got == want
+    q.stop()
+
+
+def test_quality_score_on_stream_matches_batch(spark, sf_dir, doc_stream_dir):
+    q = _run(
+        T.quality_score(_doc_stream(spark, doc_stream_dir)), "t_qs_stream"
+    )
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM t_qs_stream").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            T.quality_score(table(spark, sf_dir, "documents")).collect(),
+        )
+    )
+    assert got == want
+    q.stop()
+
+
+def test_bpe_encode_on_stream_matches_batch(spark, sf_dir, doc_stream_dir):
+    # production pattern: vocab trained once on the batch corpus, the
+    # frozen merges applied to the incoming stream map-only
+    docs = table(spark, sf_dir, "documents")
+    merges = B.bpe_train_merges(docs)
+    q = _run(
+        B.bpe_token_count(_doc_stream(spark, doc_stream_dir), merges=merges),
+        "t_bpe_stream",
+    )
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM t_bpe_stream").collect())
+    )
+    want = sorted(map(tuple, B.bpe_token_count(docs, merges=merges).collect()))
+    assert got == want
+    q.stop()
