@@ -196,6 +196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "bm25_topk": lambda s, d: RT.bm25_topk(_documents(s, d)),
         # ---- past the driver's 50-row window ----
+        # oracle-eligible (checked by tools/check_oracle.py; the
+        # 50-row window is already fully occupied by distinct plans)
+        "corpus_build": lambda s, d: PL.corpus_build(_documents(s, d)),
         # plan-identical twins of in-window queries (oracle_sql entries
         # retained; equality to their twins is asserted in pytest)
         "sql_tumble_exact": lambda s, d: Q.sql_tumble_exact(s, d, 60),
@@ -696,6 +699,50 @@ SELECT doc_id, source, shard, n_tokens,
        CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_pos,
        ((cum - n_tokens) // 2048) != ((cum - 1) // 2048) AS spans_boundary
 FROM c
+""",
+        "corpus_build": f"""
+WITH nb AS (SELECT * FROM documents WHERE source <> 'src0'),
+ke AS (SELECT min(doc_id) AS doc_id FROM nb GROUP BY text),
+d1 AS (SELECT * FROM nb WHERE doc_id IN (SELECT doc_id FROM ke)),
+tok AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+idx AS (SELECT doc_id, source, ws,
+               unnest(generate_series(1, len(ws) - 2)) AS i FROM tok),
+sh AS (SELECT DISTINCT doc_id, source,
+              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM idx),
+bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+dsh AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
+cont AS (SELECT dsh.doc_id,
+         round(CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) / count(*), 6) AS ratio
+         FROM dsh LEFT JOIN bench b ON dsh.s = b.s GROUP BY dsh.doc_id),
+d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN
+       (SELECT doc_id FROM cont WHERE ratio > 0.2)),
+mx AS (SELECT doc_id,
+       CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS rate_q,
+       CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)
+            AS BIGINT) AS h_mix,
+       CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+            AS BIGINT) AS h_split
+       FROM d2),
+d3 AS (SELECT d2.* FROM d2 JOIN mx USING (doc_id)
+       WHERE h_mix < rate_q * 288230376151711744
+         AND h_split < 1037629354146162278),
+qt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d3),
+qc AS (SELECT doc_id, len(ws) AS n,
+       len(list_filter(ws, w -> w IN {_STOP_LIST})) AS stop_cnt FROM qt),
+d4 AS (SELECT d3.* FROM d3 JOIN qc USING (doc_id)
+       WHERE round(least(n, 50) / 50 * 0.5 + (1 - stop_cnt / n) * 0.5, 6)
+             >= 0.5),
+p0 AS (SELECT doc_id, source, CAST(doc_id % 4 AS BIGINT) AS shard,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM d4),
+pc AS (SELECT *, SUM(n_tokens) OVER (
+       PARTITION BY source, shard ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM p0)
+SELECT doc_id, source, shard, n_tokens,
+       CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+       CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_pos,
+       ((cum - n_tokens) // 2048) != ((cum - 1) // 2048) AS spans_boundary
+FROM pc
 """,
         "corpus_mix": """
 WITH t AS (

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "neardup_clusters",
     "training_corpus",
+    "corpus_build",
     "text_stats",
     "sequence_pack",
     "corpus_mix",

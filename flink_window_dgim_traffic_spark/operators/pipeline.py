@@ -56,3 +56,61 @@ def training_corpus(
     return q.filter(F.col("quality_score") >= min_quality).select(
         "doc_id", "n_tokens", "quality_score"
     )
+
+
+def corpus_build(
+    documents: DataFrame,
+    benchmark_source: str = "src0",
+    max_contamination: float = 0.2,
+    min_quality: float = 0.5,
+    context_len: int = 2048,
+    n_shards: int = 4,
+) -> DataFrame:
+    """The full corpus build the round-2 operators exist for:
+
+    documents
+      → drop the benchmark partition (it is eval, never training data)
+      → exact dedup (keep min doc_id per identical text)
+      → decontaminate (shingle overlap with the benchmark partition
+        ≤ ``max_contamination``)
+      → deterministic weighted mix + train/val/test split
+      → quality gate (heuristic score ≥ ``min_quality``)
+      → sequence-pack the TRAIN split into fixed training contexts
+
+    Output: (doc_id, source, shard, n_tokens, pack_id, pack_pos,
+    spans_boundary) — the packed training stream.  Every stage is one
+    of the already-oracle-checked operators; the composition is
+    value-matched against a DuckDB twin replaying the same stages.
+    Scale shape: semi/anti key joins between map-only stages plus the
+    per-shard packing shuffle — no stage collects or crosses.
+
+    Note on the synthetic corpus: its vocabulary is tiny, so as sf
+    grows the benchmark partition saturates the 3-gram shingle space
+    and the contamination gate bites hard (sf0.01: 3/500 docs dirty;
+    sf0.1: 4643/5000).  Expected data property, not a pipeline bug —
+    real corpora have heavy-tailed shingle spaces.
+    """
+    from flink_window_dgim_traffic_spark.operators.corpus import (
+        contamination_check,
+        corpus_mix,
+    )
+    from flink_window_dgim_traffic_spark.operators.packing import (
+        sequence_pack,
+    )
+
+    non_bench = documents.filter(F.col("source") != benchmark_source)
+    keep_exact = non_bench.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    kept = non_bench.join(
+        keep_exact.select("doc_id"), "doc_id", "left_semi"
+    )
+    dirty = contamination_check(documents, benchmark_source).filter(
+        F.col("contamination_ratio") > max_contamination
+    )
+    kept = kept.join(dirty.select("doc_id"), "doc_id", "left_anti")
+    train = corpus_mix(kept).filter(F.col("split") == "train")
+    kept = kept.join(train.select("doc_id"), "doc_id", "left_semi")
+    good = quality_score(kept).filter(
+        F.col("quality_score") >= min_quality
+    )
+    kept = kept.join(good.select("doc_id"), "doc_id", "left_semi")
+    return sequence_pack(kept, context_len=context_len, n_shards=n_shards)

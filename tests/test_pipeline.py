@@ -38,3 +38,50 @@ def test_training_corpus_no_dups_passthrough(spark):
     assert sorted(
         r["doc_id"] for r in PL.training_corpus(docs).collect()
     ) == list(range(6))
+
+
+def test_corpus_build_stage_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from flink_window_dgim_traffic_spark.operators import corpus as C
+    from flink_window_dgim_traffic_spark.operators.pipeline import (
+        corpus_build,
+    )
+    from flink_window_dgim_traffic_spark.session import table
+
+    docs = table(spark, sf_dir, "documents")
+    out = corpus_build(docs).collect()
+    assert out, "corpus_build produced an empty training stream"
+    out_ids = {r["doc_id"] for r in out}
+    # no benchmark docs, only train-split survivors of the mix
+    bench_ids = {
+        r["doc_id"]
+        for r in docs.filter(F.col("source") == "src0").collect()
+    }
+    assert not (out_ids & bench_ids)
+    train_ids = {
+        r["doc_id"]
+        for r in C.corpus_mix(docs).filter(F.col("split") == "train").collect()
+    }
+    assert out_ids <= train_ids
+    # no contaminated docs above the default threshold
+    dirty = {
+        r["doc_id"]
+        for r in C.contamination_check(docs)
+        .filter(F.col("contamination_ratio") > 0.2)
+        .collect()
+    }
+    assert not (out_ids & dirty)
+    # pack positions tile each (source, shard) token stream
+    seen = {}
+    for r in sorted(out, key=lambda r: (r["source"], r["shard"], r["doc_id"])):
+        key = (r["source"], r["shard"])
+        start = r["pack_id"] * 2048 + r["pack_pos"]
+        assert start == seen.get(key, 0)
+        seen[key] = start + r["n_tokens"]
+    # loosening the contamination gate can only keep more docs
+    looser = {
+        r["doc_id"]
+        for r in corpus_build(docs, max_contamination=1.0).collect()
+    }
+    assert out_ids <= looser
