@@ -25,6 +25,7 @@ if _REPO not in sys.path:
 from flink_window_dgim_traffic_spark.operators import bpe as BP
 from flink_window_dgim_traffic_spark.operators import corpus as C
 from flink_window_dgim_traffic_spark.operators import dedup as D
+from flink_window_dgim_traffic_spark.operators import heavy_hitters as HH
 from flink_window_dgim_traffic_spark.operators import multimodal as M
 from flink_window_dgim_traffic_spark.operators import packing as PK
 from flink_window_dgim_traffic_spark.operators import retrieval as RT
@@ -199,6 +200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-eligible (checked by tools/check_oracle.py; the
         # 50-row window is already fully occupied by distinct plans)
         "corpus_build": lambda s, d: PL.corpus_build(_documents(s, d)),
+        "corpus_sample_k": lambda s, d: C.corpus_sample_k(_documents(s, d)),
+        "corpus_datasheet": lambda s, d: C.corpus_datasheet(_documents(s, d)),
         # plan-identical twins of in-window queries (oracle_sql entries
         # retained; equality to their twins is asserted in pytest)
         "sql_tumble_exact": lambda s, d: Q.sql_tumble_exact(s, d, 60),
@@ -222,6 +225,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hand-computed vectors + invariants in tests/test_bpe.py
         "bpe_token_count": lambda s, d: BP.bpe_token_count(_documents(s, d)),
         "bpe_vocab": lambda s, d: BP.bpe_vocab(_documents(s, d)),
+        # SpaceSaving sketch twin of top_ngrams: bounded state per
+        # partition + one sketch-sized merge; bounds vs the exact
+        # counts asserted in tests/test_heavy_hitters.py (rows-only —
+        # output depends on partitioning only within proven bounds)
+        "heavy_hitters_ngrams": lambda s, d: HH.heavy_hitters_ngrams(
+            _documents(s, d)
+        ),
         "simsearch_ann_lsh": lambda s, d: S.simsearch_ann_lsh(_embeddings(s, d)),
         "simsearch_ann_ivf": lambda s, d: S.simsearch_ann_ivf(_embeddings(s, d)),
         "approx_distinct_users": lambda s, d: R.approx_distinct_users(_events(s, d)),
@@ -743,6 +753,26 @@ SELECT doc_id, source, shard, n_tokens,
        CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_pos,
        ((cum - n_tokens) // 2048) != ((cum - 1) // 2048) AS spans_boundary
 FROM pc
+""",
+        "corpus_sample_k": """
+SELECT doc_id, source, lang, n_chars,
+       CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)
+            AS BIGINT) AS sample_h
+FROM documents
+ORDER BY sample_h, doc_id
+LIMIT 100
+""",
+        "corpus_datasheet": """
+WITH t AS (SELECT source, lang, text, n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+           FROM documents)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       min(n_toks) AS min_tokens, max(n_toks) AS max_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT lang) AS n_langs,
+       count(*) - count(DISTINCT text) AS n_exact_dupes
+FROM t GROUP BY source
 """,
         "corpus_mix": """
 WITH t AS (

@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "text_stats",
     "sequence_pack",
     "corpus_mix",
+    "corpus_sample_k",
+    "corpus_datasheet",
     "contamination_check",
     "bm25_topk",
     "text_normalize",
@@ -79,6 +81,7 @@ BENCH_QUERIES = [
     "bpe_token_count",
     "lang_id",
     "top_ngrams",
+    "heavy_hitters_ngrams",
     "doc_length_histogram",
     "doc_fingerprint",
     "quality_score",

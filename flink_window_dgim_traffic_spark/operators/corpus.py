@@ -126,3 +126,49 @@ def contamination_check(
             ).alias("contamination_ratio"),
         )
     )
+
+
+def corpus_sample_k(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Deterministic uniform k-sample WITHOUT replacement: the k docs
+    with the smallest md5-derived hash (bottom-k order statistics on a
+    uniform hash ≡ uniform sampling, but reproducible on any cluster
+    layout and mergeable: bottom-k of a union is the bottom-k of each
+    part's bottom-k).  The eval-set / spot-check sampler every corpus
+    pipeline needs.  Plan: TakeOrderedAndProject — per-partition
+    top-k then a single k-row merge, never a global sort."""
+    return (
+        documents.select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            _hash60("sample").alias("sample_h"),
+        )
+        .orderBy("sample_h", "doc_id")
+        .limit(k)
+    )
+
+
+def corpus_datasheet(documents: DataFrame) -> DataFrame:
+    """Per-source corpus datasheet: the one-glance table a dataset
+    card ships — doc/token volume, length spread, language mix, exact
+    duplicate rate.  Single partially-aggregated shuffle on source.
+
+    Token counts use the whitespace contract (text_stats); duplicate
+    rate is docs minus distinct texts.  All-integer aggregates, so the
+    output is exactly reproducible (no float accumulation order)."""
+    toks = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    return (
+        documents.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).alias("total_tokens"),
+            F.min(toks).alias("min_tokens"),
+            F.max(toks).alias("max_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            (F.count(F.lit(1)) - F.countDistinct("text")).alias(
+                "n_exact_dupes"
+            ),
+        )
+    )

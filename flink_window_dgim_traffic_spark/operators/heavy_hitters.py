@@ -1,0 +1,148 @@
+"""Approximate heavy hitters (SpaceSaving) over corpus n-grams — the
+bounded-state sketch twin of ``text.top_ngrams`` (whose exact
+aggregation shuffles every distinct n-gram).  Same design discipline
+as DGIM (SURVEY §7.6): per-partition partial sketches with a proven
+error envelope, merged in one sketch-sized reduction.
+
+Scale shape: phase 1 runs one SpaceSaving sketch of ``capacity``
+counters PER PARTITION inside ``mapInPandas`` (state is O(capacity),
+input is streamed through in Arrow batches, nothing is retained per
+row).  Phase 2 merges the P×capacity partial counters on a single
+task — sketch-sized data, the same shape as a 1000-executor
+tree-reduce.  The full n-gram frequency table never materializes and
+never shuffles, which is the whole point at 100 TB (the exact path's
+shuffle grows with the distinct-ngram count; the sketch's is fixed).
+
+Guarantees (standard SpaceSaving + mergeable-summaries bounds, kept
+honest in the output columns):
+
+- per partition i: for a sketched item, ``est - err ≤ true_i ≤ est``;
+  an item absent from sketch i has ``true_i ≤ min_i`` (the sketch's
+  smallest counter; 0 if the sketch never filled).
+- merged: ``lower = Σ_{i: x∈S_i} (est_i - err_i)`` and
+  ``upper = Σ_{i: x∈S_i} est_i + Σ_{i: x∉S_i} min_i`` bracket the true
+  global count, and every item with true count > Σ_i min_i is present.
+
+Not ANSI-SQL-expressible (stateful streaming fold) — anchored in
+tests against the exact ``top_ngrams`` counts: bounds must bracket the
+truth and the completeness threshold must hold for any partitioning.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CAPACITY = 256
+TOP_K = 20
+
+
+class SpaceSaving:
+    """Classic SpaceSaving: ``capacity`` (count, err) counters."""
+
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+        self.counters: dict[str, tuple[int, int]] = {}
+
+    def add(self, item: str) -> None:
+        c = self.counters.get(item)
+        if c is not None:
+            self.counters[item] = (c[0] + 1, c[1])
+        elif len(self.counters) < self.capacity:
+            self.counters[item] = (1, 0)
+        else:
+            # evict the min-count item (deterministic tie-break on the
+            # item so identical inputs give identical sketches)
+            m = min(self.counters.items(), key=lambda kv: (kv[1][0], kv[0]))
+            del self.counters[m[0]]
+            self.counters[item] = (m[1][0] + 1, m[1][0])
+
+    @property
+    def min_count(self) -> int:
+        if len(self.counters) < self.capacity:
+            return 0
+        return min(c for c, _ in self.counters.values())
+
+
+def _ngram_col(n: int) -> F.Column:
+    pat = r"(?<![^ ])(?=(" + r" ".join([r"[^ ]+"] * n) + r"))"
+    return F.explode(
+        F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(1))
+    ).alias("ngram")
+
+
+def heavy_hitters_ngrams(
+    documents: DataFrame,
+    n: int = 2,
+    capacity: int = CAPACITY,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Top-``k`` n-grams by SpaceSaving upper bound:
+    (ngram, est_lower, est_upper), ordered by est_upper desc, ngram."""
+    grams = documents.select(_ngram_col(n))
+
+    def sketch_partition(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        ss = SpaceSaving(capacity)
+        seen = False
+        for pdf in batches:
+            seen = True
+            for g in pdf["ngram"]:
+                ss.add(g)
+        if not seen:
+            return
+        pid = TaskContext.get().partitionId()
+        items = sorted(ss.counters.items())
+        yield pd.DataFrame(
+            {
+                "sketch_id": pd.Series([pid] * len(items), dtype="int64"),
+                "ngram": [g for g, _ in items],
+                "est": pd.Series([c for _, (c, _) in items], dtype="int64"),
+                "err": pd.Series([e for _, (_, e) in items], dtype="int64"),
+                "min_count": pd.Series(
+                    [ss.min_count] * len(items), dtype="int64"
+                ),
+            }
+        )
+
+    partials = grams.mapInPandas(
+        sketch_partition,
+        "sketch_id bigint, ngram string, est bigint, err bigint, "
+        "min_count bigint",
+    )
+
+    def merge_all(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        allp = pd.concat(frames, ignore_index=True)
+        mins = allp.groupby("sketch_id")["min_count"].first()
+        total_min = int(mins.sum())
+        by_item = allp.groupby("ngram")
+        lower = (by_item["est"].sum() - by_item["err"].sum()).clip(lower=0)
+        # absent-sketch slack: the mins of the sketches that did NOT
+        # contain the item
+        present_min = allp.groupby("ngram")["min_count"].sum()
+        upper = by_item["est"].sum() + (total_min - present_min)
+        out = pd.DataFrame(
+            {
+                "ngram": lower.index,
+                "est_lower": lower.astype("int64").values,
+                "est_upper": upper.astype("int64").values,
+            }
+        ).sort_values(
+            ["est_upper", "ngram"], ascending=[False, True]
+        ).head(k)
+        yield out.reset_index(drop=True)
+
+    return (
+        partials.repartition(1)
+        .mapInPandas(
+            merge_all, "ngram string, est_lower bigint, est_upper bigint"
+        )
+    )

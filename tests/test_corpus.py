@@ -168,3 +168,43 @@ def test_bm25_topk_limit_and_order(documents):
     assert len(rows) == 10
     scores = [r["bm25"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+# ------------------------------------------------- sample / datasheet
+
+
+def test_corpus_sample_k_deterministic_and_mergeable(documents):
+    a = [r["doc_id"] for r in C.corpus_sample_k(documents, k=50).collect()]
+    b = [r["doc_id"] for r in C.corpus_sample_k(documents, k=50).collect()]
+    assert a == b and len(a) == 50 and len(set(a)) == 50
+    # mergeability: bottom-k over source partitions == global bottom-k
+    per_part = []
+    for src in [r["source"] for r in documents.select("source").distinct().collect()]:
+        per_part.extend(
+            (r["sample_h"], r["doc_id"])
+            for r in C.corpus_sample_k(
+                documents.filter(F.col("source") == src), k=50
+            ).collect()
+        )
+    merged = [d for _, d in sorted(per_part)[:50]]
+    assert merged == a
+
+
+def test_corpus_datasheet_cross_checks(documents):
+    from flink_window_dgim_traffic_spark.operators import text as T
+
+    ds = {r["source"]: r for r in C.corpus_datasheet(documents).collect()}
+    assert sum(r["n_docs"] for r in ds.values()) == documents.count()
+    # token totals must agree with text_stats
+    stats = (
+        T.text_stats(documents)
+        .join(documents.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .collect()
+    )
+    for r in stats:
+        assert ds[r["source"]]["total_tokens"] == r["tot"]
+    for r in ds.values():
+        assert r["min_tokens"] <= r["max_tokens"]
+        assert 0 <= r["n_exact_dupes"] < r["n_docs"]

@@ -1,0 +1,80 @@
+"""SpaceSaving heavy hitters: pure-Python sketch unit tests plus the
+distributed two-phase bounds checked against exact n-gram counts (the
+bounds must hold for ANY partitioning)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_window_dgim_traffic_spark.operators import heavy_hitters as H
+from flink_window_dgim_traffic_spark.session import table
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return table(spark, sf_dir, "documents")
+
+
+def test_spacesaving_exact_when_under_capacity():
+    ss = H.SpaceSaving(capacity=10)
+    for x in ["a", "b", "a", "c", "a", "b"]:
+        ss.add(x)
+    assert ss.counters == {"a": (3, 0), "b": (2, 0), "c": (1, 0)}
+    assert ss.min_count == 0
+
+
+def test_spacesaving_eviction_bounds():
+    ss = H.SpaceSaving(capacity=2)
+    seq = ["a"] * 5 + ["b"] * 3 + ["c"] * 2  # c evicts b (min count 3)
+    for x in seq:
+        ss.add(x)
+    true = {"a": 5, "b": 3, "c": 2}
+    for item, (est, err) in ss.counters.items():
+        assert est - err <= true[item] <= est
+    # absent items are bounded by min_count
+    for item in set(true) - set(ss.counters):
+        assert true[item] <= ss.min_count
+
+
+def test_heavy_hitters_bounds_and_completeness(spark, documents):
+    exact = {
+        r["ngram"]: r["c"]
+        for r in documents.select(H._ngram_col(2))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    # k large enough to see every merged counter (pre-truncation view)
+    all_rows = H.heavy_hitters_ngrams(
+        documents, n=2, capacity=H.CAPACITY, k=10**9
+    ).collect()
+    got = {r["ngram"]: (r["est_lower"], r["est_upper"]) for r in all_rows}
+    for g, (lo, hi) in got.items():
+        assert lo <= exact[g] <= hi, g
+    # completeness: every ngram with true count above the summed
+    # sketch minima must be present
+    threshold = max(hi - lo for lo, hi in got.values()) if got else 0
+    # conservative: total_min equals the largest possible absent slack
+    for g, c in exact.items():
+        if c > threshold:
+            assert g in got, (g, c, threshold)
+
+
+def test_heavy_hitters_topk_agrees_with_exact_for_clear_hitters(
+    spark, documents
+):
+    """With capacity well above the distinct-bigram count of this
+    corpus the sketch is exact: top-k must equal the exact top-k."""
+    distinct = documents.select(H._ngram_col(2)).distinct().count()
+    cap = distinct + 10
+    rows = H.heavy_hitters_ngrams(documents, n=2, capacity=cap, k=10).collect()
+    exact_top = (
+        documents.select(H._ngram_col(2))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "ngram")
+        .limit(10)
+        .collect()
+    )
+    assert [(r["ngram"], r["est_lower"], r["est_upper"]) for r in rows] == [
+        (r["ngram"], r["c"], r["c"]) for r in exact_top
+    ]
