@@ -76,10 +76,12 @@ def get_spark(
     return spark
 
 
-# driver parquet stores timestamps as INT64 TIMESTAMP(NANOS), which
-# Spark only reads as long via the legacy conf; these columns are
-# normalized back to TimestampType (truncating ns → µs exactly like
-# DuckDB does, verified) in table().
+# Driver parquet timestamps vary by generation: INT64 TIMESTAMP(NANOS)
+# (readable only as long via the legacy conf) or plain timestamp[us]
+# without a timezone (which Spark 4 infers as TIMESTAMP_NTZ by
+# default).  Both are normalized to TimestampType (LTZ) here: the
+# session timezone is UTC, so an NTZ wall-clock reinterpreted as UTC
+# is the same instant DuckDB sees reading the same file.
 _TS_COLS = {
     "events": ("ts",),
     "lineitem": ("l_shipdate",),
@@ -91,9 +93,12 @@ def table(spark: SparkSession, sf_dir: str, name: str):
     """Load one driver-provided parquet table (TESTDATA.md)."""
     ship_package(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     dtypes = dict(df.dtypes)
     for c in _TS_COLS.get(name, ()):
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+        elif dtypes.get(c) == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
