@@ -43,6 +43,16 @@ BENCH_QUERIES = [
     "q6_revenue_change",
     "q14_promo_revenue",
     "q18_large_volume_customers",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q19_discounted_revenue",
+    "q22_global_sales",
     "top_customers_per_nation",
     "event_type_cube",
     "event_type_rollup",

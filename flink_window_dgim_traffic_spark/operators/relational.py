@@ -525,6 +525,340 @@ def value_quartiles_by_type(events: DataFrame) -> DataFrame:
     )
 
 
+def q4_order_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts for one quarter where the
+    order has at least one late-shipped line (EXISTS → left-semi join;
+    the schema has no l_commitdate, so "late" = shipped after the
+    order date).  The semi join shuffles only (orderkey, shipdate) and
+    never duplicates orders rows."""
+    q = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    late = q.join(
+        lineitem.select("l_orderkey", "l_shipdate"),
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q7_volume_shipping(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year,
+    in both directions.  Both nation sides broadcast (25 rows); the
+    fact join shuffles once on l_suppkey then once on l_orderkey;
+    the bidirectional filter prunes before the aggregate."""
+    revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount", "4,2"))
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("sn_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("cn_key") == F.col("c_nationkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == nation_a)
+                & (F.col("cust_nation") == nation_b)
+            )
+            | (
+                (F.col("supp_nation") == nation_b)
+                & (F.col("cust_nation") == nation_a)
+            )
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+def q8_market_share(
+    part: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    share_nation: str = "NATION_3",
+) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share of STANDARD-part
+    revenue among ASIA-region customers, per order year.  The part
+    filter lands before the fact join (Catalyst pushes it into the
+    broadcast build side); the share is a conditional-sum ratio
+    computed in DECIMAL and divided as DOUBLE (deterministic IEEE)."""
+    revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount", "4,2"))
+    cust_nations = (
+        region.filter(F.col("r_name") == "ASIA")
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_type") == "STANDARD")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cust_nations), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+    )
+    agg = j.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("o_year")
+    ).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == share_nation, revenue).otherwise(
+                F.lit(0).cast("decimal(4,2)")
+            )
+        ).alias("nation_rev"),
+        F.sum(revenue).alias("total_rev"),
+    )
+    return agg.select(
+        "o_year",
+        (
+            F.col("nation_rev").cast("double") / F.col("total_rev").cast("double")
+        ).alias("mkt_share"),
+        F.col("total_rev").cast("double").alias("total_revenue"),
+    )
+
+
+def q9_profit(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year.  The schema
+    has no partsupp/ps_supplycost, so cost is proxied as
+    0.5 * p_retailprice * l_quantity (documented deviation); the
+    amount stays DECIMAL end-to-end so both engines sum exactly."""
+    amount = _dec("l_extendedprice") * (_one() - _dec("l_discount", "4,2")) - _dec(
+        "p_retailprice"
+    ) * _dec("l_quantity") * F.lit("0.5").cast("decimal(4,2)")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .groupBy(
+            "supp_nation",
+            F.year("l_shipdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+def q10_returned_items(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter.  Facts join on their keys; nation broadcasts; the
+    top-k carries c_custkey as the deterministic tie-break."""
+    revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount", "4,2"))
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q13_customer_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count
+    (including zero-order customers via LEFT JOIN with an ON-clause
+    filter — the join predicate must NOT become a WHERE or the zeros
+    vanish).  Two shuffles: custkey then c_count."""
+    per_cust = (
+        customer.join(
+            orders.filter(F.col("o_orderpriority") != "5-LOW"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q15_top_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum 3-month
+    revenue.  The scalar max joins back as a broadcast (1 row);
+    ties all surface (no LIMIT), ordered by s_suppkey."""
+    revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount", "4,2"))
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(revenue).alias("total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(top), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q17_small_quantity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue loss if small-quantity
+    orders (below 20% of the part's average quantity) for one brand
+    went unfilled.  The per-part average comes from an exact DECIMAL
+    sum and a BIGINT count so the 0.2·avg threshold is the same IEEE
+    double in every engine; no window function (a groupBy + broadcast
+    join back is cheaper and associative)."""
+    brand_items = lineitem.join(
+        F.broadcast(part.filter(F.col("p_brand") == "Brand#3")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    )
+    per_part = brand_items.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    thr = per_part.select(
+        "pk",
+        (
+            F.col("sum_qty").cast("double") * F.lit(0.2) / F.col("n_lines")
+        ).alias("qty_thr"),
+    )
+    small = brand_items.join(
+        F.broadcast(thr), F.col("pk") == F.col("l_partkey")
+    ).filter(F.col("l_quantity") < F.col("qty_thr"))
+    return small.agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+            "avg_yearly"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q19_discounted_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a disjunction of three
+    (brand, size-range, quantity-band) conjunctions — the
+    OR-of-ANDs predicate-pushdown stressor.  The whole predicate
+    evaluates inside the broadcast-join filter; one row out."""
+    revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount", "4,2"))
+    j = lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q22_global_sales(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22 shape: wealthy customers in a nation subset with no
+    URGENT order on file (the schema has no c_phone, so the
+    country-code prefix becomes c_nationkey; every customer has SOME
+    order in this data, so the anti-join target is the urgent
+    subset).  The positive-balance average is an exact DECIMAL sum /
+    BIGINT count divided in DOUBLE (deterministic across engines);
+    the no-orders test is a left-anti join."""
+    nations = [0, 1, 2, 3, 4, 5, 6]
+    pool = customer.filter(F.col("c_nationkey").isin(nations))
+    avg_bal = pool.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    wealthy = pool.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    no_orders = wealthy.join(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_anti",
+    )
+    return (
+        no_orders.groupBy(F.col("c_nationkey").cast("bigint").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 def party_contact_counts(
     customer: DataFrame, supplier: DataFrame
 ) -> DataFrame:

@@ -140,3 +140,74 @@ def test_users_view_and_purchase_set_semantics(spark):
     ev = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
     got = [r["user_id"] for r in R.users_view_and_purchase(ev).collect()]
     assert got == [7]  # distinct: user 7 appears once despite 2 views
+
+
+def test_q4_semi_join_no_duplication(tpch):
+    """EXISTS must not multiply orders: total order_count is bounded
+    by the quarter's order count, and priorities are distinct."""
+    out = R.q4_order_priority(tpch["orders"], tpch["lineitem"]).collect()
+    prios = [r["o_orderpriority"] for r in out]
+    assert prios == sorted(set(prios))
+    quarter = tpch["orders"].filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    ).count()
+    assert sum(r["order_count"] for r in out) <= quarter
+
+
+def test_q7_bidirectional_pair(tpch):
+    out = R.q7_volume_shipping(
+        tpch["supplier"], tpch["lineitem"], tpch["orders"], tpch["customer"],
+        tpch["nation"], nation_a="NATION_1", nation_b="NATION_2",
+    ).collect()
+    for r in out:
+        assert {r["supp_nation"], r["cust_nation"]} == {"NATION_1", "NATION_2"}
+        assert r["revenue"] > 0
+
+
+def test_q8_share_in_unit_interval(tpch):
+    from flink_window_dgim_traffic_spark.session import table as _table
+    import tests.conftest as cf
+    part = _table(tpch["orders"].sparkSession, cf.SF_DIR, "part")
+    out = R.q8_market_share(
+        part, tpch["lineitem"], tpch["orders"], tpch["customer"],
+        tpch["supplier"], tpch["nation"], tpch["region"],
+    ).collect()
+    for r in out:
+        assert 0.0 <= r["mkt_share"] <= 1.0
+        assert r["total_revenue"] > 0
+
+
+def test_q13_includes_zero_order_customers(spark):
+    """The ON-clause filter must stay in the join (LEFT semantics):
+    a customer with only 5-LOW orders lands in the c_count=0 bucket."""
+    cust = spark.createDataFrame(
+        [(1,), (2,), (3,)], "c_custkey long"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, "1-URGENT"), (11, 1, "5-LOW"), (12, 2, "5-LOW")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    got = {r["c_count"]: r["custdist"] for r in
+           R.q13_customer_distribution(cust, orders).collect()}
+    assert got == {1: 1, 0: 2}  # cust1: one non-LOW; cust2+cust3: zero
+
+
+def test_q15_all_rows_tie_at_max(tpch):
+    out = R.q15_top_supplier(tpch["supplier"], tpch["lineitem"]).collect()
+    assert len(out) >= 1
+    assert len({round(r["total_revenue"], 6) for r in out}) == 1
+
+
+def test_q22_anti_join(spark):
+    """Wealthy customer with an URGENT order is excluded; one without
+    is included; below-average balance is excluded."""
+    cust = spark.createDataFrame(
+        [(1, 0, 9000.0), (2, 0, 8000.0), (3, 0, 100.0)],
+        "c_custkey long, c_nationkey int, c_acctbal double",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, "1-URGENT"), (11, 2, "5-LOW")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    rows = R.q22_global_sales(cust, orders).collect()
+    assert len(rows) == 1 and rows[0]["numcust"] == 1  # only cust 2
