@@ -31,6 +31,7 @@ from flink_window_dgim_traffic_spark.operators import packing as PK
 from flink_window_dgim_traffic_spark.operators import retrieval as RT
 from flink_window_dgim_traffic_spark.operators import parsing as P
 from flink_window_dgim_traffic_spark.operators import pipeline as PL
+from flink_window_dgim_traffic_spark.operators import quality as QL
 from flink_window_dgim_traffic_spark.operators import sql_surface as Q
 from flink_window_dgim_traffic_spark.operators import relational as R
 from flink_window_dgim_traffic_spark.operators import similarity as S
@@ -185,17 +186,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_global_sales": lambda s, d: R.q22_global_sales(
             _customer(s, d), _orders(s, d)
         ),
-        "user_moving_spend": lambda s, d: R.user_moving_spend(_events(s, d)),
-        "orders_with_expensive_items": lambda s, d: R.orders_with_expensive_items(
-            _orders(s, d), _lineitem(s, d)
+        # --- LLM-curation quality surface (round 2, never verified) ---
+        "gopher_quality": lambda s, d: QL.gopher_quality(_documents(s, d)),
+        "repetition_stats": lambda s, d: QL.repetition_stats(_documents(s, d)),
+        "unigram_commonness": lambda s, d: QL.unigram_commonness(
+            _documents(s, d)
         ),
-        "event_type_counts_salted": lambda s, d: R.event_type_counts_salted(
-            _events(s, d)
-        ),
-        "sessionize": lambda s, d: R.sessionize(_events(s, d)),
-        "session_window_counts": lambda s, d: R.session_window_counts(
-            _events(s, d)
-        ),
+        "pii_redact": lambda s, d: QL.pii_redact(_documents(s, d)),
+        "chunk_dedup": lambda s, d: D.chunk_dedup(_documents(s, d)),
         "asof_view_before_purchase": lambda s, d: R.asof_view_before_purchase(
             _events(s, d)
         ),
@@ -220,6 +218,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- past the driver's 50-row window ----
         # oracle-eligible, all driver-green in CORRECTNESS_r01
         # (re-checked every round by tools/check_oracle.py)
+        "user_moving_spend": lambda s, d: R.user_moving_spend(_events(s, d)),
+        "orders_with_expensive_items": lambda s, d: R.orders_with_expensive_items(
+            _orders(s, d), _lineitem(s, d)
+        ),
+        "event_type_counts_salted": lambda s, d: R.event_type_counts_salted(
+            _events(s, d)
+        ),
+        "sessionize": lambda s, d: R.sessionize(_events(s, d)),
+        "session_window_counts": lambda s, d: R.session_window_counts(
+            _events(s, d)
+        ),
         "event_type_rollup": lambda s, d: R.event_type_rollup(_events(s, d)),
         "event_type_cube": lambda s, d: R.event_type_cube(_events(s, d)),
         "distinct_users": lambda s, d: R.distinct_users(_events(s, d)),
@@ -873,6 +882,101 @@ g AS (SELECT unnest(list_transform(range(1, len(ws)),
       FROM t WHERE len(ws) >= 2)
 SELECT ngram, count(*) AS n_occurrences FROM g GROUP BY ngram
 ORDER BY n_occurrences DESC, ngram LIMIT 20
+""",
+        "gopher_quality": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+ CAST(len(w) AS BIGINT) AS n_words,
+ CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+   / len(w) AS mean_word_len,
+ CAST(list_max(list_transform(list_distinct(w),
+        d2 -> len(list_filter(w, x -> x = d2)))) AS BIGINT)
+   / len(w) AS top_word_frac,
+ len(list_distinct(w)) / len(w) AS distinct_frac,
+ CAST(len(list_filter(w, x -> list_contains(
+   ['the','a','of','to','and','in','is','for','on','at'], x))) AS BIGINT)
+   AS n_stopwords,
+ (len(w) >= 10 AND len(w) <= 1000
+  AND CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+        / len(w) >= 2.0
+  AND CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+        / len(w) <= 12.0
+  AND CAST(list_max(list_transform(list_distinct(w),
+        d2 -> len(list_filter(w, x -> x = d2)))) AS BIGINT)
+        / len(w) <= 0.20
+  AND len(list_distinct(w)) / len(w) >= 0.30
+  AND len(list_filter(w, x -> list_contains(
+   ['the','a','of','to','and','in','is','for','on','at'], x))) > 0)
+   AS passes_gopher
+FROM d
+""",
+        "repetition_stats": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+b AS (SELECT doc_id,
+             list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg
+      FROM d WHERE len(w) >= 2)
+SELECT doc_id,
+ CAST(len(bg) AS BIGINT) AS n_bigrams,
+ CAST(list_max(list_transform(list_distinct(bg),
+        d2 -> len(list_filter(bg, x -> x = d2)))) AS BIGINT)
+   AS top_bigram_count,
+ CAST(list_max(list_transform(list_distinct(bg),
+        d2 -> len(list_filter(bg, x -> x = d2)))) AS BIGINT)
+   / len(bg) AS top_bigram_frac,
+ (len(bg) - len(list_distinct(bg))) / len(bg) AS dup_bigram_frac
+FROM b
+""",
+        "unigram_commonness": """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+tot AS (SELECT sum(c) AS t FROM vocab),
+ppm AS (SELECT w, CAST(c * 1000000 // t AS BIGINT) AS ppm FROM vocab, tot)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(ppm) AS BIGINT) AS sum_ppm,
+       CAST(sum(ppm) // count(*) AS BIGINT) AS mean_ppm
+FROM toks JOIN ppm USING (w) GROUP BY doc_id
+""",
+        "pii_redact": """
+SELECT doc_id,
+ regexp_replace(regexp_replace(regexp_replace(text,
+   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+   '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
+   '\\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS clean_text,
+ CAST(len(regexp_extract_all(text,
+   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+ CAST(len(regexp_extract_all(regexp_replace(text,
+   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+   '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+ CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text,
+   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+   '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
+   '\\+?[0-9][0-9 -]{7,}[0-9]')) AS BIGINT) AS n_phones
+FROM documents
+""",
+        "chunk_dedup": """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+chunks AS (
+ SELECT doc_id, CAST(x.i AS INT) AS pos,
+        array_to_string(list_slice(w, CAST(x.i AS INT) * 8 + 1,
+                                   CAST(x.i AS INT) * 8 + 8), ' ') AS chunk
+ FROM docs, unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS x(i)),
+ranked AS (
+ SELECT doc_id, pos, chunk,
+        row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+ FROM chunks),
+rebuilt AS (
+ SELECT doc_id, count(*) AS kept_chunks,
+        string_agg(chunk, ' ' ORDER BY pos) AS dedup_text
+ FROM ranked WHERE rn = 1 GROUP BY doc_id),
+tot AS (SELECT doc_id,
+               CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT)
+                 AS total_chunks
+        FROM documents)
+SELECT t.doc_id, t.total_chunks,
+       CAST(COALESCE(r.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+       COALESCE(r.dedup_text, '') AS dedup_text
+FROM tot t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 """,
         "sequence_pack": """
 WITH t AS (

@@ -73,6 +73,11 @@ BENCH_QUERIES = [
     "session_window_counts",
     "asof_view_before_purchase",
     "dedup_exact",
+    "chunk_dedup",
+    "gopher_quality",
+    "repetition_stats",
+    "unigram_commonness",
+    "pii_redact",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",

@@ -529,3 +529,66 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def chunk_dedup(documents: DataFrame, k: int = 8) -> DataFrame:
+    """Exact substring deduplication at chunk granularity (the
+    suffix-array dedup of the training-data literature, restricted to
+    aligned k-word chunks so it stays a pure groupBy problem): split
+    each document into non-overlapping k-word chunks, keep only the
+    globally FIRST occurrence of each chunk text (min (doc_id, pos)),
+    and reassemble what survives of each document.
+
+    Scale: one shuffle on chunk text (hash-partitioned, map-side
+    min pre-aggregation), one key join back on (chunk, doc, pos) —
+    no O(n²) pair space.  Reassembly sorts each doc's surviving
+    chunks in-row (``sort_array``), not with a global orderBy.
+    """
+    chunks = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(split(text,' ')) / {k}.0) "
+                f"AS INT) - 1), i -> concat_ws(' ', slice(split(text,' '), "
+                f"i * {k} + 1, {k})))"
+            )
+        ).alias("pos", "chunk"),
+    )
+    first = chunks.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "pos")).alias("keep")
+    )
+    kept = (
+        chunks.alias("c")
+        .join(
+            first.alias("f"),
+            (F.col("c.chunk") == F.col("f.chunk"))
+            & (F.col("c.doc_id") == F.col("f.keep.doc_id"))
+            & (F.col("c.pos") == F.col("f.keep.pos")),
+        )
+        .select(F.col("c.doc_id"), F.col("c.pos"), F.col("c.chunk"))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_chunks"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    totals = documents.select(
+        "doc_id",
+        F.expr(
+            f"CAST(ceil(size(split(text,' ')) / {k}.0) AS BIGINT)"
+        ).alias("total_chunks"),
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_chunks",
+            F.coalesce("kept_chunks", F.lit(0)).cast("bigint").alias("kept_chunks"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
+    )

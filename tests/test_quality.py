@@ -1,0 +1,121 @@
+"""Quality-operator semantics on constructed documents (the corpus
+hash validation is the DuckDB oracle; these pin behaviors the
+synthetic corpus can't exercise: rule edges, PII hits, chunk-dedup
+first-occurrence semantics)."""
+
+import duckdb
+import pytest
+
+from flink_window_dgim_traffic_spark.operators import dedup as D
+from flink_window_dgim_traffic_spark.operators import quality as QL
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+GOOD = "the quick brown fox jumps over a lazy dog near the old river bank today"
+
+
+def test_gopher_rules(spark):
+    rows = [
+        GOOD,                                   # passes everything
+        "spam spam spam spam spam spam spam spam spam eggs the",  # top-word frac
+        "short the text",                       # too few words
+        "the a b c d e f g h i j",              # mean word length < 2 fails
+    ]
+    out = {r["doc_id"]: r for r in QL.gopher_quality(_docs(spark, rows)).collect()}
+    assert out[0]["passes_gopher"]
+    assert not out[1]["passes_gopher"] and out[1]["top_word_frac"] > 0.5
+    assert not out[2]["passes_gopher"] and out[2]["n_words"] == 3
+    assert not out[3]["passes_gopher"] and out[3]["mean_word_len"] < 2.0
+    assert out[0]["n_stopwords"] == 3  # the, a, the
+
+
+def test_repetition_stats(spark):
+    rows = [
+        "a b a b a b a b",   # bigrams: 'a b'x4, 'b a'x3 -> top 4/7
+        "x y z w",           # all distinct bigrams
+        "solo",              # filtered out (n < 2)
+    ]
+    out = {r["doc_id"]: r for r in QL.repetition_stats(_docs(spark, rows)).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_bigrams"] == 7 and out[0]["top_bigram_count"] == 4
+    assert out[1]["dup_bigram_frac"] == 0.0
+    assert abs(out[0]["dup_bigram_frac"] - 5 / 7) < 1e-12  # 7 total, 2 distinct
+
+
+def test_unigram_commonness_exact(spark):
+    rows = ["a a b", "c"]  # counts: a=2,b=1,c=1, total=4
+    out = {r["doc_id"]: r for r in QL.unigram_commonness(_docs(spark, rows)).collect()}
+    # ppm: a=500000, b=250000, c=250000
+    assert out[0]["sum_ppm"] == 2 * 500000 + 250000
+    assert out[0]["mean_ppm"] == out[0]["sum_ppm"] // 3
+    assert out[1]["sum_ppm"] == 250000 and out[1]["n_tokens"] == 1
+
+
+PII_ROWS = [
+    "contact bob.smith+x@example.co.uk or 10.0.255.1 now",
+    "call +1 555 123-4567 or 555 987 6543 today",
+    "no pii here at all",
+]
+
+
+def test_pii_redact_constructed(spark):
+    out = {r["doc_id"]: r for r in QL.pii_redact(_docs(spark, PII_ROWS)).collect()}
+    assert out[0]["n_emails"] == 1 and out[0]["n_ips"] == 1
+    assert "<EMAIL>" in out[0]["clean_text"] and "<IP>" in out[0]["clean_text"]
+    assert "example" not in out[0]["clean_text"]
+    assert out[1]["n_phones"] >= 1 and "<PHONE>" in out[1]["clean_text"]
+    assert out[2]["clean_text"] == PII_ROWS[2]
+    assert out[2]["n_emails"] == out[2]["n_ips"] == out[2]["n_phones"] == 0
+
+
+def test_pii_redact_matches_duckdb_dialect(spark):
+    """The Java-regex and RE2 engines must agree on these patterns
+    (the corpus has no PII, so the driver's hash check can't see a
+    dialect divergence — this pins it on strings that do)."""
+    import __spark_entry__ as entry
+
+    spark_rows = sorted(
+        (r["doc_id"], r["clean_text"], r["n_emails"], r["n_ips"], r["n_phones"])
+        for r in QL.pii_redact(_docs(spark, PII_ROWS)).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        _docs(spark, PII_ROWS).toPandas(),
+    )
+    duck_rows = sorted(
+        tuple(r)
+        for r in con.execute(entry.oracle_sql()["pii_redact"]).fetchall()
+    )
+    assert spark_rows == duck_rows
+
+
+def test_chunk_dedup_first_occurrence(spark):
+    k = 8
+    c1 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    c2 = "x1 x2 x3 x4 x5 x6 x7 x8"
+    c3 = "y1 y2 y3 y4 y5 y6 y7 y8"
+    rows = [
+        f"{c1} {c2}",       # doc 0: keeps both
+        f"{c2} {c3}",       # doc 1: c2 already seen -> keeps c3 only
+        c1,                 # doc 2: fully duplicate -> empty
+        "tail only short",  # doc 3: short chunk, unique
+    ]
+    out = {r["doc_id"]: r for r in D.chunk_dedup(_docs(spark, rows), k=k).collect()}
+    assert out[0]["kept_chunks"] == 2 and out[0]["dedup_text"] == f"{c1} {c2}"
+    assert out[1]["kept_chunks"] == 1 and out[1]["dedup_text"] == c3
+    assert out[2]["kept_chunks"] == 0 and out[2]["dedup_text"] == ""
+    assert out[3]["kept_chunks"] == 1 and out[3]["total_chunks"] == 1
+
+
+def test_chunk_dedup_within_doc_duplicates(spark):
+    c = "r1 r2 r3 r4 r5 r6 r7 r8"
+    out = D.chunk_dedup(_docs(spark, [f"{c} {c} {c}"]), k=8).collect()[0]
+    assert out["total_chunks"] == 3
+    assert out["kept_chunks"] == 1 and out["dedup_text"] == c
