@@ -284,6 +284,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "simsearch_ann_lsh": lambda s, d: S.simsearch_ann_lsh(_embeddings(s, d)),
         "simsearch_ann_ivf": lambda s, d: S.simsearch_ann_ivf(_embeddings(s, d)),
+        "simsearch_ann_ivfpq": lambda s, d: S.simsearch_ann_ivfpq(
+            _embeddings(s, d)
+        ),
         "approx_distinct_users": lambda s, d: R.approx_distinct_users(_events(s, d)),
         # DGIM variants: estimate values anchored transitively via
         # tumble_dgim_bound (oracle-green closed form) + equality/

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "simsearch_topk",
     "simsearch_ann_lsh",
     "simsearch_ann_ivf",
+    "simsearch_ann_ivfpq",
     "embedding_neardup_blocked",
     "embedding_neardup_lsh",
     "multimodal_features",

@@ -381,6 +381,196 @@ def simsearch_ann_ivf(
     )
 
 
+def simsearch_ann_ivfpq(
+    embeddings: DataFrame,
+    n_query: int = N_QUERY,
+    k: int = TOP_K,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    rerank: int = 4,
+    sample_n: int = 2048,
+    iters: int = 8,
+) -> DataFrame:
+    """IVF-PQ ANN top-k: the IVF coarse quantizer of
+    :func:`simsearch_ann_ivf` plus a product-quantization code per
+    vector — ``n_sub`` subspaces × ``n_codes`` codewords trained on
+    residuals (v − centroid) from the same bounded, seeded sample.
+    Candidates are scored with an asymmetric-distance (ADC) lookup
+    table (query · (centroid + codeword) per subspace — M byte
+    lookups per candidate instead of a d-float dot product), the top
+    ``rerank·k`` per query survive, and only those fetch their full
+    vectors for the exact sequential-fold cosine re-rank, so ties and
+    scores match :func:`simsearch_topk` on whatever PQ recalls.
+
+    Scale model: the candidate scan reads (cluster, 8-byte code)
+    per vector — at 100 TB of fp32 embeddings the PQ sweep touches
+    ~1/32nd of the bytes, and the exact re-rank joins back by key for
+    ``rerank·k·n_query`` rows only.  Codebooks are
+    O(n_sub·n_codes·dim) and broadcast."""
+    import numpy as np
+
+    rows = (
+        embeddings.orderBy("vec_id")
+        .limit(sample_n)
+        .select(as_double(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    if not rows:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, score double, rnk bigint"
+        )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    dim = Xn.shape[1]
+    n_centroids = min(n_centroids, len(Xn))
+    nprobe = min(nprobe, n_centroids)
+    while dim % n_sub:  # degenerate dims: shrink subspace count
+        n_sub //= 2
+    d_sub = dim // n_sub
+
+    rng = np.random.RandomState(97)
+    C = Xn[rng.choice(len(Xn), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for c in range(n_centroids):
+            members = Xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nn = np.linalg.norm(m)
+                if nn > 0:
+                    C[c] = m / nn
+
+    # PQ codebooks on residuals, one small k-means per subspace
+    assign = np.argmax(Xn @ C.T, axis=1)
+    R = Xn - C[assign]
+    books = np.zeros((n_sub, n_codes, d_sub))
+    for m in range(n_sub):
+        sub = R[:, m * d_sub : (m + 1) * d_sub]
+        kk = min(n_codes, len(sub))
+        B = sub[rng.choice(len(sub), size=kk, replace=False)]
+        for _ in range(iters):
+            a = np.argmin(
+                ((sub[:, None, :] - B[None, :, :]) ** 2).sum(axis=2), axis=1
+            )
+            for j in range(kk):
+                mem = sub[a == j]
+                if len(mem):
+                    B[j] = mem.mean(axis=0)
+        books[m, :kk] = B
+
+    @pandas_udf("struct<cluster:int, code:array<tinyint>>")
+    def encode(vecs: pd.Series) -> pd.DataFrame:
+        V = np.array(list(vecs), dtype=np.float64)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        cl = np.argmax(V @ C.T, axis=1)
+        Rv = V - C[cl]
+        codes = np.zeros((len(V), n_sub), dtype=np.int8)
+        for m in range(n_sub):
+            sub = Rv[:, m * d_sub : (m + 1) * d_sub]
+            d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = np.argmin(d2, axis=1).astype(np.int8)
+        return pd.DataFrame(
+            {"cluster": cl.astype("int32"), "code": list(codes)}
+        )
+
+    enc = _with_vec(embeddings).withColumn("pq", encode(F.col("v")))
+    enc = enc.select(
+        "vec_id", "v", "nrm", F.col("pq.cluster").alias("cluster"),
+        F.col("pq.code").alias("code"),
+    )
+
+    # bounded query set driver-side (n_query rows), LUTs built per probe
+    qrows = (
+        enc.filter(F.col("vec_id") < n_query)
+        .select("vec_id", "v")
+        .collect()
+    )
+    if not qrows:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, score double, rnk bigint"
+        )
+    Q = {r["vec_id"]: np.array(r["v"], dtype=np.float64) for r in qrows}
+    for qid in Q:
+        Q[qid] = Q[qid] / max(np.linalg.norm(Q[qid]), 1e-300)
+    # LUT[qid][cluster][m][j] = q_sub · (C_sub + book[m,j])
+    probes = {
+        qid: np.argsort(-(qv @ C.T), kind="stable")[:nprobe]
+        for qid, qv in Q.items()
+    }
+    lut = {}
+    for qid, qv in Q.items():
+        per_cluster = {}
+        for cl in probes[qid]:
+            t = np.zeros((n_sub, n_codes))
+            for m in range(n_sub):
+                qs = qv[m * d_sub : (m + 1) * d_sub]
+                t[m] = (C[cl][m * d_sub : (m + 1) * d_sub] + books[m]) @ qs
+            per_cluster[int(cl)] = t
+        lut[int(qid)] = per_cluster
+
+    probe_rows = [
+        (int(qid), int(cl)) for qid in Q for cl in probes[qid]
+    ]
+    probe_df = embeddings.sparkSession.createDataFrame(
+        probe_rows, "query_id bigint, cluster int"
+    )
+
+    @pandas_udf("double")
+    def adc(qids: pd.Series, clusters: pd.Series, codes: pd.Series) -> pd.Series:
+        out = np.empty(len(qids))
+        for i, (qid, cl, code) in enumerate(
+            zip(qids.values, clusters.values, codes)
+        ):
+            t = lut[int(qid)][int(cl)]
+            out[i] = t[np.arange(n_sub), np.asarray(code, dtype=np.int64)].sum()
+        return pd.Series(out)
+
+    cands = (
+        F.broadcast(probe_df)
+        .join(enc.select("vec_id", "cluster", "code"), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "approx", adc(F.col("query_id"), F.col("cluster"), F.col("code"))
+        )
+    )
+    w_approx = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.col("vec_id")
+    )
+    shortlist = (
+        cands.withColumn("arnk", F.row_number().over(w_approx))
+        .filter(F.col("arnk") <= rerank * k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+    qdf = _with_vec(embeddings).filter(F.col("vec_id") < n_query).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    exact = (
+        shortlist.join(
+            _with_vec(embeddings), F.col("neighbor_id") == F.col("vec_id")
+        )
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _pair_score(
+                F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 # ----------------------------------------------------------------------
 # LSH-bucketed ANN — random-hyperplane signs as bucket keys
 # ----------------------------------------------------------------------

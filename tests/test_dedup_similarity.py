@@ -304,3 +304,28 @@ def test_jaccard_heavy_path_exact(spark):
         }  # default cap=256 ⇒ everything light here ⇒ classic self-join
         assert got == want, f"heavy path diverged at t={t}"
     assert (100, 101, 1.0) in want
+
+
+def test_ivfpq_recall_and_determinism(embeddings):
+    """IVF-PQ must be deterministic, beat a low recall bar against
+    brute force, and its surviving scores must be the EXACT cosine
+    (the re-rank path), i.e. agree with simsearch_topk wherever the
+    pair overlaps."""
+    exact_rows = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in S.simsearch_topk(embeddings).collect()
+    }
+    pq1 = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in S.simsearch_ann_ivfpq(embeddings).collect()
+    }
+    pq2 = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in S.simsearch_ann_ivfpq(embeddings).collect()
+    }
+    assert pq1 == pq2
+    overlap = set(pq1) & set(exact_rows)
+    recall = len(overlap) / len(exact_rows)
+    assert recall >= 0.3, f"IVF-PQ recall {recall:.2f} too low"
+    for pair in overlap:
+        assert pq1[pair] == exact_rows[pair]

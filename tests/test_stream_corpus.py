@@ -96,3 +96,19 @@ def test_bpe_encode_on_stream_matches_batch(spark, sf_dir, doc_stream_dir):
     want = sorted(map(tuple, B.bpe_token_count(docs, merges=merges).collect()))
     assert got == want
     q.stop()
+
+
+def test_gopher_and_pii_on_stream_match_batch(spark, sf_dir, doc_stream_dir):
+    """The round-2 quality filters are stateless too: the same
+    gopher_quality / pii_redact plans run under the streaming runner
+    and emit exactly the batch rows."""
+    from flink_window_dgim_traffic_spark.operators import quality as QL
+
+    docs = table(spark, sf_dir, "documents")
+    for fn, name in ((QL.gopher_quality, "t_gq_stream"),
+                     (QL.pii_redact, "t_pii_stream")):
+        q = _run(fn(_doc_stream(spark, doc_stream_dir)), name)
+        got = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
+        want = sorted(map(tuple, fn(docs).collect()))
+        assert got == want
+        q.stop()
