@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "q17_small_quantity",
     "q19_discounted_revenue",
     "q22_global_sales",
+    "nation_party_full_outer",
+    "user_range_spend",
+    "event_grouping_sets",
     "top_customers_per_nation",
     "event_type_cube",
     "event_type_rollup",

@@ -878,3 +878,72 @@ def party_contact_counts(
         .groupBy("nationkey", "role")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def nation_party_full_outer(
+    customer: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """FULL OUTER join of per-nation customer and supplier counts —
+    the outer-join completion of the relational surface (nations with
+    customers but no suppliers survive with NULL-side counts, and
+    vice versa).  Both inputs pre-aggregate to nation granularity
+    before the join, so the outer join itself is tiny."""
+    c = customer.groupBy(F.col("c_nationkey").alias("nk_c")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    s = supplier.groupBy(F.col("s_nationkey").alias("nk_s")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        c.join(s, F.col("nk_c") == F.col("nk_s"), "full_outer")
+        .select(
+            F.coalesce("nk_c", "nk_s").cast("bigint").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+def user_range_spend(events: DataFrame, days: int = 7) -> DataFrame:
+    """RANGE-frame window aggregate: trailing ``days``-DAY sum of
+    ``value`` per user, bounded by event TIME rather than row count
+    (the time-interval sibling of :func:`user_moving_spend`).  The
+    frame is expressed on epoch seconds so both engines share one
+    integer range."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-(days * 86400 - 1), 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.sum(_dec("value")).over(w).cast("double").alias("range_sum"),
+        F.count(F.lit(1)).over(w).alias("range_n"),
+    )
+
+
+def event_grouping_sets(events: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS — (type, day), (type), (day) but NOT the
+    grand total, which neither rollup nor cube can express alone.
+    Uses the SQL form (Spark has no DataFrame literal for grouping
+    sets); GROUPING() flags disambiguate the NULL semantics."""
+    events.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "value",
+    ).createOrReplaceTempView("_egs_events")
+    return events.sparkSession.sql(
+        """
+        SELECT event_type, day,
+               CAST(grouping(event_type) AS BIGINT) AS g_type,
+               CAST(grouping(day) AS BIGINT) AS g_day,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM _egs_events
+        GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))
+        """
+    )

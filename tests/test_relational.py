@@ -211,3 +211,43 @@ def test_q22_anti_join(spark):
     )
     rows = R.q22_global_sales(cust, orders).collect()
     assert len(rows) == 1 and rows[0]["numcust"] == 1  # only cust 2
+
+
+def test_full_outer_preserves_both_sides(spark):
+    cust = spark.createDataFrame([(1, 10), (2, 10), (3, 20)],
+                                 "c_custkey long, c_nationkey int")
+    supp = spark.createDataFrame([(1, 20), (2, 30)],
+                                 "s_suppkey long, s_nationkey int")
+    got = {r["nationkey"]: (r["n_customers"], r["n_suppliers"])
+           for r in R.nation_party_full_outer(cust, supp).collect()}
+    assert got == {10: (2, 0), 20: (1, 1), 30: (0, 1)}
+
+
+def test_range_frame_uses_time_not_rows(spark):
+    rows = [
+        (1, 7, "2024-01-01 00:00:00", 1.0),
+        (2, 7, "2024-01-05 00:00:00", 2.0),   # within 7d of #1
+        (3, 7, "2024-01-20 00:00:00", 4.0),   # alone in its frame
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["event_id"]: (r["range_sum"], r["range_n"])
+           for r in R.user_range_spend(ev).collect()}
+    assert got[1] == (1.0, 1)
+    assert got[2] == (3.0, 2)
+    assert got[3] == (4.0, 1)
+
+
+def test_grouping_sets_no_grand_total(events):
+    out = R.event_grouping_sets(events)
+    rows = out.collect()
+    # grand total (both grouped-out) must NOT appear
+    assert not any(r["g_type"] == 1 and r["g_day"] == 1 for r in rows)
+    # per-type totals must equal the sum of their per-day cells
+    per_type = {r["event_type"]: r["n"] for r in rows
+                if r["g_type"] == 0 and r["g_day"] == 1}
+    cells = {}
+    for r in rows:
+        if r["g_type"] == 0 and r["g_day"] == 0:
+            cells[r["event_type"]] = cells.get(r["event_type"], 0) + r["n"]
+    assert per_type == cells
