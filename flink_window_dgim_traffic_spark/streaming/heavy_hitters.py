@@ -1,0 +1,140 @@
+"""Streaming heavy hitters: the incremental twin of
+``operators.heavy_hitters.heavy_hitters_ngrams`` (same SpaceSaving
+sketch, same bounds) maintained in the Spark state store and updated
+once per micro-batch.
+
+Sharding model: n-grams hash-partition into ``n_shards`` DISJOINT
+shards (``pmod(xxhash64(ngram), n_shards)``); each shard key owns one
+SpaceSaving sketch of ``capacity`` counters in state.  Because shards
+are disjoint (unlike the batch operator's overlapping per-partition
+sketches), the merge is simpler and tighter: an item's only sketch is
+its shard's, so ``est - err ≤ true ≤ est`` when present, and an
+absent item is bounded by its shard's min counter.  Any item with
+true count > its shard's min is guaranteed present (standard
+SpaceSaving completeness, applied per shard).
+
+State per shard is O(capacity); total state is O(n_shards · capacity)
+forever — the bounded-state property that makes this run on an
+unbounded stream where the exact ``top_ngrams`` aggregation's state
+grows with the distinct-ngram count.
+
+Each trigger every updated shard re-emits its full sketch tagged with
+``n_seen`` (items consumed so far), so a reader takes the max-
+``n_seen`` emission per shard for the current answer — the same
+read-your-latest convention as the upsert sink emulation
+(``jobs.py:read_upsert_state``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from flink_window_dgim_traffic_spark.operators.heavy_hitters import (
+    CAPACITY,
+    TOP_K,
+    SpaceSaving,
+    _ngram_col,
+)
+
+N_SHARDS = 8
+
+STATE_SCHEMA = (
+    "items array<string>, ests array<bigint>, errs array<bigint>, "
+    "n_seen bigint"
+)
+OUTPUT_SCHEMA = (
+    "shard bigint, ngram string, est bigint, err bigint, "
+    "min_count bigint, n_seen bigint"
+)
+
+
+def make_update_fn(capacity: int = CAPACITY):
+    """Importable closure factory (cloudpickle ships only config)."""
+
+    def update(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        ss = SpaceSaving(capacity)
+        n_seen = 0
+        if state.exists:
+            items, ests, errs, n_seen = state.get
+            ss.counters = {
+                i: (int(c), int(e)) for i, c, e in zip(items, ests, errs)
+            }
+        for pdf in pdfs:
+            for g in pdf["ngram"]:
+                ss.add(g)
+                n_seen += 1
+        items = sorted(ss.counters.items())
+        state.update(
+            (
+                [g for g, _ in items],
+                [c for _, (c, _) in items],
+                [e for _, (_, e) in items],
+                n_seen,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": pd.Series([key[0]] * len(items), dtype="int64"),
+                "ngram": [g for g, _ in items],
+                "est": pd.Series([c for _, (c, _) in items], dtype="int64"),
+                "err": pd.Series([e for _, (_, e) in items], dtype="int64"),
+                "min_count": pd.Series(
+                    [ss.min_count] * len(items), dtype="int64"
+                ),
+                "n_seen": pd.Series([n_seen] * len(items), dtype="int64"),
+            }
+        )
+
+    return update
+
+
+def heavy_hitters_stream(
+    documents_stream: DataFrame,
+    n: int = 2,
+    capacity: int = CAPACITY,
+    n_shards: int = N_SHARDS,
+) -> DataFrame:
+    """Unbounded stream of documents → per-shard SpaceSaving sketch
+    emissions (update mode).  Use :func:`merge_sharded_sketches` on
+    the collected output to get the global top-k with bounds."""
+    grams = documents_stream.select(_ngram_col(n)).withColumn(
+        "shard", F.pmod(F.xxhash64("ngram"), F.lit(n_shards)).cast("bigint")
+    )
+    return grams.groupBy("shard").applyInPandasWithState(
+        make_update_fn(capacity),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def merge_sharded_sketches(rows: list, k: int = TOP_K) -> list:
+    """Driver-side merge of the LATEST emission per shard (rows =
+    collected OUTPUT_SCHEMA records): shards are disjoint, so each
+    item's bounds come from its own shard alone.  Returns the top-k
+    as (ngram, est_lower, est_upper) ordered by est_upper desc,
+    ngram asc — the same output contract as the batch operator."""
+    latest: dict[int, int] = {}
+    for r in rows:
+        latest[r["shard"]] = max(latest.get(r["shard"], -1), r["n_seen"])
+    items = {}
+    for r in rows:
+        if r["n_seen"] == latest[r["shard"]]:
+            items[r["ngram"]] = (
+                max(0, r["est"] - r["err"]),
+                r["est"],
+            )
+    out = [
+        {"ngram": g, "est_lower": lo, "est_upper": hi}
+        for g, (lo, hi) in items.items()
+    ]
+    out.sort(key=lambda d: (-d["est_upper"], d["ngram"]))
+    return out[:k]
