@@ -42,30 +42,72 @@ TOP_K = 20
 
 
 class SpaceSaving:
-    """Classic SpaceSaving: ``capacity`` (count, err) counters."""
+    """Classic SpaceSaving: ``capacity`` (count, err) counters.
+
+    Evictions pick the min-count item with a deterministic
+    lexicographic tie-break (identical inputs ⇒ identical sketches).
+    A count→items bucket index keeps eviction amortized O(1) instead
+    of scanning all counters per evict (min counts only ever grow in
+    SpaceSaving, so the lazily-advanced ``_mn`` cursor never moves
+    backwards) — this is the hot loop of the whole operator."""
 
     def __init__(self, capacity: int):
         self.capacity = capacity
         self.counters: dict[str, tuple[int, int]] = {}
+        self._buckets: dict[int, set] = {}
+        self._mn = 1
+
+    @classmethod
+    def from_counters(
+        cls, capacity: int, counters: dict[str, tuple[int, int]]
+    ) -> "SpaceSaving":
+        """Restore a sketch from serialized (count, err) counters
+        (the streaming state-store path)."""
+        ss = cls(capacity)
+        ss.counters = dict(counters)
+        ss._rebuild_index()
+        return ss
+
+    def _rebuild_index(self) -> None:
+        self._buckets = {}
+        self._mn = 1
+        for item, (c, _) in self.counters.items():
+            self._buckets.setdefault(c, set()).add(item)
 
     def add(self, item: str) -> None:
         c = self.counters.get(item)
         if c is not None:
-            self.counters[item] = (c[0] + 1, c[1])
+            cnt, err = c
+            self.counters[item] = (cnt + 1, err)
+            b = self._buckets.get(cnt)
+            if b is not None:
+                b.discard(item)
+                if not b:
+                    del self._buckets[cnt]
+            self._buckets.setdefault(cnt + 1, set()).add(item)
         elif len(self.counters) < self.capacity:
             self.counters[item] = (1, 0)
+            self._buckets.setdefault(1, set()).add(item)
+            self._mn = 1
         else:
-            # evict the min-count item (deterministic tie-break on the
-            # item so identical inputs give identical sketches)
-            m = min(self.counters.items(), key=lambda kv: (kv[1][0], kv[0]))
-            del self.counters[m[0]]
-            self.counters[item] = (m[1][0] + 1, m[1][0])
+            while self._mn not in self._buckets:
+                self._mn += 1
+            bucket = self._buckets[self._mn]
+            victim = min(bucket)
+            bucket.discard(victim)
+            if not bucket:
+                del self._buckets[self._mn]
+            m = self.counters.pop(victim)[0]
+            self.counters[item] = (m + 1, m)
+            self._buckets.setdefault(m + 1, set()).add(item)
 
     @property
     def min_count(self) -> int:
         if len(self.counters) < self.capacity:
             return 0
-        return min(c for c, _ in self.counters.values())
+        while self._mn not in self._buckets:
+            self._mn += 1
+        return self._mn
 
 
 def _ngram_col(n: int) -> F.Column:
@@ -82,8 +124,16 @@ def heavy_hitters_ngrams(
     k: int = TOP_K,
 ) -> DataFrame:
     """Top-``k`` n-grams by SpaceSaving upper bound:
-    (ngram, est_lower, est_upper), ordered by est_upper desc, ngram."""
-    grams = documents.select(_ngram_col(n))
+    (ngram, est_lower, est_upper), ordered by est_upper desc, ngram.
+
+    The documents are hash-repartitioned on doc_id before the sketch
+    phase: a small corpus can arrive as ONE file split, which would
+    serialize the whole per-item fold into a single task.  On a real
+    cluster the input already has many splits and AQE may coalesce
+    this exchange away; the shuffle moves documents (narrow rows),
+    never the exploded n-grams."""
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    grams = documents.repartition(par, "doc_id").select(_ngram_col(n))
 
     def sketch_partition(
         batches: Iterator[pd.DataFrame],

@@ -63,9 +63,10 @@ def make_update_fn(capacity: int = CAPACITY):
         n_seen = 0
         if state.exists:
             items, ests, errs, n_seen = state.get
-            ss.counters = {
-                i: (int(c), int(e)) for i, c, e in zip(items, ests, errs)
-            }
+            ss = SpaceSaving.from_counters(
+                capacity,
+                {i: (int(c), int(e)) for i, c, e in zip(items, ests, errs)},
+            )
         for pdf in pdfs:
             for g in pdf["ngram"]:
                 ss.add(g)

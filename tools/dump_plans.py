@@ -53,6 +53,19 @@ SHOWCASE = {
     "sequence_pack": "single shuffle on (source, shard); the prefix "
     "sum is per-shard, so the window never degenerates to one "
     "global-order partition",
+    "q7_volume_shipping": "both nation dims broadcast twice under "
+    "different aliases; fact chain shuffles on its keys only",
+    "q18_large_volume_customers": "heavy groupBy FIRST on the "
+    "2-column projection; only qualifying orders join dimensions",
+    "q17_small_quantity": "per-part threshold via groupBy + "
+    "broadcast join-back — no window function, no per-row re-sort",
+    "chunk_dedup": "one shuffle on chunk text with map-side min "
+    "pre-aggregation; reassembly sorts in-row, never globally",
+    "gopher_quality": "map-only: every rule is a JVM expression over "
+    "a staged words array, ZERO shuffles",
+    "unigram_commonness": "vocab shuffle is map-side combined; "
+    "integer-ppm scores broadcast back; per-doc sums are exact "
+    "BIGINTs so the plan can re-order freely",
 }
 
 
