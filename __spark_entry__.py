@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": lambda s, d: QL.pii_redact(_documents(s, d)),
         "chunk_dedup": lambda s, d: D.chunk_dedup(_documents(s, d)),
         # --- SQL-surface completions (round 2, never verified) ---
+        "curation_funnel": lambda s, d: PL.curation_funnel(_documents(s, d)),
         "nation_party_full_outer": lambda s, d: R.nation_party_full_outer(
             _customer(s, d), _supplier(s, d)
         ),
@@ -198,9 +199,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_grouping_sets": lambda s, d: R.event_grouping_sets(_events(s, d)),
         # --- dedup + text (north star, oracle-eligible) ---
         "dedup_exact": lambda s, d: D.dedup_exact(_documents(s, d)),
-        "ngram_jaccard_pairs": lambda s, d: D.ngram_jaccard_pairs(
-            _documents(s, d), threshold=0.5
-        ),
         "neardup_clusters": lambda s, d: D.neardup_clusters(
             D.ngram_jaccard_pairs(_documents(s, d), threshold=0.8)
         ),
@@ -258,6 +256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "text_stats": lambda s, d: T.text_stats(_documents(s, d)),
         "top_ngrams": lambda s, d: T.top_ngrams(_documents(s, d)),
+        "ngram_jaccard_pairs": lambda s, d: D.ngram_jaccard_pairs(
+            _documents(s, d), threshold=0.5
+        ),
         # plan-identical twins of in-window queries (oracle_sql entries
         # retained; equality to their twins is asserted in pytest)
         "sql_tumble_exact": lambda s, d: Q.sql_tumble_exact(s, d, 60),
@@ -891,6 +892,45 @@ g AS (SELECT unnest(list_transform(range(1, len(ws)),
       FROM t WHERE len(ws) >= 2)
 SELECT ngram, count(*) AS n_occurrences FROM g GROUP BY ngram
 ORDER BY n_occurrences DESC, ngram LIMIT 20
+""",
+        "curation_funnel": """
+WITH nobench AS (SELECT * FROM documents WHERE source <> 'src0'),
+dedup AS (SELECT * FROM nobench WHERE doc_id IN
+          (SELECT min(doc_id) FROM nobench GROUP BY text)),
+tok AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+        FROM documents),
+idx AS (SELECT doc_id, source, ws,
+               unnest(generate_series(1, len(ws) - 2)) AS i FROM tok),
+sh AS (SELECT DISTINCT doc_id, source,
+              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM idx),
+bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+dsh AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
+dirty AS (
+  SELECT dsh.doc_id FROM dsh LEFT JOIN bench b ON dsh.s = b.s
+  GROUP BY dsh.doc_id
+  HAVING round(CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) / count(*), 6) > 0.2),
+clean AS (SELECT * FROM dedup
+          WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+gw AS (SELECT doc_id, string_split(text, ' ') AS w FROM clean),
+gpass AS (SELECT doc_id FROM gw WHERE
+  len(w) >= 10 AND len(w) <= 1000
+  AND CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+        / len(w) >= 2.0
+  AND CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+        / len(w) <= 12.0
+  AND CAST(list_max(list_transform(list_distinct(w),
+        d2 -> len(list_filter(w, x -> x = d2)))) AS BIGINT)
+        / len(w) <= 0.20
+  AND len(list_distinct(w)) / len(w) >= 0.30
+  AND len(list_filter(w, x -> list_contains(
+    ['the','a','of','to','and','in','is','for','on','at'], x))) > 0)
+SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+       count(*) AS n_docs FROM documents
+UNION ALL SELECT 1, 'drop_benchmark', count(*) FROM nobench
+UNION ALL SELECT 2, 'exact_dedup', count(*) FROM dedup
+UNION ALL SELECT 3, 'decontaminated', count(*) FROM clean
+UNION ALL SELECT 4, 'gopher_pass', count(*) FROM gpass
 """,
         "nation_party_full_outer": """
 WITH c AS (SELECT c_nationkey AS nk_c, count(*) AS n_customers

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "neardup_clusters",
     "training_corpus",
     "corpus_build",
+    "curation_funnel",
     "text_stats",
     "sequence_pack",
     "corpus_mix",

@@ -114,3 +114,60 @@ def corpus_build(
     )
     kept = kept.join(good.select("doc_id"), "doc_id", "left_semi")
     return sequence_pack(kept, context_len=context_len, n_shards=n_shards)
+
+
+def curation_funnel(
+    documents: DataFrame,
+    benchmark_source: str = "src0",
+    max_contamination: float = 0.2,
+) -> DataFrame:
+    """Curation funnel report: how many documents survive each
+    sequential gate of the corpus build — the dataset-card number
+    every training-data pipeline publishes.
+
+    Stages: raw → benchmark partition dropped → exact dedup →
+    decontaminated → Gopher rule filter.  Each stage is the SAME
+    operator used by the build pipelines (no reimplementation), and
+    each row of the output is one one-row aggregate; the stage chain
+    is semi/anti key joins end to end, so the funnel costs one pass
+    per gate and never collects.
+    """
+    from flink_window_dgim_traffic_spark.operators.corpus import (
+        contamination_check,
+    )
+    from flink_window_dgim_traffic_spark.operators.quality import (
+        gopher_quality,
+    )
+
+    s_raw = documents
+    s_nobench = s_raw.filter(F.col("source") != benchmark_source)
+    keep_exact = s_nobench.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    s_dedup = s_nobench.join(keep_exact.select("doc_id"), "doc_id", "left_semi")
+    dirty = contamination_check(documents, benchmark_source).filter(
+        F.col("contamination_ratio") > max_contamination
+    )
+    s_clean = s_dedup.join(dirty.select("doc_id"), "doc_id", "left_anti")
+    passed = gopher_quality(s_clean).filter(F.col("passes_gopher"))
+    s_gopher = s_clean.join(passed.select("doc_id"), "doc_id", "left_semi")
+
+    stages = [
+        ("raw", s_raw),
+        ("drop_benchmark", s_nobench),
+        ("exact_dedup", s_dedup),
+        ("decontaminated", s_clean),
+        ("gopher_pass", s_gopher),
+    ]
+    parts = [
+        df.agg(
+            F.lit(i).cast("bigint").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        for i, (name, df) in enumerate(stages)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

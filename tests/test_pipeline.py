@@ -85,3 +85,21 @@ def test_corpus_build_stage_invariants(spark, sf_dir):
         for r in corpus_build(docs, max_contamination=1.0).collect()
     }
     assert out_ids <= looser
+
+
+def test_curation_funnel_monotone(spark, sf_dir):
+    from flink_window_dgim_traffic_spark.operators.pipeline import curation_funnel
+    from flink_window_dgim_traffic_spark.session import table
+
+    rows = sorted(
+        curation_funnel(table(spark, sf_dir, "documents")).collect(),
+        key=lambda r: r["stage"],
+    )
+    names = [r["stage_name"] for r in rows]
+    assert names == [
+        "raw", "drop_benchmark", "exact_dedup", "decontaminated",
+        "gopher_pass",
+    ]
+    counts = [r["n_docs"] for r in rows]
+    assert counts == sorted(counts, reverse=True)  # each gate only drops
+    assert counts[0] > 0
