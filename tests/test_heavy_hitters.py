@@ -78,3 +78,39 @@ def test_heavy_hitters_topk_agrees_with_exact_for_clear_hitters(
     assert [(r["ngram"], r["est_lower"], r["est_upper"]) for r in rows] == [
         (r["ngram"], r["c"], r["c"]) for r in exact_top
     ]
+
+
+def test_spacesaving_properties_hypothesis():
+    """SpaceSaving invariants on arbitrary streams (pure Python, no
+    Spark): est-err <= true <= est for sketched items, absent items
+    bounded by min_count, counter count capped, total est mass equals
+    stream length."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_window_dgim_traffic_spark.operators.heavy_hitters import (
+        SpaceSaving,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=40), max_size=500),
+        st.integers(min_value=1, max_value=12),
+    )
+    def run(stream, capacity):
+        items = [f"i{x}" for x in stream]
+        ss = SpaceSaving(capacity)
+        for it in items:
+            ss.add(it)
+        true = Counter(items)
+        assert len(ss.counters) <= capacity
+        assert sum(c for c, _ in ss.counters.values()) == len(items)
+        for it, (est, err) in ss.counters.items():
+            assert est - err <= true[it] <= est, (it, est, err, true[it])
+        for it, cnt in true.items():
+            if it not in ss.counters:
+                assert cnt <= ss.min_count, (it, cnt, ss.min_count)
+
+    run()
