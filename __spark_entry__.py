@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # retained; equality to their twins is asserted in pytest)
         "sql_tumble_exact": lambda s, d: Q.sql_tumble_exact(s, d, 60),
         "sql_hop_exact": lambda s, d: Q.sql_hop_exact(s, d, 60, 10),
+        "sql_session_exact": lambda s, d: Q.sql_session_exact(s, d),
         "tumble_exact_1h": lambda s, d: W.tumble_exact(_events(s, d), 3600),
         # ---- pytest-anchored (sketch/hash-seeded) ----
         # LSH scale path (precision 1 by construction, recall vs the
@@ -387,6 +388,25 @@ p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       round({_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6) AS score
       FROM e a JOIN e b ON a.vec_id < b.vec_id)
 SELECT vec_a, vec_b, score FROM p WHERE score >= 0.4
+"""
+
+
+_SESSION_SQL = """
+WITH o AS (SELECT user_id, ts, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+           FROM events),
+m AS (SELECT user_id, ts,
+      CASE WHEN prev_us IS NULL OR us - prev_us >= 14400000000 THEN 1 ELSE 0 END AS new_sess
+      FROM o),
+s AS (SELECT user_id, ts,
+      sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS UNBOUNDED PRECEDING) AS sess
+      FROM m)
+SELECT user_id,
+ strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+ strftime(max(ts) + INTERVAL '14400 seconds', '%Y-%m-%d %H:%M:%S') AS session_end_plus_gap,
+ count(*) AS n_events
+FROM s GROUP BY user_id, sess
 """
 
 
@@ -742,23 +762,9 @@ FROM s GROUP BY user_id, sess_id
         # Spark session_window merges events with gap STRICTLY below
         # the gap duration (new session when diff >= gap); window end
         # is last event ts + gap
-        "session_window_counts": """
-WITH o AS (SELECT user_id, ts, epoch_us(ts) AS us,
-           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
-           FROM events),
-m AS (SELECT user_id, ts,
-      CASE WHEN prev_us IS NULL OR us - prev_us >= 14400000000 THEN 1 ELSE 0 END AS new_sess
-      FROM o),
-s AS (SELECT user_id, ts,
-      sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-          ROWS UNBOUNDED PRECEDING) AS sess
-      FROM m)
-SELECT user_id,
- strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
- strftime(max(ts) + INTERVAL '14400 seconds', '%Y-%m-%d %H:%M:%S') AS session_end_plus_gap,
- count(*) AS n_events
-FROM s GROUP BY user_id, sess
-""",
+        "session_window_counts": _SESSION_SQL,
+        # plan twin: the session_window TVF expressed in Spark SQL
+        "sql_session_exact": _SESSION_SQL,
         "json_extract_stats": """
 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, count(*) AS n
 FROM events GROUP BY 1

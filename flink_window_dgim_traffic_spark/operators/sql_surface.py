@@ -107,3 +107,25 @@ def sql_tumble_dgim(
         GROUP BY window(ts, '{size_sec} seconds')
         """
     )
+
+
+def sql_session_exact(
+    spark: SparkSession, sf_dir: str, gap_sec: int = 4 * 3600
+) -> DataFrame:
+    """Per-user session windows as one Spark SQL statement
+    (``session_window`` TVF in GROUP BY) — the SQL twin of
+    ``relational.session_window_counts``; same plan, same values
+    (asserted equal in tests)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT user_id,
+               date_format(min(ts), 'yyyy-MM-dd HH:mm:ss')
+                 AS session_start,
+               date_format(session_window.end, 'yyyy-MM-dd HH:mm:ss')
+                 AS session_end_plus_gap,
+               count(*) AS n_events
+        FROM events
+        GROUP BY user_id, session_window(ts, '{gap_sec} seconds')
+        """
+    )

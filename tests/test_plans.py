@@ -131,3 +131,19 @@ def test_union_all_no_extra_shuffle(t):
     final aggregate's."""
     df = R.party_contact_counts(t("customer"), t("supplier"))
     assert I.exchange_count(df) == 1
+
+
+def test_sql_session_twin_equals_dataframe(spark, sf_dir):
+    """The session_window TVF in SQL must produce the same rows as
+    the DataFrame session_window_counts (plan-identical twins)."""
+    from flink_window_dgim_traffic_spark.operators import relational as R
+    from flink_window_dgim_traffic_spark.operators import sql_surface as Q
+    from flink_window_dgim_traffic_spark.session import table
+
+    sql_rows = sorted(
+        map(tuple, Q.sql_session_exact(spark, sf_dir).collect())
+    )
+    df_rows = sorted(
+        map(tuple, R.session_window_counts(table(spark, sf_dir, "events")).collect())
+    )
+    assert sql_rows == df_rows
