@@ -192,13 +192,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": lambda s, d: D.chunk_dedup(_documents(s, d)),
         # --- SQL-surface completions (round 2, never verified) ---
         "curation_funnel": lambda s, d: PL.curation_funnel(_documents(s, d)),
+        "embedding_label_centroids": lambda s, d: S.embedding_label_centroids(
+            _embeddings(s, d)
+        ),
         "nation_party_full_outer": lambda s, d: R.nation_party_full_outer(
             _customer(s, d), _supplier(s, d)
         ),
         "user_range_spend": lambda s, d: R.user_range_spend(_events(s, d)),
         "event_grouping_sets": lambda s, d: R.event_grouping_sets(_events(s, d)),
         # --- dedup + text (north star, oracle-eligible) ---
-        "dedup_exact": lambda s, d: D.dedup_exact(_documents(s, d)),
         "neardup_clusters": lambda s, d: D.neardup_clusters(
             D.ngram_jaccard_pairs(_documents(s, d), threshold=0.8)
         ),
@@ -259,6 +261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": lambda s, d: D.ngram_jaccard_pairs(
             _documents(s, d), threshold=0.5
         ),
+        "dedup_exact": lambda s, d: D.dedup_exact(_documents(s, d)),
         # plan-identical twins of in-window queries (oracle_sql entries
         # retained; equality to their twins is asserted in pytest)
         "sql_tumble_exact": lambda s, d: Q.sql_tumble_exact(s, d, 60),
@@ -898,6 +901,14 @@ g AS (SELECT unnest(list_transform(range(1, len(ws)),
       FROM t WHERE len(ws) >= 2)
 SELECT ngram, count(*) AS n_occurrences FROM g GROUP BY ngram
 ORDER BY n_occurrences DESC, ngram LIMIT 20
+""",
+        "embedding_label_centroids": """
+SELECT label, CAST(i - 1 AS BIGINT) AS dim, count(*) AS n_vecs,
+       CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000000.0)
+                     AS BIGINT)) AS DOUBLE)
+         / 1000000000.0 / count(*) AS centroid
+FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+GROUP BY label, i
 """,
         "curation_funnel": """
 WITH nobench AS (SELECT * FROM documents WHERE source <> 'src0'),

@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "simsearch_ann_lsh",
     "simsearch_ann_ivf",
     "simsearch_ann_ivfpq",
+    "embedding_label_centroids",
     "embedding_neardup_blocked",
     "embedding_neardup_lsh",
     "multimodal_features",

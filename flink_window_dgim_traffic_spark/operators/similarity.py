@@ -659,3 +659,37 @@ def simsearch_ann_lsh(
         cands.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def embedding_label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label element-wise centroid of the embedding vectors in
+    long format (label, dim, n_vecs, centroid) — the grouped vector
+    aggregation behind class centroids / IVF codebook seeding /
+    semantic-cluster summaries.
+
+    Determinism: each component is widened float→double (exact) and
+    quantized to integer 1e-9 units with ``floor`` (one IEEE multiply
+    + floor — identical in every engine, unlike decimal-cast rounding
+    modes); the per-(label, dim) sums are then exact BIGINTs, order-
+    independent, and the mean is a fixed sequence of IEEE divisions —
+    hash-stable vs the oracle.  Scale shape: posexplode fans each
+    vector into (dim, component) rows and ONE partially-aggregated
+    shuffle on (label, dim) does the rest; no vector ever crosses the
+    network whole."""
+    comp = F.floor(F.col("x").cast("double") * F.lit(1000000000.0)).cast(
+        "bigint"
+    )
+    return (
+        embeddings.select(
+            "label", F.posexplode("embedding").alias("dim", "x")
+        )
+        .groupBy("label", F.col("dim").cast("bigint").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.sum(comp).cast("double")
+                / F.lit(1000000000.0)
+                / F.count(F.lit(1))
+            ).alias("centroid"),
+        )
+    )

@@ -329,3 +329,22 @@ def test_ivfpq_recall_and_determinism(embeddings):
     assert recall >= 0.3, f"IVF-PQ recall {recall:.2f} too low"
     for pair in overlap:
         assert pq1[pair] == exact_rows[pair]
+
+
+def test_label_centroids_semantics(spark):
+    rows = [
+        (0, [1.0, 3.0], "a"),
+        (1, [3.0, 5.0], "a"),
+        (2, [10.0, -2.0], "b"),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    got = {
+        (r["label"], r["dim"]): (r["n_vecs"], r["centroid"])
+        for r in S.embedding_label_centroids(emb).collect()
+    }
+    assert got[("a", 0)] == (2, 2.0)
+    assert got[("a", 1)] == (2, 4.0)
+    assert got[("b", 0)] == (1, 10.0)
+    assert got[("b", 1)][1] == -2.0

@@ -102,3 +102,28 @@ def test_corpus_prep_empty(empty):
     assert B.bpe_train_merges(docs) == []
     assert B.bpe_token_count(docs, merges=[]).count() == 0
     assert B.bpe_vocab(docs, n_merges=0).count() == 0
+
+
+def test_quality_and_chunk_empty(empty):
+    from flink_window_dgim_traffic_spark.operators import quality as QL
+    from flink_window_dgim_traffic_spark.operators.pipeline import (
+        curation_funnel,
+    )
+
+    docs = empty("documents")
+    assert QL.gopher_quality(docs).count() == 0
+    assert QL.repetition_stats(docs).count() == 0
+    assert QL.unigram_commonness(docs).count() == 0
+    assert QL.pii_redact(docs).count() == 0
+    assert D.chunk_dedup(docs).count() == 0
+    # funnel on empty input: all five stages report zero
+    rows = curation_funnel(docs).collect()
+    assert len(rows) == 5 and all(r["n_docs"] == 0 for r in rows)
+
+
+def test_ivfpq_empty_and_tiny(spark, sf_dir, empty):
+    emb_schema = empty("embeddings")
+    assert S.simsearch_ann_ivfpq(emb_schema).count() == 0
+    tiny = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    rows = S.simsearch_ann_ivfpq(tiny, n_query=3, k=10).collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
