@@ -32,6 +32,7 @@ from flink_window_dgim_traffic_spark.operators import retrieval as RT
 from flink_window_dgim_traffic_spark.operators import parsing as P
 from flink_window_dgim_traffic_spark.operators import pipeline as PL
 from flink_window_dgim_traffic_spark.operators import quality as QL
+from flink_window_dgim_traffic_spark.functions import table_functions as TF
 from flink_window_dgim_traffic_spark.operators import sql_surface as Q
 from flink_window_dgim_traffic_spark.operators import relational as R
 from flink_window_dgim_traffic_spark.operators import similarity as S
@@ -137,9 +138,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume_customers": lambda s, d: R.q18_large_volume_customers(
             _customer(s, d), _orders(s, d), _lineitem(s, d)
         ),
-        "q14_promo_revenue": lambda s, d: R.q14_promo_revenue(
-            _lineitem(s, d), _part(s, d)
-        ),
         "q6_revenue_change": lambda s, d: R.q6_revenue_change(_lineitem(s, d)),
         # --- TPC-H shapes added round 2 (never driver-verified) ---
         "q4_order_priority": lambda s, d: R.q4_order_priority(
@@ -195,6 +193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_centroids": lambda s, d: S.embedding_label_centroids(
             _embeddings(s, d)
         ),
+        "top_words_udtf": lambda s, d: TF.top_words_per_doc(_documents(s, d)),
         "nation_party_full_outer": lambda s, d: R.nation_party_full_outer(
             _customer(s, d), _supplier(s, d)
         ),
@@ -218,6 +217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-eligible, all driver-green in CORRECTNESS_r01
         # (re-checked every round by tools/check_oracle.py)
         "traffic_parse_summary": lambda s, d: P.traffic_parse_summary(_events(s, d)),
+        "q14_promo_revenue": lambda s, d: R.q14_promo_revenue(
+            _lineitem(s, d), _part(s, d)
+        ),
         "top_customers_per_nation": lambda s, d: R.top_customers_per_nation(
             _customer(s, d), _orders(s, d), _nation(s, d)
         ),
@@ -909,6 +911,17 @@ SELECT label, CAST(i - 1 AS BIGINT) AS dim, count(*) AS n_vecs,
          / 1000000000.0 / count(*) AS centroid
 FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
 GROUP BY label, i
+""",
+        "top_words_udtf": """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+c AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY doc_id, word),
+r AS (SELECT doc_id, word, n,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY n DESC, word) AS rnk
+      FROM c)
+SELECT doc_id, word, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 5
 """,
         "curation_funnel": """
 WITH nobench AS (SELECT * FROM documents WHERE source <> 'src0'),

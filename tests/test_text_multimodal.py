@@ -121,3 +121,29 @@ def test_doc_length_histogram_bins(spark):
         for r in T.doc_length_histogram(docs).collect()
     }
     assert got == {(0, 100): 1, (100, 200): 2, (200, 300): 1}
+
+
+def test_udtf_matches_relational_twin(spark, sf_dir):
+    """The row-at-a-time UDTF and the set-oriented explode/groupBy/
+    row_number twin must emit identical rows (users can switch to the
+    relational shape at scale with no semantic change)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_window_dgim_traffic_spark.functions.table_functions import (
+        top_words_per_doc,
+    )
+    from flink_window_dgim_traffic_spark.session import table
+
+    docs = table(spark, sf_dir, "documents")
+    udtf_rows = sorted(map(tuple, top_words_per_doc(docs, 5).collect()))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), "word")
+    twin = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "word", "n", "rnk")
+    )
+    assert udtf_rows == sorted(map(tuple, twin.collect()))
