@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "simsearch_ann_ivf",
     "simsearch_ann_ivfpq",
     "embedding_label_centroids",
+    "top_words_udtf",
     "embedding_neardup_blocked",
     "embedding_neardup_lsh",
     "multimodal_features",
