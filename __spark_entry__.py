@@ -124,17 +124,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- batch relational surface (north star) ---
         "q1_pricing_summary": lambda s, d: R.q1_pricing_summary(_lineitem(s, d)),
-        "q3_shipping_priority": lambda s, d: R.q3_shipping_priority(
-            _customer(s, d), _orders(s, d), _lineitem(s, d)
-        ),
-        "q5_local_supplier": lambda s, d: R.q5_local_supplier(
-            _customer(s, d),
-            _orders(s, d),
-            _lineitem(s, d),
-            _supplier(s, d),
-            _nation(s, d),
-            _region(s, d),
-        ),
         "q18_large_volume_customers": lambda s, d: R.q18_large_volume_customers(
             _customer(s, d), _orders(s, d), _lineitem(s, d)
         ),
@@ -194,6 +183,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _embeddings(s, d)
         ),
         "top_words_udtf": lambda s, d: TF.top_words_per_doc(_documents(s, d)),
+        "semantic_dedup": lambda s, d: S.semantic_dedup(_embeddings(s, d)),
+        "user_spend_salted_join": lambda s, d: R.user_spend_salted_join(
+            _events(s, d)
+        ),
         "nation_party_full_outer": lambda s, d: R.nation_party_full_outer(
             _customer(s, d), _supplier(s, d)
         ),
@@ -219,6 +212,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traffic_parse_summary": lambda s, d: P.traffic_parse_summary(_events(s, d)),
         "q14_promo_revenue": lambda s, d: R.q14_promo_revenue(
             _lineitem(s, d), _part(s, d)
+        ),
+        "q3_shipping_priority": lambda s, d: R.q3_shipping_priority(
+            _customer(s, d), _orders(s, d), _lineitem(s, d)
+        ),
+        "q5_local_supplier": lambda s, d: R.q5_local_supplier(
+            _customer(s, d),
+            _orders(s, d),
+            _lineitem(s, d),
+            _supplier(s, d),
+            _nation(s, d),
+            _region(s, d),
         ),
         "top_customers_per_nation": lambda s, d: R.top_customers_per_nation(
             _customer(s, d), _orders(s, d), _nation(s, d)
@@ -911,6 +915,37 @@ SELECT label, CAST(i - 1 AS BIGINT) AS dim, count(*) AS n_vecs,
          / 1000000000.0 / count(*) AS centroid
 FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
 GROUP BY label, i
+""",
+        "semantic_dedup": f"""
+WITH RECURSIVE
+e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       sqrt({_SQN.format(a='embedding::DOUBLE[]')}) AS nrm FROM embeddings),
+p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      round({_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6) AS score
+      FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id),
+jp AS (SELECT vec_a, vec_b FROM p WHERE score >= 0.4),
+ed AS (SELECT vec_a AS a, vec_b AS b FROM jp
+       UNION SELECT vec_b, vec_a FROM jp),
+nodes AS (SELECT DISTINCT a AS doc FROM ed),
+reach AS (
+  SELECT doc, doc AS r FROM nodes
+  UNION
+  SELECT reach.doc, ed.b FROM reach JOIN ed ON reach.r = ed.a),
+lab AS (SELECT doc, min(r) AS cluster_id FROM reach GROUP BY doc)
+SELECT v.vec_id,
+       CAST(COALESCE(l.cluster_id, v.vec_id) AS BIGINT) AS cluster_id,
+       COALESCE(l.cluster_id, v.vec_id) = v.vec_id AS keep
+FROM embeddings v LEFT JOIN lab l ON l.doc = v.vec_id
+""",
+        "user_spend_salted_join": """
+WITH dim AS (SELECT user_id AS d_user,
+                    sum(CAST(value AS DECIMAL(12,2))) AS user_total
+             FROM events GROUP BY user_id)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       CAST(sum(user_total) AS DOUBLE) AS sum_user_totals
+FROM events JOIN dim ON user_id = d_user
+GROUP BY event_type
 """,
         "top_words_udtf": """
 WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word

@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "simsearch_ann_ivfpq",
     "embedding_label_centroids",
     "top_words_udtf",
+    "semantic_dedup",
+    "user_spend_salted_join",
     "embedding_neardup_blocked",
     "embedding_neardup_lsh",
     "multimodal_features",

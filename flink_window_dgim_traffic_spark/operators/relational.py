@@ -947,3 +947,49 @@ def event_grouping_sets(events: DataFrame) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))
         """
     )
+
+
+def user_spend_salted_join(
+    events: DataFrame, n_salts: int = 8
+) -> DataFrame:
+    """Skew-resistant fact⋈dim join by salting: events join a derived
+    per-user dimension (total spend) where one user could carry a
+    disproportionate share of rows.  The dim side replicates
+    ``n_salts`` ways and the fact side picks a deterministic salt
+    (``pmod(xxhash64(event_id), n_salts)``), so a hot user's rows
+    spread over ``n_salts`` reducers instead of one.
+
+    Output equals the unsalted join exactly (salts cancel in the
+    final aggregate) — the oracle IS the unsalted formulation.  The
+    companion technique for aggregation skew is
+    :func:`event_type_counts_salted`; together they cover the two
+    skew shapes (join-side and groupBy-side).  With AQE's skew-join
+    handling on, Spark can do this at runtime — the explicit salt is
+    the portable form that also works under static planning."""
+    dim = events.groupBy(F.col("user_id").alias("d_user")).agg(
+        F.sum(_dec("value")).alias("user_total")
+    )
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    fact = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        _dec("value").alias("v"),
+        F.pmod(F.xxhash64("event_id"), F.lit(n_salts)).cast("int").alias(
+            "salt"
+        ),
+    )
+    joined = fact.join(
+        dim_salted,
+        (F.col("user_id") == F.col("d_user")) & (fact["salt"] == dim_salted["salt"]),
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("double").alias("sum_value"),
+            F.sum("user_total").cast("double").alias("sum_user_totals"),
+        )
+    )

@@ -693,3 +693,42 @@ def embedding_label_centroids(embeddings: DataFrame) -> DataFrame:
             ).alias("centroid"),
         )
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication decisions: cluster the
+    embedding space by cosine ≥ ``threshold`` (connected components
+    of the near-dup graph) and keep one representative (the min
+    vec_id) per cluster; singletons keep themselves.
+
+    Output: (vec_id, cluster_id, keep).  This is the composed
+    decision operator over :func:`embedding_neardup` (exact pairs —
+    at 100 TB swap in :func:`embedding_neardup_lsh`, same contract)
+    and the label-propagation components of ``dedup.neardup_clusters``
+    — both already oracle-anchored; the composition is oracle-checked
+    end-to-end against a recursive-CTE closure."""
+    from flink_window_dgim_traffic_spark.operators.dedup import (
+        neardup_clusters,
+    )
+
+    pairs = embedding_neardup(embeddings, threshold=threshold).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = neardup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), F.col("cluster_id")
+    )
+    return (
+        embeddings.select("vec_id")
+        .join(labels, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", F.col("vec_id"))
+            .cast("bigint")
+            .alias("cluster_id"),
+            (
+                F.coalesce("cluster_id", F.col("vec_id")) == F.col("vec_id")
+            ).alias("keep"),
+        )
+    )

@@ -348,3 +348,20 @@ def test_label_centroids_semantics(spark):
     assert got[("a", 1)] == (2, 4.0)
     assert got[("b", 0)] == (1, 10.0)
     assert got[("b", 1)][1] == -2.0
+
+
+def test_semantic_dedup_decisions(embeddings):
+    """Every vector gets a decision; representatives are cluster
+    minima; keep==True iff vec is its own cluster_id; decisions are
+    consistent with the exact pair graph."""
+    rows = S.semantic_dedup(embeddings, threshold=0.4).collect()
+    assert len(rows) == embeddings.count()
+    by_id = {r["vec_id"]: r for r in rows}
+    for r in rows:
+        assert r["keep"] == (r["cluster_id"] == r["vec_id"])
+        assert r["cluster_id"] <= r["vec_id"]
+        # the representative of my cluster keeps itself
+        assert by_id[r["cluster_id"]]["keep"]
+    pairs = S.embedding_neardup(embeddings, threshold=0.4).collect()
+    for p in pairs:  # joined pairs must share a cluster
+        assert by_id[p["vec_a"]]["cluster_id"] == by_id[p["vec_b"]]["cluster_id"]

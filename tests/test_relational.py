@@ -251,3 +251,26 @@ def test_grouping_sets_no_grand_total(events):
         if r["g_type"] == 0 and r["g_day"] == 0:
             cells[r["event_type"]] = cells.get(r["event_type"], 0) + r["n"]
     assert per_type == cells
+
+
+def test_salted_join_equals_unsalted(events):
+    """The salt must cancel: salted fact-dim join aggregates equal the
+    plain join's (same oracle formulation)."""
+    salted = {r["event_type"]: r for r in R.user_spend_salted_join(events).collect()}
+    dim = events.groupBy(F.col("user_id").alias("d_user")).agg(
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("user_total")
+    )
+    plain = (
+        events.join(dim, F.col("user_id") == F.col("d_user"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+            F.sum("user_total").cast("double").alias("sum_user_totals"),
+        )
+    )
+    for r in plain.collect():
+        s = salted[r["event_type"]]
+        assert (s["n_events"], s["sum_value"], s["sum_user_totals"]) == (
+            r["n_events"], r["sum_value"], r["sum_user_totals"]
+        )
