@@ -280,6 +280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": lambda s, d: S.embedding_neardup_lsh(
             _embeddings(s, d), threshold=0.4
         ),
+        "semantic_dedup_lsh": lambda s, d: S.semantic_dedup(
+            _embeddings(s, d), use_lsh=True
+        ),
         # sketch/hash-seeded (exact twins above are oracle-green)
         "minhash_lsh_pairs": lambda s, d: D.minhash_lsh_pairs(
             _documents(s, d), threshold=0.8

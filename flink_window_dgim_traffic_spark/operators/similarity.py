@@ -696,7 +696,7 @@ def embedding_label_centroids(embeddings: DataFrame) -> DataFrame:
 
 
 def semantic_dedup(
-    embeddings: DataFrame, threshold: float = 0.4
+    embeddings: DataFrame, threshold: float = 0.4, use_lsh: bool = False
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication decisions: cluster the
     embedding space by cosine ≥ ``threshold`` (connected components
@@ -704,16 +704,20 @@ def semantic_dedup(
     vec_id) per cluster; singletons keep themselves.
 
     Output: (vec_id, cluster_id, keep).  This is the composed
-    decision operator over :func:`embedding_neardup` (exact pairs —
-    at 100 TB swap in :func:`embedding_neardup_lsh`, same contract)
-    and the label-propagation components of ``dedup.neardup_clusters``
-    — both already oracle-anchored; the composition is oracle-checked
-    end-to-end against a recursive-CTE closure."""
+    decision operator over the pair generator and the label-
+    propagation components of ``dedup.neardup_clusters`` — both
+    already oracle-anchored.  ``use_lsh=False`` (default) uses the
+    exact :func:`embedding_neardup` pair graph and is oracle-checked
+    end-to-end against a recursive-CTE closure; ``use_lsh=True``
+    swaps in :func:`embedding_neardup_lsh` — identical contract,
+    sublinear candidate generation, the 100 TB path (rows-only, with
+    decision recall vs the exact variant measured in tests)."""
     from flink_window_dgim_traffic_spark.operators.dedup import (
         neardup_clusters,
     )
 
-    pairs = embedding_neardup(embeddings, threshold=threshold).select(
+    gen = embedding_neardup_lsh if use_lsh else embedding_neardup
+    pairs = gen(embeddings, threshold=threshold).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     labels = neardup_clusters(pairs).select(

@@ -365,3 +365,16 @@ def test_semantic_dedup_decisions(embeddings):
     pairs = S.embedding_neardup(embeddings, threshold=0.4).collect()
     for p in pairs:  # joined pairs must share a cluster
         assert by_id[p["vec_a"]]["cluster_id"] == by_id[p["vec_b"]]["cluster_id"]
+
+
+def test_semantic_dedup_lsh_decision_recall(embeddings):
+    """The LSH-backed scale path must agree with the exact decisions
+    on nearly every vector (its pair recall is high; component labels
+    can only merge fewer, never wrongly join)."""
+    exact = {r["vec_id"]: r["cluster_id"]
+             for r in S.semantic_dedup(embeddings).collect()}
+    lsh = {r["vec_id"]: r["cluster_id"]
+           for r in S.semantic_dedup(embeddings, use_lsh=True).collect()}
+    assert set(lsh) == set(exact)
+    agree = sum(1 for v in exact if exact[v] == lsh[v])
+    assert agree / len(exact) >= 0.90, f"decision agreement {agree/len(exact):.2f}"
