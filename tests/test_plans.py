@@ -147,3 +147,50 @@ def test_sql_session_twin_equals_dataframe(spark, sf_dir):
         map(tuple, R.session_window_counts(table(spark, sf_dir, "events")).collect())
     )
     assert sql_rows == df_rows
+
+
+def test_q9_all_dims_broadcast_one_shuffle(t):
+    df = R.q9_profit(t("lineitem"), t("part"), t("supplier"), t("nation"))
+    assert "p_type" in I.pushed_filter_columns(df, "part")
+    assert I.broadcast_join_count(df) >= 3  # part, supplier, nation
+    assert I.exchange_count(df) == 1       # only the final groupBy
+    assert not I.has_cartesian(df)
+
+
+def test_q19_predicate_reaches_scan(t):
+    df = R.q19_discounted_revenue(t("lineitem"), t("part"))
+    # the quantity bands are scan-level (the disjunction's common
+    # quantity range [1,30] is derivable; at minimum no cartesian and
+    # part broadcasts)
+    assert I.broadcast_join_count(df) >= 1
+    assert not I.has_cartesian(df)
+    # lineitem read is pruned to the join/predicate/measure columns
+    assert I.read_columns(df, "lineitem") <= {
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount",
+    }
+
+
+def test_chunk_dedup_two_shuffles_only(t):
+    df = D.chunk_dedup(t("documents"))
+    # chunk-text min-groupBy + reassembly groupBy (+ the AQE-planned
+    # join exchanges); the important property: no cartesian, and the
+    # documents scan reads only doc_id + text
+    assert not I.has_cartesian(df)
+    assert I.read_columns(df, "documents") == {"doc_id", "text"}
+
+
+def test_gopher_quality_map_only(t):
+    from flink_window_dgim_traffic_spark.operators import quality as QL
+
+    df = QL.gopher_quality(t("documents"))
+    assert I.exchange_count(df) == 0  # zero shuffles: pure projection
+    assert I.read_columns(df, "documents") == {"doc_id", "text"}
+
+
+def test_unigram_commonness_broadcast_vocab(t):
+    from flink_window_dgim_traffic_spark.operators import quality as QL
+
+    df = QL.unigram_commonness(t("documents"))
+    assert not I.has_cartesian(df)
+    # ppm vocabulary joins back via broadcast, not a sort-merge
+    assert I.broadcast_join_count(df) >= 1
