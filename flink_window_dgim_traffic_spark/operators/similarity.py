@@ -707,16 +707,19 @@ def semantic_dedup(
     decision operator over the pair generator and the label-
     propagation components of ``dedup.neardup_clusters`` — both
     already oracle-anchored.  ``use_lsh=False`` (default) uses the
-    exact :func:`embedding_neardup` pair graph and is oracle-checked
-    end-to-end against a recursive-CTE closure; ``use_lsh=True``
-    swaps in :func:`embedding_neardup_lsh` — identical contract,
-    sublinear candidate generation, the 100 TB path (rows-only, with
-    decision recall vs the exact variant measured in tests)."""
+    EXACT pair graph via the distributed block screen
+    (:func:`embedding_neardup_blocked` — bit-identical pairs to the
+    naive all-pairs join, but spread over block-pair tasks) and is
+    oracle-checked end-to-end against a recursive-CTE closure;
+    ``use_lsh=True`` swaps in :func:`embedding_neardup_lsh` —
+    identical contract, sublinear candidate generation, the 100 TB
+    path (rows-only, with decision recall vs the exact variant
+    measured in tests)."""
     from flink_window_dgim_traffic_spark.operators.dedup import (
         neardup_clusters,
     )
 
-    gen = embedding_neardup_lsh if use_lsh else embedding_neardup
+    gen = embedding_neardup_lsh if use_lsh else embedding_neardup_blocked
     pairs = gen(embeddings, threshold=threshold).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
