@@ -107,8 +107,68 @@ def main() -> None:
         ),
     ]
     shutil.rmtree(fixture, ignore_errors=True)
+    results.append(bench_heavy_hitters_stream(spark))
     for r in results:
         print(json.dumps(r))
+
+
+def bench_heavy_hitters_stream(spark) -> dict:
+    """Streaming SpaceSaving capacity: replay the sf0.1 documents
+    (~0.27M bigrams) through the disjoint-shard sketch and report
+    docs/sec and ngrams/sec (state stays O(shards × capacity))."""
+    from flink_window_dgim_traffic_spark.session import table
+    from flink_window_dgim_traffic_spark.streaming import heavy_hitters as SH
+
+    src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    fixture = tempfile.mkdtemp(prefix="bench_hh_fixture_")
+    pdf = table(spark, src_dir, "documents").toPandas()
+    n_docs = len(pdf)
+    n_grams = int(
+        sum(max(0, len(t.split(" ")) - 1) for t in pdf["text"])
+    )
+    for i in range(8):
+        chunk = pdf.iloc[i * n_docs // 8 : (i + 1) * n_docs // 8]
+        p = os.path.join(fixture, f"chunk_{i:02d}.parquet")
+        chunk.to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def run(name):
+        src = (
+            spark.readStream.schema(
+                "doc_id bigint, text string, lang string, "
+                "source string, n_chars bigint"
+            )
+            .option("maxFilesPerTrigger", 2)
+            .parquet(fixture)
+        )
+        ckpt = tempfile.mkdtemp(prefix=f"bench_hh_ckpt_{name}_")
+        t0 = time.time()
+        q = (
+            SH.heavy_hitters_stream(src)
+            .writeStream.format("memory")
+            .queryName(f"bench_hh_{name}")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.time() - t0
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        return dt
+
+    run("warmup")
+    dt = run("timed")
+    shutil.rmtree(fixture, ignore_errors=True)
+    return {
+        "pipeline": "heavy_hitters_stream",
+        "docs": n_docs,
+        "ngrams": n_grams,
+        "sec": round(dt, 2),
+        "docs_per_sec": round(n_docs / dt),
+        "ngrams_per_sec": round(n_grams / dt),
+    }
 
 
 if __name__ == "__main__":

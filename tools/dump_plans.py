@@ -66,6 +66,9 @@ SHOWCASE = {
     "unigram_commonness": "vocab shuffle is map-side combined; "
     "integer-ppm scores broadcast back; per-doc sums are exact "
     "BIGINTs so the plan can re-order freely",
+    "semantic_dedup": "exact pair graph from the distributed block "
+    "screen (block-pair tasks, no driver collect), components via "
+    "checkpointed label propagation — DataFrame state only",
 }
 
 
