@@ -228,3 +228,31 @@ def session_exact_stream(
             "n_rows",
         )
     )
+
+
+def stream_to_parquet(
+    df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    partition_by: list[str] | None = None,
+):
+    """Streaming PARQUET file sink (append mode) — the exactly-once
+    file sink: each micro-batch commits atomically through the file-
+    sink manifest (``_spark_metadata``), so a reader sees only fully
+    committed files and a restarted query never duplicates a batch
+    (contrast with the at-least-once foreachBatch upsert emulation
+    above, which dedups by key instead).
+
+    ``partition_by`` produces Hive-style directory partitioning —
+    the layout downstream batch jobs prune on
+    (``sources/parquet_sink.py`` is the batch twin).  Returns the
+    started query; callers ``awaitTermination`` it."""
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    return w.trigger(availableNow=True).start()

@@ -112,3 +112,40 @@ def test_gopher_and_pii_on_stream_match_batch(spark, sf_dir, doc_stream_dir):
         want = sorted(map(tuple, fn(docs).collect()))
         assert got == want
         q.stop()
+
+
+def test_stream_parquet_sink_roundtrip(spark, sf_dir, doc_stream_dir, tmp_path):
+    """Streamed gopher-filtered docs land in a partitioned parquet
+    sink exactly once; reading the sink back (which honors the
+    _spark_metadata manifest) equals the batch filter output, and
+    partition pruning works on the directory layout."""
+    from pyspark.sql import functions as F
+
+    from flink_window_dgim_traffic_spark.operators import quality as QL
+    from flink_window_dgim_traffic_spark.streaming.jobs import stream_to_parquet
+
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+    src = _doc_stream(spark, doc_stream_dir)
+    passed = src.select("doc_id", "source", "text").join(
+        QL.gopher_quality(src).filter("passes_gopher").select("doc_id"),
+        "doc_id",
+    )
+    q = stream_to_parquet(passed, out, ckpt, partition_by=["source"])
+    q.awaitTermination()
+    q.stop()
+
+    got = spark.read.parquet(out)
+    docs = table(spark, sf_dir, "documents")
+    want = docs.join(
+        QL.gopher_quality(docs).filter("passes_gopher").select("doc_id"),
+        "doc_id",
+    ).select("doc_id", "source", "text")
+    assert sorted(map(tuple, got.select("doc_id", "source", "text").collect())) == \
+        sorted(map(tuple, want.collect()))
+    # manifest exists (exactly-once commit protocol)
+    import os as _os
+    assert _os.path.isdir(_os.path.join(out, "_spark_metadata"))
+    # directory partitioning prunes: one source reads a subset
+    one = got.filter(F.col("source") == "src1")
+    assert 0 < one.count() < got.count()
