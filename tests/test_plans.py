@@ -194,3 +194,32 @@ def test_unigram_commonness_broadcast_vocab(t):
     assert not I.has_cartesian(df)
     # ppm vocabulary joins back via broadcast, not a sort-merge
     assert I.broadcast_join_count(df) >= 1
+
+
+def test_partitioning_invariance(spark, sf_dir):
+    """Deterministic queries must return identical rows whatever
+    spark.sql.shuffle.partitions is — the driver's own session config
+    is not ours, so this is the property the oracle hash depends on."""
+    from flink_window_dgim_traffic_spark.operators import dedup as D2
+    from flink_window_dgim_traffic_spark.operators import quality as QL
+
+    docs = table(spark, sf_dir, "documents")
+    lineitem = table(spark, sf_dir, "lineitem")
+    builds = {
+        "q1": lambda: R.q1_pricing_summary(lineitem),
+        "commonness": lambda: QL.unigram_commonness(docs),
+        "chunk_dedup": lambda: D2.chunk_dedup(docs),
+    }
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n in ("3", "8"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for name, b in builds.items():
+                results.setdefault(name, []).append(
+                    sorted(map(tuple, b().collect()))
+                )
+        for name, (a, b) in results.items():
+            assert a == b, f"{name} changed under repartitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
