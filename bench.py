@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "embedding_label_centroids",
     "top_words_udtf",
     "semantic_dedup",
+    "semantic_dedup_lsh",
     "user_spend_salted_join",
     "embedding_neardup_blocked",
     "embedding_neardup_lsh",
