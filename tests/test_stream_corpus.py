@@ -149,3 +149,38 @@ def test_stream_parquet_sink_roundtrip(spark, sf_dir, doc_stream_dir, tmp_path):
     # directory partitioning prunes: one source reads a subset
     one = got.filter(F.col("source") == "src1")
     assert 0 < one.count() < got.count()
+
+
+def test_stream_pack_matches_batch(spark, sf_dir, doc_stream_dir):
+    """The one-counter-per-key streaming packer must assign exactly
+    the batch packer's pack ids/positions when docs replay in doc_id
+    order — the stateful batch/stream unification (the stateless ops
+    above get it for free; this one needs the prefix-sum state)."""
+    from flink_window_dgim_traffic_spark.operators.packing import sequence_pack
+    from flink_window_dgim_traffic_spark.streaming.packing import (
+        sequence_pack_stream,
+    )
+
+    q = (
+        sequence_pack_stream(_doc_stream(spark, doc_stream_dir))
+        .writeStream.format("memory")
+        .queryName("t_pack_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.sql("SELECT * FROM t_pack_stream").collect()))
+    want = sorted(
+        map(
+            tuple,
+            sequence_pack(table(spark, sf_dir, "documents"))
+            .select(
+                "doc_id", "source", "shard", "n_tokens",
+                "pack_id", "pack_pos", "spans_boundary",
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    q.stop()
