@@ -184,3 +184,76 @@ def test_stream_pack_matches_batch(spark, sf_dir, doc_stream_dir):
     )
     assert got == want
     q.stop()
+
+
+def test_stream_pack_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Kill-and-restart durability for the streaming packer: the
+    per-key token counter survives in the checkpointed state store,
+    so docs arriving after a restart continue the SAME context stream
+    (pack ids keep counting up, no reset, no duplicates)."""
+    import shutil
+
+    from flink_window_dgim_traffic_spark.operators.packing import sequence_pack
+    from flink_window_dgim_traffic_spark.streaming.packing import (
+        sequence_pack_stream,
+    )
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    pdf = table(spark, sf_dir, "documents").orderBy("doc_id").toPandas()
+    n = len(pdf)
+    files = []
+    for i in range(4):
+        chunk = pdf.iloc[i * n // 4 : (i + 1) * n // 4]
+        p = str(staging / f"chunk_{i:02d}.parquet")
+        chunk.to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        files.append(p)
+
+    out = str(tmp_path / "pack_out")
+
+    def run_once():
+        q = (
+            sequence_pack_stream(_doc_stream(spark, str(src_dir)))
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    for f in files[:2]:
+        shutil.copy(f, src_dir)
+    run_once()
+    for f in files[2:]:
+        shutil.copy(f, src_dir)
+    run_once()
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out)
+            .select(
+                "doc_id", "source", "shard", "n_tokens",
+                "pack_id", "pack_pos", "spans_boundary",
+            )
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            sequence_pack(table(spark, sf_dir, "documents")).select(
+                "doc_id", "source", "shard", "n_tokens",
+                "pack_id", "pack_pos", "spans_boundary",
+            ).collect(),
+        )
+    )
+    assert got == want
