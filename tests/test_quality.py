@@ -119,3 +119,46 @@ def test_chunk_dedup_within_doc_duplicates(spark):
     out = D.chunk_dedup(_docs(spark, [f"{c} {c} {c}"]), k=8).collect()[0]
     assert out["total_chunks"] == 3
     assert out["kept_chunks"] == 1 and out["dedup_text"] == c
+
+
+def test_chunk_dedup_properties_hypothesis(spark):
+    """Property: for any corpus, (a) every chunk text survives exactly
+    once globally, (b) each doc's dedup_text is the in-order
+    concatenation of its surviving chunks, (c) kept counts sum to the
+    number of distinct chunk texts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    k = 4
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+    doc = st.lists(word, min_size=1, max_size=12).map(" ".join)
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def run(texts):
+        out = {
+            r["doc_id"]: r
+            for r in D.chunk_dedup(_docs(spark, texts), k=k).collect()
+        }
+        # reference computation
+        seen = set()
+        expected = {}
+        all_chunks = set()
+        for i, t in enumerate(texts):
+            ws = t.split(" ")
+            chunks = [
+                " ".join(ws[j * k : (j + 1) * k])
+                for j in range((len(ws) + k - 1) // k)
+            ]
+            all_chunks.update(chunks)
+            kept = [c for c in chunks if c not in seen]
+            seen.update(chunks)
+            expected[i] = (len(chunks), len(kept), " ".join(kept))
+        for i, (total, kept_n, text) in expected.items():
+            r = out[i]
+            assert r["total_chunks"] == total
+            assert r["kept_chunks"] == kept_n
+            assert r["dedup_text"] == text
+        assert sum(r["kept_chunks"] for r in out.values()) == len(all_chunks)
+
+    run()
