@@ -158,7 +158,11 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE"):
+            # live progress is opt-in so the driver's capture buffer
+            # holds nothing but the single JSON line below (the r2 run
+            # truncated mid-stream and lost the headline total)
+            print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -170,7 +174,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -18,6 +18,7 @@ identical rows so users can switch freely.
 
 from __future__ import annotations
 
+import uuid
 from collections import Counter
 
 from pyspark.sql.functions import udtf
@@ -39,13 +40,19 @@ class TopWordsPerDoc:
 def top_words_per_doc(documents, k: int = 5):
     """LATERAL-join the UDTF against the documents table (the SQL
     ``FROM t, LATERAL f(t.col)`` form — the canonical correlated
-    table-function call): one output row per (doc, top-word)."""
+    table-function call): one output row per (doc, top-word).  The
+    view name is per-call unique and dropped after plan analysis so
+    concurrent callers can't race on a shared catalog entry."""
     spark = documents.sparkSession
     spark.udtf.register("top_words_per_doc_udtf", TopWordsPerDoc)
-    documents.createOrReplaceTempView("_udtf_docs")
-    return spark.sql(
-        f"""
-        SELECT doc_id, word, n, rnk
-        FROM _udtf_docs, LATERAL top_words_per_doc_udtf(text, {int(k)})
-        """
-    )
+    view = f"_udtf_docs_{uuid.uuid4().hex}"
+    documents.createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            SELECT doc_id, word, n, rnk
+            FROM {view}, LATERAL top_words_per_doc_udtf(text, {int(k)})
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)

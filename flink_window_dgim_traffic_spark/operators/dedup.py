@@ -402,10 +402,28 @@ def neardup_clusters(
         # shingle self-join) would re-execute per iteration
         .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("a").alias("doc_id")).distinct().select(
-        "doc_id", F.col("doc_id").alias("label")
+
+    def _label_sum(df: DataFrame) -> object:
+        # exact decimal sum — labels only ever DECREASE under min-
+        # propagation, so the sum strictly decreases iff any label
+        # changed: a convergence check with no join and no second
+        # pass over the propagate plan (decimal(38,0) cannot overflow
+        # at any realistic doc-id scale)
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    # iteration 1 fused into initialization: against identity labels,
+    # "min label over neighbors" is just min(b), so the first
+    # propagate join collapses to one aggregation over the edges
+    labels = (
+        edges.groupBy(F.col("a").alias("doc_id"))
+        .agg(F.min("b").alias("mb"))
+        .select("doc_id", F.least("doc_id", "mb").alias("label"))
+        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iters - 1):
         # smallest neighbor label per node
         neigh = (
             edges.join(labels, edges["b"] == labels["doc_id"])
@@ -421,20 +439,14 @@ def neardup_clusters(
                 ).alias("label"),
             )
         )
-        # checkpoint FIRST (one materialization), then diff the two
-        # materialized frames — computing `changed` off the lazy plan
+        # checkpoint FIRST (one materialization), then aggregate the
+        # materialized frame — computing the check off the lazy plan
         # would execute the propagate join a second time
-        new_ckpt = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_ckpt.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_ckpt
-        if changed == 0:
+        labels = new_labels.localCheckpoint(eager=True)
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

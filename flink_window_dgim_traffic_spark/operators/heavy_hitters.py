@@ -39,6 +39,9 @@ from pyspark.sql import functions as F
 
 CAPACITY = 256
 TOP_K = 20
+# fixed sketch fan-out: per-shard est/err bounds depend on the
+# sharding, so this must NOT track the machine's core count
+N_SHARDS = 32
 
 
 class SpaceSaving:
@@ -131,9 +134,11 @@ def heavy_hitters_ngrams(
     serialize the whole per-item fold into a single task.  On a real
     cluster the input already has many splits and AQE may coalesce
     this exchange away; the shuffle moves documents (narrow rows),
-    never the exploded n-grams."""
-    par = documents.sparkSession.sparkContext.defaultParallelism
-    grams = documents.repartition(par, "doc_id").select(_ngram_col(n))
+    never the exploded n-grams.  The shard count is a FIXED constant
+    (like the streaming twin's N_SHARDS), not defaultParallelism —
+    per-partition est/err bounds depend on the sharding, and a fixed
+    fan-out keeps the sketch output identical across machines."""
+    grams = documents.repartition(N_SHARDS, "doc_id").select(_ngram_col(n))
 
     def sketch_partition(
         batches: Iterator[pd.DataFrame],

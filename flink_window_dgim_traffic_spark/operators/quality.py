@@ -134,7 +134,9 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     )
 
 
-def unigram_commonness(documents: DataFrame) -> DataFrame:
+def unigram_commonness(
+    documents: DataFrame, broadcast_vocab: bool = True
+) -> DataFrame:
     """CCNet-flavored commonness score without a language model: each
     token scores its corpus frequency in integer ppm; a document's
     score is the exact BIGINT sum (order-independent) and the mean is
@@ -143,8 +145,12 @@ def unigram_commonness(documents: DataFrame) -> DataFrame:
     oracle hash matches.
 
     Two shuffles at scale: token → vocabulary counts (map-side
-    combined), then per-doc re-aggregation; the vocabulary broadcasts
-    back (vocab ≪ corpus)."""
+    combined), then per-doc re-aggregation.  ``broadcast_vocab``
+    controls the token↔ppm join strategy: True (default) broadcasts
+    the vocabulary, which is right while the *distinct-token* table
+    fits the driver/broadcast limit (a Heaps'-law vocabulary of a
+    ~100 TB web corpus is ~10⁸ rows / a few GB — past that, pass
+    False to take the shuffle hash join and let AQE plan it)."""
     toks = documents.select("doc_id", F.explode(_words()).alias("w"))
     vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     total = vocab.agg(F.sum("c").alias("t"))
@@ -152,7 +158,7 @@ def unigram_commonness(documents: DataFrame) -> DataFrame:
         "w", F.expr("CAST(c * 1000000 DIV t AS BIGINT)").alias("ppm")
     )
     return (
-        toks.join(F.broadcast(ppm), "w")
+        toks.join(F.broadcast(ppm) if broadcast_vocab else ppm, "w")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

@@ -20,6 +20,8 @@ are partial (map-side combine) because they use built-in aggregates.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -928,25 +930,34 @@ def event_grouping_sets(events: DataFrame) -> DataFrame:
     """Explicit GROUPING SETS — (type, day), (type), (day) but NOT the
     grand total, which neither rollup nor cube can express alone.
     Uses the SQL form (Spark has no DataFrame literal for grouping
-    sets); GROUPING() flags disambiguate the NULL semantics."""
+    sets); GROUPING() flags disambiguate the NULL semantics.  The view
+    name is per-call unique and dropped once the plan is analyzed, so
+    concurrent callers in one session can't race and nothing leaks
+    into the user's catalog."""
+    view = f"_egs_events_{uuid.uuid4().hex}"
     events.select(
         "event_type",
         F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
             "day"
         ),
         "value",
-    ).createOrReplaceTempView("_egs_events")
-    return events.sparkSession.sql(
-        """
-        SELECT event_type, day,
-               CAST(grouping(event_type) AS BIGINT) AS g_type,
-               CAST(grouping(day) AS BIGINT) AS g_day,
-               count(*) AS n,
-               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-        FROM _egs_events
-        GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))
-        """
-    )
+    ).createOrReplaceTempView(view)
+    try:
+        return events.sparkSession.sql(
+            f"""
+            SELECT event_type, day,
+                   CAST(grouping(event_type) AS BIGINT) AS g_type,
+                   CAST(grouping(day) AS BIGINT) AS g_day,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+            FROM {view}
+            GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))
+            """
+        )
+    finally:
+        # the returned DataFrame's plan is already analyzed (view
+        # resolution happens inside sql()), so dropping is safe
+        events.sparkSession.catalog.dropTempView(view)
 
 
 def user_spend_salted_join(

@@ -99,7 +99,10 @@ def embedding_neardup(
 
 
 def embedding_neardup_blocked(
-    embeddings: DataFrame, threshold: float = 0.4, block_rows: int = 1024
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    block_rows: int = 1024,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Bit-exact twin of :func:`embedding_neardup` via a DISTRIBUTED
     block-nested-loop screen (no driver-side collect, no full-matrix
@@ -123,11 +126,19 @@ def embedding_neardup_blocked(
     all-pairs screen, but it is spread over ``B(B+1)/2`` independent
     tasks and the shuffle is O(n²·d/block_rows) — tune ``block_rows``
     to the executor, not the driver.  When exactness is negotiable,
-    :func:`embedding_neardup_lsh` is the sublinear-candidate path."""
+    :func:`embedding_neardup_lsh` is the sublinear-candidate path.
+
+    Pass ``n_blocks`` to pin the block-pair grid statically and skip
+    the sizing ``count()`` — one fewer job per invocation; callers in
+    a loop (or with a cached row count) should always do this.  When
+    omitted, the count is a cheap parquet-metadata action."""
     import math
 
-    n = embeddings.count()  # scalar metadata action, any scale
-    B = max(1, math.ceil(n / block_rows))
+    if n_blocks is not None:
+        B = max(1, int(n_blocks))
+    else:
+        n = embeddings.count()  # scalar metadata action, any scale
+        B = max(1, math.ceil(n / block_rows))
     e = _with_vec(embeddings)
     blocked = e.withColumn(
         "blk", F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int")
@@ -460,16 +471,24 @@ def simsearch_ann_ivfpq(
                     B[j] = mem.mean(axis=0)
         books[m, :kk] = B
 
+    # ship codebooks once per executor via a broadcast handle instead
+    # of capturing the arrays in each UDF closure (a closure is
+    # re-pickled into every task; the broadcast is torrent-distributed
+    # and cached per executor)
+    sc = embeddings.sparkSession.sparkContext
+    bc_model = sc.broadcast((C, books))
+
     @pandas_udf("struct<cluster:int, code:array<tinyint>>")
     def encode(vecs: pd.Series) -> pd.DataFrame:
+        C_, books_ = bc_model.value
         V = np.array(list(vecs), dtype=np.float64)
         V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-        cl = np.argmax(V @ C.T, axis=1)
-        Rv = V - C[cl]
+        cl = np.argmax(V @ C_.T, axis=1)
+        Rv = V - C_[cl]
         codes = np.zeros((len(V), n_sub), dtype=np.int8)
         for m in range(n_sub):
             sub = Rv[:, m * d_sub : (m + 1) * d_sub]
-            d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            d2 = ((sub[:, None, :] - books_[m][None, :, :]) ** 2).sum(axis=2)
             codes[:, m] = np.argmin(d2, axis=1).astype(np.int8)
         return pd.DataFrame(
             {"cluster": cl.astype("int32"), "code": list(codes)}
@@ -517,13 +536,18 @@ def simsearch_ann_ivfpq(
         probe_rows, "query_id bigint, cluster int"
     )
 
+    # the ADC table is n_query×nprobe×n_sub×n_codes floats — broadcast
+    # it rather than re-pickling it with every task's UDF closure
+    bc_lut = sc.broadcast(lut)
+
     @pandas_udf("double")
     def adc(qids: pd.Series, clusters: pd.Series, codes: pd.Series) -> pd.Series:
+        lut_ = bc_lut.value
         out = np.empty(len(qids))
         for i, (qid, cl, code) in enumerate(
             zip(qids.values, clusters.values, codes)
         ):
-            t = lut[int(qid)][int(cl)]
+            t = lut_[int(qid)][int(cl)]
             out[i] = t[np.arange(n_sub), np.asarray(code, dtype=np.int64)].sum()
         return pd.Series(out)
 
