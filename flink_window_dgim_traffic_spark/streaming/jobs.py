@@ -35,15 +35,57 @@ def file_traffic_stream(spark, path: str, max_files_per_trigger: int = 1) -> Dat
     )
 
 
-def kafka_source_options(bootstrap: str, topic: str) -> dict[str, str]:
+# The reference's Kafka wiring, pinned value-for-value from its DDL so
+# the option-contract tests catch any drift (first real-broker use is
+# too late to find a typo'd topic):
+#   - source topic / group ids: StreamingJob.java:30-33,
+#     SlidingWindowStreamingJob.java:33-36, job.py:121,132
+#   - sink topics: StreamingJob.java:32 (tumble_window_output),
+#     SlidingWindowStreamingJob.java:35 (sliding_window_output),
+#     job.py:149 (output-topic)
+#   - upsert PKs: StreamingJob.java:63 (window_end),
+#     SlidingWindowStreamingJob.java:73 (window_start, window_end)
+REFERENCE_KAFKA = {
+    "source_topic": "network_traffic",
+    "tumble_group_id": "flink-dgim-group-java",
+    "sliding_group_id": "flink-dgim-sliding-group-java",
+    "pyflink_group_id": "flink-dgim-group-v2",
+    "tumble_sink_topic": "tumble_window_output",
+    "sliding_sink_topic": "sliding_window_output",
+    "pyflink_sink_topic": "output-topic",
+    "tumble_upsert_keys": ["window_end"],
+    "sliding_upsert_keys": ["window_start", "window_end"],
+}
+
+
+def kafka_source_options(
+    bootstrap: str, topic: str, group_id: str | None = None
+) -> dict[str, str]:
     """Reader options for the Kafka JSON source, mirroring the
     reference DDL's connector properties (``StreamingJob.java:37-49``:
-    topic, bootstrap servers, latest offsets).  Pure — unit-testable
-    without a broker."""
-    return {
+    topic, bootstrap servers, consumer group, latest offsets — Flink's
+    ``scan.startup.mode = latest-offset`` is Spark's
+    ``startingOffsets = latest``).  Pure — unit-testable without a
+    broker.  ``group_id`` maps to ``kafka.group.id`` (Spark ≥3.0;
+    Spark otherwise generates its own per-query group)."""
+    opts = {
         "kafka.bootstrap.servers": bootstrap,
         "subscribe": topic,
         "startingOffsets": "latest",
+    }
+    if group_id is not None:
+        opts["kafka.group.id"] = group_id
+    return opts
+
+
+def kafka_sink_options(bootstrap: str, topic: str) -> dict[str, str]:
+    """Writer options for the append / upsert-emulation Kafka sinks
+    (``StreamingJob.java:59-75``, ``job.py:149-165``): the record
+    payload (JSON key/value) is built by :func:`to_upsert_records`;
+    these are just the transport options."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "topic": topic,
     }
 
 

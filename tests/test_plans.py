@@ -223,3 +223,22 @@ def test_partitioning_invariance(spark, sf_dir):
             assert a == b, f"{name} changed under repartitioning"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_neardup_blocked_static_grid_runs_no_sizing_job(spark, t):
+    """With ``n_blocks`` pinned, building the blocked-screen plan must
+    launch ZERO Spark jobs (the default path runs one count() to size
+    the block grid — callers in loops pass the static grid instead)."""
+    emb = t("embeddings")
+    emb.count()  # materialize lazy session state outside the window
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    df = S.embedding_neardup_blocked(emb, threshold=0.4, n_blocks=2)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # plan construction scheduled no job
+    # and the static grid produces the same pairs as the sized one
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(
+        map(tuple, S.embedding_neardup_blocked(emb, threshold=0.4).collect())
+    )
+    assert a == b
