@@ -111,7 +111,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "text_normalize": lambda s, d: T.text_normalize(_documents(s, d)),
         "token_count_regex": lambda s, d: T.token_count_regex(_documents(s, d)),
-        "doc_fingerprint": lambda s, d: T.doc_fingerprint(_documents(s, d)),
+        # rotated into the 50-row window in r3 (only oracle-eligible
+        # query never driver-verified in r1/r2 — VERDICT r2 item 1);
+        # doc_fingerprint (r2-green) rotated out to its old slot
+        "sql_session_exact": lambda s, d: Q.sql_session_exact(s, d),
         "quality_score": lambda s, d: T.quality_score(_documents(s, d)),
         # --- DGIM error bound, oracle-anchored via the closed form ---
         "tumble_dgim_bound": lambda s, d: W.tumble_dgim_bound(_events(s, d), 60),
@@ -272,7 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # retained; equality to their twins is asserted in pytest)
         "sql_tumble_exact": lambda s, d: Q.sql_tumble_exact(s, d, 60),
         "sql_hop_exact": lambda s, d: Q.sql_hop_exact(s, d, 60, 10),
-        "sql_session_exact": lambda s, d: Q.sql_session_exact(s, d),
+        "doc_fingerprint": lambda s, d: T.doc_fingerprint(_documents(s, d)),
         "tumble_exact_1h": lambda s, d: W.tumble_exact(_events(s, d), 3600),
         # ---- pytest-anchored (sketch/hash-seeded) ----
         # LSH scale path (precision 1 by construction, recall vs the
