@@ -135,7 +135,13 @@ def tumble_dgim_stream_tws(parsed, size_sec: int = 60, mode: str = MODE_JAVA):
 
     NOTE: the TWS runtime needs ``google.protobuf`` (its state-server
     protocol), which this container lacks — the test gates on
-    :func:`tws_available`; on a normal Spark 4.x install it runs."""
+    :func:`tws_available`; on a normal Spark 4.x install it runs.
+    Vendoring was ruled out after a system-wide search (no protobuf
+    wheel, conda pkg, or site-packages copy exists anywhere on this
+    host, and package installation is banned), and reimplementing the
+    protobuf descriptor/wire runtime is out of scope — the
+    ``applyInPandasWithState`` twin above carries full test coverage
+    of the same semantics."""
     from pyspark.sql import functions as F
     from pyspark.sql.streaming import StatefulProcessor
 
