@@ -16,6 +16,7 @@ import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # make the package importable regardless of the caller's cwd
 _REPO = os.path.dirname(os.path.abspath(__file__))
@@ -91,6 +92,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``approx_distinct_users`` is bound-checked against
     ``distinct_users``."""
     return {
+        # ---- round-3 additions (window discipline: new ops enter
+        # ahead of already-green entries) ----
+        "source_cap": lambda s, d: C.source_cap(_documents(s, d), cap=15),
+        "dedup_incremental": lambda s, d: D.dedup_incremental(
+            _documents(s, d).filter(F.col("doc_id") % 2 == 1),
+            _documents(s, d).filter(F.col("doc_id") % 2 == 0),
+        ),
+        "quality_quantile_gate": lambda s, d: T.quality_quantile_gate(
+            _documents(s, d), q=0.5
+        ),
         # ---- r01-unverified oracle-eligible entries first ----
         "simsearch_topk": lambda s, d: S.simsearch_topk(_embeddings(s, d)),
         "embedding_neardup": lambda s, d: S.embedding_neardup(
@@ -430,6 +441,35 @@ def oracle_sql() -> dict[str, str]:
         "round(CAST(overlap AS DOUBLE) / CAST(na.c + nb.c - overlap AS DOUBLE), 6)"
     )
     return {
+        # ---- round-3 additions ----
+        "source_cap": """
+SELECT doc_id, source, lang, n_chars, CAST(rn AS BIGINT) AS src_rank
+FROM (SELECT doc_id, source, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents)
+WHERE rn <= 15
+""",
+        "dedup_incremental": """
+WITH newd AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1),
+idx AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0)
+SELECT min(doc_id) AS keep_doc_id, count(*) AS n_batch_copies
+FROM newd
+WHERE fp NOT IN (SELECT fp FROM idx)
+GROUP BY fp
+""",
+        "quality_quantile_gate": f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+c AS (SELECT doc_id, lang, len(ws) AS n,
+      len(list_filter(ws, w -> w IN {_STOP_LIST})) AS stop_cnt FROM t),
+scored AS (SELECT doc_id, lang,
+      round(least(n, 50) / 50 * 0.5 + (1 - stop_cnt / n) * 0.5, 6) AS quality_score
+      FROM c),
+thr AS (SELECT lang, round(quantile_cont(quality_score, 0.5), 6) AS lang_threshold
+        FROM scored GROUP BY lang)
+SELECT s.doc_id, s.lang, s.quality_score, t2.lang_threshold
+FROM scored s JOIN thr t2 USING (lang)
+WHERE s.quality_score >= t2.lang_threshold
+""",
         # DGIM estimate from the CLOSED FORM (dgim.count_estimate_closed):
         # with horizon == window size nothing expires, bucket sizes are
         # the zeroless binary representation of n = sum(bit), the oldest

@@ -76,7 +76,10 @@ BENCH_QUERIES = [
     "session_window_counts",
     "asof_view_before_purchase",
     "dedup_exact",
+    "dedup_incremental",
     "chunk_dedup",
+    "source_cap",
+    "quality_quantile_gate",
     "gopher_quality",
     "repetition_stats",
     "unigram_commonness",

@@ -172,3 +172,57 @@ def corpus_datasheet(documents: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def source_cap(documents: DataFrame, cap: int = 15) -> DataFrame:
+    """Hard per-source document cap (the RefinedWeb/C4-style domain
+    balancing knob): keep the ``cap`` SMALLEST doc_ids per source,
+    ranked.  Complements :func:`corpus_mix`'s rate-based sampling —
+    a cap bounds a dominant domain absolutely, a rate only scales it.
+
+    Two-phase top-k, the partial-aggregation shape applied to rank:
+
+    1. a map-side pass (``mapInPandas``, Arrow-batched, NO shuffle)
+       keeps at most ``cap`` rows per source per input partition —
+       memory is bounded by cap × sources-per-partition, and the
+       pass only ever drops rows the final rank would drop (the
+       global smallest-``cap`` of a source is a subset of the union
+       of its per-partition smallest-``cap`` sets, so the pruning is
+       lossless);
+    2. the authoritative per-source window ranks the survivors —
+       its shuffle moves ≤ cap·partitions rows per source instead of
+       the full corpus, so one giant domain (the crawl's Wikipedia)
+       never funnels its entire row set into a single task's INPUT.
+       The per-source group the window sorts is likewise ≤
+       cap·partitions rows, never the domain's raw volume.
+
+    Deterministic for any partitioning; output matches the plain
+    one-window formulation bit-for-bit."""
+    from pyspark.sql import Window
+
+    slim = documents.select("doc_id", "source", "lang", "n_chars")
+
+    def partial(batches):
+        import pandas as pd
+
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            pool = pdf if best is None else pd.concat((best, pdf))
+            best = (
+                pool.sort_values("doc_id", kind="mergesort")
+                .groupby("source", sort=False)
+                .head(cap)
+            )
+        if best is not None and len(best):
+            yield best
+
+    pruned = slim.mapInPandas(
+        partial, "doc_id bigint, source string, lang string, n_chars bigint"
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        pruned.withColumn(
+            "src_rank", F.row_number().over(w).cast("bigint")
+        )
+        .filter(F.col("src_rank") <= cap)
+    )

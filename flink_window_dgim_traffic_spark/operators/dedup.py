@@ -604,3 +604,34 @@ def chunk_dedup(documents: DataFrame, k: int = 8) -> DataFrame:
             F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
         )
     )
+
+
+def dedup_incremental(
+    new_docs: DataFrame, index_docs: DataFrame
+) -> DataFrame:
+    """Incremental exact dedup of a NEW batch against an already-
+    ingested INDEX (the crawl-over-crawl shape: the index is the
+    running corpus, the batch is today's snapshot).  A new doc
+    survives iff (a) its text hash is absent from the index and
+    (b) it is the smallest doc_id among the batch's own copies.
+
+    Scale model: the index side is projected to its DISTINCT md5
+    column before the LEFT ANTI join — column pruning reaches the
+    index scan, so deduplicating a fresh batch against a 100 TB
+    corpus moves only the corpus's 32-byte hash column (and the
+    distinct pre-aggregates map-side).  Two hash-partitioned
+    shuffles total: the anti join and the map-side-combinable
+    min/count per batch hash."""
+    fp = F.md5("text")
+    idx = index_docs.select(fp.alias("fp")).distinct()
+    fresh = new_docs.select("doc_id", fp.alias("fp")).join(
+        idx, "fp", "left_anti"
+    )
+    return (
+        fresh.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_batch_copies"),
+        )
+        .select("keep_doc_id", "n_batch_copies")
+    )

@@ -173,3 +173,37 @@ def doc_length_histogram(documents: DataFrame, bin_chars: int = 100) -> DataFram
             "n_docs",
         )
     )
+
+
+def quality_quantile_gate(documents: DataFrame, q: float = 0.5) -> DataFrame:
+    """CCNet-style per-language quality gate: keep docs whose
+    heuristic quality score (same expression as
+    :func:`quality_score`) reaches their LANGUAGE's q-th percentile.
+
+    The thresholds frame is one row per language — broadcast back
+    onto the scoring pass, so the gate itself is map-only after one
+    bounded aggregation.  Exact PERCENTILE_CONT semantics per lang
+    (languages are few; at 100 TB swap ``approx_percentile``, the
+    mergeable t-digest-style twin, as ``value_percentiles_by_type``
+    documents — same plan shape, no per-group sort)."""
+    t = _tokens()
+    n = F.size(t)
+    stop_cnt = F.size(F.filter(t, lambda w: w.isin(*STOPWORDS)))
+    score = F.round(
+        F.least(n, F.lit(50)) / F.lit(50) * F.lit(0.5)
+        + (F.lit(1) - stop_cnt / n) * F.lit(0.5),
+        6,
+    )
+    scored = documents.select(
+        "doc_id", "lang", score.alias("quality_score")
+    )
+    thr = scored.groupBy("lang").agg(
+        F.round(F.percentile("quality_score", F.lit(q)), 6).alias(
+            "lang_threshold"
+        )
+    )
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .filter(F.col("quality_score") >= F.col("lang_threshold"))
+        .select("doc_id", "lang", "quality_score", "lang_threshold")
+    )

@@ -1,0 +1,164 @@
+"""Round-3 curation operators: per-source hard caps, incremental
+batch-vs-index dedup, per-language quality-percentile gating.
+
+Each has a DuckDB oracle twin in __spark_entry__ (driver-hash checked);
+these tests pin the semantic invariants and the scale posture the
+oracle can't see (two-phase pruning losslessness, partitioning
+invariance, broadcast/pruning plan shapes).
+"""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flink_window_dgim_traffic_spark.operators import corpus as C
+from flink_window_dgim_traffic_spark.operators import dedup as D
+from flink_window_dgim_traffic_spark.operators import text as T
+from flink_window_dgim_traffic_spark.plans import inspect as I
+from flink_window_dgim_traffic_spark.session import table
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------- source_cap
+
+
+def _plain_cap(documents, cap):
+    """The obvious one-window formulation source_cap must equal."""
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        documents.select("doc_id", "source", "lang", "n_chars")
+        .withColumn("src_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("src_rank") <= cap)
+    )
+
+
+def test_source_cap_equals_one_window_formulation(documents):
+    cap = 7
+    got = sorted(map(tuple, C.source_cap(documents, cap=cap).collect()))
+    want = sorted(map(tuple, _plain_cap(documents, cap).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_source_cap_partitioning_invariant(documents):
+    # the map-side prune must be lossless for ANY input partitioning
+    cap = 5
+    a = sorted(
+        map(tuple, C.source_cap(documents.repartition(7), cap=cap).collect())
+    )
+    b = sorted(
+        map(tuple, C.source_cap(documents.coalesce(1), cap=cap).collect())
+    )
+    assert a == b
+
+
+def test_source_cap_caps_and_ranks(documents):
+    cap = 4
+    rows = C.source_cap(documents, cap=cap).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    n_sources = documents.select("source").distinct().count()
+    assert len(by_src) == n_sources
+    for src, grp in by_src.items():
+        assert len(grp) <= cap
+        grp.sort(key=lambda r: r["src_rank"])
+        ids = [r["doc_id"] for r in grp]
+        assert ids == sorted(ids)  # rank follows doc_id order
+        assert [r["src_rank"] for r in grp] == list(range(1, len(grp) + 1))
+        # kept ids are the smallest doc_ids of that source
+        all_ids = sorted(
+            r["doc_id"]
+            for r in documents.filter(F.col("source") == src)
+            .select("doc_id")
+            .collect()
+        )
+        assert ids == all_ids[: len(grp)]
+
+
+# ---------------------------------------------------- dedup_incremental
+
+
+def test_dedup_incremental_hand_computed(spark):
+    new = spark.createDataFrame(
+        [(1, "aa"), (3, "aa"), (5, "bb"), (7, "cc")], "doc_id long, text string"
+    )
+    idx = spark.createDataFrame(
+        [(0, "bb"), (2, "dd")], "doc_id long, text string"
+    )
+    got = {
+        (r["keep_doc_id"], r["n_batch_copies"])
+        for r in D.dedup_incremental(new, idx).collect()
+    }
+    # "bb" is in the index -> dropped entirely; "aa" keeps min id 1
+    # with 2 batch copies; "cc" is fresh and unique
+    assert got == {(1, 2), (7, 1)}
+
+
+def test_dedup_incremental_empty_index_is_dedup_exact(documents):
+    empty = documents.filter(F.lit(False))
+    got = sorted(
+        map(tuple, D.dedup_incremental(documents, empty).collect())
+    )
+    want = sorted(map(tuple, D.dedup_exact(documents).collect()))
+    assert got == want
+
+
+def test_dedup_incremental_prunes_index_payload(documents):
+    new = documents.filter(F.col("doc_id") % 2 == 1)
+    idx = documents.filter(F.col("doc_id") % 2 == 0)
+    df = D.dedup_incremental(new, idx)
+    # both scans read only what md5/doc_id need — the index side must
+    # NOT drag source/lang/n_chars through its distinct+anti join
+    for info in I.scan_infos(df):
+        schema = info["read_schema"]
+        assert "source" not in schema and "n_chars" not in schema
+
+
+# ------------------------------------------------- quality_quantile_gate
+
+
+def test_quality_gate_thresholds_are_per_lang_percentiles(documents):
+    q = 0.5
+    out = T.quality_quantile_gate(documents, q=q)
+    rows = out.collect()
+    assert len(rows) > 0
+    # each lang's threshold equals the exact interpolated percentile of
+    # ALL of that lang's scores (computed independently here)
+    scores = {
+        r["lang"]: r["ps"]
+        for r in T.quality_score(documents)
+        .join(documents.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.round(F.percentile("quality_score", F.lit(q)), 6).alias("ps"))
+        .collect()
+    }
+    for r in rows:
+        assert r["lang_threshold"] == scores[r["lang"]]
+        assert r["quality_score"] >= r["lang_threshold"]
+
+
+def test_quality_gate_keeps_about_half_per_lang(documents):
+    kept = (
+        T.quality_quantile_gate(documents, q=0.5)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    total = {
+        r["lang"]: r["count"]
+        for r in documents.groupBy("lang").count().collect()
+    }
+    for r in kept:
+        frac = r["count"] / total[r["lang"]]
+        # >= the median -> at least half survive; ties can push it up
+        assert 0.5 <= frac <= 0.8, (r["lang"], frac)
+
+
+def test_quality_gate_broadcasts_thresholds(documents):
+    df = T.quality_quantile_gate(documents, q=0.5)
+    assert I.broadcast_join_count(df) >= 1
+    assert not I.has_cartesian(df)
