@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- round-3 additions (window discipline: new ops enter
         # ahead of already-green entries) ----
+        "cumulate_exact": lambda s, d: W.cumulate_exact(_events(s, d), 60, 10),
         "source_cap": lambda s, d: C.source_cap(_documents(s, d), cap=15),
         "dedup_incremental": lambda s, d: D.dedup_incremental(
             _documents(s, d).filter(F.col("doc_id") % 2 == 1),
@@ -442,6 +443,22 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         # ---- round-3 additions ----
+        # CUMULATE TVF: span start ws = floor(es/max)*max; a record at
+        # es belongs to every cumulative end from the next step
+        # boundary after es up to the span end.
+        "cumulate_exact": """
+WITH e AS (SELECT CAST(event_id % 2 AS INT) AS bit, epoch(ts) AS es FROM events),
+x AS (SELECT bit,
+        CAST(floor(es/60) AS BIGINT)*60 AS ws,
+        unnest(generate_series(
+          CAST(floor(es/60) AS BIGINT)*60
+            + (CAST(floor((es - CAST(floor(es/60) AS BIGINT)*60)/10) AS BIGINT) + 1)*10,
+          CAST(floor(es/60) AS BIGINT)*60 + 60, 10)) AS we FROM e)
+SELECT strftime(make_timestamp(ws*1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(make_timestamp(we*1000000), '%Y-%m-%d %H:%M:%S') AS window_end,
+       CAST(sum(bit) AS BIGINT) AS ones_exact, count(*) AS n_rows
+FROM x GROUP BY ws, we
+""",
         "source_cap": """
 SELECT doc_id, source, lang, n_chars, CAST(rn AS BIGINT) AS src_rank
 FROM (SELECT doc_id, source, lang, n_chars,

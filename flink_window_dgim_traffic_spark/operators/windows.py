@@ -523,3 +523,55 @@ def hop_dgim_two_phase(
             F.col("n_rows").cast("bigint").alias("n_rows"),
         )
     )
+
+
+def cumulate_exact(
+    events: DataFrame, max_size_sec: int = 60, step_sec: int = 10
+) -> DataFrame:
+    """CUMULATE window TVF (the fourth member of the Flink SQL window
+    family next to TUMBLE/HOP/SESSION — the reference uses the first
+    two, ``StreamingJob.java:85``/``SlidingWindowStreamingJob.java:104``;
+    this completes the family): windows share a start aligned to
+    ``max_size_sec`` and grow by ``step_sec`` — span ``[W, W+max)``
+    emits ``[W, W+step), [W, W+2·step), …, [W, W+max)``, so each
+    record lands in every cumulative window of its span whose end is
+    past its timestamp.
+
+    Pure JVM expressions: the per-record window-end list is a
+    ``sequence``+``explode`` (≤ max/step rows per record, same
+    expansion HOP already pays), then one partially-aggregated
+    shuffle on (window_start, window_end).  Streaming twin: identical
+    plan over ``readStream`` with a watermark, update mode."""
+    e = with_bit(events).select(
+        "bit", F.unix_timestamp("ts").alias("es")
+    )
+    ws = (F.floor(F.col("es") / max_size_sec) * max_size_sec).cast(
+        "bigint"
+    )
+    first_end = (
+        ws
+        + (F.floor((F.col("es") - ws) / step_sec) + 1) * step_sec
+    ).cast("bigint")
+    ends = F.sequence(
+        first_end,
+        (ws + F.lit(max_size_sec)).cast("bigint"),
+        F.lit(step_sec).cast("bigint"),
+    )
+    return (
+        e.select("bit", ws.alias("ws"), F.explode(ends).alias("we"))
+        .groupBy("ws", "we")
+        .agg(
+            F.sum("bit").cast("bigint").alias("ones_exact"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.date_format(
+                F.timestamp_seconds(F.col("ws")), TS_FMT_SPARK
+            ).alias("window_start"),
+            F.date_format(
+                F.timestamp_seconds(F.col("we")), TS_FMT_SPARK
+            ).alias("window_end"),
+            "ones_exact",
+            "n_rows",
+        )
+    )

@@ -172,6 +172,56 @@ def hop_exact_stream(
     )
 
 
+def cumulate_exact_stream(
+    parsed: DataFrame,
+    max_size_sec: int = 60,
+    step_sec: int = 10,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming CUMULATE twin (batch: ``windows.cumulate_exact``).
+
+    Spark has no CUMULATE TVF, so each record is exploded to its
+    cumulative window ends and the aggregation groups directly on
+    the end timestamp.  State eviction: the watermark moves to the
+    DERIVED ``we_ts`` column — a record's smallest possible end is
+    strictly after its event time and at most ``max_size_sec`` later,
+    so an allowed event-time lateness of ``watermark`` maps to
+    ``watermark + max_size_sec`` on ``we_ts``; with that delay no
+    record admitted by the source-side contract is dropped, and
+    closed spans' groups age out of the state store."""
+    wm_sec = int(watermark.split()[0]) + max_size_sec
+    es = F.unix_timestamp("ts")
+    ws = (F.floor(es / max_size_sec) * max_size_sec).cast("bigint")
+    first_end = (
+        ws + (F.floor((es - ws) / step_sec) + 1) * step_sec
+    ).cast("bigint")
+    ends = F.sequence(
+        first_end,
+        (ws + F.lit(max_size_sec)).cast("bigint"),
+        F.lit(step_sec).cast("bigint"),
+    )
+    return (
+        parsed.select("bit", ws.alias("ws"), F.explode(ends).alias("we"))
+        .withColumn("we_ts", F.timestamp_seconds(F.col("we")))
+        .withWatermark("we_ts", f"{wm_sec} seconds")
+        .groupBy("ws", "we_ts")
+        .agg(
+            F.sum("bit").cast("bigint").alias("ones_exact"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.date_format(
+                F.timestamp_seconds(F.col("ws")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            F.date_format(F.col("we_ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_end"
+            ),
+            "ones_exact",
+            "n_rows",
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # upsert sink emulation (S4/S5)
 # ----------------------------------------------------------------------

@@ -389,3 +389,27 @@ def test_kafka_source_options_match_reference_ddl(spark):
         .option("topic", "traffic-out")
     )
     assert writer is not None
+
+
+def test_stream_cumulate_update_matches_batch(spark, fixture_dir, batch_parsed):
+    """Update-mode CUMULATE: final updates equal the batch
+    cumulate_exact for every (span, cumulative end) window, and each
+    record lands in max/step windows on average half-full spans."""
+    stream = J.parse_traffic(J.file_traffic_stream(spark, fixture_dir))
+    J.run_stream_to_memory(
+        J.cumulate_exact_stream(stream, 60, 10, watermark="0 seconds"),
+        "t_cumulate",
+        "update",
+    )
+    final = {}
+    for r in spark.sql("SELECT * FROM t_cumulate").collect():
+        final[(r["window_start"], r["window_end"])] = (
+            r["ones_exact"],
+            r["n_rows"],
+        )
+    ev = batch_parsed.withColumn("event_id", F.col("bit").cast("bigint"))
+    expect = {
+        (r["window_start"], r["window_end"]): (r["ones_exact"], r["n_rows"])
+        for r in W.cumulate_exact(ev, 60, 10).collect()
+    }
+    assert final == expect

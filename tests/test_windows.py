@@ -193,3 +193,65 @@ def test_tumble_1h_aggregates_60s_windows(events):
         o, n = agg.get(key, (0, 0))
         agg[key] = (o + r["ones_exact"], n + r["n_rows"])
     assert agg == coarse
+
+
+# ------------------------------------------------------------ CUMULATE
+
+
+def pandas_cumulate(pdf, max_size=60, step=10):
+    """Per-record expansion oracle: a record at epoch second ``es``
+    belongs to every cumulative window of its span whose end > es."""
+    out = {}
+    es_all = (pdf["ts"] - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
+    for es, bit in zip(es_all, pdf["bit"]):
+        ws = (es // max_size) * max_size
+        first = ws + ((es - ws) // step + 1) * step
+        for we in range(int(first), int(ws + max_size) + 1, step):
+            key = (
+                pd.Timestamp(int(ws), unit="s").strftime("%Y-%m-%d %H:%M:%S"),
+                pd.Timestamp(int(we), unit="s").strftime("%Y-%m-%d %H:%M:%S"),
+            )
+            ones, n = out.get(key, (0, 0))
+            out[key] = (ones + int(bit), n + 1)
+    return out
+
+
+def test_cumulate_exact_matches_pandas(events, events_pdf):
+    got = {
+        (r["window_start"], r["window_end"]): (r["ones_exact"], r["n_rows"])
+        for r in W.cumulate_exact(events, 60, 10).collect()
+    }
+    assert got == pandas_cumulate(events_pdf, 60, 10)
+
+
+def test_cumulate_degenerates_to_tumble_when_step_is_max(events):
+    cum = {
+        r["window_end"]: (r["ones_exact"], r["n_rows"])
+        for r in W.cumulate_exact(events, 60, 60).collect()
+    }
+    tum = {
+        r["window_end"]: (r["ones_exact"], r["n_rows"])
+        for r in W.tumble_exact(events, 60).collect()
+    }
+    assert cum == tum
+
+
+def test_cumulate_final_window_equals_tumble(events):
+    # the last cumulative window of each span IS the tumbling window
+    rows = W.cumulate_exact(events, 60, 10).collect()
+    finals = {
+        r["window_end"]: (r["ones_exact"], r["n_rows"])
+        for r in rows
+        if r["window_end"].endswith(":00")
+        and (
+            pd.Timestamp(r["window_end"]) - pd.Timestamp(r["window_start"])
+        ).total_seconds() == 60
+    }
+    tum = {
+        r["window_end"]: (r["ones_exact"], r["n_rows"])
+        for r in W.tumble_exact(events, 60).collect()
+    }
+    # every tumble window whose end is a span boundary must appear
+    for k, v in finals.items():
+        assert tum[k] == v
+    assert len(finals) == len(tum)
