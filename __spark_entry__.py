@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _events(s, d), 60, mode="pyflink"
         ),
         "tumble_dgim_collect": lambda s, d: W.tumble_dgim_collect(_events(s, d), 60),
+        "cumulate_dgim": lambda s, d: W.cumulate_dgim(_events(s, d), 60, 10),
         "tumble_dgim_two_phase": lambda s, d: W.tumble_dgim_two_phase(
             _events(s, d), 60
         ),

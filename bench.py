@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "tumble_exact",
     "hop_exact",
     "cumulate_exact",
+    "cumulate_dgim",
     "tumble_dgim",
     "tumble_dgim_fast",
     "sql_tumble_dgim",

@@ -324,10 +324,26 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     num_perm: int = NUM_PERM,
     bands: int = LSH_BANDS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from LSH band buckets, verified with exact
     shingle Jaccard ≥ threshold.  Output ≡ ngram_jaccard_pairs minus
-    LSH false negatives (recall ≈ 1 at j ≥ 0.8 with 16×4 bands)."""
+    LSH false negatives (recall ≈ 1 at j ≥ 0.8 with 16×4 bands).
+
+    ``max_bucket`` is the hot-bucket guard for web-scale corpora: a
+    band bucket holding B docs contributes B² rows to the candidate
+    self-join, and mass-duplicated boilerplate (the same page
+    mirrored millions of times) makes single buckets of 10⁶+ docs a
+    certainty at 100 TB — 10¹² join rows on ONE key.  With a cap,
+    buckets wider than ``max_bucket`` are excluded from candidate
+    generation (one extra count-aggregate shuffle, only when
+    enabled).  The intended production order makes the recall loss
+    negligible: run :func:`dedup_exact` FIRST so byte-identical
+    mass duplicates collapse to one representative, then near-dup
+    buckets are genuine near-miss groups and the cap only trims
+    pathological residue (`training_corpus` in operators/pipeline.py
+    composes exactly this order).  Default ``None`` preserves the
+    uncapped exact-candidate semantics the oracle tests pin."""
     rows_per_band = num_perm // bands
     # ONE regex pass feeds both the signature aggregate and the
     # exact-Jaccard verification below
@@ -352,6 +368,14 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_key"),
     )
+    if max_bucket is not None:
+        ok = (
+            band_keys.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("_bucket_n"))
+            .filter(F.col("_bucket_n") <= max_bucket)
+            .select("band", "band_key")
+        )
+        band_keys = band_keys.join(ok, ["band", "band_key"])
     a, b = band_keys.alias("a"), band_keys.alias("b")
     candidates = (
         a.join(

@@ -575,3 +575,57 @@ def cumulate_exact(
             "n_rows",
         )
     )
+
+
+def cumulate_dgim(
+    events: DataFrame,
+    max_size_sec: int = 60,
+    step_sec: int = 10,
+    mode: str = MODE_JAVA,
+) -> DataFrame:
+    """DGIM estimate per CUMULATE window (the sketch the reference
+    runs over TUMBLE/HOP — ``StreamingJob.java:82-94`` — composed with
+    the fourth window kind): each cumulative window ``[ws, we)``
+    replays its rows into a ``DGIM(max_size_sec)`` exactly as the
+    incremental stream job's accumulator would hold them at ``we``,
+    plus the exact twin column that anchors the estimate in tests.
+    Same vectorized whole-window replay shape as :func:`tumble_dgim`;
+    the explode multiplies rows by ≤ max/step like HOP already does,
+    and only (window, pairs) groups shuffle."""
+    e = with_bit(events).select(
+        "bit",
+        F.unix_timestamp("ts").alias("ts_sec"),
+    )
+    ws = (F.floor(F.col("ts_sec") / max_size_sec) * max_size_sec).cast(
+        "bigint"
+    )
+    first_end = (
+        ws + (F.floor((F.col("ts_sec") - ws) / step_sec) + 1) * step_sec
+    ).cast("bigint")
+    ends = F.sequence(
+        first_end,
+        (ws + F.lit(max_size_sec)).cast("bigint"),
+        F.lit(step_sec).cast("bigint"),
+    )
+    return (
+        e.select(
+            "bit", "ts_sec", ws.alias("ws"), F.explode(ends).alias("we")
+        )
+        .groupBy("ws", "we")
+        .agg(
+            _sorted_pairs().alias("pairs"),
+            F.sum("bit").cast("bigint").alias("exact_count"),
+        )
+        .select(
+            F.date_format(
+                F.timestamp_seconds(F.col("ws")), TS_FMT_SPARK
+            ).alias("window_start"),
+            F.date_format(
+                F.timestamp_seconds(F.col("we")), TS_FMT_SPARK
+            ).alias("window_end"),
+            _replay_pairs_udf(max_size_sec, mode)("pairs").alias(
+                "count_estimate"
+            ),
+            "exact_count",
+        )
+    )

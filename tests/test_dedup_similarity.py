@@ -378,3 +378,25 @@ def test_semantic_dedup_lsh_decision_recall(embeddings):
     assert set(lsh) == set(exact)
     agree = sum(1 for v in exact if exact[v] == lsh[v])
     assert agree / len(exact) >= 0.90, f"decision agreement {agree/len(exact):.2f}"
+
+
+def test_minhash_hot_bucket_cap(documents):
+    """max_bucket guards the candidate self-join against hot band
+    buckets: a generous cap changes nothing on this corpus (buckets
+    are duplicate-group-sized), cap 1 kills every candidate."""
+    base = sorted(
+        map(tuple, D.minhash_lsh_pairs(documents, threshold=0.8).collect())
+    )
+    capped = sorted(
+        map(
+            tuple,
+            D.minhash_lsh_pairs(
+                documents, threshold=0.8, max_bucket=10_000
+            ).collect(),
+        )
+    )
+    assert capped == base and len(base) > 0
+    assert (
+        D.minhash_lsh_pairs(documents, threshold=0.8, max_bucket=1).count()
+        == 0
+    )

@@ -127,3 +127,20 @@ def test_ivfpq_empty_and_tiny(spark, sf_dir, empty):
     tiny = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
     rows = S.simsearch_ann_ivfpq(tiny, n_query=3, k=10).collect()
     assert {r["query_id"] for r in rows} == {0, 1, 2}
+
+
+def test_round3_ops_empty(empty):
+    docs = empty("documents")
+    ev = empty("events")
+    from flink_window_dgim_traffic_spark.operators import corpus as C
+
+    assert C.source_cap(docs, cap=5).count() == 0
+    assert D.dedup_incremental(docs, docs).count() == 0
+    assert T.quality_quantile_gate(docs).count() == 0
+    assert W.cumulate_exact(ev).count() == 0
+
+
+def test_dedup_incremental_empty_batch_nonempty_index(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    nothing = docs.filter(F.lit(False))
+    assert D.dedup_incremental(nothing, docs).count() == 0

@@ -255,3 +255,22 @@ def test_cumulate_final_window_equals_tumble(events):
     for k, v in finals.items():
         assert tum[k] == v
     assert len(finals) == len(tum)
+
+
+def test_cumulate_dgim_bound_and_degeneration(events):
+    rows = W.cumulate_dgim(events, 60, 10).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # DGIM 50% bound (java rounding): estimate within [exact/2, 3/2*exact]+1
+        assert r["count_estimate"] <= 1.5 * r["exact_count"] + 1
+        assert r["count_estimate"] >= 0.5 * r["exact_count"] - 1
+    # step == max degenerates to tumble_dgim (same windows, same sketch)
+    cum = {
+        r["window_end"]: (r["count_estimate"], r["exact_count"])
+        for r in W.cumulate_dgim(events, 60, 60).collect()
+    }
+    tum = {
+        r["window_end"]: (r["count_estimate"], r["exact_count"])
+        for r in W.tumble_dgim(events, 60).collect()
+    }
+    assert cum == tum
