@@ -242,3 +242,33 @@ def test_neardup_blocked_static_grid_runs_no_sizing_job(spark, t):
         map(tuple, S.embedding_neardup_blocked(emb, threshold=0.4).collect())
     )
     assert a == b
+
+
+def test_round3_ops_plan_shapes(t):
+    """Round-3 operators: shuffle counts at the semantic minimum, no
+    cartesian products, thresholds broadcast."""
+    from flink_window_dgim_traffic_spark.operators import corpus as C3
+    from flink_window_dgim_traffic_spark.operators import dedup as D3
+    from flink_window_dgim_traffic_spark.operators import text as T3
+    import pyspark.sql.functions as F
+
+    docs = t("documents")
+    # source_cap: the ONLY exchange is the per-source window over the
+    # map-side-pruned survivors (mapInPandas itself shuffles nothing)
+    df = C3.source_cap(docs, cap=15)
+    assert I.exchange_count(df) == 1 and not I.has_cartesian(df)
+    # cumulate_exact: explode is map-side; one partial-agg shuffle
+    df = W.cumulate_exact(t("events"))
+    assert I.exchange_count(df) == 1 and not I.has_cartesian(df)
+    # quality_quantile_gate: one bounded threshold aggregation, gate
+    # itself joins the one-row-per-lang frame broadcast (map-only)
+    df = T3.quality_quantile_gate(docs)
+    assert I.exchange_count(df) == 1
+    assert I.broadcast_join_count(df) >= 1 and not I.has_cartesian(df)
+    # dedup_incremental: anti join + map-side-combinable min/count --
+    # at most 3 exchanges however AQE plans the join, never cartesian
+    df = D3.dedup_incremental(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+    )
+    assert I.exchange_count(df) <= 3 and not I.has_cartesian(df)

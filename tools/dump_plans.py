@@ -69,6 +69,14 @@ SHOWCASE = {
     "semantic_dedup": "exact pair graph from the distributed block "
     "screen (block-pair tasks, no driver collect), components via "
     "checkpointed label propagation — DataFrame state only",
+    "cumulate_exact": "CUMULATE ends exploded map-side (≤ max/step "
+    "fan-out, same as HOP), ONE partially-aggregated shuffle",
+    "source_cap": "mapInPandas partial top-k shuffles NOTHING; the "
+    "per-source window sees ≤ cap·partitions rows per source",
+    "dedup_incremental": "index scan pruned to the hash column; anti "
+    "join + map-side-combined min/count, two key shuffles",
+    "quality_quantile_gate": "one bounded per-lang percentile "
+    "aggregate; thresholds broadcast back — the gate is map-only",
 }
 
 
