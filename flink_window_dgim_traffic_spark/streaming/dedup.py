@@ -32,3 +32,47 @@ def dedup_stream(
     return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def dedup_incremental_stream(
+    new_stream: DataFrame,
+    index_docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    delay: str = "60 seconds",
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.dedup_incremental``: a
+    crawl STREAM deduplicated against a STATIC ingested index, then
+    within itself.
+
+    Two stages, both bounded:
+
+    1. stream-static LEFT ANTI join — the static index is projected
+       to its DISTINCT md5 column before the join, so each micro-
+       batch probes hashes, never index payloads (Spark re-plans the
+       static side per micro-batch; with the index stored as a table
+       bucketed by the hash, the probe is shuffle-free);
+    2. within-stream first-arrival dedup via
+       ``dropDuplicatesWithinWatermark`` — state bounded by arrival
+       rate × ``delay`` exactly as :func:`dedup_stream`, the right
+       contract for at-least-once crawl redelivery where duplicates
+       cluster in time.
+
+    Batch-twin note (tested): the kept TEXT set equals the batch
+    operator's on replayed input — exactly one survivor per novel
+    text, none for indexed texts.  WHICH duplicate survives is
+    first-arrival at micro-batch granularity but arbitrary within a
+    batch (parallel file/partition read order), unlike the batch
+    operator's deterministic min-doc_id; in the at-least-once
+    redelivery shape duplicates are byte-identical payloads, so the
+    choice is immaterial.  Pipelines that need the batch's exact
+    survivor rule re-key the stored output with the batch operator."""
+    from pyspark.sql import functions as F
+
+    idx = index_docs.select(F.md5(text_col).alias("fp")).distinct()
+    fresh = new_stream.withColumn("fp", F.md5(text_col)).join(
+        idx, "fp", "left_anti"
+    )
+    return fresh.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        ["fp"]
+    )

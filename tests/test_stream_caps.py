@@ -1,0 +1,87 @@
+"""Streaming per-source admission caps: ordered replay admits exactly
+the batch operator's survivors (the cap smallest doc_ids per source),
+counters persist across micro-batches, and rejected docs never emit."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_window_dgim_traffic_spark.operators import corpus as C
+from flink_window_dgim_traffic_spark.streaming import jobs as J
+from flink_window_dgim_traffic_spark.streaming.caps import source_cap_stream
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+N_DOCS = 90  # 3 sources x 30 docs, interleaved
+CAP = 7
+
+
+@pytest.fixture(scope="module")
+def capped_fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cap_docs")
+    rows = [
+        {
+            "doc_id": i,
+            "source": f"src{i % 3}",
+            "lang": "en",
+            "n_chars": 10,
+            "text": f"doc {i}",
+        }
+        for i in range(N_DOCS)
+    ]
+    per = N_DOCS // 3
+    import os
+    import time
+
+    base = time.time() - 100
+    for c in range(3):
+        path = f"{d}/chunk_{c}.json"
+        with open(path, "w") as f:
+            f.write(
+                "\n".join(json.dumps(r) for r in rows[c * per : (c + 1) * per])
+            )
+        # the file source orders micro-batches by modification time;
+        # same-ms writes make replay order nondeterministic
+        os.utime(path, (base + c, base + c))
+    return str(d)
+
+
+def test_source_cap_stream_matches_batch(spark, capped_fixture_dir):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(capped_fixture_dir)
+    )
+    J.run_stream_to_memory(
+        source_cap_stream(stream, cap=CAP), "t_srccap", "update"
+    )
+    got = {
+        (r["doc_id"], r["source"], r["src_rank"])
+        for r in spark.sql("SELECT * FROM t_srccap").collect()
+    }
+    batch_docs = spark.read.schema(SCHEMA).json(capped_fixture_dir)
+    want = {
+        (r["doc_id"], r["source"], r["src_rank"])
+        for r in C.source_cap(batch_docs, cap=CAP).collect()
+    }
+    # doc_id-ordered replay (chunks ordered, sort inside the update
+    # fn) admits exactly the batch survivors with identical ranks
+    assert got == want
+    assert len(got) == 3 * CAP
+    # admission counters crossed micro-batch boundaries: chunk 0 holds
+    # only 10 docs per source (> CAP), so this also proves within-
+    # batch capping; re-check per-source counts
+    per_src = {}
+    for _, s, _ in got:
+        per_src[s] = per_src.get(s, 0) + 1
+    assert per_src == {f"src{k}": CAP for k in range(3)}

@@ -83,3 +83,70 @@ def test_stream_dedup_composite_key(spark, dup_fixture_dir):
     )
     J.run_stream_to_memory(deduped, "t_dedup2", output_mode="append")
     assert spark.sql("SELECT * FROM t_dedup2").count() == N_IDS
+
+
+# ---------------------------------------------- stream-static incremental
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def crawl_fixture(tmp_path_factory, spark):
+    """A doc_id-ordered crawl stream (3 JSON chunks) plus a static
+    index: texts t0..t9 cycle in the stream; the index already holds
+    t0..t4.  Within-stream dups are adjacent (redelivery shape)."""
+    d = tmp_path_factory.mktemp("crawl_docs")
+    rows = []
+    for i in range(60):
+        ts = f"2026-01-01T00:00:{i:02d}.000000"
+        rows.append({"doc_id": i, "text": f"t{i % 10}", "ts": ts})
+    per = len(rows) // 3
+    for c in range(3):
+        with open(f"{d}/chunk_{c}.json", "w") as f:
+            f.write(
+                "\n".join(
+                    __import__("json").dumps(r)
+                    for r in rows[c * per : (c + 1) * per]
+                )
+            )
+    index = spark.createDataFrame(
+        [(1000 + k, f"t{k}") for k in range(5)], "doc_id long, text string"
+    )
+    return str(d), index
+
+
+def test_dedup_incremental_stream_matches_batch(spark, crawl_fixture):
+    from flink_window_dgim_traffic_spark.operators import dedup as D
+    from flink_window_dgim_traffic_spark.streaming.dedup import (
+        dedup_incremental_stream,
+    )
+
+    path, index = crawl_fixture
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+    )
+    out = dedup_incremental_stream(stream, index, delay="600 seconds")
+    J.run_stream_to_memory(out, "t_incr_dedup", "append")
+    rows_kept = spark.sql("SELECT doc_id, text FROM t_incr_dedup").collect()
+    # exactly ONE survivor per novel text (t5..t9); indexed texts
+    # (t0..t4) never emit.  The survivor's doc_id is first-arrival at
+    # micro-batch granularity but arbitrary within a batch — assert it
+    # is a legitimate copy of its text, not a specific id
+    assert sorted(r["text"] for r in rows_kept) == [
+        f"t{i}" for i in range(5, 10)
+    ]
+    for r in rows_kept:
+        assert f"t{r['doc_id'] % 10}" == r["text"]
+    # batch twin keeps the same text set (one keep per novel text)
+    batch_new = spark.read.schema(DOC_SCHEMA).json(path)
+    batch = D.dedup_incremental(batch_new, index)
+    assert batch.count() == len(rows_kept) == 5
