@@ -250,8 +250,10 @@ def embedding_neardup_lsh(
     embeddings: DataFrame,
     threshold: float = 0.4,
     dim: int = 64,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     n_tables: int = 8,
+    target_bucket: int = 32,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """100 TB path for embedding near-dup: sign-LSH bucket equi-join
     generates candidate pairs (same bucket in ANY of ``n_tables``
@@ -259,8 +261,31 @@ def embedding_neardup_lsh(
     construction (every emitted pair passes the exact check, same
     expression as :func:`embedding_neardup`); recall < 1, measured in
     tests.  No all-pairs join and no driver-side collect — candidate
-    volume is bucket-sized, shuffles are on bucket keys."""
+    volume is bucket-sized, shuffles are on bucket keys.
+
+    ``n_planes`` defaults to CORPUS-SIZED: ``log2(n / target_bucket)``
+    (clamped to [4, 24]), from ``n_rows`` if given else one cheap
+    parquet-metadata ``count()``.  A FIXED plane count is a scale
+    bug this repo's own 1×/3×/10× stress run caught (tools/
+    bench_scaling.py): buckets per table are constant (2^planes), so
+    mean bucket width grows O(n) and the candidate equi-join grows
+    O(n²/2^planes) — measured 16.8× runtime at 10× rows before
+    auto-sizing.  Growing planes with log(n) keeps expected bucket
+    width ≈ target_bucket and the join near-linear; per-table recall
+    drops as planes grow (pair survives a table with p_match^planes),
+    so at much larger n raise ``n_tables`` with it if measured recall
+    matters more than cost.  At the driver corpus (2 000 rows) the
+    formula reproduces the round-2 tuning (6 planes) exactly, so
+    pinned recall tests are unchanged."""
+    import math
+
     import numpy as np
+
+    if n_planes is None:
+        n = n_rows if n_rows is not None else embeddings.count()
+        n_planes = max(
+            4, min(24, math.ceil(math.log2(max(n, 2) / target_bucket)))
+        )
 
     e = _with_vec(embeddings)
     # all tables' bucket keys in ONE vectorized pass (a gemm against

@@ -108,14 +108,21 @@ def crawl_fixture(tmp_path_factory, spark):
         ts = f"2026-01-01T00:00:{i:02d}.000000"
         rows.append({"doc_id": i, "text": f"t{i % 10}", "ts": ts})
     per = len(rows) // 3
+    import os
+    import time
+
+    base = time.time() - 100
     for c in range(3):
-        with open(f"{d}/chunk_{c}.json", "w") as f:
+        path = f"{d}/chunk_{c}.json"
+        with open(path, "w") as f:
             f.write(
                 "\n".join(
                     __import__("json").dumps(r)
                     for r in rows[c * per : (c + 1) * per]
                 )
             )
+        # file source orders micro-batches by mtime; pin it
+        os.utime(path, (base + c, base + c))
     index = spark.createDataFrame(
         [(1000 + k, f"t{k}") for k in range(5)], "doc_id long, text string"
     )
