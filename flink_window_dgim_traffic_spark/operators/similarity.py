@@ -354,14 +354,33 @@ def embedding_neardup_lsh(
 # ----------------------------------------------------------------------
 # IVF-bucketed ANN — k-means coarse quantizer, nprobe cluster search
 # ----------------------------------------------------------------------
+def _auto_centroids(embeddings: DataFrame, n_rows: int | None) -> int:
+    """Corpus-sized IVF codebook: ~√n/2.8 centroids, clamped to
+    [16, 1024].  With FIXED centroids the probed fraction
+    (nprobe/n_centroids) is constant, so every query's candidate scan
+    grows O(n) — the same class of scale bug tools/bench_scaling.py
+    caught in the sign-LSH pair path.  √n keeps per-cluster width
+    ~√n·2.8 and probe cost sublinear.  At the 2 000-row driver corpus
+    the formula lands on the round-2 tuning (16), so recall tests are
+    unchanged; the 1024 cap is the most the bounded 2 048-row
+    training sample can meaningfully support — past that, train the
+    codebook distributed (sharded k-means) and pass ``n_centroids``
+    explicitly."""
+    import math
+
+    n = n_rows if n_rows is not None else embeddings.count()
+    return max(16, min(1024, round(math.sqrt(max(n, 1)) / 2.8)))
+
+
 def simsearch_ann_ivf(
     embeddings: DataFrame,
     n_query: int = N_QUERY,
     k: int = TOP_K,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     nprobe: int = 4,
     sample_n: int = 2048,
     iters: int = 8,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: a small k-means codebook is
     trained driver-side on a deterministic sample (seeded, ordered —
@@ -374,10 +393,15 @@ def simsearch_ann_ivf(
 
     Scale model: codebook is O(n_centroids·dim) and broadcast;
     assignment is map-only; the candidate join touches ~nprobe/
-    n_centroids of the corpus per query.  Recall measured against
-    brute force in tests (like the sign-LSH variant)."""
+    n_centroids of the corpus per query — and ``n_centroids``
+    defaults to the √n sizing of :func:`_auto_centroids` so that
+    fraction SHRINKS as the corpus grows instead of scanning a
+    constant 1/4 of it.  Recall measured against brute force in
+    tests (like the sign-LSH variant)."""
     import numpy as np
 
+    if n_centroids is None:
+        n_centroids = _auto_centroids(embeddings, n_rows)
     rows = (
         embeddings.orderBy("vec_id")
         .limit(sample_n)
@@ -454,13 +478,14 @@ def simsearch_ann_ivfpq(
     embeddings: DataFrame,
     n_query: int = N_QUERY,
     k: int = TOP_K,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     nprobe: int = 4,
     n_sub: int = 8,
     n_codes: int = 16,
     rerank: int = 4,
     sample_n: int = 2048,
     iters: int = 8,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN top-k: the IVF coarse quantizer of
     :func:`simsearch_ann_ivf` plus a product-quantization code per
@@ -477,9 +502,13 @@ def simsearch_ann_ivfpq(
     per vector — at 100 TB of fp32 embeddings the PQ sweep touches
     ~1/32nd of the bytes, and the exact re-rank joins back by key for
     ``rerank·k·n_query`` rows only.  Codebooks are
-    O(n_sub·n_codes·dim) and broadcast."""
+    O(n_sub·n_codes·dim) and broadcast; the coarse quantizer defaults
+    to the √n sizing of :func:`_auto_centroids` so probed-cluster
+    width shrinks as the corpus grows."""
     import numpy as np
 
+    if n_centroids is None:
+        n_centroids = _auto_centroids(embeddings, n_rows)
     rows = (
         embeddings.orderBy("vec_id")
         .limit(sample_n)
