@@ -128,6 +128,16 @@ def main() -> None:
         "simsearch_ann_ivf": lambda docs, emb: S.simsearch_ann_ivf(emb),
         "simsearch_ann_ivfpq": lambda docs, emb: S.simsearch_ann_ivfpq(emb),
         "simsearch_ann_lsh": lambda docs, emb: S.simsearch_ann_lsh(emb),
+        "ngram_jaccard_pairs": lambda docs, emb: D.ngram_jaccard_pairs(
+            docs, threshold=0.5
+        ),
+        "simhash_pairs": lambda docs, emb: D.simhash_pairs(docs),
+        "chunk_dedup": lambda docs, emb: D.chunk_dedup(docs),
+        "neardup_clusters": lambda docs, emb: D.neardup_clusters(
+            D.minhash_lsh_pairs(docs, threshold=0.8).select(
+                F.col("doc_a"), F.col("doc_b")
+            )
+        ),
     }
 
     results: dict[str, dict[int, float]] = {k: {} for k in ops}
