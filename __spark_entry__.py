@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-3 additions (window discipline: new ops enter
         # ahead of already-green entries) ----
         "cumulate_exact": lambda s, d: W.cumulate_exact(_events(s, d), 60, 10),
+        "session_window_dynamic": lambda s, d: R.session_window_dynamic(
+            _events(s, d)
+        ),
         "source_cap": lambda s, d: C.source_cap(_documents(s, d), cap=15),
         "dedup_incremental": lambda s, d: D.dedup_incremental(
             _documents(s, d).filter(F.col("doc_id") % 2 == 1),
@@ -444,6 +447,33 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         # ---- round-3 additions ----
+        # Dynamic-gap sessions: the end is the RUNNING MAX of
+        # ts+gap(event) over merged events, so membership tests
+        # against that running max (the fixed-gap lag trick is wrong
+        # under mixed gaps).  >= because Spark starts a new session
+        # when an event lands exactly on the current end (end is
+        # exclusive).
+        "session_window_dynamic": """
+WITH g AS (SELECT user_id, ts, epoch_us(ts) AS us,
+        CASE WHEN event_type = 'purchase' THEN 7200000000 ELSE 3600000000 END AS gap_us
+      FROM events),
+o AS (SELECT user_id, ts, us, gap_us,
+      max(us + gap_us) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM g),
+m AS (SELECT user_id, ts, us, gap_us,
+      CASE WHEN prev_end IS NULL OR us >= prev_end THEN 1 ELSE 0 END AS new_sess
+      FROM o),
+s AS (SELECT user_id, ts, us, gap_us,
+      sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS UNBOUNDED PRECEDING) AS sess
+      FROM m)
+SELECT user_id,
+ strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+ strftime(make_timestamp(max(us + gap_us)), '%Y-%m-%d %H:%M:%S') AS session_end,
+ count(*) AS n_events
+FROM s GROUP BY user_id, sess
+""",
         # CUMULATE TVF: span start ws = floor(es/max)*max; a record at
         # es belongs to every cumulative end from the next step
         # boundary after es up to the span end.

@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "hop_exact",
     "cumulate_exact",
     "cumulate_dgim",
+    "session_window_dynamic",
     "tumble_dgim",
     "tumble_dgim_fast",
     "sql_tumble_dgim",

@@ -1004,3 +1004,38 @@ def user_spend_salted_join(
             F.sum("user_total").cast("double").alias("sum_user_totals"),
         )
     )
+
+
+def session_window_dynamic(events: DataFrame) -> DataFrame:
+    """Per-user session windows with a PER-EVENT gap (Flink's dynamic
+    session-gap feature, Spark's ``session_window`` with a Column
+    gap): a purchase keeps its session alive for 2 h, anything else
+    for 1 h — the "engaged buyer" sessionization shape.  Sessions
+    merge while an event's [ts, ts+gap) window overlaps the running
+    session end, so the end is the MAX of ts+gap over merged events,
+    not last-ts+constant; the DuckDB oracle reproduces exactly that
+    with a running-max-of-ends window (the fixed-gap lag trick is
+    wrong under mixed gaps).  Same single-shuffle plan as the
+    fixed-gap twin."""
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("7200 seconds")
+    ).otherwise(F.lit("3600 seconds"))
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", gap).alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+        )
+        .select(
+            "user_id",
+            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )

@@ -274,3 +274,33 @@ def test_salted_join_equals_unsalted(events):
         assert (s["n_events"], s["sum_value"], s["sum_user_totals"]) == (
             r["n_events"], r["sum_value"], r["sum_user_totals"]
         )
+
+
+def test_session_window_dynamic_hand_computed(spark):
+    """Mixed gaps: a purchase at t=0 holds the session open 2h, so a
+    view at t+90min merges (a fixed 1h gap would split); the running
+    session end is the MAX of ts+gap, not last-ts+gap."""
+    rows = [
+        (1, "2026-01-01 00:00:00", "purchase"),   # end 02:00
+        (1, "2026-01-01 01:30:00", "view"),       # merges; end still 02:30
+        (1, "2026-01-01 02:45:00", "view"),       # 02:45 >= 02:30 -> new
+        (2, "2026-01-01 00:00:00", "view"),       # end 01:00
+        (2, "2026-01-01 01:30:00", "view"),       # new session
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, t, et, 0.0) for i, (u, t, et) in enumerate(rows)],
+        "event_id long, user_id long, ts_s string, event_type string, value double",
+    ).select(
+        "event_id", "user_id",
+        F.to_timestamp("ts_s").alias("ts"), "event_type", "value",
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in R.session_window_dynamic(ev).collect()
+    }
+    assert got == {
+        (1, "2026-01-01 00:00:00", "2026-01-01 02:30:00", 2),
+        (1, "2026-01-01 02:45:00", "2026-01-01 03:45:00", 1),
+        (2, "2026-01-01 00:00:00", "2026-01-01 01:00:00", 1),
+        (2, "2026-01-01 01:30:00", "2026-01-01 02:30:00", 1),
+    }
