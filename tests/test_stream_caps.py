@@ -85,3 +85,57 @@ def test_source_cap_stream_matches_batch(spark, capped_fixture_dir):
     for _, s, _ in got:
         per_src[s] = per_src.get(s, 0) + 1
     assert per_src == {f"src{k}": CAP for k in range(3)}
+
+
+def test_source_cap_stream_checkpoint_restart(spark, capped_fixture_dir, tmp_path):
+    """Kill-and-restart durability: the per-source admission counter
+    survives in the checkpointed state store, so docs arriving after
+    a restart neither reset the budget nor re-admit — the final
+    admitted set equals the single-run batch survivors."""
+    import os
+    import shutil
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "cap_out")
+    chunks = sorted(
+        os.path.join(capped_fixture_dir, f)
+        for f in os.listdir(capped_fixture_dir)
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src_dir))
+        )
+        q = (
+            source_cap_stream(stream, cap=CAP)
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    shutil.copy(chunks[0], src_dir)
+    run_once()
+    for c in chunks[1:]:
+        shutil.copy(c, src_dir)
+    run_once()
+
+    got = {
+        (r["doc_id"], r["source"], r["src_rank"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_docs = spark.read.schema(SCHEMA).json(capped_fixture_dir)
+    want = {
+        (r["doc_id"], r["source"], r["src_rank"])
+        for r in C.source_cap(batch_docs, cap=CAP).collect()
+    }
+    assert got == want
