@@ -105,6 +105,15 @@ def main() -> None:
                 "update",
             ),
         ),
+        run_pipeline(
+            spark,
+            fixture,
+            "cumulate_exact_stream",
+            lambda s: (
+                J.cumulate_exact_stream(s, 60, 10, watermark="10 seconds"),
+                "update",
+            ),
+        ),
     ]
     shutil.rmtree(fixture, ignore_errors=True)
     results.append(bench_heavy_hitters_stream(spark))
