@@ -98,6 +98,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_dynamic": lambda s, d: R.session_window_dynamic(
             _events(s, d)
         ),
+        "domain_balanced_corpus": lambda s, d: PL.domain_balanced_corpus(
+            _documents(s, d)
+        ),
         "source_cap": lambda s, d: C.source_cap(_documents(s, d), cap=15),
         "dedup_incremental": lambda s, d: D.dedup_incremental(
             _documents(s, d).filter(F.col("doc_id") % 2 == 1),
@@ -447,6 +450,46 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         # ---- round-3 additions ----
+        # Round-3 composed pipeline: cap → incremental dedup vs the
+        # benchmark index → per-lang quality gate (thresholds on the
+        # post-dedup population, as the Spark stage computes them) →
+        # mix train split.
+        "domain_balanced_corpus": f"""
+WITH capped AS (
+  SELECT doc_id, source, lang, text FROM (
+    SELECT d.*, ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents d WHERE source <> 'src0')
+  WHERE rn <= 20),
+idx AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE source = 'src0'),
+newd AS (SELECT doc_id, source, lang, text, md5(text) AS fp FROM capped),
+surv AS (SELECT min(doc_id) AS doc_id FROM newd
+         WHERE fp NOT IN (SELECT fp FROM idx) GROUP BY fp),
+kept1 AS (SELECT n.doc_id, n.source, n.lang, n.text
+          FROM newd n JOIN surv USING (doc_id)),
+tok AS (SELECT doc_id, source, lang, string_split(text, ' ') AS ws FROM kept1),
+c AS (SELECT doc_id, source, lang, len(ws) AS n,
+      len(list_filter(ws, w -> w IN {_STOP_LIST})) AS stop_cnt FROM tok),
+scored AS (SELECT doc_id, source, lang,
+      round(least(n, 50) / 50 * 0.5 + (1 - stop_cnt / n) * 0.5, 6) AS quality_score
+      FROM c),
+thr AS (SELECT lang, round(quantile_cont(quality_score, 0.5), 6) AS lt
+        FROM scored GROUP BY lang),
+kept2 AS (SELECT s.doc_id, s.source, s.lang, s.quality_score
+          FROM scored s JOIN thr t2 USING (lang)
+          WHERE s.quality_score >= t2.lt),
+mixed AS (
+  SELECT k.*,
+         CAST(substr(k.source, 4) AS BIGINT) % 4 + 1 AS rate_q,
+         CAST('0x' || substr(md5('mix:' || CAST(k.doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h_mix,
+         CAST('0x' || substr(md5('split:' || CAST(k.doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h_split
+  FROM kept2 k)
+SELECT doc_id, source, lang, quality_score
+FROM mixed
+WHERE h_mix < rate_q * 288230376151711744
+  AND h_split < 1037629354146162278
+""",
         # Dynamic-gap sessions: the end is the RUNNING MAX of
         # ts+gap(event) over merged events, so membership tests
         # against that running max (the fixed-gap lag trick is wrong

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "neardup_clusters",
     "training_corpus",
     "corpus_build",
+    "domain_balanced_corpus",
     "curation_funnel",
     "text_stats",
     "sequence_pack",

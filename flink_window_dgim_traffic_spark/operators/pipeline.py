@@ -171,3 +171,63 @@ def curation_funnel(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def domain_balanced_corpus(
+    documents: DataFrame,
+    benchmark_source: str = "src0",
+    cap: int = 20,
+    quality_q: float = 0.5,
+) -> DataFrame:
+    """The round-3 composition: every new curation operator chained
+    into one oracle-matched pipeline.
+
+    documents
+      → drop the benchmark partition (eval, never training data)
+      → ``source_cap`` — hard per-domain budget, keep the ``cap``
+        smallest doc_ids per source (domain balancing)
+      → ``dedup_incremental`` against the benchmark partition as the
+        index — drops capped docs that are exact copies of eval text
+        (exact-match decontamination) AND dedups the capped set
+        itself (keep min doc_id per text)
+      → ``quality_quantile_gate`` — per-language median gate over the
+        survivors (thresholds computed on the post-dedup population)
+      → ``corpus_mix`` — weighted sampling + split; keep the train
+        split
+
+    Output: (doc_id, source, lang, quality_score) of the balanced,
+    decontaminated, gated training documents.  Every stage is an
+    already-oracle-checked operator; the composition hash-matches a
+    DuckDB twin replaying the same stages.  Scale shape: map-side
+    partial top-k + key/anti joins + one bounded threshold agg —
+    nothing collects, nothing crosses."""
+    from flink_window_dgim_traffic_spark.operators.corpus import (
+        corpus_mix,
+        source_cap,
+    )
+    from flink_window_dgim_traffic_spark.operators.dedup import (
+        dedup_incremental,
+    )
+    from flink_window_dgim_traffic_spark.operators.text import (
+        quality_quantile_gate,
+    )
+
+    non_bench = documents.filter(F.col("source") != benchmark_source)
+    bench = documents.filter(F.col("source") == benchmark_source)
+    capped_ids = source_cap(non_bench, cap=cap).select("doc_id")
+    capped = non_bench.join(capped_ids, "doc_id", "left_semi")
+    survivors = dedup_incremental(capped, bench).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    kept = capped.join(survivors, "doc_id", "left_semi")
+    gated = quality_quantile_gate(kept, q=quality_q).select(
+        "doc_id", "quality_score"
+    )
+    kept = kept.join(gated, "doc_id")
+    train = corpus_mix(kept).filter(F.col("split") == "train").select(
+        "doc_id"
+    )
+    return (
+        kept.join(train, "doc_id", "left_semi")
+        .select("doc_id", "source", "lang", "quality_score")
+    )

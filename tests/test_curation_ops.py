@@ -162,3 +162,45 @@ def test_quality_gate_broadcasts_thresholds(documents):
     df = T.quality_quantile_gate(documents, q=0.5)
     assert I.broadcast_join_count(df) >= 1
     assert not I.has_cartesian(df)
+
+
+# ------------------------------------------- domain_balanced_corpus
+
+
+def test_domain_balanced_corpus_funnel_invariants(documents, spark):
+    from pyspark.sql import functions as F2
+
+    from flink_window_dgim_traffic_spark.operators.pipeline import (
+        domain_balanced_corpus,
+    )
+
+    out = domain_balanced_corpus(documents, cap=20)
+    rows = out.collect()
+    assert len(rows) > 0
+    kept_ids = {r["doc_id"] for r in rows}
+    # never more than the cap per source, never the benchmark source
+    per_src = {}
+    for r in rows:
+        assert r["source"] != "src0"
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+    assert all(v <= 20 for v in per_src.values())
+    # no kept text is an exact copy of benchmark text, and no two
+    # kept docs share a text (incremental-dedup stage)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in documents.filter(F2.col("doc_id").isin(list(kept_ids)))
+        .select("doc_id", "text")
+        .collect()
+    }
+    bench_texts = {
+        r["text"]
+        for r in documents.filter(F2.col("source") == "src0")
+        .select("text")
+        .collect()
+    }
+    assert not (set(texts.values()) & bench_texts)
+    assert len(set(texts.values())) == len(texts)
+    # quality scores respect each language's median over the
+    # post-dedup population by construction; spot-check bounds
+    for r in rows:
+        assert 0.0 <= r["quality_score"] <= 1.0
