@@ -204,3 +204,39 @@ def test_domain_balanced_corpus_funnel_invariants(documents, spark):
     # post-dedup population by construction; spot-check bounds
     for r in rows:
         assert 0.0 <= r["quality_score"] <= 1.0
+
+
+def test_source_cap_property_arbitrary_corpora(spark):
+    """Property: for ANY (doc_id, source) multiset, ANY cap, and ANY
+    input partitioning, source_cap == the cap smallest doc_ids per
+    source with dense ranks (the map-side prune is lossless)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    src = st.sampled_from(["a", "b", "c"])
+    corpus = st.lists(src, min_size=1, max_size=25)
+
+    @settings(max_examples=10, deadline=None)
+    @given(corpus, st.integers(min_value=1, max_value=5),
+           st.integers(min_value=1, max_value=4))
+    def run(sources, cap, nparts):
+        rows = [
+            (i, s, "en", 10) for i, s in enumerate(sources)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, lang string, n_chars long"
+        ).repartition(nparts)
+        got = {
+            (r["doc_id"], r["source"], r["src_rank"])
+            for r in C.source_cap(docs, cap=cap).collect()
+        }
+        expected = set()
+        by_src = {}
+        for i, s in enumerate(sources):
+            by_src.setdefault(s, []).append(i)
+        for s, ids in by_src.items():
+            for rank, i in enumerate(sorted(ids)[:cap], start=1):
+                expected.add((i, s, rank))
+        assert got == expected
+
+    run()
