@@ -94,6 +94,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- round-3 additions (window discipline: new ops enter
         # ahead of already-green entries) ----
+        "event_funnel": lambda s, d: R.event_funnel(_events(s, d)),
+        "user_retention_cohorts": lambda s, d: R.user_retention_cohorts(
+            _events(s, d)
+        ),
+        "word_entropy": lambda s, d: T.word_entropy(_documents(s, d)),
+        "embedding_outliers": lambda s, d: S.embedding_outliers(
+            _embeddings(s, d)
+        ),
         "cumulate_exact": lambda s, d: W.cumulate_exact(_events(s, d), 60, 10),
         "session_window_dynamic": lambda s, d: R.session_window_dynamic(
             _events(s, d)
@@ -450,6 +458,77 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         # ---- round-3 additions ----
+        # Ordered-stage funnel: stage k counts users with a stage-k
+        # event strictly after their (running-min) stage-k-1 time.
+        "event_funnel": """
+WITH o AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+         OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS s1 FROM o),
+w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND s1 < us THEN us END)
+         OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS s2 FROM w1),
+w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND s2 < us THEN us END)
+         OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS s3 FROM w2),
+u AS (SELECT user_id,
+        max(CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END) AS r1,
+        max(CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END) AS r2,
+        max(CASE WHEN s3 IS NOT NULL THEN 1 ELSE 0 END) AS r3
+      FROM w3 GROUP BY user_id)
+SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+       CAST(sum(r1) AS BIGINT) AS n_users FROM u
+UNION ALL SELECT 2, 'click', CAST(sum(r2) AS BIGINT) FROM u
+UNION ALL SELECT 3, 'purchase', CAST(sum(r3) AS BIGINT) FROM u
+""",
+        "user_retention_cohorts": """
+WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY f.cohort_day, date_diff('day', cohort_day, day)
+""",
+        # Exact integer micro-nat entropy: both engines quantize each
+        # ln term to a BIGINT before summing, then integer-divide.
+        "word_entropy": """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+c AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+p AS (SELECT doc_id, sum(c) AS n,
+        sum(CAST(round(c * ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT))
+          AS sum_clnc_e6
+      FROM c GROUP BY doc_id)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+  CAST(CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+       - (sum_clnc_e6 // n) AS BIGINT) AS entropy_micro_nats
+FROM p
+""",
+        # Prototypicality outliers: centroid per label via the
+        # integer-quantized recipe, per-dim diffs quantized to 1e-6
+        # units before squaring — exact BIGINT distances both sides.
+        "embedding_outliers": """
+WITH comp AS (
+  SELECT vec_id, label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+cent AS (
+  SELECT label, dim,
+    CAST(sum(CAST(floor(x * 1000000000.0) AS BIGINT)) AS DOUBLE)
+      / 1000000000.0 / count(*) AS c
+  FROM comp GROUP BY label, dim),
+d AS (
+  SELECT vec_id, comp.label,
+    sum(CAST(floor((x - c) * 1000000.0) AS BIGINT)
+        * CAST(floor((x - c) * 1000000.0) AS BIGINT)) AS dist2_e12
+  FROM comp JOIN cent USING (label, dim)
+  GROUP BY vec_id, comp.label),
+m AS (SELECT label, sum(dist2_e12) // count(*) AS avg_d FROM d GROUP BY label)
+SELECT vec_id, d.label, dist2_e12,
+  CAST(CASE WHEN dist2_e12 > 2 * avg_d THEN 1 ELSE 0 END AS BIGINT)
+    AS is_outlier
+FROM d JOIN m USING (label)
+""",
         # Round-3 composed pipeline: cap → incremental dedup vs the
         # benchmark index → per-lang quality gate (thresholds on the
         # post-dedup population, as the Spark stage computes them) →

@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "user_moving_spend",
     "orders_with_expensive_items",
     "sessionize",
+    "event_funnel",
+    "user_retention_cohorts",
     "session_window_counts",
     "asof_view_before_purchase",
     "dedup_exact",
@@ -96,6 +98,7 @@ BENCH_QUERIES = [
     "domain_balanced_corpus",
     "curation_funnel",
     "text_stats",
+    "word_entropy",
     "sequence_pack",
     "corpus_mix",
     "corpus_sample_k",
@@ -116,6 +119,7 @@ BENCH_QUERIES = [
     "simsearch_ann_ivf",
     "simsearch_ann_ivfpq",
     "embedding_label_centroids",
+    "embedding_outliers",
     "top_words_udtf",
     "semantic_dedup",
     "semantic_dedup_lsh",

@@ -1039,3 +1039,91 @@ def session_window_dynamic(events: DataFrame) -> DataFrame:
             "n_events",
         )
     )
+
+
+def event_funnel(
+    events: DataFrame,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered-stage conversion funnel — the batch shape of Flink's
+    MATCH_RECOGNIZE / CEP sequence detection (reference scope: none;
+    Flink docs' canonical pattern query).  A user completes stage k
+    only with an event of stage-k type STRICTLY after their stage-k-1
+    completion time; output is one row per stage with the count of
+    users who reached it.
+
+    Scale shape: three chained ``min`` windows share ONE
+    (user_id)-partitioned sort — a single shuffle — because
+    qualification at a row depends only on running minima up to that
+    row (a qualified event can never un-qualify later).  The final
+    per-user reduce reuses the same hash partitioning, and the
+    stage-count aggregate is three conditional sums over one tiny
+    per-user row set.  No self-joins, no per-stage passes over the
+    fact table."""
+    order = [F.col("ts"), F.col("event_id")]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    us = F.unix_micros(F.col("ts"))
+    s1 = F.min(F.when(F.col("event_type") == stages[0], us)).over(w)
+    e1 = events.withColumn("s1", s1)
+    s2 = F.min(
+        F.when((F.col("event_type") == stages[1]) & (F.col("s1") < us), us)
+    ).over(w)
+    e2 = e1.withColumn("s2", s2)
+    s3 = F.min(
+        F.when((F.col("event_type") == stages[2]) & (F.col("s2") < us), us)
+    ).over(w)
+    e3 = e2.withColumn("s3", s3)
+    per_user = e3.groupBy("user_id").agg(
+        F.max(F.col("s1").isNotNull().cast("int")).alias("r1"),
+        F.max(F.col("s2").isNotNull().cast("int")).alias("r2"),
+        F.max(F.col("s3").isNotNull().cast("int")).alias("r3"),
+    )
+    counts = per_user.agg(
+        F.sum("r1").alias("c1"), F.sum("r2").alias("c2"), F.sum("r3").alias("c3")
+    )
+    stage_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("bigint").alias("stage_idx"),
+                F.lit(stages[i]).alias("stage"),
+                F.col(f"c{i + 1}").cast("bigint").alias("n_users"),
+            )
+            for i in range(3)
+        ]
+    )
+    return counts.select(F.explode(stage_rows).alias("s")).select("s.*")
+
+
+def user_retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention: users cohorted by the day of their first
+    event; for each (cohort day, day offset) the number of distinct
+    users active that day — the standard growth-analytics triangle.
+
+    Scale shape: the first-day reduce and the activity join both hash
+    on ``user_id`` (one shuffle each, co-partitioned join under AQE);
+    the (user, day) de-dup rides the same aggregation.  The final
+    (cohort_day, offset) aggregate is over |users|·|active days| rows,
+    already far smaller than the fact table.  No window over a global
+    order, no broadcast of anything user-sized."""
+    day = F.to_date("ts").alias("day")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    active = events.select("user_id", day).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "n_users",
+        )
+    )

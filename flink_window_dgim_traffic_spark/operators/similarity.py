@@ -852,3 +852,65 @@ def semantic_dedup(
             ).alias("keep"),
         )
     )
+
+
+def embedding_outliers(embeddings: DataFrame, factor: int = 2) -> DataFrame:
+    """Per-label centroid-distance outlier flags — the prototypicality
+    pruning signal (SSL-prototypes / data-pruning style: vectors far
+    from their class centroid are candidates to drop or up-weight).
+    A vector is an outlier when its squared distance to its label
+    centroid exceeds ``factor``× the label's mean squared distance.
+
+    Determinism: centroids use the ``embedding_label_centroids``
+    integer-quantization recipe (exact BIGINT component sums, one
+    fixed IEEE division sequence), per-dim differences are quantized
+    to 1e-6 units BEFORE squaring, so distances and their per-label
+    means are exact, order-independent BIGINTs — hash-stable against
+    the oracle.  Scale shape: one partially-aggregated shuffle on
+    (label, dim) builds the centroids (dims never cross the network
+    as whole vectors), the centroid table (|labels| rows) broadcasts
+    back, and the distance is a map-side ``zip_with``/``aggregate``
+    over each vector; the per-label mean reduce is |labels|-sized.
+    """
+    comp_q = F.floor(F.col("x").cast("double") * F.lit(1000000000.0)).cast(
+        "bigint"
+    )
+    cent_long = (
+        embeddings.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(comp_q).cast("double")
+                / F.lit(1000000000.0)
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+    cent = cent_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s["c"],
+        ).alias("centroid")
+    )
+    d_dim = lambda a, b: F.floor(  # noqa: E731
+        (a.cast("double") - b) * F.lit(1000000.0)
+    ).cast("bigint")
+    dist2 = F.aggregate(
+        F.zip_with("embedding", "centroid", d_dim),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v * v,
+    )
+    dists = embeddings.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", dist2.alias("dist2_e12")
+    )
+    means = dists.groupBy("label").agg(
+        F.expr("sum(dist2_e12) div count(*)").alias("avg_d")
+    )
+    return dists.join(F.broadcast(means), "label").select(
+        "vec_id",
+        "label",
+        "dist2_e12",
+        (F.col("dist2_e12") > F.lit(int(factor)) * F.col("avg_d"))
+        .cast("bigint")
+        .alias("is_outlier"),
+    )

@@ -207,3 +207,41 @@ def quality_quantile_gate(documents: DataFrame, q: float = 0.5) -> DataFrame:
         .filter(F.col("quality_score") >= F.col("lang_threshold"))
         .select("doc_id", "lang", "quality_score", "lang_threshold")
     )
+
+
+def word_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document unigram (word) Shannon entropy in exact
+    micro-nat integers — the information-density quality signal
+    (low entropy ⇔ repetitive/boilerplate text; pairs with
+    ``repetition_stats`` as a Gopher-style filter input).
+
+    Entropy = ln(n) − (Σ_w c_w·ln c_w)/n over word counts c_w.  Both
+    ln terms are quantized to 1e-6-nat BIGINTs BEFORE summing, so the
+    sums are exact, order-independent integers (shuffle/combine order
+    cannot change a bit), and the final division is integer ``div`` —
+    the same cross-engine-exactness trick as
+    ``embedding_label_centroids``.  Scale shape: explode → ONE
+    partially-aggregated shuffle on (doc_id, word) → ONE reduce on
+    doc_id; no vector of words ever crosses the network whole and no
+    per-doc Python runs."""
+    q = lambda x: F.round(x * 1e6, 0).cast("bigint")  # noqa: E731
+    counts = (
+        documents.select("doc_id", F.explode(_tokens()).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(q(F.col("c") * F.log(F.col("c").cast("double")))).alias(
+            "sum_clnc_e6"
+        ),
+    )
+    ent = (
+        q(F.log(F.col("n").cast("double")))
+        - F.expr("sum_clnc_e6 div n")
+    ).cast("bigint")
+    return per_doc.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        ent.alias("entropy_micro_nats"),
+    )

@@ -400,3 +400,26 @@ def test_minhash_hot_bucket_cap(documents):
         D.minhash_lsh_pairs(documents, threshold=0.8, max_bucket=1).count()
         == 0
     )
+
+
+def test_embedding_outliers_flags_far_vector(spark):
+    """Three tight vectors + one far one in a label: only the far one
+    exceeds 2x the label's mean squared centroid distance; a
+    singleton label has dist 0 and is never an outlier."""
+    from flink_window_dgim_traffic_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    vecs = [
+        (1, [0.0, 0.0], 0),
+        (2, [0.1, 0.0], 0),
+        (3, [0.0, 0.1], 0),
+        (4, [5.0, 5.0], 0),
+        (5, [9.9, 9.9], 1),
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["vec_id"]: r for r in embedding_outliers(df).collect()}
+    assert [got[i]["is_outlier"] for i in (1, 2, 3, 4)] == [0, 0, 0, 1]
+    assert got[5]["is_outlier"] == 0 and got[5]["dist2_e12"] == 0

@@ -304,3 +304,78 @@ def test_session_window_dynamic_hand_computed(spark):
         (2, "2026-01-01 00:00:00", "2026-01-01 01:00:00", 1),
         (2, "2026-01-01 01:30:00", "2026-01-01 02:30:00", 1),
     }
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, t, et, 0.0) for i, (u, t, et) in enumerate(rows)],
+        "event_id long, user_id long, ts_s string, event_type string, value double",
+    ).select(
+        "event_id", "user_id",
+        F.to_timestamp("ts_s").alias("ts"), "event_type", "value",
+    )
+
+
+def test_event_funnel_strict_order(spark):
+    """Stages must occur in strict time order per user: a click BEFORE
+    the first view doesn't count; a purchase without a qualifying
+    click doesn't either; equal timestamps don't qualify (strict >)."""
+    rows = [
+        # user 1 completes the whole funnel in order
+        (1, "2026-01-01 00:00:00", "view"),
+        (1, "2026-01-01 00:01:00", "click"),
+        (1, "2026-01-01 00:02:00", "purchase"),
+        # user 2: click precedes the only view -> stuck at stage 1
+        (2, "2026-01-01 00:00:00", "click"),
+        (2, "2026-01-01 00:01:00", "view"),
+        (2, "2026-01-01 00:02:00", "purchase"),
+        # user 3: view+click simultaneous -> click not strictly after
+        (3, "2026-01-01 00:00:00", "view"),
+        (3, "2026-01-01 00:00:00", "click"),
+        # user 4: never views
+        (4, "2026-01-01 00:00:00", "purchase"),
+    ]
+    got = {
+        (r["stage_idx"], r["stage"]): r["n_users"]
+        for r in R.event_funnel(_mk_events(spark, rows)).collect()
+    }
+    assert got == {(1, "view"): 3, (2, "click"): 1, (3, "purchase"): 1}
+
+
+def test_event_funnel_click_qualifies_after_later_view(spark):
+    """The qualifying click may pair with ANY earlier view (running
+    min), and a purchase with any earlier qualified click."""
+    rows = [
+        (1, "2026-01-01 00:05:00", "view"),
+        (1, "2026-01-01 00:06:00", "click"),
+        (1, "2026-01-01 00:04:00", "purchase"),  # before click -> no
+        (1, "2026-01-01 00:07:00", "purchase"),  # after click -> yes
+    ]
+    got = {
+        r["stage"]: r["n_users"]
+        for r in R.event_funnel(_mk_events(spark, rows)).collect()
+    }
+    assert got == {"view": 1, "click": 1, "purchase": 1}
+
+
+def test_user_retention_cohorts_hand_computed(spark):
+    """Cohort day = day of first event; one row per (cohort, offset)
+    with distinct active users; multiple events a day dedup."""
+    rows = [
+        (1, "2026-01-01 10:00:00", "view"),
+        (1, "2026-01-01 11:00:00", "view"),   # same day dedups
+        (1, "2026-01-03 09:00:00", "click"),  # offset 2
+        (2, "2026-01-01 23:00:00", "view"),
+        (2, "2026-01-02 00:30:00", "view"),   # offset 1
+        (3, "2026-01-02 08:00:00", "view"),   # its own cohort
+    ]
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in R.user_retention_cohorts(_mk_events(spark, rows)).collect()
+    }
+    assert got == {
+        ("2026-01-01", 0): 2,
+        ("2026-01-01", 1): 1,
+        ("2026-01-01", 2): 1,
+        ("2026-01-02", 0): 1,
+    }

@@ -147,3 +147,27 @@ def test_udtf_matches_relational_twin(spark, sf_dir):
         .select("doc_id", "word", "n", "rnk")
     )
     assert udtf_rows == sorted(map(tuple, twin.collect()))
+
+
+def test_word_entropy_hand_values(spark):
+    """Uniform words -> ln(k) exactly (in micro-nats); single repeated
+    word -> 0; mixed counts follow ln(n) - (sum c ln c)/n."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "en", "s", 7),      # uniform over 4 -> ln 4
+            (2, "a a a a", "en", "s", 7),      # one word -> 0
+            (3, "a a b", "en", "s", 5),        # ln 3 - (2 ln 2)/3
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from flink_window_dgim_traffic_spark.operators.text import word_entropy
+
+    got = {r["doc_id"]: r for r in word_entropy(docs).collect()}
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["entropy_micro_nats"] == round(math.log(4) * 1e6)
+    assert got[2]["entropy_micro_nats"] == 0
+    q = lambda x: round(x * 1e6)  # noqa: E731
+    expect3 = q(math.log(3)) - (q(2 * math.log(2)) // 3)
+    assert got[3]["entropy_micro_nats"] == expect3
