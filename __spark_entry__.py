@@ -94,6 +94,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- round-3 additions (window discipline: new ops enter
         # ahead of already-green entries) ----
+        "duplicated_spans": lambda s, d: D.duplicated_spans(
+            _documents(s, d)
+        ),
         "event_funnel": lambda s, d: R.event_funnel(_events(s, d)),
         "user_retention_cohorts": lambda s, d: R.user_retention_cohorts(
             _events(s, d)
@@ -458,6 +461,23 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         # ---- round-3 additions ----
+        # Sliding 5-token spans; a span is duplicated when it occurs
+        # in >=2 distinct docs; per-doc coverage in exact permille.
+        "duplicated_spans": """
+WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+sp AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS span
+       FROM tok, unnest(generate_series(1, len(ws)-4)) AS t(i)),
+sd AS (SELECT span, doc_id, count(*) AS c FROM sp GROUP BY 1, 2),
+sg AS (SELECT span, count(*) AS n_docs FROM sd GROUP BY 1),
+d AS (SELECT doc_id, sum(c) AS n_dup FROM sd JOIN sg USING (span)
+      WHERE n_docs >= 2 GROUP BY 1),
+tot AS (SELECT doc_id, greatest(len(ws) - 4, 0) AS n_spans FROM tok)
+SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_spans,
+       CAST(CASE WHEN n_spans > 0 THEN coalesce(n_dup, 0) * 1000 // n_spans
+            ELSE 0 END AS BIGINT) AS dup_permille
+FROM tot LEFT JOIN d USING (doc_id)
+""",
         # Ordered-stage funnel: stage k counts users with a stage-k
         # event strictly after their (running-min) stage-k-1 time.
         "event_funnel": """

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "session_window_counts",
     "asof_view_before_purchase",
     "dedup_exact",
+    "duplicated_spans",
     "dedup_incremental",
     "chunk_dedup",
     "source_cap",

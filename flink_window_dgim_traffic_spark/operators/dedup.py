@@ -659,3 +659,64 @@ def dedup_incremental(
         )
         .select("keep_doc_id", "n_batch_copies")
     )
+
+
+def duplicated_spans(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Sliding-window exact-substring duplication signal — the
+    span-level statistic of the "deduplicating training data"
+    literature (ExactSubstr), restricted to k-token spans so it stays
+    a keyed aggregation: every length-k token window of every doc is
+    counted across the corpus, a span is DUPLICATED when it occurs in
+    ≥2 distinct documents, and each doc reports how much of it is
+    covered by duplicated spans.  Complements ``chunk_dedup`` (aligned
+    non-overlapping chunks miss shifted copies): sliding windows catch
+    a copied passage at ANY token offset.  Within-doc repetition alone
+    does NOT mark a span (that signal is ``repetition_stats``).
+
+    Output: doc_id, n_spans, n_dup_spans (window positions whose span
+    also occurs in another doc), dup_permille (exact integer div —
+    hash-stable, no float ratio).
+
+    Scale shape: span extraction is ONE codegen'd regex projection
+    (no per-position re-tokenization — same lookahead trick as
+    ``shingles``); then two keyed aggregations: (span, doc) counts
+    with map-side combine, and a span-partitioned count window whose
+    groups are bounded by each span's document frequency.  No pair
+    join anywhere — the suffix-array comparison of the literature
+    collapses into hash aggregation.
+    """
+    pat = r"(?<![^ ])(?=(" + r" ".join([r"[^ ]+"] * k) + r"))"
+    arr = F.regexp_extract_all("text", F.lit(pat), 1)
+    spans = documents.select(
+        "doc_id", F.explode(arr).alias("span")
+    )
+    per_sd = spans.groupBy("span", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dup_per_doc = (
+        per_sd.withColumn(
+            "n_docs", F.count(F.lit(1)).over(W.partitionBy("span"))
+        )
+        .filter(F.col("n_docs") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("dup_c"))
+    )
+    totals = documents.select(
+        "doc_id", F.size(arr).cast("bigint").alias("n_spans")
+    )
+    return (
+        totals.join(dup_per_doc, "doc_id", "left")
+        .withColumn("n_dup", F.coalesce(F.col("dup_c"), F.lit(0)))
+        .select(
+            "doc_id",
+            "n_spans",
+            F.col("n_dup").cast("bigint").alias("n_dup_spans"),
+            F.when(
+                F.col("n_spans") > 0,
+                F.expr("n_dup * 1000 div n_spans"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("dup_permille"),
+        )
+    )

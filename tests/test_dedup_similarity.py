@@ -423,3 +423,30 @@ def test_embedding_outliers_flags_far_vector(spark):
     got = {r["vec_id"]: r for r in embedding_outliers(df).collect()}
     assert [got[i]["is_outlier"] for i in (1, 2, 3, 4)] == [0, 0, 0, 1]
     assert got[5]["is_outlier"] == 0 and got[5]["dist2_e12"] == 0
+
+
+def test_duplicated_spans_hand_computed(spark):
+    """A 5-token passage copied at a DIFFERENT offset in another doc
+    is caught (chunk alignment doesn't matter); within-doc repetition
+    alone does not mark a span; short docs report zero spans."""
+    docs = spark.createDataFrame(
+        [
+            # doc 1: passage "p q r s t" at offset 0
+            (1, "p q r s t x y", "en", "s", 1),
+            # doc 2: same passage at offset 2 -> both docs flagged
+            (2, "a b p q r s t", "en", "s", 1),
+            # doc 3: internal repeat only -> NOT duplicated
+            (3, "m n o u v m n o u v", "en", "s", 1),
+            # doc 4: too short for any 5-token span
+            (4, "one two", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in D.duplicated_spans(docs, k=5).collect()}
+    # doc 1: 3 spans, 1 duplicated ("p q r s t")
+    assert (got[1]["n_spans"], got[1]["n_dup_spans"]) == (3, 1)
+    assert got[1]["dup_permille"] == 1000 // 3
+    assert (got[2]["n_spans"], got[2]["n_dup_spans"]) == (3, 1)
+    # doc 3: 6 spans ("m n o u v" twice, 4 mixed) - none cross-doc
+    assert (got[3]["n_spans"], got[3]["n_dup_spans"]) == (6, 0)
+    assert (got[4]["n_spans"], got[4]["dup_permille"]) == (0, 0)
