@@ -97,6 +97,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_spans": lambda s, d: D.duplicated_spans(
             _documents(s, d)
         ),
+        "importance_weights": lambda s, d: C.importance_weights(
+            _documents(s, d)
+        ),
         "event_funnel": lambda s, d: R.event_funnel(_events(s, d)),
         "user_retention_cohorts": lambda s, d: R.user_retention_cohorts(
             _events(s, d)
@@ -477,6 +480,29 @@ SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
        CAST(CASE WHEN n_spans > 0 THEN coalesce(n_dup, 0) * 1000 // n_spans
             ELSE 0 END AS BIGINT) AS dup_permille
 FROM tot LEFT JOIN d USING (doc_id)
+""",
+        # DSIR importance weights: add-one-smoothed hashed-unigram
+        # multinomials (4096 md5 buckets), per-token micro-nat
+        # log-ratio quantized to BIGINT before summing.
+        "importance_weights": """
+WITH tok AS (SELECT doc_id, source, unnest(string_split(text,' ')) AS w
+             FROM documents),
+tb AS (SELECT doc_id, source,
+         CAST('0x' || substr(md5('dsir:' || w), 1, 15) AS BIGINT) % 4096 AS b
+       FROM tok),
+c AS (SELECT b, count(*) AS cc FROM tb GROUP BY b),
+t AS (SELECT b, count(*) AS ct FROM tb WHERE source = 'src1' GROUP BY b),
+tot AS (SELECT (SELECT sum(cc) FROM c) AS nc, (SELECT sum(ct) FROM t) AS nt),
+prof AS (SELECT c.b,
+    (CAST(round(ln(coalesce(ct, 0) + 1) * 1000000.0) AS BIGINT)
+     - CAST(round(ln(nt + 4096) * 1000000.0) AS BIGINT))
+  - (CAST(round(ln(cc + 1) * 1000000.0) AS BIGINT)
+     - CAST(round(ln(nc + 4096) * 1000000.0) AS BIGINT)) AS lr_e6
+  FROM c LEFT JOIN t USING (b), tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored_tokens,
+       CAST(sum(lr_e6) AS BIGINT) AS logratio_e6,
+       CAST(CASE WHEN sum(lr_e6) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM tb JOIN prof USING (b) GROUP BY doc_id
 """,
         # Ordered-stage funnel: stage k counts users with a stage-k
         # event strictly after their (running-min) stage-k-1 time.

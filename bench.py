@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "asof_view_before_purchase",
     "dedup_exact",
     "duplicated_spans",
+    "importance_weights",
     "dedup_incremental",
     "chunk_dedup",
     "source_cap",

@@ -226,3 +226,85 @@ def source_cap(documents: DataFrame, cap: int = 15) -> DataFrame:
         )
         .filter(F.col("src_rank") <= cap)
     )
+
+
+def importance_weights(
+    documents: DataFrame,
+    target_source: str = "src1",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Data-selection importance weighting in the DSIR style (Xie et
+    al., "Data Selection for Language Models via Importance
+    Resampling"): score every document by the log-likelihood ratio of
+    its hashed unigram features under a TARGET-domain model vs the
+    whole-corpus model, so docs that look like the target domain get
+    positive weight.  The target here is the sub-corpus from
+    ``target_source`` — the "high-quality exemplar set" slot of the
+    published recipe.
+
+    Model: add-one-smoothed multinomials over ``n_buckets`` hashed
+    word buckets (md5-derived, the oracle-replicable ``_hash60``
+    recipe — a fixed feature space regardless of vocabulary size, the
+    property that makes this 100 TB-safe).  Every per-token ln term is
+    quantized to a micro-nat BIGINT before summing (the
+    ``word_entropy`` cross-engine-exactness trick), so scores are
+    exact integers, immune to shuffle/combine order.
+
+    Scale shape: one explode + map-side bucket hash; the two profile
+    aggregations reduce to ≤ ``n_buckets`` rows each; the profile
+    joins back via broadcast (n_buckets rows — constant-sized, unlike
+    a vocabulary); the per-doc reduce is a single map-side-combinable
+    sum.  No driver collects, no vocabulary-sized state anywhere.
+
+    Output: doc_id, n_scored_tokens, logratio_e6 (Σ micro-nat
+    log-ratio), keep = logratio_e6 > 0.
+    """
+    h = F.md5(F.concat(F.lit("dsir:"), F.col("w")))
+    bucket = F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"),
+        F.lit(n_buckets),
+    )
+    q = lambda x: F.round(x * 1e6, 0).cast("bigint")  # noqa: E731
+    tokb = documents.select(
+        "doc_id",
+        "source",
+        F.explode(F.split("text", " ")).alias("w"),
+    ).withColumn("b", bucket)
+    corpus = tokb.groupBy("b").agg(F.count(F.lit(1)).alias("cc"))
+    target = (
+        tokb.filter(F.col("source") == target_source)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = corpus.agg(F.sum("cc").alias("nc")).crossJoin(
+        target.agg(F.sum("ct").alias("nt"))
+    )
+    lnq = lambda c: q(F.log(c.cast("double")))  # noqa: E731
+    prof = (
+        corpus.join(target, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                (
+                    lnq(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    - lnq(F.col("nt") + n_buckets)
+                )
+                - (lnq(F.col("cc") + 1) - lnq(F.col("nc") + n_buckets))
+            ).alias("lr_e6"),
+        )
+    )
+    return (
+        tokb.join(F.broadcast(prof), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored_tokens"),
+            F.sum("lr_e6").cast("bigint").alias("logratio_e6"),
+        )
+        .select(
+            "doc_id",
+            "n_scored_tokens",
+            "logratio_e6",
+            (F.col("logratio_e6") > 0).cast("bigint").alias("keep"),
+        )
+    )

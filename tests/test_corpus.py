@@ -208,3 +208,31 @@ def test_corpus_datasheet_cross_checks(documents):
     for r in ds.values():
         assert r["min_tokens"] <= r["max_tokens"]
         assert 0 <= r["n_exact_dupes"] < r["n_docs"]
+
+
+def test_importance_weights_prefers_target_domain(spark):
+    """Docs sharing the target source's vocabulary score positive;
+    docs from a disjoint vocabulary score negative — the DSIR
+    selection direction.  Token counts are exact."""
+    # counts must dominate the add-one smoothing over 4096 buckets,
+    # so the domain languages repeat ~500x
+    ab = ("alpha beta " * 500).strip()
+    gd = ("gamma delta " * 500).strip()
+    rows = [
+        # target domain (src1): "alpha beta" language
+        (1, ab, "en", "src1", 1),
+        (2, ab, "en", "src1", 1),
+        # candidate that matches the target
+        (3, "alpha beta alpha alpha", "en", "src3", 1),
+        # candidate from a different distribution
+        (4, gd, "en", "src3", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in C.importance_weights(docs).collect()}
+    assert got[3]["keep"] == 1 and got[3]["logratio_e6"] > 0
+    assert got[4]["keep"] == 0 and got[4]["logratio_e6"] < 0
+    assert got[1]["keep"] == 1  # target docs look like the target
+    assert got[3]["n_scored_tokens"] == 4
