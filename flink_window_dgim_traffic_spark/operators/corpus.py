@@ -270,29 +270,25 @@ def importance_weights(
         "source",
         F.explode(F.split("text", " ")).alias("w"),
     ).withColumn("b", bucket)
-    corpus = tokb.groupBy("b").agg(F.count(F.lit(1)).alias("cc"))
-    target = (
-        tokb.filter(F.col("source") == target_source)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # BOTH profiles in one aggregation pass over the token stream
+    # (conditional count for the target side) — the corpus is scanned
+    # twice total: once for profiles, once for scoring
+    counts = tokb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cc"),
+        F.sum(
+            (F.col("source") == target_source).cast("bigint")
+        ).alias("ct"),
     )
-    totals = corpus.agg(F.sum("cc").alias("nc")).crossJoin(
-        target.agg(F.sum("ct").alias("nt"))
+    totals = counts.agg(
+        F.sum("cc").alias("nc"), F.sum("ct").alias("nt")
     )
     lnq = lambda c: q(F.log(c.cast("double")))  # noqa: E731
-    prof = (
-        corpus.join(target, "b", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "b",
-            (
-                (
-                    lnq(F.coalesce(F.col("ct"), F.lit(0)) + 1)
-                    - lnq(F.col("nt") + n_buckets)
-                )
-                - (lnq(F.col("cc") + 1) - lnq(F.col("nc") + n_buckets))
-            ).alias("lr_e6"),
-        )
+    prof = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            (lnq(F.col("ct") + 1) - lnq(F.col("nt") + n_buckets))
+            - (lnq(F.col("cc") + 1) - lnq(F.col("nc") + n_buckets))
+        ).alias("lr_e6"),
     )
     return (
         tokb.join(F.broadcast(prof), "b")

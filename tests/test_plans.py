@@ -272,3 +272,33 @@ def test_round3_ops_plan_shapes(t):
         docs.filter(F.col("doc_id") % 2 == 0),
     )
     assert I.exchange_count(df) <= 3 and not I.has_cartesian(df)
+
+
+def test_new_round3_ops_plan_shapes(t):
+    """Funnel/retention/entropy/outlier/span/DSIR operators: shuffle
+    counts at the semantic minimum, no cartesian products."""
+    from flink_window_dgim_traffic_spark.operators import corpus as C3
+    from flink_window_dgim_traffic_spark.operators import text as T3
+
+    ev, docs, emb = t("events"), t("documents"), t("embeddings")
+    # three chained stage windows + per-user reduce share ONE user_id
+    # exchange; the stage-count reduce is the only other one
+    df = R.event_funnel(ev)
+    assert I.exchange_count(df) == 2 and not I.has_cartesian(df)
+    df = R.user_retention_cohorts(ev)
+    assert I.exchange_count(df) <= 4 and not I.has_cartesian(df)
+    # explode -> (doc,w) -> doc: exactly two keyed aggregations
+    df = T3.word_entropy(docs)
+    assert I.exchange_count(df) == 2 and not I.has_cartesian(df)
+    # centroids and per-label means broadcast back; never a pair join
+    df = S.embedding_outliers(emb)
+    assert I.broadcast_join_count(df) >= 2 and not I.has_cartesian(df)
+    # (span,doc) agg + span window + doc agg; totals side broadcast
+    df = D.duplicated_spans(docs)
+    assert I.exchange_count(df) == 3
+    assert I.broadcast_join_count(df) >= 1 and not I.has_cartesian(df)
+    # one profile aggregation pass (conditional target count), scoring
+    # joins the constant-size profile via broadcast hash join (the
+    # one-row totals ride a broadcast nested loop, not counted here)
+    df = C3.importance_weights(docs)
+    assert I.broadcast_join_count(df) >= 1 and not I.has_cartesian(df)
