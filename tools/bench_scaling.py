@@ -133,12 +133,24 @@ def main() -> None:
         ),
         "simhash_pairs": lambda docs, emb: D.simhash_pairs(docs),
         "chunk_dedup": lambda docs, emb: D.chunk_dedup(docs),
+        "duplicated_spans": lambda docs, emb: D.duplicated_spans(docs),
+        "importance_weights": lambda docs, emb: C.importance_weights(
+            docs
+        ),
+        "embedding_outliers": lambda docs, emb: S.embedding_outliers(
+            emb
+        ),
         "neardup_clusters": lambda docs, emb: D.neardup_clusters(
             D.minhash_lsh_pairs(docs, threshold=0.8).select(
                 F.col("doc_a"), F.col("doc_b")
             )
         ),
     }
+
+    only = os.environ.get("SPARK_GRAFT_SCALING_OPS")
+    if only:
+        keep = set(only.split(","))
+        ops = {k: v for k, v in ops.items() if k in keep}
 
     results: dict[str, dict[int, float]] = {k: {} for k in ops}
     for scale in SCALES:
