@@ -450,3 +450,51 @@ def test_duplicated_spans_hand_computed(spark):
     # doc 3: 6 spans ("m n o u v" twice, 4 mixed) - none cross-doc
     assert (got[3]["n_spans"], got[3]["n_dup_spans"]) == (6, 0)
     assert (got[4]["n_spans"], got[4]["dup_permille"]) == (0, 0)
+
+
+def test_duplicated_spans_property_arbitrary_corpora(spark):
+    """Property: for ANY corpus over a tiny alphabet and ANY k, the
+    per-doc (n_spans, n_dup_spans) equal a brute-force Python count
+    of sliding k-grams duplicated across >=2 distinct docs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["a", "b", "c"])
+    doc = st.lists(word, min_size=1, max_size=8)
+    corpus = st.lists(doc, min_size=1, max_size=6)
+
+    @settings(max_examples=10, deadline=None)
+    @given(corpus, st.integers(min_value=2, max_value=3))
+    def run(texts, k):
+        rows = [
+            (i, " ".join(ws), "en", "s", 1) for i, ws in enumerate(texts)
+        ]
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        grams = {
+            i: [tuple(ws[j : j + k]) for j in range(len(ws) - k + 1)]
+            for i, ws in enumerate(texts)
+        }
+        owners = {}
+        for i, gs in grams.items():
+            for g in gs:
+                owners.setdefault(g, set()).add(i)
+        expect = {}
+        for i, gs in grams.items():
+            dup = sum(1 for g in gs if len(owners[g]) >= 2)
+            n = len(gs)
+            expect[i] = (n, dup, dup * 1000 // n if n else 0)
+        got = {
+            r["doc_id"]: (
+                r["n_spans"],
+                r["n_dup_spans"],
+                r["dup_permille"],
+            )
+            for r in D.duplicated_spans(docs, k=k).collect()
+        }
+        assert got == expect
+
+    run()

@@ -379,3 +379,56 @@ def test_user_retention_cohorts_hand_computed(spark):
         ("2026-01-01", 2): 1,
         ("2026-01-02", 0): 1,
     }
+
+
+def test_event_funnel_property_random_histories(spark):
+    """Property: for ANY per-user event history (duplicate
+    timestamps, shuffled arrival, mixed types), stage counts equal a
+    Python simulation of the chained running-min rule over the
+    (ts, event_id) order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ev = st.tuples(
+        st.integers(min_value=1, max_value=3),            # user
+        st.integers(min_value=0, max_value=5),            # second
+        st.sampled_from(["view", "click", "purchase", "other"]),
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(ev, min_size=1, max_size=14))
+    def run(events):
+        rows = [
+            (u, f"2026-01-01 00:00:0{sec}", et)
+            for (u, sec, et) in events
+        ]
+        got = {
+            r["stage_idx"]: r["n_users"]
+            for r in R.event_funnel(_mk_events(spark, rows)).collect()
+        }
+        stage_of = {"view": 1, "click": 2, "purchase": 3}
+        counts = [0, 0, 0]
+        for u in {e[0] for e in events}:
+            hist = sorted(
+                (sec, eid, et)
+                for eid, (uu, sec, et) in enumerate(events)
+                if uu == u
+            )
+            s = [None, None, None]
+            for sec, _eid, et in hist:
+                k = stage_of.get(et)
+                if k == 1:
+                    if s[0] is None or sec < s[0]:
+                        s[0] = sec
+                elif k in (2, 3):
+                    prev = s[k - 2]
+                    if prev is not None and prev < sec and (
+                        s[k - 1] is None or sec < s[k - 1]
+                    ):
+                        s[k - 1] = sec
+            for k in range(3):
+                if s[k] is not None:
+                    counts[k] += 1
+        assert got == {i + 1: counts[i] for i in range(3)}
+
+    run()
