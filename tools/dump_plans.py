@@ -77,6 +77,21 @@ SHOWCASE = {
     "join + map-side-combined min/count, two key shuffles",
     "quality_quantile_gate": "one bounded per-lang percentile "
     "aggregate; thresholds broadcast back — the gate is map-only",
+    "event_funnel": "three chained stage windows + the per-user "
+    "reduce share ONE user_id exchange; stage counts are three "
+    "conditional sums over per-user rows",
+    "duplicated_spans": "one regex projection builds every sliding "
+    "span; (span,doc) agg + span window + doc agg — three key "
+    "shuffles, totals joined broadcast, no pair join",
+    "importance_weights": "ONE profile pass (conditional target "
+    "count); constant-size bucket profile broadcast back; per-doc "
+    "sum is map-side combined exact BIGINTs",
+    "word_entropy": "explode → (doc,w) → doc: exactly two keyed "
+    "aggregations, both map-side combined; ln terms quantized so "
+    "combine order is free",
+    "embedding_outliers": "(label,dim) partial-agg shuffle builds "
+    "centroids without moving whole vectors; centroids and label "
+    "means broadcast back — distance is map-side zip_with",
 }
 
 
