@@ -10,6 +10,8 @@ oracle-checked for identical values).
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_window_dgim_traffic_spark.session import table
@@ -127,5 +129,31 @@ def sql_session_exact(
                count(*) AS n_events
         FROM events
         GROUP BY user_id, session_window(ts, '{gap_sec} seconds')
+        """
+    )
+
+
+def sql_streaming_tumble(parsed_stream, size_sec: int = 60):
+    """The reference's job-submission UX end to end: a STREAMING
+    windowed aggregation expressed as one SQL statement over a
+    registered stream view (Flink's ``INSERT INTO agg SELECT ...
+    TUMBLE(...)`` shape — reference StreamingJob.java submits exactly
+    this statement class to the table environment).
+
+    Spark temp views work on streaming DataFrames, so ``spark.sql``
+    IS the streaming plan builder here; the returned DataFrame is
+    unstarted (attach any sink + output mode).  Tested equal to both
+    the DataFrame streaming twin and the batch result."""
+    spark = parsed_stream.sparkSession
+    view = f"_stream_traffic_{uuid.uuid4().hex}"
+    parsed_stream.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT date_format(window.end, 'yyyy-MM-dd HH:mm:ss')
+                 AS window_end,
+               sum(bit)  AS ones_exact,
+               count(*)  AS n_rows
+        FROM {view}
+        GROUP BY window(ts, '{size_sec} seconds')
         """
     )

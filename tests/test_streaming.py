@@ -413,3 +413,22 @@ def test_stream_cumulate_update_matches_batch(spark, fixture_dir, batch_parsed):
         for r in W.cumulate_exact(ev, 60, 10).collect()
     }
     assert final == expect
+
+
+def test_sql_streaming_tumble_matches_batch(spark, fixture_dir, batch_parsed):
+    """The reference's SQL-submission UX on a STREAM: one SQL
+    statement over a registered stream view; final updates equal the
+    batch result for all windows (same contract as the DataFrame
+    streaming twin)."""
+    from flink_window_dgim_traffic_spark.operators.sql_surface import (
+        sql_streaming_tumble,
+    )
+
+    stream = J.parse_traffic(J.file_traffic_stream(spark, fixture_dir))
+    df = sql_streaming_tumble(stream, 60)
+    assert df.isStreaming
+    J.run_stream_to_memory(df, "t_sql_stream", output_mode="update")
+    final = {}
+    for r in spark.sql("SELECT * FROM t_sql_stream").collect():
+        final[r["window_end"]] = (r["ones_exact"], r["n_rows"])
+    assert final == _batch_expect(batch_parsed)
