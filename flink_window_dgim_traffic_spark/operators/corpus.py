@@ -44,6 +44,18 @@ def _hash60(salt: str) -> F.Column:
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
 
 
+def split_col() -> F.Column:
+    """The deterministic 90/5/5 train/val/test assignment as a
+    reusable Column (same salt + cuts as :func:`corpus_mix`, so a
+    doc's split never depends on which pipeline assigned it)."""
+    h = _hash60("split")
+    return (
+        F.when(h < _TRAIN_CUT, "train")
+        .when(h < _VAL_CUT, "val")
+        .otherwise("test")
+    )
+
+
 def corpus_mix(documents: DataFrame) -> DataFrame:
     """Weighted per-source sampling + deterministic train/val/test
     split.

@@ -175,6 +175,34 @@ def doc_length_histogram(documents: DataFrame, bin_chars: int = 100) -> DataFram
     )
 
 
+def quality_score_col():
+    """The heuristic quality score as a reusable Column (same
+    expression as :func:`quality_score` / the quantile gate)."""
+    t = _tokens()
+    n = F.size(t)
+    stop_cnt = F.size(F.filter(t, lambda w: w.isin(*STOPWORDS)))
+    return F.round(
+        F.least(n, F.lit(50)) / F.lit(50) * F.lit(0.5)
+        + (F.lit(1) - stop_cnt / n) * F.lit(0.5),
+        6,
+    )
+
+
+def quality_thresholds(documents: DataFrame, q: float = 0.5) -> DataFrame:
+    """One row per language: the q-th percentile of the heuristic
+    quality score — the trainable half of the quantile gate, exposed
+    so streaming pipelines can fit thresholds on an already-ingested
+    history and apply them statically to new arrivals."""
+    scored = documents.select(
+        "lang", quality_score_col().alias("quality_score")
+    )
+    return scored.groupBy("lang").agg(
+        F.round(F.percentile("quality_score", F.lit(q)), 6).alias(
+            "lang_threshold"
+        )
+    )
+
+
 def quality_quantile_gate(documents: DataFrame, q: float = 0.5) -> DataFrame:
     """CCNet-style per-language quality gate: keep docs whose
     heuristic quality score (same expression as
@@ -186,22 +214,10 @@ def quality_quantile_gate(documents: DataFrame, q: float = 0.5) -> DataFrame:
     (languages are few; at 100 TB swap ``approx_percentile``, the
     mergeable t-digest-style twin, as ``value_percentiles_by_type``
     documents — same plan shape, no per-group sort)."""
-    t = _tokens()
-    n = F.size(t)
-    stop_cnt = F.size(F.filter(t, lambda w: w.isin(*STOPWORDS)))
-    score = F.round(
-        F.least(n, F.lit(50)) / F.lit(50) * F.lit(0.5)
-        + (F.lit(1) - stop_cnt / n) * F.lit(0.5),
-        6,
-    )
     scored = documents.select(
-        "doc_id", "lang", score.alias("quality_score")
+        "doc_id", "lang", quality_score_col().alias("quality_score")
     )
-    thr = scored.groupBy("lang").agg(
-        F.round(F.percentile("quality_score", F.lit(q)), 6).alias(
-            "lang_threshold"
-        )
-    )
+    thr = quality_thresholds(documents, q)
     return (
         scored.join(F.broadcast(thr), "lang")
         .filter(F.col("quality_score") >= F.col("lang_threshold"))

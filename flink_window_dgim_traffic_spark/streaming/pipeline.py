@@ -1,0 +1,235 @@
+"""Streaming curation pipeline — the multi-stage twin of
+``operators.pipeline.domain_balanced_corpus`` as an INCREMENTAL BATCH
+job (``foreachBatch``), the production Spark pattern for pipelines
+whose stages need shared, queryable state (a growing dedup index, per-
+source budgets) that no single built-in stateful operator models.
+
+Why not chained stateful operators in one streaming query: the
+pipeline needs (a) per-source admission counters, (b) a corpus-
+lifetime text-hash index that every LATER batch must probe, and
+(c) stateless gates — (a)+(b) are two different stateful shapes, and
+Spark (like Flink) restricts stacking update-mode stateful operators.
+``foreachBatch`` instead runs each micro-batch through the BATCH
+operators against on-disk state:
+
+    state_root/
+      index/      fp (md5) of every admitted text — the dedup index,
+                  seeded from the benchmark/history partition
+      counters/   (source, admitted) — per-domain budget spent
+      thresholds/ (lang, lang_threshold) — quality gate fit ONCE on
+                  the seeded history (streaming can't see the future
+                  population the batch gate uses)
+      out/        batch-<id>/ parquet of curated train docs
+      _done/      batch-id markers for exactly-once restart semantics
+
+Each batch: drop benchmark rows → per-source cap (arrival order,
+doc_id-tie-broken, continuing the stored counters) → anti-join the
+index on md5(text) + keep min doc_id within the batch → static
+per-lang quality gate → deterministic split, keep train → append
+output, advance counters, grow the index.  A replayed batch (restart
+after crash) sees its marker and skips — output is exactly-once.
+
+Scale: every stage is the already-plan-audited batch operator shape
+(window over per-source batch slices, hash anti-join against an index
+pruned to its 32-byte fp column, broadcast thresholds, map-only
+split).  State files are parquet — at 100 TB the index is a bucketed
+table on fp and the anti-join is shuffle-free.
+
+Equivalence (tested): ordered replay of doc_id-ranged chunks produces
+exactly the batch twin :func:`curation_batch_twin` run over the full
+corpus — including across a kill-and-restart.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from flink_window_dgim_traffic_spark.operators.corpus import split_col
+from flink_window_dgim_traffic_spark.operators.text import (
+    quality_score_col,
+    quality_thresholds,
+)
+
+OUT_COLS = ("doc_id", "source", "lang", "quality_score")
+
+
+def seed_curation_state(
+    spark, state_root: str, history_docs: DataFrame, q: float = 0.5
+) -> None:
+    """Initialize state from the already-ingested history (the
+    benchmark partition in the batch twin): its text hashes seed the
+    dedup index, its quality distribution fits the per-lang gate."""
+    history_docs.select(F.md5("text").alias("fp")).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{state_root}/index")
+    quality_thresholds(history_docs, q).write.mode("overwrite").parquet(
+        f"{state_root}/thresholds"
+    )
+    os.makedirs(f"{state_root}/_done", exist_ok=True)
+
+
+def make_curation_batch_fn(
+    state_root: str, benchmark_source: str = "src0", cap: int = 20
+):
+    """Build the foreachBatch function (importable at module scope)."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        marker = f"{state_root}/_done/{batch_id}"
+        if os.path.exists(marker):
+            return  # replayed after restart — output already committed
+        spark = batch.sparkSession
+        docs = batch.filter(
+            F.col("source") != benchmark_source
+        ).localCheckpoint()
+
+        counters_path = f"{state_root}/counters"
+        if any(
+            f.endswith(".parquet")
+            for f in (
+                os.listdir(counters_path)
+                if os.path.isdir(counters_path)
+                else []
+            )
+        ):
+            counters = spark.read.parquet(counters_path)
+        else:
+            counters = spark.createDataFrame(
+                [], "source string, admitted bigint"
+            )
+
+        # stage 1: per-source admission cap, continuing stored budgets
+        w = W.partitionBy("source").orderBy("doc_id")
+        capped = (
+            docs.withColumn("batch_rank", F.row_number().over(w))
+            .join(F.broadcast(counters), "source", "left")
+            .withColumn("admitted0", F.coalesce("admitted", F.lit(0)))
+            .filter(F.col("batch_rank") <= F.lit(cap) - F.col("admitted0"))
+            .drop("admitted", "batch_rank")
+            .localCheckpoint()
+        )
+
+        # stage 2: dedup against the corpus-lifetime index, then
+        # min-doc_id within the batch (the batch operator's tie rule)
+        index = spark.read.parquet(f"{state_root}/index")
+        hashed = capped.withColumn("fp", F.md5("text"))
+        fresh_ids = (
+            hashed.join(index, "fp", "left_anti")
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .localCheckpoint()
+        )
+        fresh = hashed.join(
+            fresh_ids.select("doc_id"), "doc_id", "left_semi"
+        )
+
+        # stage 3: static per-lang quality gate + train split
+        thr = spark.read.parquet(f"{state_root}/thresholds")
+        kept = (
+            fresh.withColumn("quality_score", quality_score_col())
+            .join(F.broadcast(thr), "lang")
+            .filter(F.col("quality_score") >= F.col("lang_threshold"))
+            .filter(split_col() == "train")
+            .select(*OUT_COLS)
+        )
+        kept.write.mode("overwrite").parquet(
+            f"{state_root}/out/batch-{batch_id}"
+        )
+
+        # advance state AFTER output: admitted counters by CAPPED
+        # rows (budget is spent whether or not dedup keeps the doc),
+        # index by the fresh fps (later copies must be dropped)
+        new_counts = capped.groupBy("source").agg(
+            F.count(F.lit(1)).alias("new_admitted")
+        )
+        merged = (
+            counters.join(new_counts, "source", "full")
+            .select(
+                "source",
+                (
+                    F.coalesce("admitted", F.lit(0))
+                    + F.coalesce("new_admitted", F.lit(0))
+                ).alias("admitted"),
+            )
+            .localCheckpoint()
+        )
+        merged.write.mode("overwrite").parquet(counters_path)
+        fresh_ids.select("fp").write.mode("append").parquet(
+            f"{state_root}/index"
+        )
+        # marker LAST: a crash before this point replays the batch,
+        # whose writes above are all overwrite-idempotent
+        open(marker, "w").close()
+
+    return process
+
+
+def curation_stream(
+    doc_stream: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    benchmark_source: str = "src0",
+    cap: int = 20,
+):
+    """Start the incremental curation query (availableNow trigger —
+    call repeatedly as new files/offsets arrive, like any incremental
+    batch job).  ``seed_curation_state`` must have run first."""
+    return (
+        doc_stream.writeStream.foreachBatch(
+            make_curation_batch_fn(state_root, benchmark_source, cap)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_curated(spark, state_root: str) -> DataFrame:
+    return spark.read.parquet(f"{state_root}/out/batch-*")
+
+
+def curation_batch_twin(
+    documents: DataFrame,
+    benchmark_source: str = "src0",
+    cap: int = 20,
+    q: float = 0.5,
+) -> DataFrame:
+    """The whole-corpus batch with IDENTICAL semantics to an ordered
+    replay through the streaming pipeline: cap keeps the ``cap``
+    smallest doc_ids per source (ordered replay makes arrival order =
+    doc_id order), dedup is against benchmark hashes then min-doc_id
+    per text, gate thresholds are fit on the benchmark partition, and
+    the split is the shared deterministic hash.  Differs from
+    ``domain_balanced_corpus`` only where streaming CANNOT match the
+    batch shape: thresholds come from the history, not the future
+    survivor population, and there is no sampling stage."""
+    from flink_window_dgim_traffic_spark.operators.corpus import source_cap
+    from flink_window_dgim_traffic_spark.operators.dedup import (
+        dedup_incremental,
+    )
+
+    non_bench = documents.filter(F.col("source") != benchmark_source)
+    bench = documents.filter(F.col("source") == benchmark_source)
+    capped = non_bench.join(
+        source_cap(non_bench, cap=cap).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    fresh = capped.join(
+        dedup_incremental(capped, bench).select(
+            F.col("keep_doc_id").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    thr = quality_thresholds(bench, q)
+    return (
+        fresh.withColumn("quality_score", quality_score_col())
+        .join(F.broadcast(thr), "lang")
+        .filter(F.col("quality_score") >= F.col("lang_threshold"))
+        .filter(split_col() == "train")
+        .select(*OUT_COLS)
+    )
