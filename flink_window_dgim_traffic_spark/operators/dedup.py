@@ -702,7 +702,10 @@ def duplicated_spans(documents: DataFrame, k: int = 5) -> DataFrame:
         .agg(F.sum("c").alias("dup_c"))
     )
     totals = documents.select(
-        "doc_id", F.size(arr).cast("bigint").alias("n_spans")
+        "doc_id",
+        # coalesce: NULL text (dirty crawl rows) reports zero spans
+        # instead of a NULL count
+        F.coalesce(F.size(arr), F.lit(0)).cast("bigint").alias("n_spans"),
     )
     return (
         totals.join(dup_per_doc, "doc_id", "left")

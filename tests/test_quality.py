@@ -151,8 +151,14 @@ def test_chunk_dedup_properties_hypothesis(spark):
                 for j in range((len(ws) + k - 1) // k)
             ]
             all_chunks.update(chunks)
-            kept = [c for c in chunks if c not in seen]
-            seen.update(chunks)
+            # seen advances PER CHUNK: a chunk repeated within one doc
+            # survives only at its first position, same as cross-doc
+            # (the operator's global min-(doc_id,pos) rule)
+            kept = []
+            for c in chunks:
+                if c not in seen:
+                    kept.append(c)
+                    seen.add(c)
             expected[i] = (len(chunks), len(kept), " ".join(kept))
         for i, (total, kept_n, text) in expected.items():
             r = out[i]

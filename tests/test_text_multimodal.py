@@ -171,3 +171,29 @@ def test_word_entropy_hand_values(spark):
     q = lambda x: round(x * 1e6)  # noqa: E731
     expect3 = q(math.log(3)) - (q(2 * math.log(2)) // 3)
     assert got[3]["entropy_micro_nats"] == expect3
+
+
+def test_null_and_empty_text_rows(spark):
+    """Dirty-crawl rows: NULL or empty text must not poison the new
+    text ops — duplicated_spans reports zeros, word_entropy and
+    importance_weights simply emit no row for token-less docs."""
+    from flink_window_dgim_traffic_spark.operators import corpus as C
+    from flink_window_dgim_traffic_spark.operators import dedup as D
+    from flink_window_dgim_traffic_spark.operators.text import word_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, None, "en", "src1", 0),
+            (2, "", "en", "src1", 0),
+            (3, "real words here exist in this doc", "en", "src1", 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    spans = {r["doc_id"]: r for r in D.duplicated_spans(docs).collect()}
+    assert (spans[1]["n_spans"], spans[1]["dup_permille"]) == (0, 0)
+    assert (spans[2]["n_spans"], spans[2]["dup_permille"]) == (0, 0)
+    assert spans[3]["n_spans"] == 3
+    ent_ids = {r["doc_id"] for r in word_entropy(docs).collect()}
+    assert 1 not in ent_ids and 3 in ent_ids
+    iw_ids = {r["doc_id"] for r in C.importance_weights(docs).collect()}
+    assert 1 not in iw_ids and 3 in iw_ids
