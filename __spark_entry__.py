@@ -100,6 +100,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_weights": lambda s, d: C.importance_weights(
             _documents(s, d)
         ),
+        "q2_min_cost_supplier": lambda s, d: R.q2_min_cost_supplier(
+            _part(s, d), _supplier(s, d), _nation(s, d), _region(s, d),
+            _lineitem(s, d),
+        ),
+        "q11_important_stock": lambda s, d: R.q11_important_stock(
+            _lineitem(s, d), _supplier(s, d), _nation(s, d)
+        ),
+        "q12_late_shipments": lambda s, d: R.q12_late_shipments(
+            _lineitem(s, d), _orders(s, d)
+        ),
+        "q16_supplier_counts": lambda s, d: R.q16_supplier_counts(
+            _part(s, d), _supplier(s, d), _lineitem(s, d)
+        ),
+        "q20_excess_stock": lambda s, d: R.q20_excess_stock(
+            _lineitem(s, d), _part(s, d), _supplier(s, d), _nation(s, d)
+        ),
+        "q21_waiting_suppliers": lambda s, d: R.q21_waiting_suppliers(
+            _lineitem(s, d), _orders(s, d), _supplier(s, d)
+        ),
         "event_funnel": lambda s, d: R.event_funnel(_events(s, d)),
         "user_retention_cohorts": lambda s, d: R.user_retention_cohorts(
             _events(s, d)
@@ -417,6 +436,13 @@ WHERE TRY_CAST(value AS INT) IS NOT NULL
   AND try_strptime(ts_str, '%Y-%m-%dT%H:%M:%S.%f') IS NOT NULL
 """
 
+_PS_BASE = """
+ps AS (SELECT l_partkey, l_suppkey,
+       sum(CAST(l_quantity AS DECIMAL(12,2))) AS ps_availqty,
+       min(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost
+       FROM lineitem GROUP BY 1, 2)
+"""
+
 _SHINGLE_BASE = """
 tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
 idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM tok),
@@ -480,6 +506,94 @@ SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
        CAST(CASE WHEN n_spans > 0 THEN coalesce(n_dup, 0) * 1000 // n_spans
             ELSE 0 END AS BIGINT) AS dup_permille
 FROM tot LEFT JOIN d USING (doc_id)
+""",
+        # Adapted TPC-H completion set over the DERIVED partsupp
+        # (availqty = exact DECIMAL qty sum, supplycost = exact
+        # DECIMAL min line price — no division, engines agree).
+        "q2_min_cost_supplier": f"""
+WITH {_PS_BASE},
+eur AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+tgt AS (SELECT p_partkey FROM part
+        WHERE p_type = 'ECONOMY' AND p_size = 15),
+offers AS (SELECT p_partkey, s_name, s_acctbal, n_name, ps_supplycost
+           FROM ps JOIN tgt ON l_partkey = p_partkey
+           JOIN eur ON l_suppkey = s_suppkey),
+best AS (SELECT p_partkey AS pk, min(ps_supplycost) AS min_cost
+         FROM offers GROUP BY 1)
+SELECT p_partkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal, n_name,
+       CAST(ps_supplycost AS DOUBLE) AS supplycost
+FROM offers JOIN best ON p_partkey = pk AND ps_supplycost = min_cost
+""",
+        "q11_important_stock": f"""
+WITH {_PS_BASE},
+nat AS (SELECT s_suppkey FROM supplier JOIN nation
+        ON s_nationkey = n_nationkey WHERE n_name = 'NATION_3'),
+val AS (SELECT l_partkey AS ps_partkey,
+        sum(CAST(ps_supplycost AS DECIMAL(18,2))
+            * CAST(ps_availqty AS DECIMAL(18,2))) AS value
+        FROM ps JOIN nat ON l_suppkey = s_suppkey GROUP BY 1),
+tot AS (SELECT sum(value) AS total_value, count(*) AS n_parts FROM val)
+SELECT ps_partkey, CAST(value AS DOUBLE) AS value
+FROM val, tot WHERE value * n_parts > 2 * total_value
+""",
+        "q12_late_shipments": """
+SELECT l_returnflag,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE date_diff('day', CAST(o_orderdate AS DATE),
+                CAST(l_shipdate AS DATE)) > 90
+GROUP BY l_returnflag
+""",
+        "q16_supplier_counts": f"""
+WITH {_PS_BASE},
+bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+GROUP BY 1, 2, 3
+""",
+        "q20_excess_stock": """
+WITH per AS (
+  SELECT l_partkey, l_suppkey,
+    sum(CAST(l_quantity AS DECIMAL(12,2))) AS avail_all,
+    sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+        THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS shipped96
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+  GROUP BY 1, 2)
+SELECT DISTINCT s_suppkey, s_name
+FROM per JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+  AND avail_all > 2 * coalesce(shipped96, CAST(0 AS DECIMAL(12,2)))
+""",
+        "q21_waiting_suppliers": """
+WITH li AS (SELECT l_orderkey, l_suppkey,
+       date_diff('day', CAST(o_orderdate AS DATE),
+                 CAST(l_shipdate AS DATE)) > 60 AS is_late
+     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     WHERE o_orderstatus = 'F'),
+per_order AS (SELECT l_orderkey,
+       count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT CASE WHEN is_late THEN l_suppkey END)
+         AS n_late_supp
+     FROM li GROUP BY 1),
+waits AS (SELECT l_suppkey, count(*) AS numwait FROM (
+     SELECT DISTINCT li.l_orderkey, l_suppkey
+     FROM li JOIN per_order USING (l_orderkey)
+     WHERE is_late AND n_supp > 1 AND n_late_supp = 1)
+     GROUP BY 1)
+SELECT s_name, CAST(numwait AS BIGINT) AS numwait
+FROM waits JOIN supplier ON l_suppkey = s_suppkey
 """,
         # DSIR importance weights: add-one-smoothed hashed-unigram
         # multinomials (4096 md5 buckets), per-token micro-nat

@@ -56,6 +56,12 @@ BENCH_QUERIES = [
     "q17_small_quantity",
     "q19_discounted_revenue",
     "q22_global_sales",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_late_shipments",
+    "q16_supplier_counts",
+    "q20_excess_stock",
+    "q21_waiting_suppliers",
     "nation_party_full_outer",
     "user_range_spend",
     "event_grouping_sets",

@@ -1127,3 +1127,247 @@ def user_retention_cohorts(events: DataFrame) -> DataFrame:
             "n_users",
         )
     )
+
+
+def derived_partsupp(lineitem: DataFrame) -> DataFrame:
+    """Pseudo-PARTSUPP derived from observed lineitems (the driver
+    schema ships no partsupp table): one row per (part, supplier)
+    with ``ps_availqty`` = total quantity ever shipped (exact DECIMAL
+    sum) and ``ps_supplycost`` = cheapest observed line price (exact
+    DECIMAL min — no division, so both engines agree bit-for-bit).
+    One map-side-combinable shuffle on the composite key; feeds the
+    adapted TPC-H Q2/Q11/Q16/Q20."""
+    return lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_quantity")).alias("ps_availqty"),
+        F.min(_dec("l_extendedprice")).alias("ps_supplycost"),
+    )
+
+
+def q2_min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q2 shape (adapted to the derived partsupp): for each
+    ECONOMY part of size 15, the EUROPE supplier(s) achieving the
+    minimum supply cost.  The correlated MIN subquery becomes a
+    groupBy + equality join back on the exact DECIMAL cost; dims
+    broadcast, the only fact shuffle is the partsupp derivation."""
+    ps = derived_partsupp(lineitem)
+    eur = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(
+                        region.filter(F.col("r_name") == "EUROPE")
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    target = part.filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") == 15)
+    ).select("p_partkey")
+    offers = (
+        ps.join(F.broadcast(target), ps.l_partkey == F.col("p_partkey"))
+        .join(eur, ps.l_suppkey == eur.s_suppkey)
+        .select(
+            "p_partkey", "s_name", "s_acctbal", "n_name", "ps_supplycost"
+        )
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("pk")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        offers.join(
+            F.broadcast(best),
+            (F.col("p_partkey") == F.col("pk"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select(
+            "p_partkey",
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "n_name",
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+        )
+    )
+
+
+def q11_important_stock(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """TPC-H Q11 shape (adapted): per-part stock value
+    Σ supplycost·availqty over NATION_3 suppliers, keeping parts
+    holding more than twice the average per-part value (scale-free
+    stand-in for the original's fixed fraction, which selects nothing
+    at small SF).  The HAVING scalar subquery becomes a one-row
+    broadcast; the compare is value·count > 2·total in exact DECIMALs
+    (no float threshold, no division)."""
+    ps = derived_partsupp(lineitem)
+    nat = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    val = (
+        ps.join(nat, ps.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(
+            F.sum(
+                F.col("ps_supplycost").cast("decimal(18,2)")
+                * F.col("ps_availqty").cast("decimal(18,2)")
+            ).alias("value")
+        )
+    )
+    total = val.agg(
+        F.sum("value").alias("total_value"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value") * F.col("n_parts") > F.lit(2) * F.col("total_value")
+        )
+        .select(
+            "ps_partkey", F.col("value").cast("double").alias("value")
+        )
+    )
+
+
+def q12_late_shipments(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q12 shape (adapted: the schema has no ship mode or
+    receipt date, so the mode becomes the return flag and lateness is
+    shipping >90 days after the order date): per flag, how many LATE
+    lineitems belong to high-priority vs other orders."""
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .filter(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("bigint")).alias("high_line_count"),
+            F.sum((~high).cast("bigint")).alias("low_line_count"),
+        )
+    )
+
+
+def q16_supplier_counts(
+    part: DataFrame, supplier: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q16 shape (adapted): distinct suppliers able to supply
+    each (brand, type, size) combination, excluding Brand#1 parts and
+    suppliers in deficit (the s_comment complaints filter has no
+    column here; negative account balance is the stand-in).  The
+    NOT IN supplier subquery becomes a broadcast anti join feeding
+    one distinct aggregation."""
+    ps = derived_partsupp(lineitem).select("l_partkey", "l_suppkey")
+    ok_supp = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    keep = ps.join(
+        F.broadcast(ok_supp),
+        ps.l_suppkey == F.col("s_suppkey"),
+        "left_anti",
+    )
+    return (
+        keep.join(
+            F.broadcast(part.filter(F.col("p_brand") != "Brand#1")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_excess_stock(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q20 shape (adapted): NATION_5 suppliers holding excess
+    stock of a 'red' part — derived all-time quantity more than twice
+    what they shipped of it during 1996 (the 0.5·qty threshold of the
+    original, in exact DECIMALs).  The nested IN subqueries become
+    key joins; the year-bounded sum rides the same (part, supplier)
+    aggregation key."""
+    y96 = (
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    red = part.filter(F.col("p_name").startswith("red")).select(
+        "p_partkey"
+    )
+    per = lineitem.join(
+        F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    ).groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_quantity")).alias("avail_all"),
+        F.sum(F.when(y96, _dec("l_quantity"))).alias("shipped96"),
+    )
+    excess = per.filter(
+        F.col("avail_all")
+        > F.lit(2) * F.coalesce(F.col("shipped96"), F.lit(0).cast("decimal(12,2)"))
+    ).select("l_partkey", "l_suppkey")
+    return (
+        excess.join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(
+                        nation.filter(F.col("n_name") == "NATION_5")
+                    ),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                ).select("s_suppkey", "s_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+def q21_waiting_suppliers(
+    lineitem: DataFrame, orders: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q21 shape (adapted lateness: shipped >60 days after the
+    order date).  The EXISTS / NOT-EXISTS double self-join — "another
+    supplier participated, no other supplier was late" — is rewritten
+    as one per-order aggregation (distinct suppliers, distinct LATE
+    suppliers), provably equivalent and one shuffle cheaper; numwait
+    counts finished orders where a supplier was the SOLE late one."""
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+    li = (
+        lineitem.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey", late.alias("is_late"))
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    waits = (
+        li.filter(F.col("is_late"))
+        .join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return waits.join(
+        F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_name", "numwait")

@@ -432,3 +432,60 @@ def test_event_funnel_property_random_histories(spark):
         assert got == {i + 1: counts[i] for i in range(3)}
 
     run()
+
+
+def test_q21_rewrite_equals_literal_exists_formulation(spark, sf_dir):
+    """The per-order aggregation rewrite of Q21 must equal the
+    literal EXISTS / NOT-EXISTS double self-join it replaces."""
+    from flink_window_dgim_traffic_spark.session import table
+
+    li, orders, supplier = (
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "supplier"),
+    )
+    got = {
+        (r["s_name"], r["numwait"])
+        for r in R.q21_waiting_suppliers(li, orders, supplier).collect()
+    }
+
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+    l1 = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey", late.alias("is_late"))
+    )
+    cand = (
+        l1.filter("is_late").select("l_orderkey", "l_suppkey").distinct()
+    )
+    l2 = l1.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = l1.filter("is_late").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    exists = cand.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2"))
+        & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    not_exists = exists.join(
+        l3,
+        (F.col("l_orderkey") == F.col("o3"))
+        & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    literal = (
+        not_exists.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(
+            supplier, F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select("s_name", "numwait")
+    )
+    assert got == {
+        (r["s_name"], r["numwait"]) for r in literal.collect()
+    }
