@@ -693,11 +693,19 @@ def duplicated_spans(documents: DataFrame, k: int = 5) -> DataFrame:
     per_sd = spans.groupBy("span", "doc_id").agg(
         F.count(F.lit(1)).alias("c")
     )
-    dup_per_doc = (
-        per_sd.withColumn(
-            "n_docs", F.count(F.lit(1)).over(W.partitionBy("span"))
-        )
+    # per-span doc counts via a map-side-combinable aggregation + an
+    # equi-join back, NOT a count-over-window: a boilerplate span
+    # present in every doc would concentrate its whole window
+    # partition in one task (no AQE relief), while the join's hot key
+    # is skew-splittable and its build side is one row per dup span
+    dup_spans = (
+        per_sd.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
+        .select("span")
+    )
+    dup_per_doc = (
+        per_sd.join(dup_spans, "span", "left_semi")
         .groupBy("doc_id")
         .agg(F.sum("c").alias("dup_c"))
     )

@@ -293,9 +293,10 @@ def test_new_round3_ops_plan_shapes(t):
     # centroids and per-label means broadcast back; never a pair join
     df = S.embedding_outliers(emb)
     assert I.broadcast_join_count(df) >= 2 and not I.has_cartesian(df)
-    # (span,doc) agg + span window + doc agg; totals side broadcast
+    # (span,doc) agg + map-side-combined span counts semi-joined back
+    # (skew-splittable, unlike a count-over-window) + doc agg
     df = D.duplicated_spans(docs)
-    assert I.exchange_count(df) == 3
+    assert I.exchange_count(df) <= 4
     assert I.broadcast_join_count(df) >= 1 and not I.has_cartesian(df)
     # one profile aggregation pass (conditional target count), scoring
     # joins the constant-size profile via broadcast hash join (the
