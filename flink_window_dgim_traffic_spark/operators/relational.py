@@ -1052,50 +1052,60 @@ def event_funnel(
     completion time; output is one row per stage with the count of
     users who reached it.
 
-    Scale shape: three chained ``min`` windows share ONE
-    (user_id)-partitioned sort — a single shuffle — because
-    qualification at a row depends only on running minima up to that
-    row (a qualified event can never un-qualify later).  The final
-    per-user reduce reuses the same hash partitioning, and the
-    stage-count aggregate is three conditional sums over one tiny
-    per-user row set.  No self-joins, no per-stage passes over the
-    fact table."""
-    order = [F.col("ts"), F.col("event_id")]
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    The chained running-min windows this query is usually written
+    with reduce to three chained SCALAR minima — s1 = min(view time),
+    s2 = min(click time > s1), s3 = min(purchase time > s2) — because
+    strict-time qualification is monotone: a click has SOME earlier
+    view iff it is later than the globally earliest view (that view
+    sorts before it), and likewise up the chain (asserted equal to a
+    per-user replay in the property test).
+
+    Scale shape: that closed form removes the per-user SORT and its
+    skew — each stage is a map-side-combinable min over ONLY its
+    stage's rows (filter pushed to the scan), joined to the previous
+    stage's one-row-per-user frame on the same user_id hash; a bot
+    user with millions of events is an AQE-splittable join key
+    instead of one giant window partition.  The stage counts are
+    three single-row aggregates.  No self-joins of the full fact
+    table, no window function, no sort anywhere."""
     us = F.unix_micros(F.col("ts"))
-    s1 = F.min(F.when(F.col("event_type") == stages[0], us)).over(w)
-    e1 = events.withColumn("s1", s1)
-    s2 = F.min(
-        F.when((F.col("event_type") == stages[1]) & (F.col("s1") < us), us)
-    ).over(w)
-    e2 = e1.withColumn("s2", s2)
-    s3 = F.min(
-        F.when((F.col("event_type") == stages[2]) & (F.col("s2") < us), us)
-    ).over(w)
-    e3 = e2.withColumn("s3", s3)
-    per_user = e3.groupBy("user_id").agg(
-        F.max(F.col("s1").isNotNull().cast("int")).alias("r1"),
-        F.max(F.col("s2").isNotNull().cast("int")).alias("r2"),
-        F.max(F.col("s3").isNotNull().cast("int")).alias("r3"),
+    base = events.select("user_id", us.alias("us"), "event_type")
+    stage_rows = [
+        base.filter(F.col("event_type") == st).select("user_id", "us")
+        for st in stages
+    ]
+    per1 = stage_rows[0].groupBy("user_id").agg(F.min("us").alias("s1"))
+    per2 = (
+        stage_rows[1]
+        .join(per1, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("us") > F.col("s1"), F.col("us"))
+            ).alias("s2")
+        )
+        .filter(F.col("s2").isNotNull())
     )
-    counts = per_user.agg(
-        F.sum("r1").alias("c1"), F.sum("r2").alias("c2"), F.sum("r3").alias("c3")
+    per3 = (
+        stage_rows[2]
+        .join(per2, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("us") > F.col("s2"), F.col("us"))
+            ).alias("s3")
+        )
+        .filter(F.col("s3").isNotNull())
     )
-    stage_rows = F.array(
-        *[
-            F.struct(
-                F.lit(i + 1).cast("bigint").alias("stage_idx"),
-                F.lit(stages[i]).alias("stage"),
-                F.col(f"c{i + 1}").cast("bigint").alias("n_users"),
-            )
-            for i in range(3)
-        ]
-    )
-    return counts.select(F.explode(stage_rows).alias("s")).select("s.*")
+    out = None
+    for i, reached in enumerate((per1, per2, per3)):
+        row = reached.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).cast("bigint").alias("stage_idx"),
+            F.lit(stages[i]).alias("stage"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
 
 
 def user_retention_cohorts(events: DataFrame) -> DataFrame:

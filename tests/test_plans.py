@@ -281,10 +281,13 @@ def test_new_round3_ops_plan_shapes(t):
     from flink_window_dgim_traffic_spark.operators import text as T3
 
     ev, docs, emb = t("events"), t("documents"), t("embeddings")
-    # three chained stage windows + per-user reduce share ONE user_id
-    # exchange; the stage-count reduce is the only other one
+    # closed-form funnel: NO window, NO sort — per-stage map-side-
+    # combined minima chained on the user_id hash (skew-splittable
+    # joins), plus three single-row count aggregates
     df = R.event_funnel(ev)
-    assert I.exchange_count(df) == 2 and not I.has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Sort [" not in plan and " Sort " not in plan
+    assert not I.has_cartesian(df)
     df = R.user_retention_cohorts(ev)
     assert I.exchange_count(df) <= 4 and not I.has_cartesian(df)
     # explode -> (doc,w) -> doc: exactly two keyed aggregations

@@ -77,9 +77,13 @@ SHOWCASE = {
     "join + map-side-combined min/count, two key shuffles",
     "quality_quantile_gate": "one bounded per-lang percentile "
     "aggregate; thresholds broadcast back — the gate is map-only",
-    "event_funnel": "three chained stage windows + the per-user "
-    "reduce share ONE user_id exchange; stage counts are three "
-    "conditional sums over per-user rows",
+    "event_funnel": "closed-form chained minima: NO window, NO "
+    "sort; per-stage map-side-combined mins joined on the user_id "
+    "hash (bot users are AQE-splittable join keys)",
+    "q21_waiting_suppliers": "EXISTS/NOT-EXISTS double self-join as "
+    "ONE per-order aggregation; dims broadcast",
+    "q2_min_cost_supplier": "correlated MIN as groupBy + broadcast "
+    "equality join-back on the exact DECIMAL cost",
     "duplicated_spans": "one regex projection builds every sliding "
     "span; (span,doc) agg + span window + doc agg — three key "
     "shuffles, totals joined broadcast, no pair join",
