@@ -85,8 +85,8 @@ SHOWCASE = {
     "q2_min_cost_supplier": "correlated MIN as groupBy + broadcast "
     "equality join-back on the exact DECIMAL cost",
     "duplicated_spans": "one regex projection builds every sliding "
-    "span; (span,doc) agg + span window + doc agg — three key "
-    "shuffles, totals joined broadcast, no pair join",
+    "span; (span,doc) agg + map-side-combined span counts semi-"
+    "joined back (hot spans skew-splittable) + doc agg; no pair join",
     "importance_weights": "ONE profile pass (conditional target "
     "count); constant-size bucket profile broadcast back; per-doc "
     "sum is map-side combined exact BIGINTs",
