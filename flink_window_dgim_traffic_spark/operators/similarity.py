@@ -372,6 +372,43 @@ def _auto_centroids(embeddings: DataFrame, n_rows: int | None) -> int:
     return max(16, min(1024, round(math.sqrt(max(n, 1)) / 2.8)))
 
 
+def _train_ivf_codebook(
+    embeddings: DataFrame,
+    n_centroids: int,
+    sample_n: int = 2048,
+    iters: int = 8,
+):
+    """Deterministic spherical k-means codebook from a seeded,
+    doc_id-ordered sample (the bounded driver-side collect every ANN
+    variant shares).  Returns an (n_centroids, dim) unit-row ndarray,
+    or None for an empty corpus."""
+    import numpy as np
+
+    rows = (
+        embeddings.orderBy("vec_id")
+        .limit(sample_n)
+        .select(as_double(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    if not rows:
+        return None
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    n_centroids = min(n_centroids, len(Xn))  # tiny-corpus degenerate case
+    rng = np.random.RandomState(97)
+    C = Xn[rng.choice(len(Xn), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)  # cosine == dot on unit vectors
+        for c in range(n_centroids):
+            members = Xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[c] = m / n
+    return C
+
+
 def simsearch_ann_ivf(
     embeddings: DataFrame,
     n_query: int = N_QUERY,
@@ -402,31 +439,13 @@ def simsearch_ann_ivf(
 
     if n_centroids is None:
         n_centroids = _auto_centroids(embeddings, n_rows)
-    rows = (
-        embeddings.orderBy("vec_id")
-        .limit(sample_n)
-        .select(as_double(F.col("embedding")).alias("v"))
-        .collect()
-    )
-    if not rows:
+    C = _train_ivf_codebook(embeddings, n_centroids, sample_n, iters)
+    if C is None:
         return embeddings.sparkSession.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, score double, rnk bigint"
         )
-    X = np.array([r["v"] for r in rows], dtype=np.float64)
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-    n_centroids = min(n_centroids, len(Xn))  # tiny-corpus degenerate case
+    n_centroids = len(C)
     nprobe = min(nprobe, n_centroids)
-    rng = np.random.RandomState(97)
-    C = Xn[rng.choice(len(Xn), size=n_centroids, replace=False)]
-    for _ in range(iters):
-        assign = np.argmax(Xn @ C.T, axis=1)  # cosine == dot on unit vectors
-        for c in range(n_centroids):
-            members = Xn[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                n = np.linalg.norm(m)
-                if n > 0:
-                    C[c] = m / n
 
     @pandas_udf("int")
     def nearest_centroid(vecs: pd.Series) -> pd.Series:
@@ -913,4 +932,144 @@ def embedding_outliers(embeddings: DataFrame, factor: int = 2) -> DataFrame:
         (F.col("dist2_e12") > F.lit(int(factor)) * F.col("avg_d"))
         .cast("bigint")
         .alias("is_outlier"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Persistent IVF index — build once, probe many, partition-pruned reads
+# ----------------------------------------------------------------------
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int | None = None,
+    sample_n: int = 2048,
+    iters: int = 8,
+    n_rows: int | None = None,
+) -> int:
+    """Materialize an IVF index on disk: ``path/centroids`` (the
+    codebook) and ``path/vectors`` PARTITIONED BY cluster — the
+    deployment shape of ANN (train/assign once, serve many query
+    batches).  Because vectors live in per-cluster directories, a
+    probe of ``nprobe`` clusters is a PARTITION-PRUNED scan: the
+    query plan reads nprobe/n_centroids of the corpus from disk, not
+    just post-scan (pinned in tests via PartitionFilters).
+
+    The trainer/assignment are byte-identical to
+    :func:`simsearch_ann_ivf` (same seeded sample, same spherical
+    k-means), so indexed queries return exactly the in-memory
+    variant's results.  Returns the centroid count."""
+    import numpy as np
+
+    if n_centroids is None:
+        n_centroids = _auto_centroids(embeddings, n_rows)
+    C = _train_ivf_codebook(embeddings, n_centroids, sample_n, iters)
+    if C is None:
+        raise ValueError("cannot index an empty corpus")
+    spark = embeddings.sparkSession
+
+    @pandas_udf("int")
+    def nearest_centroid(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        V = np.array(list(vecs), dtype=np.float64)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        return pd.Series(np.argmax(V @ C.T, axis=1).astype("int32"))
+
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(C)],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    embeddings.withColumn(
+        "cluster", nearest_centroid(as_double(F.col("embedding")))
+    ).select("vec_id", "embedding", "cluster").write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(f"{path}/vectors")
+    return len(C)
+
+
+def simsearch_ivf_indexed(
+    spark,
+    path: str,
+    n_query: int = N_QUERY,
+    k: int = TOP_K,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k cosine search against a :func:`build_ivf_index` store.
+
+    The codebook (≤1024 rows) and the query batch (n_query vectors)
+    are bounded driver-side reads; probe clusters are computed in
+    numpy and pushed into the scan as an ``isin`` partition filter,
+    so only the probed cluster DIRECTORIES are read — the candidate
+    fraction is enforced by the storage layout, before any executor
+    sees a row.  Rescoring uses the exact sequential-fold cosine, so
+    results equal :func:`simsearch_ann_ivf` bit for bit."""
+    import numpy as np
+
+    C = np.array(
+        [
+            r["centroid"]
+            for r in spark.read.parquet(f"{path}/centroids")
+            .orderBy("cluster")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    nprobe = min(nprobe, len(C))
+    vectors = spark.read.parquet(f"{path}/vectors")
+    q_rows = (
+        vectors.filter(F.col("vec_id") < n_query)
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, score double, rnk bigint"
+        )
+    QV = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    Qn = QV / np.maximum(np.linalg.norm(QV, axis=1, keepdims=True), 1e-300)
+    order = np.argsort(-(Qn @ C.T), axis=1, kind="stable")[:, :nprobe]
+    probes = [
+        (int(r["vec_id"]), [int(c) for c in cs])
+        for r, cs in zip(q_rows, order)
+    ]
+    probed_clusters = sorted({c for _, cs in probes for c in cs})
+    q = spark.createDataFrame(
+        [
+            (qid, c, [float(x) for x in r["v"]])
+            for (qid, cs), r in zip(probes, q_rows)
+            for c in cs
+        ],
+        "query_id bigint, cluster int, qv array<double>",
+    )
+    # the isin on the PARTITION column prunes cluster directories at
+    # planning time — unprobed clusters are never read off disk
+    cand_src = vectors.filter(
+        F.col("cluster").isin([int(c) for c in probed_clusters])
+    ).select(
+        "cluster",
+        F.col("vec_id").alias("neighbor_id"),
+        as_double(F.col("embedding")).alias("nv"),
+    )
+    cands = (
+        F.broadcast(q)
+        .join(cand_src, "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _pair_score(
+                F.col("qv"),
+                F.col("nv"),
+                F.sqrt(sq_norm(F.col("qv"))),
+                F.sqrt(sq_norm(F.col("nv"))),
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score", "rnk")
     )

@@ -498,3 +498,37 @@ def test_duplicated_spans_property_arbitrary_corpora(spark):
         assert got == expect
 
     run()
+
+
+def test_ivf_index_persistence_matches_inmemory(spark, sf_dir, tmp_path):
+    """build_ivf_index + simsearch_ivf_indexed must (a) return
+    exactly the in-memory simsearch_ann_ivf results (same seeded
+    trainer, same exact rescore) and (b) read ONLY the probed cluster
+    directories — the isin on the partition column must appear as a
+    PartitionFilter in the scan."""
+    from flink_window_dgim_traffic_spark.operators.similarity import (
+        build_ivf_index,
+        simsearch_ann_ivf,
+        simsearch_ivf_indexed,
+    )
+    from flink_window_dgim_traffic_spark.session import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    n_cent = build_ivf_index(emb, idx)
+    assert n_cent >= 2
+    got_df = simsearch_ivf_indexed(spark, idx, nprobe=4)
+    got = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], r["score"])
+        for r in got_df.collect()
+    }
+    expect = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], r["score"])
+        for r in simsearch_ann_ivf(emb, nprobe=4).collect()
+    }
+    assert got == expect and len(got) > 0
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    pf = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert any("cluster" in ln and "IN" in ln for ln in pf), pf
