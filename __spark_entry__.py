@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_weights": lambda s, d: C.importance_weights(
             _documents(s, d)
         ),
+        "lm_quality_gate": lambda s, d: C.lm_quality_gate(
+            _documents(s, d)
+        ),
         "q2_min_cost_supplier": lambda s, d: R.q2_min_cost_supplier(
             _part(s, d), _supplier(s, d), _nation(s, d), _region(s, d),
             _lineitem(s, d),
@@ -506,6 +509,30 @@ SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
        CAST(CASE WHEN n_spans > 0 THEN coalesce(n_dup, 0) * 1000 // n_spans
             ELSE 0 END AS BIGINT) AS dup_permille
 FROM tot LEFT JOIN d USING (doc_id)
+""",
+        # CCNet-style LM quality filter: hashed-unigram LM fit on the
+        # src1 exemplars; keep docs whose per-token avg log-likelihood
+        # beats uniform.  Micro-nat BIGINT quantization throughout.
+        "lm_quality_gate": """
+WITH tok AS (SELECT doc_id, source, unnest(string_split(text,' ')) AS w
+             FROM documents),
+tb AS (SELECT doc_id, source,
+         CAST('0x' || substr(md5('dsir:' || w), 1, 15) AS BIGINT) % 4096 AS b
+       FROM tok),
+c AS (SELECT b, count(*) AS ct FROM tb WHERE source = 'src1' GROUP BY b),
+tot AS (SELECT sum(ct) AS nt FROM c),
+s AS (SELECT doc_id,
+        CAST(round(ln(coalesce(ct, 0) + 1) * 1000000.0) AS BIGINT)
+      - CAST(round(ln(nt + 4096) * 1000000.0) AS BIGINT) AS lp
+      FROM tb LEFT JOIN c USING (b), tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored_tokens,
+  CAST(sum(lp) + count(*)
+       * CAST(round(ln(4096) * 1000000.0) AS BIGINT) AS BIGINT)
+    AS loglik_margin_e6,
+  CAST(CASE WHEN sum(lp) + count(*)
+            * CAST(round(ln(4096) * 1000000.0) AS BIGINT) > 0
+       THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s GROUP BY doc_id
 """,
         # Adapted TPC-H completion set over the DERIVED partsupp
         # (availqty = exact DECIMAL qty sum, supplycost = exact

@@ -316,3 +316,96 @@ def importance_weights(
             (F.col("logratio_e6") > 0).cast("bigint").alias("keep"),
         )
     )
+
+
+def lm_bucket_counts(documents: DataFrame, n_buckets: int = 4096) -> DataFrame:
+    """Hashed-unigram LM counts (b, ct) over the given documents —
+    the trainable half of :func:`lm_quality_gate`, exposed so
+    pipelines can fit the model on an ingested history and apply it
+    statically to new arrivals.  Bounded output (≤ n_buckets rows)."""
+    h = F.md5(F.concat(F.lit("dsir:"), F.col("w")))
+    bucket = F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"),
+        F.lit(n_buckets),
+    )
+    return (
+        documents.select(F.explode(F.split("text", " ")).alias("w"))
+        .select(bucket.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+
+
+def lm_gate_with_profile(
+    documents: DataFrame, counts: DataFrame, n_buckets: int = 4096
+) -> DataFrame:
+    """Score every doc under an add-one-smoothed hashed-unigram LM
+    (``counts`` from :func:`lm_bucket_counts`) against the UNIFORM
+    model — the CCNet-style LM quality filter with a hashed unigram
+    LM standing in for the 5-gram KenLM: text that shares the
+    model's vocabulary scores above uniform, gibberish below.
+
+    keep ⇔ Σ_tok [q(ln(ct_b+1)) − q(ln(N+B))] > n·(−q(ln B)), i.e.
+    the per-token average log-likelihood beats ln(1/B).  Every ln is
+    micro-nat-quantized BIGINT (the cross-engine-exact recipe);
+    scale shape mirrors :func:`importance_weights` — constant-size
+    profile broadcast, one map-side-combinable per-doc reduce."""
+    import math
+
+    h = F.md5(F.concat(F.lit("dsir:"), F.col("w")))
+    bucket = F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"),
+        F.lit(n_buckets),
+    )
+    q = lambda x: F.round(x * 1e6, 0).cast("bigint")  # noqa: E731
+    lnq = lambda c: q(F.log(c.cast("double")))  # noqa: E731
+    totals = counts.agg(F.sum("ct").alias("nt"))
+    uniform_e6 = int(round(math.log(n_buckets) * 1e6))
+    tokb = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).withColumn("b", bucket)
+    scored = (
+        tokb.join(F.broadcast(counts), "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (
+                lnq(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                - lnq(F.col("nt") + n_buckets)
+            ).alias("lp_e6"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored_tokens"),
+            F.sum("lp_e6").alias("sum_lp"),
+        )
+        .select(
+            "doc_id",
+            "n_scored_tokens",
+            (
+                F.col("sum_lp")
+                + F.col("n_scored_tokens") * F.lit(uniform_e6)
+            )
+            .cast("bigint")
+            .alias("loglik_margin_e6"),
+        )
+        .withColumn(
+            "keep", (F.col("loglik_margin_e6") > 0).cast("bigint")
+        )
+    )
+
+
+def lm_quality_gate(
+    documents: DataFrame,
+    target_source: str = "src1",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """LM quality filter with the model fit on ``target_source``'s
+    docs (the high-quality exemplar slot): keep docs whose hashed-
+    unigram average log-likelihood under that model beats uniform."""
+    profile = lm_bucket_counts(
+        documents.filter(F.col("source") == target_source), n_buckets
+    )
+    return lm_gate_with_profile(documents, profile, n_buckets)

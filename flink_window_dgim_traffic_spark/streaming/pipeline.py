@@ -48,7 +48,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from flink_window_dgim_traffic_spark.operators.corpus import split_col
+from flink_window_dgim_traffic_spark.operators.corpus import (
+    lm_bucket_counts,
+    lm_gate_with_profile,
+    split_col,
+)
 from flink_window_dgim_traffic_spark.operators.text import (
     quality_score_col,
     quality_thresholds,
@@ -68,6 +72,9 @@ def seed_curation_state(
     ).parquet(f"{state_root}/index")
     quality_thresholds(history_docs, q).write.mode("overwrite").parquet(
         f"{state_root}/thresholds"
+    )
+    lm_bucket_counts(history_docs).write.mode("overwrite").parquet(
+        f"{state_root}/lm_counts"
     )
     os.makedirs(f"{state_root}/_done", exist_ok=True)
 
@@ -126,10 +133,16 @@ def make_curation_batch_fn(
             fresh_ids.select("doc_id"), "doc_id", "left_semi"
         )
 
-        # stage 3: static per-lang quality gate + train split
+        # stage 3: static per-lang quality gate + history-fit LM
+        # gate (hashed-unigram log-likelihood vs uniform) + train split
         thr = spark.read.parquet(f"{state_root}/thresholds")
+        lm_counts = spark.read.parquet(f"{state_root}/lm_counts")
+        lm_keep = lm_gate_with_profile(fresh, lm_counts).filter(
+            F.col("keep") == 1
+        ).select("doc_id")
         kept = (
-            fresh.withColumn("quality_score", quality_score_col())
+            fresh.join(lm_keep, "doc_id", "left_semi")
+            .withColumn("quality_score", quality_score_col())
             .join(F.broadcast(thr), "lang")
             .filter(F.col("quality_score") >= F.col("lang_threshold"))
             .filter(split_col() == "train")
@@ -226,8 +239,12 @@ def curation_batch_twin(
         "left_semi",
     )
     thr = quality_thresholds(bench, q)
+    lm_keep = lm_gate_with_profile(
+        fresh, lm_bucket_counts(bench)
+    ).filter(F.col("keep") == 1).select("doc_id")
     return (
-        fresh.withColumn("quality_score", quality_score_col())
+        fresh.join(lm_keep, "doc_id", "left_semi")
+        .withColumn("quality_score", quality_score_col())
         .join(F.broadcast(thr), "lang")
         .filter(F.col("quality_score") >= F.col("lang_threshold"))
         .filter(split_col() == "train")

@@ -236,3 +236,22 @@ def test_importance_weights_prefers_target_domain(spark):
     assert got[4]["keep"] == 0 and got[4]["logratio_e6"] < 0
     assert got[1]["keep"] == 1  # target docs look like the target
     assert got[3]["n_scored_tokens"] == 4
+
+
+def test_lm_quality_gate_keeps_target_vocab(spark):
+    """Docs sharing the exemplar vocabulary score above uniform and
+    are kept; gibberish (all-unseen buckets) scores below and is
+    dropped."""
+    ab = ("alpha beta " * 200).strip()
+    rows = [
+        (1, ab, "en", "src1", 1),
+        (2, "alpha beta alpha beta", "en", "src3", 1),  # in-vocab
+        (3, "zq xv qqj vvk zzt wqx", "en", "src3", 1),  # gibberish
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in C.lm_quality_gate(docs).collect()}
+    assert got[2]["keep"] == 1 and got[2]["loglik_margin_e6"] > 0
+    assert got[3]["keep"] == 0 and got[3]["loglik_margin_e6"] < 0
