@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "duplicated_spans",
     "importance_weights",
+    "lm_quality_gate",
     "dedup_incremental",
     "chunk_dedup",
     "source_cap",
