@@ -255,3 +255,67 @@ def test_lm_quality_gate_keeps_target_vocab(spark):
     got = {r["doc_id"]: r for r in C.lm_quality_gate(docs).collect()}
     assert got[2]["keep"] == 1 and got[2]["loglik_margin_e6"] > 0
     assert got[3]["keep"] == 0 and got[3]["loglik_margin_e6"] < 0
+
+
+def _py_bucket(w, n_buckets=4096):
+    import hashlib
+
+    h = hashlib.md5(f"dsir:{w}".encode()).hexdigest()
+    return int(h[:15], 16) % n_buckets
+
+
+def _q(x):
+    import math
+
+    return math.floor(x * 1e6 + 0.5)  # HALF_UP like Spark round()
+
+
+def test_lm_quality_gate_property_arbitrary_corpora(spark):
+    """Property: for ANY corpus over a tiny alphabet, the margin
+    equals the Python brute-force computation of the quantized
+    add-one hashed-unigram log-likelihood vs uniform."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=5), st.lists(doc, min_size=1, max_size=3))
+    def run(stream_texts, target_texts):
+        B = 4096
+        rows = [
+            (i, t, "en", "src1", 1) for i, t in enumerate(target_texts)
+        ] + [
+            (100 + i, t, "en", "src3", 1)
+            for i, t in enumerate(stream_texts)
+        ]
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        got = {
+            r["doc_id"]: (r["n_scored_tokens"], r["loglik_margin_e6"])
+            for r in C.lm_quality_gate(docs).collect()
+        }
+        cnt: dict = {}
+        for t in target_texts:
+            for w in t.split(" "):
+                b = _py_bucket(w)
+                cnt[b] = cnt.get(b, 0) + 1
+        nt = sum(cnt.values())
+        u = _q(math.log(B))
+        for doc_id, text, *_ in rows:
+            toks = text.split(" ")
+            margin = sum(
+                _q(math.log(cnt.get(_py_bucket(w), 0) + 1))
+                - _q(math.log(nt + B))
+                + u
+                for w in toks
+            )
+            assert got[doc_id] == (len(toks), margin)
+
+    run()
