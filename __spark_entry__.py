@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality_gate": lambda s, d: C.lm_quality_gate(
             _documents(s, d)
         ),
+        "datasheet_unpivot": lambda s, d: C.datasheet_unpivot(
+            _documents(s, d)
+        ),
         "q2_min_cost_supplier": lambda s, d: R.q2_min_cost_supplier(
             _part(s, d), _supplier(s, d), _nation(s, d), _region(s, d),
             _lineitem(s, d),
@@ -509,6 +512,23 @@ SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
        CAST(CASE WHEN n_spans > 0 THEN coalesce(n_dup, 0) * 1000 // n_spans
             ELSE 0 END AS BIGINT) AS dup_permille
 FROM tot LEFT JOIN d USING (doc_id)
+""",
+        # ANSI UNPIVOT of the per-source datasheet (wide -> long)
+        "datasheet_unpivot": """
+WITH t AS (SELECT source, lang, text, n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+           FROM documents),
+d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       CAST(min(n_toks) AS BIGINT) AS min_tokens,
+       CAST(max(n_toks) AS BIGINT) AS max_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_exact_dupes
+      FROM t GROUP BY source)
+SELECT source, metric, value FROM d
+UNPIVOT (value FOR metric IN (n_docs, total_tokens, min_tokens,
+         max_tokens, total_chars, n_langs, n_exact_dupes))
 """,
         # CCNet-style LM quality filter: hashed-unigram LM fit on the
         # src1 exemplars; keep docs whose per-token avg log-likelihood

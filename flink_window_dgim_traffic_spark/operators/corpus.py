@@ -409,3 +409,23 @@ def lm_quality_gate(
         documents.filter(F.col("source") == target_source), n_buckets
     )
     return lm_gate_with_profile(documents, profile, n_buckets)
+
+
+def datasheet_unpivot(documents: DataFrame) -> DataFrame:
+    """UNPIVOT (wide→long) over the per-source datasheet — the
+    relational surface's melt/stack shape (Flink/ANSI UNPIVOT,
+    Spark ``unpivot``/``stack``): one row per (source, metric).
+    Adds nothing over the datasheet aggregation itself — a pure
+    map-side row-generator on its tiny output."""
+    metrics = [
+        "n_docs",
+        "total_tokens",
+        "min_tokens",
+        "max_tokens",
+        "total_chars",
+        "n_langs",
+        "n_exact_dupes",
+    ]
+    return corpus_datasheet(documents).unpivot(
+        "source", metrics, "metric", "value"
+    )
