@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "corpus_mix",
     "corpus_sample_k",
     "corpus_datasheet",
+    "datasheet_unpivot",
     "contamination_check",
     "bm25_topk",
     "text_normalize",
