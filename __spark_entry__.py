@@ -40,6 +40,7 @@ from flink_window_dgim_traffic_spark.operators import similarity as S
 from flink_window_dgim_traffic_spark.operators import text as T
 from flink_window_dgim_traffic_spark.operators import windows as W
 from flink_window_dgim_traffic_spark.session import ship_package, table
+from flink_window_dgim_traffic_spark.streaming import pipeline as SP
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -104,6 +105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _documents(s, d)
         ),
         "datasheet_unpivot": lambda s, d: C.datasheet_unpivot(
+            _documents(s, d)
+        ),
+        "curation_twin": lambda s, d: SP.curation_batch_twin(
             _documents(s, d)
         ),
         "q2_min_cost_supplier": lambda s, d: R.q2_min_cost_supplier(
@@ -512,6 +516,58 @@ SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
        CAST(CASE WHEN n_spans > 0 THEN coalesce(n_dup, 0) * 1000 // n_spans
             ELSE 0 END AS BIGINT) AS dup_permille
 FROM tot LEFT JOIN d USING (doc_id)
+""",
+        # The streaming curation pipeline's exact semantics as one
+        # batch statement: arrival-order cap (=doc_id order), md5
+        # dedup vs the src0 history + min-doc_id, history-fit LM gate
+        # and per-lang quality thresholds, deterministic train split.
+        "curation_twin": f"""
+WITH capped AS (
+  SELECT doc_id, source, lang, text FROM (
+    SELECT d.*, ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents d WHERE source <> 'src0')
+  WHERE rn <= 20),
+idx AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE source = 'src0'),
+newd AS (SELECT doc_id, source, lang, text, md5(text) AS fp FROM capped),
+surv AS (SELECT min(doc_id) AS doc_id FROM newd
+         WHERE fp NOT IN (SELECT fp FROM idx) GROUP BY fp),
+kept1 AS (SELECT n.doc_id, n.source, n.lang, n.text
+          FROM newd n JOIN surv USING (doc_id)),
+lmtok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+          WHERE source = 'src0'),
+lmc AS (SELECT CAST('0x' || substr(md5('dsir:' || w), 1, 15) AS BIGINT)
+               % 4096 AS b, count(*) AS ct FROM lmtok GROUP BY 1),
+lmt AS (SELECT sum(ct) AS nt FROM lmc),
+kb AS (SELECT doc_id,
+       CAST('0x' || substr(md5('dsir:' || w), 1, 15) AS BIGINT) % 4096 AS b
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM kept1)),
+ks AS (SELECT doc_id,
+         CAST(round(ln(coalesce(ct, 0) + 1) * 1000000.0) AS BIGINT)
+       - CAST(round(ln(nt + 4096) * 1000000.0) AS BIGINT) AS lp
+       FROM kb LEFT JOIN lmc USING (b), lmt),
+lmkeep AS (SELECT doc_id FROM ks GROUP BY doc_id
+           HAVING sum(lp) + count(*)
+                  * CAST(round(ln(4096) * 1000000.0) AS BIGINT) > 0),
+kept2 AS (SELECT k.* FROM kept1 k JOIN lmkeep USING (doc_id)),
+bsc AS (SELECT lang,
+        round(least(len(ws), 50) / 50 * 0.5
+              + (1 - len(list_filter(ws, w -> w IN {_STOP_LIST}))
+                 / len(ws)) * 0.5, 6) AS q
+        FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents
+              WHERE source = 'src0')),
+thr AS (SELECT lang, round(quantile_cont(q, 0.5), 6) AS lt
+        FROM bsc GROUP BY lang),
+scored AS (SELECT doc_id, source, lang,
+           round(least(len(ws), 50) / 50 * 0.5
+                 + (1 - len(list_filter(ws, w -> w IN {_STOP_LIST}))
+                    / len(ws)) * 0.5, 6) AS quality_score
+           FROM (SELECT doc_id, source, lang,
+                 string_split(text, ' ') AS ws FROM kept2))
+SELECT s.doc_id, s.source, s.lang, s.quality_score
+FROM scored s JOIN thr USING (lang)
+WHERE s.quality_score >= thr.lt
+  AND CAST('0x' || substr(md5('split:' || CAST(s.doc_id AS VARCHAR)), 1, 15)
+      AS BIGINT) < 1037629354146162278
 """,
         # ANSI UNPIVOT of the per-source datasheet (wide -> long)
         "datasheet_unpivot": """

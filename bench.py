@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "training_corpus",
     "corpus_build",
     "domain_balanced_corpus",
+    "curation_twin",
     "curation_funnel",
     "text_stats",
     "word_entropy",
