@@ -110,6 +110,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_twin": lambda s, d: SP.curation_batch_twin(
             _documents(s, d)
         ),
+        "cdc_chunk_dedup": lambda s, d: D.cdc_chunk_dedup(
+            _documents(s, d)
+        ),
         "q2_min_cost_supplier": lambda s, d: R.q2_min_cost_supplier(
             _part(s, d), _supplier(s, d), _nation(s, d), _region(s, d),
             _lineitem(s, d),
@@ -516,6 +519,42 @@ SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
        CAST(CASE WHEN n_spans > 0 THEN coalesce(n_dup, 0) * 1000 // n_spans
             ELSE 0 END AS BIGINT) AS dup_permille
 FROM tot LEFT JOIN d USING (doc_id)
+""",
+        # Content-defined chunking: boundaries where the w=4-token
+        # polynomial hash (base 131, 7 md5 hex chars per token — all
+        # under 2^51, no modular reduction) divides 8; forced at doc
+        # end.  Dup = chunk present in >=2 distinct docs.
+        "cdc_chunk_dedup": """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+th AS (SELECT doc_id, ws, len(ws) AS n,
+       list_transform(ws, tk -> CAST('0x' || substr(md5(tk), 1, 7)
+                                     AS BIGINT)) AS h
+       FROM base),
+bp AS (SELECT doc_id, ws, n,
+       list_sort(list_distinct(list_append(
+         list_filter(generate_series(4, n), i ->
+           (h[i] * 1 + h[i-1] * 131 + h[i-2] * 17161
+            + h[i-3] * 2248091) % 8 = 0),
+         n))) AS bpos
+       FROM th),
+ch AS (SELECT doc_id,
+       list_transform(generate_series(1, len(bpos)), k ->
+         array_to_string(
+           ws[(CASE WHEN k = 1 THEN 1 ELSE bpos[k-1] + 1 END):bpos[k]],
+           ' ')) AS chunks
+       FROM bp),
+ex AS (SELECT doc_id, unnest(chunks) AS chunk FROM ch),
+cd AS (SELECT chunk, doc_id, count(*) AS c FROM ex GROUP BY 1, 2),
+dup AS (SELECT chunk FROM cd GROUP BY chunk HAVING count(*) >= 2),
+dd AS (SELECT doc_id, sum(c) AS n_dup FROM cd
+       WHERE chunk IN (SELECT chunk FROM dup) GROUP BY 1),
+tot AS (SELECT doc_id, len(chunks) AS n_chunks FROM ch)
+SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_chunks,
+       CAST(CASE WHEN n_chunks > 0
+            THEN coalesce(n_dup, 0) * 1000 // n_chunks
+            ELSE 0 END AS BIGINT) AS dup_permille
+FROM tot LEFT JOIN dd USING (doc_id)
 """,
         # The streaming curation pipeline's exact semantics as one
         # batch statement: arrival-order cap (=doc_id order), md5

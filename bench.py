@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "lm_quality_gate",
     "dedup_incremental",
     "chunk_dedup",
+    "cdc_chunk_dedup",
     "source_cap",
     "quality_quantile_gate",
     "gopher_quality",

@@ -532,3 +532,79 @@ def test_ivf_index_persistence_matches_inmemory(spark, sf_dir, tmp_path):
         ln for ln in plan.splitlines() if "PartitionFilters" in ln
     ]
     assert any("cluster" in ln and "IN" in ln for ln in pf), pf
+
+
+def test_cdc_chunk_dedup_resynchronizes_after_insertion(spark):
+    """The CDC property aligned chunking lacks: prepending one token
+    shifts every aligned chunk, but content-defined boundaries
+    resynchronize, so the copy still shares its tail chunks."""
+    base = "a b c d e f g h i j k l"
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "s", 1),
+            (2, "x " + base, "en", "s", 1),  # shifted copy
+            (3, "totally different words without overlap here", "en",
+             "s", 1),
+            (4, None, "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in D.cdc_chunk_dedup(docs).collect()}
+    assert got[1]["n_dup_chunks"] >= 1  # shares the resynced tail
+    assert got[2]["n_dup_chunks"] >= 1
+    assert got[3]["n_dup_chunks"] == 0
+    assert (got[4]["n_chunks"], got[4]["dup_permille"]) == (0, 0)
+    # aligned chunking misses the same shifted copy entirely at any
+    # chunk size that splits these docs
+    aligned = {
+        r["doc_id"]: r for r in D.chunk_dedup(docs.filter(
+            F.col("text").isNotNull()), k=6).collect()
+    }
+    assert aligned[2]["kept_chunks"] == aligned[2]["total_chunks"]
+
+
+def test_cdc_chunk_dedup_property_matches_python(spark):
+    """Property: chunk boundaries and dup counts equal a Python
+    brute force of the w=4 polynomial rule on arbitrary corpora."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+    doc = st.lists(word, min_size=1, max_size=20).map(" ".join)
+
+    def chunks_of(t, w=4, div=8, base=131):
+        ws = t.split(" ")
+        h = [int(hashlib.md5(x.encode()).hexdigest()[:7], 16) for x in ws]
+        out, prev = [], 0
+        for i in range(w, len(ws) + 1):
+            if sum(h[i - 1 - j] * base**j for j in range(w)) % div == 0:
+                out.append(" ".join(ws[prev:i]))
+                prev = i
+        if prev < len(ws):
+            out.append(" ".join(ws[prev:]))
+        return out
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=5))
+    def run(texts):
+        docs = spark.createDataFrame(
+            [(i, t, "en", "s", 1) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        got = {
+            r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"])
+            for r in D.cdc_chunk_dedup(docs).collect()
+        }
+        all_chunks = {i: chunks_of(t) for i, t in enumerate(texts)}
+        owners: dict = {}
+        for i, cs in all_chunks.items():
+            for c in cs:
+                owners.setdefault(c, set()).add(i)
+        for i, cs in all_chunks.items():
+            dup = sum(1 for c in cs if len(owners[c]) >= 2)
+            assert got[i] == (len(cs), dup)
+
+    run()
