@@ -134,6 +134,7 @@ def main() -> None:
         "simhash_pairs": lambda docs, emb: D.simhash_pairs(docs),
         "chunk_dedup": lambda docs, emb: D.chunk_dedup(docs),
         "duplicated_spans": lambda docs, emb: D.duplicated_spans(docs),
+        "cdc_chunk_dedup": lambda docs, emb: D.cdc_chunk_dedup(docs),
         "importance_weights": lambda docs, emb: C.importance_weights(
             docs
         ),
