@@ -76,3 +76,50 @@ def dedup_incremental_stream(
     return fresh.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         ["fp"]
     )
+
+
+def contamination_stream(
+    doc_stream: DataFrame,
+    benchmark_docs: DataFrame,
+    k: int | None = None,
+) -> DataFrame:
+    """Streaming benchmark decontamination — the stream-static twin of
+    ``operators.corpus.contamination_check``: every arriving doc emits
+    its contamination ratio once, in append mode, with ZERO state.
+
+    The batch operator's shingle-explode + per-doc aggregation would
+    be a stateful streaming aggregation (doc_id groups held forever);
+    instead the doc's DISTINCT shingle set stays an in-row ARRAY (the
+    ``_shingle_arrays`` projection) and the benchmark set rides in as
+    a one-row broadcast array, so contamination is a map-side
+    ``array_intersect`` — no watermark, no state store, nothing to
+    evict.  Sound at scale for the same reason as the batch twin: the
+    eval suite is fixed-size while the crawl stream grows."""
+    from pyspark.sql import functions as F
+
+    from flink_window_dgim_traffic_spark.operators.dedup import (
+        SHINGLE_K,
+        _shingle_arrays,
+        shingles,
+    )
+
+    k = SHINGLE_K if k is None else k
+    bench = (
+        shingles(benchmark_docs, k)
+        .select(F.collect_set("s").alias("bench_set"))
+    )
+    arr = _shingle_arrays(doc_stream, k)
+    return (
+        arr.crossJoin(F.broadcast(bench))
+        .select(
+            "doc_id",
+            F.size("sh_arr").cast("bigint").alias("n_shingles"),
+            F.size(F.array_intersect("sh_arr", "bench_set"))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_ratio",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6),
+        )
+    )

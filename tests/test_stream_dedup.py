@@ -157,3 +157,60 @@ def test_dedup_incremental_stream_matches_batch(spark, crawl_fixture):
     batch_new = spark.read.schema(DOC_SCHEMA).json(path)
     batch = D.dedup_incremental(batch_new, index)
     assert batch.count() == len(rows_kept) == 5
+
+
+def test_contamination_stream_matches_batch(spark, tmp_path):
+    """Append-mode stream-static decontamination equals the batch
+    contamination_check on the same docs, with zero stateful
+    operators in the plan."""
+    from flink_window_dgim_traffic_spark.operators.corpus import (
+        contamination_check,
+    )
+    from flink_window_dgim_traffic_spark.streaming.dedup import (
+        contamination_stream,
+    )
+
+    rows = [
+        (0, "a b c d", "en", "src0", 1),
+        (1, "a b c x y", "en", "src1", 1),
+        (2, "p q r s t", "en", "src1", 1),
+        (3, "a b c d e f", "en", "src2", 1),
+    ]
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    docs = spark.createDataFrame(rows, schema)
+    src = tmp_path / "src"
+    src.mkdir()
+    docs.filter(F.col("source") != "src0").coalesce(1).write.parquet(
+        str(src / "c1")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    bench = docs.filter(F.col("source") == "src0")
+    out = contamination_stream(stream, bench)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_contam")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_id"]: (
+            r["n_shingles"],
+            r["n_contaminated"],
+            r["contamination_ratio"],
+        )
+        for r in spark.sql("SELECT * FROM t_contam").collect()
+    }
+    expect = {
+        r["doc_id"]: (
+            r["n_shingles"],
+            r["n_contaminated"],
+            r["contamination_ratio"],
+        )
+        for r in contamination_check(docs).collect()
+    }
+    assert got == expect and len(got) == 3
