@@ -38,6 +38,12 @@ table on fp and the anti-join is shuffle-free.
 Equivalence (tested): ordered replay of doc_id-ranged chunks produces
 exactly the batch twin :func:`curation_batch_twin` run over the full
 corpus — including across a kill-and-restart.
+
+Deployment note: state paths and batch markers use the driver's
+local filesystem here (``os.path`` / ``open``) because the sandbox
+has no object store; on a cluster, swap those for the Hadoop
+FileSystem API (or keep the state in a transactional table format)
+— the per-batch dataflow is unchanged.
 """
 
 from __future__ import annotations
