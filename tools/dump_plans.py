@@ -96,6 +96,15 @@ SHOWCASE = {
     "embedding_outliers": "(label,dim) partial-agg shuffle builds "
     "centroids without moving whole vectors; centroids and label "
     "means broadcast back — distance is map-side zip_with",
+    "cdc_chunk_dedup": "Arrow-batched content-defined chunker (SQL "
+    "HOFs re-inline staged arrays per element — 500× slower "
+    "measured); dup counting is the skew-safe agg + semi-join pair",
+    "curation_twin": "the whole curation pipeline as key joins, "
+    "anti joins, one bounded threshold agg, and broadcast gates — "
+    "no collect, no cartesian, map-only split",
+    "lm_quality_gate": "constant-size LM profile broadcast back onto "
+    "one token pass; per-doc margin is a map-side-combined exact "
+    "BIGINT sum",
 }
 
 
