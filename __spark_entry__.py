@@ -113,6 +113,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunk_dedup": lambda s, d: D.cdc_chunk_dedup(
             _documents(s, d)
         ),
+        # qvec serialized to CSV for the compare (array-typed cells
+        # are not portable through the value-hash comparator)
+        "quantize_embeddings": lambda s, d: S.quantize_embeddings(
+            _embeddings(s, d)
+        ).select(
+            "vec_id",
+            F.concat_ws(",", "qvec").alias("qvec_csv"),
+            "max_abs_err_e6",
+        ),
         "q2_min_cost_supplier": lambda s, d: R.q2_min_cost_supplier(
             _part(s, d), _supplier(s, d), _nation(s, d), _region(s, d),
             _lineitem(s, d),
@@ -519,6 +528,23 @@ SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
        CAST(CASE WHEN n_spans > 0 THEN coalesce(n_dup, 0) * 1000 // n_spans
             ELSE 0 END AS BIGINT) AS dup_permille
 FROM tot LEFT JOIN d USING (doc_id)
+""",
+        # Per-dim int8 scalar quantization; ranges fit on the corpus,
+        # reconstruction error reported in exact 1e-6 integers.
+        "quantize_embeddings": """
+WITH comp AS (SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+              FROM embeddings,
+              unnest(generate_series(1, len(embedding))) AS t(i)),
+r AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM comp GROUP BY dim),
+q AS (SELECT vec_id, dim, x, lo, hi,
+        CASE WHEN hi > lo
+             THEN CAST(round((x - lo) / (hi - lo) * 255.0) AS INT)
+             ELSE 0 END AS c
+      FROM comp JOIN r USING (dim))
+SELECT vec_id, array_to_string(list(c ORDER BY dim), ',') AS qvec_csv,
+       CAST(round(max(abs(x - (lo + CAST(c AS DOUBLE) / 255.0
+            * (hi - lo)))) * 1000000.0) AS BIGINT) AS max_abs_err_e6
+FROM q GROUP BY vec_id
 """,
         # Content-defined chunking: boundaries where the w=4-token
         # polynomial hash (base 131, 7 md5 hex chars per token — all

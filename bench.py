@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "simsearch_ann_ivfpq",
     "embedding_label_centroids",
     "embedding_outliers",
+    "quantize_embeddings",
     "top_words_udtf",
     "semantic_dedup",
     "semantic_dedup_lsh",

@@ -1073,3 +1073,67 @@ def simsearch_ivf_indexed(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "score", "rnk")
     )
+
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension int8 scalar quantization — the storage-reduction
+    pass vector stores run before indexing (4 bytes/dim → 1):
+    q_d(x) = round((x − min_d) / (max_d − min_d) · 255), with the
+    per-dim ranges fit on the corpus itself.  Constant dims (max =
+    min) quantize to 0.
+
+    Output: vec_id, qvec (array<int> codes), max_abs_err_e6 — the
+    vector's worst reconstruction error in 1e-6 units, an exact
+    integer so the whole row set is hash-stable (the bound tested:
+    err ≤ range/510 + quantizer rounding, i.e. half a code step).
+
+    Scale shape: the range fit is ONE (dim)-keyed partial-aggregated
+    shuffle over exploded components (vectors never cross whole); the
+    ~dims-row range table broadcasts back and both the quantization
+    and the error column are in-row ``zip_with``/``aggregate``
+    expressions — map-only after the fit."""
+    comp = embeddings.select(
+        F.posexplode(as_double(F.col("embedding"))).alias("dim", "x")
+    )
+    ranges = comp.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    rng = ranges.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "lo", "hi"))),
+            lambda s: F.struct(s["lo"].alias("lo"), s["hi"].alias("hi")),
+        ).alias("rng")
+    )
+    code = lambda x, r: F.when(  # noqa: E731
+        r["hi"] > r["lo"],
+        F.round((x - r["lo"]) / (r["hi"] - r["lo"]) * F.lit(255.0), 0),
+    ).otherwise(F.lit(0.0)).cast("int")
+    recon = lambda c, r: r["lo"] + c.cast("double") / F.lit(255.0) * (  # noqa: E731
+        r["hi"] - r["lo"]
+    )
+    with_codes = (
+        embeddings.select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        )
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "vec_id",
+            "v",
+            "rng",
+            F.zip_with("v", "rng", code).alias("qvec"),
+        )
+    )
+    err = F.aggregate(
+        F.zip_with(
+            F.zip_with("v", "qvec", lambda x, c: F.struct(x.alias("x"), c.alias("c"))),
+            "rng",
+            lambda p, r: F.abs(p["x"] - recon(p["c"], r)),
+        ),
+        F.lit(0.0),
+        lambda acc, e: F.greatest(acc, e),
+    )
+    return with_codes.select(
+        "vec_id",
+        "qvec",
+        F.round(err * F.lit(1e6), 0).cast("bigint").alias("max_abs_err_e6"),
+    )

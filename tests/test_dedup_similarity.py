@@ -608,3 +608,35 @@ def test_cdc_chunk_dedup_property_matches_python(spark):
             assert got[i] == (len(cs), dup)
 
     run()
+
+
+def test_quantize_embeddings_bound_and_roundtrip(spark, sf_dir):
+    """Reconstruction error is bounded by half a code step per dim
+    (range/510 + 1 in e6 units for rounding), and codes stay in
+    [0, 255]."""
+    from flink_window_dgim_traffic_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+    from flink_window_dgim_traffic_spark.session import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    rows = quantize_embeddings(emb).collect()
+    assert len(rows) == emb.count()
+    # worst per-dim range across the corpus bounds every error
+    from pyspark.sql import functions as F
+
+    comp = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        )
+    )
+    worst = (
+        comp.groupBy("dim")
+        .agg((F.max("x") - F.min("x")).alias("rng"))
+        .agg(F.max("rng"))
+        .collect()[0][0]
+    )
+    bound_e6 = worst / 510.0 * 1e6 + 1
+    for r in rows:
+        assert all(0 <= c <= 255 for c in r["qvec"])
+        assert r["max_abs_err_e6"] <= bound_e6
