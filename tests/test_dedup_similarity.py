@@ -640,3 +640,54 @@ def test_quantize_embeddings_bound_and_roundtrip(spark, sf_dir):
     for r in rows:
         assert all(0 <= c <= 255 for c in r["qvec"])
         assert r["max_abs_err_e6"] <= bound_e6
+
+
+def test_quantized_vectors_preserve_topk_recall(spark, sf_dir):
+    """Search quality after 4x compression: brute-force cosine top-10
+    over int8-RECONSTRUCTED vectors recalls >=80% of the exact
+    top-10 per query on the driver corpus."""
+    from flink_window_dgim_traffic_spark.operators.similarity import (
+        quantize_embeddings,
+        simsearch_topk,
+    )
+    from flink_window_dgim_traffic_spark.session import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    ranges = (
+        emb.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "x"
+            )
+        )
+        .groupBy("dim")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )
+    lo = {r["dim"]: r["lo"] for r in ranges}
+    hi = {r["dim"]: r["hi"] for r in ranges}
+    q = quantize_embeddings(emb)
+    recon = q.select(
+        "vec_id",
+        F.expr(
+            "transform(qvec, (c, d) -> {} )".format(
+                "element_at(array({}), d + 1) + c / 255.0 * "
+                "(element_at(array({}), d + 1) "
+                "- element_at(array({}), d + 1))".format(
+                    ",".join(str(lo[d]) for d in sorted(lo)),
+                    ",".join(str(hi[d]) for d in sorted(hi)),
+                    ",".join(str(lo[d]) for d in sorted(lo)),
+                )
+            )
+        ).alias("embedding"),
+    )
+    exact = {}
+    for r in simsearch_topk(emb).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in simsearch_topk(recon).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact[qid] & approx.get(qid, set())) / len(exact[qid])
+        for qid in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
