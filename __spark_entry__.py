@@ -115,6 +115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # qvec serialized to CSV for the compare (array-typed cells
         # are not portable through the value-hash comparator)
+        "window_anomalies": lambda s, d: W.window_anomalies(
+            _events(s, d), 60
+        ),
         "quantize_embeddings": lambda s, d: S.quantize_embeddings(
             _embeddings(s, d)
         ).select(
@@ -528,6 +531,26 @@ SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
        CAST(CASE WHEN n_spans > 0 THEN coalesce(n_dup, 0) * 1000 // n_spans
             ELSE 0 END AS BIGINT) AS dup_permille
 FROM tot LEFT JOIN d USING (doc_id)
+""",
+        # Median/MAD anomaly flags over tumbling window counts;
+        # deviations quantized to 1e-6 BIGINTs before the compare.
+        "window_anomalies": """
+WITH e AS (SELECT CAST(event_id % 2 AS INT) AS bit, ts FROM events),
+w AS (SELECT bit, (CAST(floor(epoch(ts)/60) AS BIGINT)*60 + 60) AS we FROM e),
+cnt AS (SELECT we, CAST(sum(bit) AS BIGINT) AS ones_exact
+        FROM w GROUP BY we),
+med AS (SELECT quantile_cont(ones_exact, 0.5) AS med FROM cnt),
+dev AS (SELECT we, ones_exact,
+        CAST(round(abs(ones_exact - med) * 1000000.0) AS BIGINT) AS adev_e6
+        FROM cnt, med),
+mad AS (SELECT quantile_cont(CAST(adev_e6 AS DOUBLE) / 1000000.0, 0.5)
+               AS mad FROM dev)
+SELECT strftime(make_timestamp(we*1000000), '%Y-%m-%d %H:%M:%S')
+         AS window_end,
+       ones_exact, adev_e6,
+       CAST(CASE WHEN adev_e6 > 3 * CAST(round(mad * 1000000.0) AS BIGINT)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM dev, mad
 """,
         # Per-dim int8 scalar quantization; ranges fit on the corpus,
         # reconstruction error reported in exact 1e-6 integers.

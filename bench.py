@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "cumulate_exact",
     "cumulate_dgim",
     "session_window_dynamic",
+    "window_anomalies",
     "tumble_dgim",
     "tumble_dgim_fast",
     "sql_tumble_dgim",

@@ -629,3 +629,54 @@ def cumulate_dgim(
             "exact_count",
         )
     )
+
+
+def window_anomalies(
+    events: DataFrame, size_sec: int = 60, k: int = 3
+) -> DataFrame:
+    """Anomalous-traffic-window detection — the monitoring query the
+    reference's dashboards sit under (its jobs produce the per-window
+    counts; this flags the windows worth alerting on): a tumbling
+    window is anomalous when its 1-bit count deviates from the MEDIAN
+    window count by more than ``k``× the median absolute deviation —
+    the robust-statistics outlier rule (median/MAD shrugs off the
+    very outliers a mean/stddev rule would absorb).
+
+    Determinism: deviations and the MAD are quantized to exact 1e-6
+    BIGINTs before the flag compare, so the boundary is bit-stable
+    against the oracle.  Scale shape: one windowed aggregation over
+    the stream of events (the tumble_exact plan), then TWO one-row
+    percentile reductions over the windows table (windows ≪ events)
+    broadcast back — no sort over events, no second scan."""
+    w = tumble_exact(events, size_sec)
+    med = w.agg(
+        F.percentile("ones_exact", F.lit(0.5)).alias("med")
+    )
+    dev = (
+        w.crossJoin(F.broadcast(med))
+        .withColumn(
+            "adev_e6",
+            F.round(
+                F.abs(F.col("ones_exact") - F.col("med")) * 1e6, 0
+            ).cast("bigint"),
+        )
+    )
+    mad = dev.agg(
+        F.percentile(
+            F.col("adev_e6").cast("double") / 1e6, F.lit(0.5)
+        ).alias("mad")
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            "window_end",
+            "ones_exact",
+            "adev_e6",
+            (
+                F.col("adev_e6")
+                > F.lit(k) * F.round(F.col("mad") * 1e6, 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("is_anomaly"),
+        )
+    )

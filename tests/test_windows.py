@@ -274,3 +274,37 @@ def test_cumulate_dgim_bound_and_degeneration(events):
         for r in W.tumble_dgim(events, 60).collect()
     }
     assert cum == tum
+
+
+def test_window_anomalies_flags_extreme_window(spark):
+    """A hand corpus where one window has 10x the typical count:
+    exactly that window is flagged; near-median windows are not."""
+    import itertools
+
+    from flink_window_dgim_traffic_spark.operators.windows import (
+        window_anomalies,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    eid = itertools.count()
+    # five normal windows with ~4 ones each, one burst window with 40
+    for w, n_ones in enumerate([4, 5, 4, 40, 3, 4]):
+        for i in range(n_ones):
+            rows.append(
+                (next(eid) * 2 + 1, 1, f"2026-01-01 00:{w:02d}:{i:02d}")
+            )
+    df = spark.createDataFrame(
+        [(e, u, t, "view", 0.0) for (e, u, t) in rows],
+        "event_id long, user_id long, ts_s string, event_type string, "
+        "value double",
+    ).select(
+        "event_id", "user_id",
+        F.to_timestamp("ts_s").alias("ts"), "event_type", "value",
+    )
+    got = {
+        r["window_end"]: r["is_anomaly"]
+        for r in window_anomalies(df, 60).collect()
+    }
+    assert sum(got.values()) == 1
+    assert got["2026-01-01 00:04:00"] == 1  # the burst window (w=3)
