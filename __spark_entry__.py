@@ -856,29 +856,38 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
        - (sum_clnc_e6 // n) AS BIGINT) AS entropy_micro_nats
 FROM p
 """,
-        # Prototypicality outliers: centroid per label via the
-        # integer-quantized recipe, per-dim diffs quantized to 1e-6
-        # units before squaring — exact BIGINT distances both sides.
+        # Prototypicality outliers — ALL-INTEGER recipe (round-4 fix
+        # for the one red r3 row): quantize once (floor(x*1e9) BIGINT),
+        # centroid kept exact as (sum_q, cnt), dx = xq*cnt - sum_q,
+        # d2 = sum(dx^2) in HUGEINT, outlier test d2*n > 2*sum(d2) is
+        # a pure integer multiply-compare.  No IEEE division or floor
+        # sits between the engines.  Ragged policy: per-label modal
+        # dimensionality only (ties -> smallest), mirroring Spark.
         "embedding_outliers": """
-WITH comp AS (
-  SELECT vec_id, label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
-  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
-cent AS (
-  SELECT label, dim,
-    CAST(sum(CAST(floor(x * 1000000000.0) AS BIGINT)) AS DOUBLE)
-      / 1000000000.0 / count(*) AS c
-  FROM comp GROUP BY label, dim),
+WITH e AS (
+  SELECT vec_id, label, embedding, len(embedding) AS ndim FROM embeddings),
+modal AS (
+  SELECT label, ndim FROM (
+    SELECT label, ndim, row_number() OVER (
+        PARTITION BY label ORDER BY count(*) DESC, ndim ASC) AS rk
+    FROM e GROUP BY label, ndim) WHERE rk = 1),
+kept AS (SELECT e.* FROM e JOIN modal USING (label, ndim)),
+comp AS (
+  SELECT vec_id, label, i - 1 AS dim,
+    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000000.0) AS BIGINT) AS xq
+  FROM kept, unnest(generate_series(1, len(embedding))) AS t(i)),
+cent AS (SELECT label, dim, sum(xq) AS s FROM comp GROUP BY label, dim),
+cnts AS (SELECT label, count(*) AS cnt FROM kept GROUP BY label),
 d AS (
-  SELECT vec_id, comp.label,
-    sum(CAST(floor((x - c) * 1000000.0) AS BIGINT)
-        * CAST(floor((x - c) * 1000000.0) AS BIGINT)) AS dist2_e12
-  FROM comp JOIN cent USING (label, dim)
-  GROUP BY vec_id, comp.label),
-m AS (SELECT label, sum(dist2_e12) // count(*) AS avg_d FROM d GROUP BY label)
-SELECT vec_id, d.label, dist2_e12,
-  CAST(CASE WHEN dist2_e12 > 2 * avg_d THEN 1 ELSE 0 END AS BIGINT)
-    AS is_outlier
-FROM d JOIN m USING (label)
+  SELECT vec_id, comp.label, cnt,
+    sum(CAST(xq * cnt - s AS HUGEINT) * CAST(xq * cnt - s AS HUGEINT)) AS d2
+  FROM comp JOIN cent USING (label, dim) JOIN cnts ON comp.label = cnts.label
+  GROUP BY vec_id, comp.label, cnt),
+lab AS (SELECT label, sum(d2) AS sd, count(*) AS n FROM d GROUP BY label)
+SELECT vec_id, d.label,
+  CAST(d2 // (CAST(cnt AS HUGEINT) * cnt * 1000000) AS BIGINT) AS dist2_e12,
+  CAST(CASE WHEN d2 * n > 2 * sd THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+FROM d JOIN lab ON d.label = lab.label
 """,
         # Round-3 composed pipeline: cap → incremental dedup vs the
         # benchmark index → per-lang quality gate (thresholds on the

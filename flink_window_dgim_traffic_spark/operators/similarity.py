@@ -4,6 +4,28 @@ baseline), LSH-bucketed ANN (scale path), embedding near-dup pairs.
 
 All cosine math is JVM-side sequential folds (functions/vectors.py) so
 results are bit-identical to the DuckDB oracle.
+
+Ragged-input policy (mixed-length embedding vectors; pinned by
+``tests/test_dedup_similarity.py::test_ragged_*``).  Driver-regenerated
+data is outside our control, so every operator here has DEFINED
+semantics on ragged input rather than engine-dependent NULL shapes:
+
+- **cosine family** (``simsearch_topk``, ``simsearch_ann_*``,
+  ``embedding_neardup*``, ``semantic_dedup*``): a pair of different-
+  length vectors scores NULL (``zip_with`` pads, NULL poisons the
+  fold), so cross-length pairs NEVER match a threshold and rank after
+  all real scores (Spark ``desc`` = NULLs last).  Same-length pairs
+  are unaffected.
+- **``embedding_outliers``**: within each label only vectors of the
+  label's MODAL dimensionality participate (ties → smallest); other
+  rows are excluded from centroid AND output.
+- **``embedding_label_centroids``**: per-dim semantics — dimension d
+  averages over exactly the vectors long enough to have d (``n_vecs``
+  is per-dim, so it varies across dims of a ragged label).
+- **``quantize_embeddings``**: ranges fit per-dim over present
+  components; a vector shorter than the corpus max emits NULL codes
+  for its absent dims and its error maximizes over present dims only
+  (``greatest`` skips NULLs).
 """
 
 from __future__ import annotations
@@ -880,56 +902,95 @@ def embedding_outliers(embeddings: DataFrame, factor: int = 2) -> DataFrame:
     A vector is an outlier when its squared distance to its label
     centroid exceeds ``factor``× the label's mean squared distance.
 
-    Determinism: centroids use the ``embedding_label_centroids``
-    integer-quantization recipe (exact BIGINT component sums, one
-    fixed IEEE division sequence), per-dim differences are quantized
-    to 1e-6 units BEFORE squaring, so distances and their per-label
-    means are exact, order-independent BIGINTs — hash-stable against
-    the oracle.  Scale shape: one partially-aggregated shuffle on
-    (label, dim) builds the centroids (dims never cross the network
-    as whole vectors), the centroid table (|labels| rows) broadcasts
-    back, and the distance is a map-side ``zip_with``/``aggregate``
-    over each vector; the per-label mean reduce is |labels|-sized.
-    """
-    comp_q = F.floor(F.col("x").cast("double") * F.lit(1000000000.0)).cast(
-        "bigint"
+    Determinism — ALL-INTEGER cross-engine recipe: each component is
+    quantized ONCE (``xq = floor(x·1e9)`` as BIGINT — identical IEEE
+    double math in Spark and DuckDB), and no float ever re-enters.
+    The centroid is kept exact as ``(sum_q, cnt)`` per label; the
+    per-dim deviation is ``dx = xq·cnt − sum_q`` (BIGINT) and the
+    distance ``d2 = Σ dx²`` accumulates in DECIMAL(38,0) (HUGEINT on
+    the DuckDB side).  ``d2`` is the true squared distance scaled by
+    the label-constant ``cnt²·1e18``, so the outlier test
+    ``d2·n > factor·Σd2`` (an integer multiply-compare — no division
+    at all) is exact.  The reported ``dist2_e12`` rescales by one
+    floor division ``d2 div (cnt²·1e6)`` → squared distance in 1e-12
+    units.  Headroom: exact while ``n_label·Σdx² < 10^38`` — holds
+    past ~3·10^5 unit-norm 64-dim vectors per label; beyond that the
+    decimal sum saturates (Spark nulls / DuckDB HUGEINT keeps going),
+    documented rather than silently lossy.
+
+    Ragged-input policy (pinned by ``tests/test_dedup_similarity.py``):
+    within each label only vectors of the label's MODAL dimensionality
+    (ties → smallest) participate — other rows are excluded from both
+    the centroid and the output, so a stray short/long vector can
+    never skew the centroid or produce a NULL/partial distance.  Both
+    engines implement the same exclusion, closing the latent
+    ``zip_with``-vs-per-dim-join divergence flagged in round 3.
+
+    Scale shape: one partially-aggregated shuffle on (label, dim)
+    builds the integer centroid (vectors never cross the network
+    whole), the |labels|-row centroid table broadcasts back, and the
+    distance is a map-side ``zip_with``/``aggregate``; the per-label
+    mean reduce is |labels|-sized."""
+    emb = embeddings.select(
+        "vec_id", "label", "embedding", F.size("embedding").alias("ndim")
     )
-    cent_long = (
-        embeddings.select("label", F.posexplode("embedding").alias("dim", "x"))
-        .groupBy("label", "dim")
-        .agg(
-            (
-                F.sum(comp_q).cast("double")
-                / F.lit(1000000000.0)
-                / F.count(F.lit(1))
-            ).alias("c")
+    modal = (
+        emb.groupBy("label", "ndim")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("label").orderBy(
+                    F.col("n").desc(), F.col("ndim").asc()
+                )
+            ),
         )
+        .filter(F.col("rk") == 1)
+        .select("label", "ndim")
     )
-    cent = cent_long.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "c"))),
-            lambda s: s["c"],
-        ).alias("centroid")
+    kept = emb.join(F.broadcast(modal), ["label", "ndim"]).drop("ndim")
+    qvec = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(1000000000.0)).cast(
+            "bigint"
+        ),
     )
-    d_dim = lambda a, b: F.floor(  # noqa: E731
-        (a.cast("double") - b) * F.lit(1000000.0)
-    ).cast("bigint")
-    dist2 = F.aggregate(
-        F.zip_with("embedding", "centroid", d_dim),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v * v,
+    kq = kept.select("vec_id", "label", qvec.alias("qvec"))
+    cent = (
+        kq.select("label", F.posexplode("qvec").alias("dim", "xq"))
+        .groupBy("label", "dim")
+        .agg(F.sum("xq").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                lambda t: t["s"],
+            ).alias("sums")
+        )
+    ).join(kq.groupBy("label").agg(F.count(F.lit(1)).alias("cnt")), "label")
+    dec = "decimal(19,0)"
+    d2 = F.aggregate(
+        F.zip_with("qvec", "sums", lambda x, s: x * F.col("cnt") - s),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, v: acc + v.cast(dec) * v.cast(dec),
     )
-    dists = embeddings.join(F.broadcast(cent), "label").select(
-        "vec_id", "label", dist2.alias("dist2_e12")
+    dists = kq.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", "cnt", d2.alias("d2")
     )
-    means = dists.groupBy("label").agg(
-        F.expr("sum(dist2_e12) div count(*)").alias("avg_d")
+    lab = dists.groupBy("label").agg(
+        F.sum("d2").alias("sd"), F.count(F.lit(1)).alias("n")
     )
-    return dists.join(F.broadcast(means), "label").select(
+    return dists.join(F.broadcast(lab), "label").select(
         "vec_id",
         "label",
-        "dist2_e12",
-        (F.col("dist2_e12") > F.lit(int(factor)) * F.col("avg_d"))
+        F.expr(
+            "CAST(d2 div (CAST(cnt AS DECIMAL(19,0)) * cnt * 1000000)"
+            " AS BIGINT)"
+        ).alias("dist2_e12"),
+        (
+            F.col("d2") * F.col("n")
+            > F.lit(int(factor)) * F.col("sd")
+        )
         .cast("bigint")
         .alias("is_outlier"),
     )

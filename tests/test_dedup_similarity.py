@@ -691,3 +691,89 @@ def test_quantized_vectors_preserve_topk_recall(spark, sf_dir):
         for qid in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+# ----------------------------------------------------------------------
+# Ragged-input contract (round-4): mixed-length vectors have DEFINED
+# semantics — the policy in operators/similarity.py's module docstring.
+# ----------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def ragged(spark):
+    # label 1: three 4-dim vectors + one stray 3-dim; label 2: uniform.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 1),
+        (1, [0.9, 0.1, 0.0, 0.0], 1),
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [0.5, 0.5, 0.5], 1),          # stray short vector
+        (10, [0.0, 0.0, 1.0, 0.0], 2),
+        (11, [0.0, 0.0, 0.9, 0.1], 2),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+
+
+def test_ragged_outliers_modal_dim_only(ragged):
+    out = S.embedding_outliers(ragged).collect()
+    ids = {r["vec_id"] for r in out}
+    assert 3 not in ids  # non-modal length excluded from output
+    assert ids == {0, 1, 2, 10, 11}
+    assert all(r["dist2_e12"] is not None for r in out)
+    assert all(r["is_outlier"] in (0, 1) for r in out)
+
+
+def test_ragged_outliers_modal_tie_breaks_smallest(spark):
+    # 2-dim and 3-dim tie within the label -> smallest length wins.
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1),
+            (1, [0.0, 1.0], 1),
+            (2, [1.0, 0.0, 0.0], 1),
+            (3, [0.0, 1.0, 0.0], 1),
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    ids = {r["vec_id"] for r in S.embedding_outliers(df).collect()}
+    assert ids == {0, 1}
+
+
+def test_ragged_centroids_per_dim_counts(ragged):
+    got = {
+        (r["label"], r["dim"]): r["n_vecs"]
+        for r in S.embedding_label_centroids(ragged).collect()
+    }
+    # label 1 dim 3 exists only for the three 4-dim vectors; dims 0-2
+    # include the stray 3-dim vector as well.
+    assert got[(1, 0)] == 4 and got[(1, 3)] == 3
+    assert got[(2, 0)] == 2
+
+
+def test_ragged_quantize_null_codes_for_absent_dims(ragged):
+    q = {r["vec_id"]: r for r in S.quantize_embeddings(ragged).collect()}
+    # short vector: 4 slots (global max), last code NULL, error defined
+    assert len(q[3]["qvec"]) == 4
+    assert q[3]["qvec"][3] is None
+    assert all(c is not None for c in q[3]["qvec"][:3])
+    assert q[3]["max_abs_err_e6"] is not None
+    # uniform-length vectors: fully populated
+    assert all(c is not None for c in q[0]["qvec"])
+
+
+def test_ragged_cosine_pairs_never_match(ragged):
+    pairs = S.embedding_neardup(ragged, threshold=-1.0).collect()
+    touched = {r["vec_a"] for r in pairs} | {r["vec_b"] for r in pairs}
+    # vec 3 (3-dim) scores NULL against every 4-dim vector -> no pair
+    assert 3 not in touched
+    top = S.simsearch_topk(ragged, n_query=4, k=10).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # cross-length neighbors rank AFTER all real-scored ones
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rnk"])
+        seen_null = False
+        for r in rows:
+            if r["score"] is None:
+                seen_null = True
+            else:
+                assert not seen_null, (qid, rows)
