@@ -597,7 +597,10 @@ cd AS (SELECT chunk, doc_id, count(*) AS c FROM ex GROUP BY 1, 2),
 dup AS (SELECT chunk FROM cd GROUP BY chunk HAVING count(*) >= 2),
 dd AS (SELECT doc_id, sum(c) AS n_dup FROM cd
        WHERE chunk IN (SELECT chunk FROM dup) GROUP BY 1),
-tot AS (SELECT doc_id, len(chunks) AS n_chunks FROM ch)
+-- coalesce pins the NULL-text contract to the Spark side's (the
+-- chunker UDF emits [] for NULL text -> n_chunks 0, dup counts 0);
+-- without it string_split(NULL) propagates NULL here (advisor r3)
+tot AS (SELECT doc_id, coalesce(len(chunks), 0) AS n_chunks FROM ch)
 SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
        CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_chunks,
        CAST(CASE WHEN n_chunks > 0

@@ -1218,7 +1218,16 @@ def q11_important_stock(
     stand-in for the original's fixed fraction, which selects nothing
     at small SF).  The HAVING scalar subquery becomes a one-row
     broadcast; the compare is value·count > 2·total in exact DECIMALs
-    (no float threshold, no division)."""
+    (no float threshold, no division).
+
+    Decimal headroom (round-3 advisor): the multiply-compare types
+    are constrained so no intermediate exceeds DECIMAL(38) — value as
+    DECIMAL(28,2) × count as DECIMAL(9,0) → DECIMAL(38,2) exact, and
+    2 × total as DECIMAL(35,2) → DECIMAL(38,2) exact.  Exactness
+    therefore holds while per-part value < 10^26, total < 10^33 and
+    n_parts < 10^9 — comfortably past 100 TB lineitem (~6·10^9 rows ×
+    ~10^8 max row value ≈ 6·10^17 total); beyond those bounds Spark
+    raises/NULLs on the cast instead of silently dropping scale."""
     ps = derived_partsupp(lineitem)
     nat = supplier.join(
         F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
@@ -1231,17 +1240,20 @@ def q11_important_stock(
             F.sum(
                 F.col("ps_supplycost").cast("decimal(18,2)")
                 * F.col("ps_availqty").cast("decimal(18,2)")
-            ).alias("value")
+            )
+            .cast("decimal(28,2)")
+            .alias("value")
         )
     )
     total = val.agg(
-        F.sum("value").alias("total_value"),
-        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("value").cast("decimal(35,2)").alias("total_value"),
+        F.count(F.lit(1)).cast("decimal(9,0)").alias("n_parts"),
     )
     return (
         val.crossJoin(F.broadcast(total))
         .filter(
-            F.col("value") * F.col("n_parts") > F.lit(2) * F.col("total_value")
+            F.col("value") * F.col("n_parts")
+            > F.lit(2).cast("decimal(2,0)") * F.col("total_value")
         )
         .select(
             "ps_partkey", F.col("value").cast("double").alias("value")

@@ -147,13 +147,19 @@ def sql_streaming_tumble(parsed_stream, size_sec: int = 60):
     spark = parsed_stream.sparkSession
     view = f"_stream_traffic_{uuid.uuid4().hex}"
     parsed_stream.createOrReplaceTempView(view)
-    return spark.sql(
-        f"""
-        SELECT date_format(window.end, 'yyyy-MM-dd HH:mm:ss')
-                 AS window_end,
-               sum(bit)  AS ones_exact,
-               count(*)  AS n_rows
-        FROM {view}
-        GROUP BY window(ts, '{size_sec} seconds')
-        """
-    )
+    try:
+        return spark.sql(
+            f"""
+            SELECT date_format(window.end, 'yyyy-MM-dd HH:mm:ss')
+                     AS window_end,
+                   sum(bit)  AS ones_exact,
+                   count(*)  AS n_rows
+            FROM {view}
+            GROUP BY window(ts, '{size_sec} seconds')
+            """
+        )
+    finally:
+        # the view is resolved into the returned (lazy) plan at
+        # spark.sql time — dropping it immediately keeps long-lived
+        # sessions from leaking one catalog entry per built plan
+        spark.catalog.dropTempView(view)

@@ -13,21 +13,35 @@ Spark (like Flink) restricts stacking update-mode stateful operators.
 operators against on-disk state:
 
     state_root/
-      index/      fp (md5) of every admitted text — the dedup index,
-                  seeded from the benchmark/history partition
-      counters/   (source, admitted) — per-domain budget spent
-      thresholds/ (lang, lang_threshold) — quality gate fit ONCE on
-                  the seeded history (streaming can't see the future
-                  population the batch gate uses)
-      out/        batch-<id>/ parquet of curated train docs
-      _done/      batch-id markers for exactly-once restart semantics
+      index/       fp (md5) of every HISTORY text — the seeded part
+                   of the dedup index (immutable after seeding)
+      index_delta/ batch-<id>/ fps admitted by committed batch <id>
+      counters/    batch-<id>/ full (source, admitted) snapshot AFTER
+                   batch <id> — per-domain budget spent
+      thresholds/  (lang, lang_threshold) — quality gate fit ONCE on
+                   the seeded history (streaming can't see the future
+                   population the batch gate uses)
+      out/         batch-<id>/ parquet of curated train docs
+      _done/       batch-id markers for exactly-once restart semantics
 
 Each batch: drop benchmark rows → per-source cap (arrival order,
 doc_id-tie-broken, continuing the stored counters) → anti-join the
 index on md5(text) + keep min doc_id within the batch → static
-per-lang quality gate → deterministic split, keep train → append
-output, advance counters, grow the index.  A replayed batch (restart
-after crash) sees its marker and skips — output is exactly-once.
+per-lang quality gate → deterministic split, keep train → write
+output, counters snapshot, and index delta, then the marker.
+
+Exactly-once: EVERY mutable write is batch-id-keyed and overwrite-
+idempotent — the output, the counters snapshot, and the index delta
+all live under ``batch-<id>`` paths that only the ``_done/<id>``
+marker (written LAST) promotes to visibility.  Readers reconstruct
+state exclusively from COMMITTED batches (counters = snapshot of the
+highest committed id; index = seed ∪ committed deltas), so a crash
+anywhere before the marker leaves only orphaned staged files that the
+replay overwrites from the committed state — no double-counted
+budgets, no reduced-subset output (this closes the round-3 advisor's
+crash window between the old read-modify-write counters overwrite /
+index append and the marker).  A replayed batch whose marker exists
+skips entirely.
 
 Scale: every stage is the already-plan-audited batch operator shape
 (window over per-source batch slices, hash anti-join against an index
@@ -65,6 +79,37 @@ from flink_window_dgim_traffic_spark.operators.text import (
 )
 
 OUT_COLS = ("doc_id", "source", "lang", "quality_score")
+OUT_SCHEMA = (
+    "doc_id long, source string, lang string, quality_score double"
+)
+
+
+def _committed_ids(state_root: str) -> list[int]:
+    """Batch ids whose ``_done`` marker exists, ascending — the ONLY
+    source of truth for which staged writes are visible."""
+    done = f"{state_root}/_done"
+    if not os.path.isdir(done):
+        return []
+    return sorted(int(n) for n in os.listdir(done) if n.isdigit())
+
+
+def _read_counters(spark, state_root: str, committed: list[int]):
+    if committed:
+        return spark.read.parquet(
+            f"{state_root}/counters/batch-{committed[-1]}"
+        )
+    return spark.createDataFrame([], "source string, admitted bigint")
+
+
+def _read_index(spark, state_root: str, committed: list[int]):
+    """Seed index ∪ committed per-batch deltas.  At 100 TB the deltas
+    would be periodically compacted into a bucketed-on-fp table (a
+    metadata-only job over committed ids); the anti-join shape is
+    unchanged."""
+    paths = [f"{state_root}/index"] + [
+        f"{state_root}/index_delta/batch-{i}" for i in committed
+    ]
+    return spark.read.parquet(*paths)
 
 
 def seed_curation_state(
@@ -99,20 +144,10 @@ def make_curation_batch_fn(
             F.col("source") != benchmark_source
         ).localCheckpoint()
 
-        counters_path = f"{state_root}/counters"
-        if any(
-            f.endswith(".parquet")
-            for f in (
-                os.listdir(counters_path)
-                if os.path.isdir(counters_path)
-                else []
-            )
-        ):
-            counters = spark.read.parquet(counters_path)
-        else:
-            counters = spark.createDataFrame(
-                [], "source string, admitted bigint"
-            )
+        # state is reconstructed from COMMITTED batches only — staged
+        # files from a crashed attempt are invisible here
+        committed = _committed_ids(state_root)
+        counters = _read_counters(spark, state_root, committed)
 
         # stage 1: per-source admission cap, continuing stored budgets
         w = W.partitionBy("source").orderBy("doc_id")
@@ -127,7 +162,7 @@ def make_curation_batch_fn(
 
         # stage 2: dedup against the corpus-lifetime index, then
         # min-doc_id within the batch (the batch operator's tie rule)
-        index = spark.read.parquet(f"{state_root}/index")
+        index = _read_index(spark, state_root, committed)
         hashed = capped.withColumn("fp", F.md5("text"))
         fresh_ids = (
             hashed.join(index, "fp", "left_anti")
@@ -158,9 +193,10 @@ def make_curation_batch_fn(
             f"{state_root}/out/batch-{batch_id}"
         )
 
-        # advance state AFTER output: admitted counters by CAPPED
-        # rows (budget is spent whether or not dedup keeps the doc),
-        # index by the fresh fps (later copies must be dropped)
+        # stage state AFTER output, all under batch-id-keyed paths:
+        # admitted counters advance by CAPPED rows (budget is spent
+        # whether or not dedup keeps the doc) as a FULL snapshot, the
+        # index grows via a per-batch delta — both overwrite-idempotent
         new_counts = capped.groupBy("source").agg(
             F.count(F.lit(1)).alias("new_admitted")
         )
@@ -175,12 +211,15 @@ def make_curation_batch_fn(
             )
             .localCheckpoint()
         )
-        merged.write.mode("overwrite").parquet(counters_path)
-        fresh_ids.select("fp").write.mode("append").parquet(
-            f"{state_root}/index"
+        merged.write.mode("overwrite").parquet(
+            f"{state_root}/counters/batch-{batch_id}"
         )
-        # marker LAST: a crash before this point replays the batch,
-        # whose writes above are all overwrite-idempotent
+        fresh_ids.select("fp").write.mode("overwrite").parquet(
+            f"{state_root}/index_delta/batch-{batch_id}"
+        )
+        # marker LAST — the atomic promotion: a crash before this
+        # point leaves only staged batch-<id> files that the replay
+        # (recomputing from committed state) overwrites wholesale
         open(marker, "w").close()
 
     return process
@@ -207,7 +246,14 @@ def curation_stream(
 
 
 def read_curated(spark, state_root: str) -> DataFrame:
-    return spark.read.parquet(f"{state_root}/out/batch-*")
+    """Curated output of COMMITTED batches only — a crashed attempt's
+    staged ``out/batch-<id>`` (marker never written) is invisible."""
+    committed = _committed_ids(state_root)
+    if not committed:
+        return spark.createDataFrame([], OUT_SCHEMA)
+    return spark.read.parquet(
+        *[f"{state_root}/out/batch-{i}" for i in committed]
+    )
 
 
 def curation_batch_twin(

@@ -144,3 +144,48 @@ def test_dedup_incremental_empty_batch_nonempty_index(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     nothing = docs.filter(F.lit(False))
     assert D.dedup_incremental(nothing, docs).count() == 0
+
+
+def test_cdc_chunk_dedup_null_text_matches_oracle(spark):
+    """NULL text rows (dirty crawls): the chunker UDF emits [] ->
+    n_chunks 0, zero dup counts — and the DuckDB oracle coalesces to
+    the SAME contract (round-3 advisor: the oracle used to propagate
+    NULL through string_split/len)."""
+    import importlib.util
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b c d e f g h i j", None, "a b c d e f g h i j"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [19, 0, 19],
+        }
+    )
+    spec = importlib.util.spec_from_file_location(
+        "entry",
+        os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py"),
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = (
+        con.execute(entry.oracle_sql()["cdc_chunk_dedup"])
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        D.cdc_chunk_dedup(spark.createDataFrame(pdf))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert got[["doc_id", "n_chunks", "n_dup_chunks", "dup_permille"]].equals(
+        oracle[["doc_id", "n_chunks", "n_dup_chunks", "dup_permille"]]
+    )
+    assert int(got.loc[got.doc_id == 2, "n_chunks"].iloc[0]) == 0

@@ -129,7 +129,7 @@ def test_replayed_batch_is_skipped(spark, tmp_path):
     }
     counters1 = {
         (r["source"], r["admitted"])
-        for r in spark.read.parquet(f"{state}/counters").collect()
+        for r in spark.read.parquet(f"{state}/counters/batch-0").collect()
     }
     fn(batch, 0)  # replay
     assert {
@@ -137,5 +137,61 @@ def test_replayed_batch_is_skipped(spark, tmp_path):
     } == first
     assert {
         (r["source"], r["admitted"])
-        for r in spark.read.parquet(f"{state}/counters").collect()
+        for r in spark.read.parquet(f"{state}/counters/batch-0").collect()
     } == counters1
+
+
+def test_crash_between_state_writes_and_marker(spark, tmp_path):
+    """Round-3 advisor finding: a crash AFTER the counters/index state
+    writes but BEFORE the _done marker must not double-count budgets
+    or shrink the replayed batch's output.  Staged batch-id-keyed
+    state + marker promotion makes the replay recompute from committed
+    state only — end state identical to a crash-free run."""
+    bench, chunk1, chunk2 = _corpus()
+    state = str(tmp_path / "state")
+    seed_curation_state(spark, state, _mk_docs(spark, bench))
+    fn = make_curation_batch_fn(state, cap=3)
+    fn(_mk_docs(spark, chunk1), 0)
+
+    batch2 = _mk_docs(spark, chunk2)
+    fn(batch2, 1)
+    # simulate the crash window: every state write for batch 1 landed
+    # but the marker did not
+    import os
+
+    os.remove(f"{state}/_done/1")
+    # staged-but-uncommitted writes are invisible to readers
+    committed_out = {
+        tuple(r) for r in read_curated(spark, state).collect()
+    }
+    assert committed_out == {
+        tuple(r)
+        for r in spark.read.parquet(f"{state}/out/batch-0").collect()
+    }
+
+    fn(batch2, 1)  # replay after restart
+    got = {
+        tuple(r)
+        for r in read_curated(spark, state)
+        .select("doc_id", "source", "lang", "quality_score")
+        .collect()
+    }
+    expect = {
+        tuple(r)
+        for r in curation_batch_twin(
+            _mk_docs(spark, bench + chunk1 + chunk2), cap=3
+        )
+        .select("doc_id", "source", "lang", "quality_score")
+        .collect()
+    }
+    assert got == expect
+    # budgets not double-counted: src1 admitted exactly its cap-bound
+    # total across both batches (3 from chunk1 spent the budget; the
+    # chunk2 src1 rows admit 0 more)
+    counters = {
+        r["source"]: r["admitted"]
+        for r in spark.read.parquet(
+            f"{state}/counters/batch-1"
+        ).collect()
+    }
+    assert counters["src1"] == 3
