@@ -93,8 +93,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``approx_distinct_users`` is bound-checked against
     ``distinct_users``."""
     return {
-        # ---- round-3 additions (window discipline: new ops enter
+        # ---- round-4 additions (window discipline: new ops enter
         # ahead of already-green entries) ----
+        "window_topn": lambda s, d: W.window_topn(_events(s, d), 60, 3),
+        "ewma_anomaly": lambda s, d: W.ewma_anomaly(_events(s, d), 60),
+        "anomaly_drilldown": lambda s, d: W.anomaly_drilldown(
+            _events(s, d), 60
+        ),
+        "tfidf_top_terms": lambda s, d: RT.tfidf_top_terms(
+            _documents(s, d), 3
+        ),
+        # ---- round-3 additions ----
         "duplicated_spans": lambda s, d: D.duplicated_spans(
             _documents(s, d)
         ),
@@ -514,6 +523,97 @@ def oracle_sql() -> dict[str, str]:
         "round(CAST(overlap AS DOUBLE) / CAST(na.c + nb.c - overlap AS DOUBLE), 6)"
     )
     return {
+        # ---- round-4 additions ----
+        # Flink SQL Window Top-N twin: per tumbling window, top-3
+        # users by event count, count-desc / user_id-asc ranked.
+        "window_topn": """
+WITH c AS (
+  SELECT (CAST(floor(epoch(ts)/60) AS BIGINT)*60 + 60) AS we,
+         user_id, count(*) AS n_events
+  FROM events GROUP BY 1, 2),
+r AS (SELECT we, user_id, n_events,
+      row_number() OVER (
+        PARTITION BY we ORDER BY n_events DESC, user_id ASC) AS rnk
+      FROM c)
+SELECT strftime(make_timestamp(we*1000000), '%Y-%m-%d %H:%M:%S')
+         AS window_end,
+       user_id, n_events, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+""",
+        # Binary-decay EWMA anomaly: alpha = 1/2 scaled by 2^20 makes
+        # every weight an exact power-of-two BIGINT; num/denom and the
+        # multiply-compare are pure integers (no IEEE accumulation —
+        # pow(2, k<=62) is an exactly-representable double).
+        "ewma_anomaly": """
+WITH e AS (SELECT CAST(event_id % 2 AS INT) AS bit, ts FROM events),
+w AS (SELECT (CAST(floor(epoch(ts)/60) AS BIGINT)*60 + 60) AS we,
+      CAST(sum(bit) AS BIGINT) AS ones_exact FROM e GROUP BY 1),
+h AS (SELECT we, ones_exact,
+      list(ones_exact) OVER (
+        ORDER BY we ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS hist
+      FROM w),
+s AS (SELECT we, ones_exact, coalesce(len(hist), 0) AS L,
+      coalesce(list_sum(list_transform(
+        generate_series(1, coalesce(len(hist), 0)), i ->
+          hist[i] * CAST(pow(2.0, 20 - coalesce(len(hist), 0) + i - 1)
+                         AS BIGINT))), 0) AS num
+      FROM h),
+d AS (SELECT *, CAST(pow(2.0, 20) AS BIGINT)
+                - CAST(pow(2.0, 20 - L) AS BIGINT) AS denom FROM s)
+SELECT strftime(make_timestamp(we*1000000), '%Y-%m-%d %H:%M:%S')
+         AS window_end,
+       ones_exact,
+       CAST(CASE WHEN L > 0 THEN (num * 1000000) // denom
+            ELSE 0 END AS BIGINT) AS ewma_e6,
+       CAST(CASE WHEN L > 0 AND ones_exact * denom > 2 * num
+            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM d
+""",
+        # Drill-down into median/MAD-anomalous windows: range join
+        # rewritten as an equi join on the tumbling bucket.
+        "anomaly_drilldown": """
+WITH e AS (SELECT CAST(event_id % 2 AS INT) AS bit, ts, event_type,
+                  user_id FROM events),
+w AS (SELECT *, (CAST(floor(epoch(ts)/60) AS BIGINT)*60 + 60) AS we
+      FROM e),
+cnt AS (SELECT we, CAST(sum(bit) AS BIGINT) AS ones_exact
+        FROM w GROUP BY we),
+med AS (SELECT quantile_cont(ones_exact, 0.5) AS med FROM cnt),
+dev AS (SELECT we, ones_exact,
+        CAST(round(abs(ones_exact - med) * 1000000.0) AS BIGINT)
+          AS adev_e6
+        FROM cnt, med),
+mad AS (SELECT quantile_cont(CAST(adev_e6 AS DOUBLE) / 1000000.0, 0.5)
+               AS mad FROM dev),
+anom AS (SELECT we FROM dev, mad
+         WHERE adev_e6 > 3 * CAST(round(mad * 1000000.0) AS BIGINT))
+SELECT strftime(make_timestamp(w.we*1000000), '%Y-%m-%d %H:%M:%S')
+         AS window_end,
+       event_type, count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM w JOIN anom ON w.we = anom.we
+GROUP BY w.we, event_type
+""",
+        # Per-doc top-3 TF-IDF terms; idf quantized once to micro-nats
+        # (single-ln recipe), rank on exact BIGINT tf*idf_micro.
+        "tfidf_top_terms": """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+sc AS (SELECT doc_id, tf.term, tf,
+       CAST(round(ln(n_docs / df) * 1000000.0) AS BIGINT) AS idf_micro
+       FROM tf JOIN df ON tf.term = df.term, n),
+r AS (SELECT doc_id, term, tf, idf_micro,
+      tf * idf_micro AS score_micro,
+      row_number() OVER (PARTITION BY doc_id
+        ORDER BY tf * idf_micro DESC, term ASC) AS rnk
+      FROM sc)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, idf_micro, score_micro,
+       CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+""",
         # ---- round-3 additions ----
         # Sliding 5-token spans; a span is duplicated when it occurs
         # in >=2 distinct docs; per-doc coverage in exact permille.

@@ -36,6 +36,10 @@ BENCH_QUERIES = [
     "cumulate_dgim",
     "session_window_dynamic",
     "window_anomalies",
+    "window_topn",
+    "ewma_anomaly",
+    "anomaly_drilldown",
+    "tfidf_top_terms",
     "tumble_dgim",
     "tumble_dgim_fast",
     "sql_tumble_dgim",

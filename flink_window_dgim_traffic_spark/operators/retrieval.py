@@ -85,3 +85,63 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(k)
     )
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-``k`` characteristic terms by TF-IDF — the
+    corpus-analytics sibling of :func:`bm25_topk` (what is each doc
+    ABOUT, for datasheets / topic drift monitoring / keyword-based
+    routing).
+
+    Integer determinism: tf and df are exact counts; idf is quantized
+    ONCE to micro-nats (``round(ln(N/df)·10^6)`` — the same single-ln
+    recipe as ``text.word_entropy``; N/df is one exact-int IEEE
+    divide, identical in both engines) and the ranking score is the
+    exact BIGINT ``tf·idf_micro``, tie-broken by term asc — so the
+    top-k SET and order are engine-independent with no float compare
+    anywhere.
+
+    Output: (doc_id, term, tf, idf_micro, score_micro, rnk).
+
+    Scale shape: one explode + (doc, term) partial-agg shuffle builds
+    tf; df folds out of the same pass via a (term) re-aggregation
+    (distinct-doc counts, partial-aggregated); the one-row corpus
+    count broadcasts; ROW_NUMBER partitions per doc (vocabulary-of-
+    one-doc sized).  The df table joins back on term — that join is
+    shuffle-on-term over the tf table, which is |doc·distinct-term|,
+    already reduced from raw token volume."""
+    tf = (
+        documents.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    n = documents.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.log(F.col("n_docs") / F.col("df")) * F.lit(1e6), 0
+            )
+            .cast("bigint")
+            .alias("idf_micro"),
+        )
+        .withColumn("score_micro", F.col("tf") * F.col("idf_micro"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )

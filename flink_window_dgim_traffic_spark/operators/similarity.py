@@ -276,6 +276,7 @@ def embedding_neardup_lsh(
     n_tables: int = 8,
     target_bucket: int = 32,
     n_rows: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """100 TB path for embedding near-dup: sign-LSH bucket equi-join
     generates candidate pairs (same bucket in ANY of ``n_tables``
@@ -298,7 +299,20 @@ def embedding_neardup_lsh(
     so at much larger n raise ``n_tables`` with it if measured recall
     matters more than cost.  At the driver corpus (2 000 rows) the
     formula reproduces the round-2 tuning (6 planes) exactly, so
-    pinned recall tests are unchanged."""
+    pinned recall tests are unchanged.
+
+    ``max_bucket`` is the hot-bucket guard (mirror of
+    ``minhash_lsh_pairs(max_bucket=…)``): a bucket holding B vectors
+    contributes B² candidate rows, and mass-duplicated embeddings
+    (the same boilerplate embedded millions of times) make single
+    mega-buckets a certainty at 100 TB.  With a cap, buckets wider
+    than ``max_bucket`` are excluded from candidate generation (one
+    windowed count over the bucket shuffle, only when enabled).
+    Production order makes the recall loss negligible: run exact /
+    ``semantic_dedup`` representative-collapse on byte-identical
+    vectors first, so capped buckets are pathological residue.
+    Default ``None`` keeps the uncapped semantics every existing
+    recall test pins."""
     import math
 
     import numpy as np
@@ -339,6 +353,17 @@ def embedding_neardup_lsh(
         "vec_id",
         F.posexplode(bucket_keys(F.col("v"))).alias("tbl", "bucket"),
     )
+    if max_bucket is not None:
+        buckets = (
+            buckets.withColumn(
+                "_bucket_n",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("tbl", "bucket")
+                ),
+            )
+            .filter(F.col("_bucket_n") <= max_bucket)
+            .drop("_bucket_n")
+        )
     a = buckets.select(
         F.col("vec_id").alias("vec_a"), "tbl", "bucket"
     )
@@ -850,7 +875,10 @@ def embedding_label_centroids(embeddings: DataFrame) -> DataFrame:
 
 
 def semantic_dedup(
-    embeddings: DataFrame, threshold: float = 0.4, use_lsh: bool = False
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    use_lsh: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication decisions: cluster the
     embedding space by cosine ≥ ``threshold`` (connected components
@@ -868,12 +896,21 @@ def semantic_dedup(
     ``use_lsh=True`` swaps in :func:`embedding_neardup_lsh` —
     identical contract, sublinear candidate generation, the 100 TB
     path (rows-only, with decision recall vs the exact variant
-    measured in tests)."""
+    measured in tests).  ``max_bucket`` (LSH path only) forwards the
+    hot-bucket candidate cap — the mass-boilerplate guard that keeps
+    pair emission sublinear when single buckets go pathological;
+    ``None`` (default) keeps the uncapped semantics the agreement
+    tests pin."""
     from flink_window_dgim_traffic_spark.operators.dedup import (
         neardup_clusters,
     )
 
-    gen = embedding_neardup_lsh if use_lsh else embedding_neardup_blocked
+    if use_lsh:
+        gen = lambda df, threshold: embedding_neardup_lsh(  # noqa: E731
+            df, threshold=threshold, max_bucket=max_bucket
+        )
+    else:
+        gen = embedding_neardup_blocked
     pairs = gen(embeddings, threshold=threshold).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )

@@ -23,7 +23,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -678,5 +678,168 @@ def window_anomalies(
             )
             .cast("bigint")
             .alias("is_anomaly"),
+        )
+    )
+
+
+def window_topn(
+    events: DataFrame, size_sec: int = 60, k: int = 3
+) -> DataFrame:
+    """Flink SQL "Window Top-N" (the reference ecosystem's
+    per-window ranking query — ROW_NUMBER over a window TVF,
+    ``rownum <= N``): per tumbling window, the top-``k`` users by
+    event count, ranked count-desc with user_id tie-break.
+
+    Output: (window_end, user_id, n_events, rnk).
+
+    Scale shape: one partially-aggregated shuffle on (window, user)
+    collapses events to the per-window user table, then the
+    ROW_NUMBER partitions by window — each partition is one window's
+    distinct-user set, which is bounded by traffic per window, not
+    corpus size.  If a single window can hold millions of distinct
+    users, pre-trim with the lossless map-side partial top-k used by
+    ``corpus.source_cap`` (each map task emits its local top-k;
+    k·tasks rows reach the rank) before the row_number."""
+    counts = (
+        events.groupBy(
+            F.window("ts", f"{size_sec} seconds").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("w").orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.date_format(F.col("w.end"), TS_FMT_SPARK).alias(
+                "window_end"
+            ),
+            "user_id",
+            "n_events",
+            "rnk",
+        )
+    )
+
+
+def ewma_anomaly(
+    events: DataFrame,
+    size_sec: int = 60,
+    lookback: int = 20,
+    factor: int = 2,
+) -> DataFrame:
+    """EWMA baseline anomaly flags over the tumbling window counts —
+    the classic monitoring rule (current window count vs an
+    exponentially-weighted moving average of its predecessors)
+    alongside the median/MAD rule of :func:`window_anomalies`.
+
+    ALL-INTEGER determinism via BINARY decay: with α = 1/2 the EWMA
+    weight of the window ``lag`` steps back is 2^-lag, so scaling by
+    2^lookback makes every weight an exact power-of-two BIGINT
+    (``2^(lookback-lag)``).  ``num = Σ count·2^(lookback-lag)`` over
+    the up-to-``lookback`` preceding windows and
+    ``denom = 2^lookback − 2^(lookback-L)`` (L = history length) are
+    exact integers, the anomaly test
+    ``count·denom > factor·num`` is an integer multiply-compare, and
+    the reported ``ewma_e6 = num·10^6 div denom`` is one floor
+    division — bit-stable across engines with no IEEE accumulation
+    anywhere (same recipe family as ``embedding_outliers``).
+
+    The first window (no history) reports ewma_e6 = 0 and is never
+    anomalous.  Scale shape: the events-to-windows reduction is the
+    ``tumble_exact`` plan; the EWMA itself runs on the WINDOWS table
+    (one row per ``size_sec`` — ~525 k rows/year at 60 s, driver-side
+    tiny forever), so the single-partition ordered window there is a
+    non-issue at any corpus size."""
+    counts = (
+        with_bit(events)
+        .groupBy(F.window("ts", f"{size_sec} seconds").alias("w"))
+        .agg(F.sum("bit").cast("bigint").alias("ones_exact"))
+        .select(F.col("w.end").alias("we_ts"), "ones_exact")
+    )
+    hist_w = Window.orderBy("we_ts").rowsBetween(-lookback, -1)
+    df = counts.withColumn(
+        "hist", F.collect_list("ones_exact").over(hist_w)
+    )
+    L = F.size("hist")
+    # element i (0-based, oldest first) sits lag = L - i back, so its
+    # weight is 2^(lookback - L + i).  pow(2, k) for k in [0, 62] is
+    # an exactly-representable double, so the bigint cast is lossless.
+    pow2 = lambda e: F.pow(  # noqa: E731
+        F.lit(2.0), e.cast("double")
+    ).cast("bigint")
+    num = F.aggregate(
+        F.transform(
+            "hist",
+            lambda x, i: x * pow2(F.lit(lookback) - L + i),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    denom = pow2(F.lit(lookback)) - pow2(F.lit(lookback) - L)
+    return df.select(
+        F.date_format("we_ts", TS_FMT_SPARK).alias("window_end"),
+        "ones_exact",
+        num.alias("_num"),
+        denom.alias("_denom"),
+        L.alias("_L"),
+    ).select(
+        "window_end",
+        "ones_exact",
+        F.when(
+            F.col("_L") > 0,
+            F.expr("CAST((_num * 1000000) div _denom AS BIGINT)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("ewma_e6"),
+        F.when(
+            F.col("_L") > 0,
+            F.col("ones_exact") * F.col("_denom")
+            > F.lit(int(factor)) * F.col("_num"),
+        )
+        .otherwise(F.lit(False))
+        .cast("bigint")
+        .alias("is_anomaly"),
+    )
+
+
+def anomaly_drilldown(
+    events: DataFrame, size_sec: int = 60, k: int = 3
+) -> DataFrame:
+    """Drill into the windows :func:`window_anomalies` flags: per
+    anomalous window and event_type, how many events and distinct
+    users drove the spike — the on-call "what happened in that
+    window" query.
+
+    Scale shape: this is a RANGE join (event ts ∈ [window_start,
+    window_end)) rewritten as an EQUI join — tumbling windows tile
+    time, so each event's window is computable from its timestamp
+    (floor(epoch/size)), and the join key is that bucket, not an
+    interval predicate.  The anomalous-window list (≪ windows ≪
+    events) broadcasts, so the probe is map-side; the only shuffle
+    is the per-(window, type) aggregate.  countDistinct is exact for
+    the oracle; swap approx_count_distinct at 100 TB if ±2% is
+    acceptable."""
+    anom = (
+        window_anomalies(events, size_sec, k)
+        .filter(F.col("is_anomaly") == 1)
+        .select("window_end")
+    )
+    bucket_end = F.date_format(
+        F.timestamp_seconds(
+            (F.floor(F.unix_timestamp("ts") / size_sec) + 1)
+            * size_sec
+        ),
+        TS_FMT_SPARK,
+    )
+    return (
+        events.withColumn("window_end", bucket_end)
+        .join(F.broadcast(anom), "window_end")
+        .groupBy("window_end", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
         )
     )

@@ -319,3 +319,34 @@ def test_lm_quality_gate_property_arbitrary_corpora(spark):
             assert got[doc_id] == (len(toks), margin)
 
     run()
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    from flink_window_dgim_traffic_spark.operators.retrieval import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat dog", "en", "s", 11),
+            (2, "dog fish", "en", "s", 8),
+            (3, "fish fish fish bird", "en", "s", 19),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = {
+        (r["doc_id"], r["rnk"]): (r["term"], r["tf"], r["score_micro"])
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    idf = lambda df_: int(round(math.log(3.0 / df_) * 1e6))  # noqa: E731
+    # doc 1: cat tf2 (df1) beats dog tf1 (df2)
+    assert got[(1, 1)] == ("cat", 2, 2 * idf(1))
+    assert got[(1, 2)] == ("dog", 1, idf(2))
+    # doc 3: fish tf3 (df2) vs bird tf1 (df1): 3*ln(1.5) > ln(3)
+    assert got[(3, 1)] == ("fish", 3, 3 * idf(2))
+    assert got[(3, 2)] == ("bird", 1, idf(1))
+    # doc 2: tie on score? dog=ln(1.5), fish=ln(1.5) -> term asc
+    assert got[(2, 1)][0] == "dog" and got[(2, 2)][0] == "fish"

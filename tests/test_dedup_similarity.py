@@ -777,3 +777,64 @@ def test_ragged_cosine_pairs_never_match(ragged):
                 seen_null = True
             else:
                 assert not seen_null, (qid, rows)
+
+
+def test_lsh_max_bucket_default_agrees_and_cap_guards_hot_bucket(spark):
+    """The opt-in hot-bucket cap (round-4): a permissive cap changes
+    nothing vs uncapped; a tight cap drops the pathological mass-dup
+    bucket's pairs while genuine near-dup pairs elsewhere survive."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    hot = rng.randn(16)
+    for i in range(60):  # mass-duplicated embedding -> one mega bucket
+        rows.append((100 + i, [float(x) for x in hot], 0))
+    a = rng.randn(16)
+    b = a + rng.randn(16) * 0.01          # genuine near-dup of a
+    c = -a + rng.randn(16) * 0.01         # far from a
+    for vid, v in ((1, a), (2, b), (3, c)):
+        rows.append((vid, [float(x) for x in v], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    kw = dict(threshold=0.9, dim=16, n_planes=5, n_tables=8)
+    uncapped = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.embedding_neardup_lsh(emb, **kw).collect()
+    }
+    permissive = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.embedding_neardup_lsh(
+            emb, max_bucket=1000, **kw
+        ).collect()
+    }
+    assert permissive == uncapped
+    capped = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.embedding_neardup_lsh(emb, max_bucket=10, **kw).collect()
+    }
+    assert (1, 2) in capped          # genuine pair survives the cap
+    hot_pairs = {p for p in capped if p[0] >= 100 and p[1] >= 100}
+    assert not hot_pairs             # mega-bucket candidates excluded
+    assert (1, 2) in uncapped
+
+
+def test_semantic_dedup_lsh_cap_agreement(spark, sf_dir):
+    """semantic_dedup keep-decision agreement: the capped LSH path
+    agrees >= 0.9 with the exact path on the real corpus (the driver
+    corpus has no pathological buckets, so a generous cap changes
+    nothing the agreement metric can see)."""
+    emb = table(spark, sf_dir, "embeddings")
+    exact = {
+        r["vec_id"]: r["keep"]
+        for r in S.semantic_dedup(emb).collect()
+    }
+    capped = {
+        r["vec_id"]: r["keep"]
+        for r in S.semantic_dedup(
+            emb, use_lsh=True, max_bucket=200
+        ).collect()
+    }
+    agree = sum(exact[v] == capped[v] for v in exact) / len(exact)
+    assert agree >= 0.9, agree

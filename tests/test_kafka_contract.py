@@ -149,3 +149,58 @@ def test_reader_builder_applies_all_options(spark):
         "subscribe": "network_traffic",
         "startingOffsets": "latest",
     }
+
+
+def test_upsert_wire_format_bytes(spark, tmp_path):
+    """S4/S5 wire format, not just compaction semantics: the byte
+    layout of the emulated upsert records must equal what Flink's
+    upsert-kafka sink with key.format=json/value.format=json puts on
+    the wire (StreamingJob.java:59-75 — PK window_end; Jackson compact
+    encoding: no spaces, schema field order).  A consumer of the
+    reference topic must be able to read ours byte-for-byte."""
+    df = spark.createDataFrame(
+        [("2025-01-01 00:01:00", 42), ("2025-01-01 00:02:00", 7)],
+        "window_end string, count_estimate long",
+    )
+    recs = {
+        r["key"]: r["value"]
+        for r in J.to_upsert_records(df, ["window_end"]).collect()
+    }
+    # exact bytes: compact JSON, key holds ONLY the PK, value holds
+    # the full row in schema order
+    assert recs == {
+        '{"window_end":"2025-01-01 00:01:00"}':
+            '{"window_end":"2025-01-01 00:01:00","count_estimate":42}',
+        '{"window_end":"2025-01-01 00:02:00"}':
+            '{"window_end":"2025-01-01 00:02:00","count_estimate":7}',
+    }
+    # composite PK (S5, hop windows): key = {window_start, window_end}
+    df2 = spark.createDataFrame(
+        [("2025-01-01 00:00:00", "2025-01-01 00:01:00", 3)],
+        "window_start string, window_end string, ones_exact long",
+    )
+    rec2 = J.to_upsert_records(
+        df2, ["window_start", "window_end"]
+    ).collect()[0]
+    assert rec2["key"] == (
+        '{"window_start":"2025-01-01 00:00:00",'
+        '"window_end":"2025-01-01 00:01:00"}'
+    )
+
+    # round-trip through the foreachBatch log: the on-disk records
+    # keep the same bytes, and state recovery parses them back
+    out = str(tmp_path / "upsert_log")
+    J.upsert_foreach_batch_writer(out, ["window_end"])(df, 0)
+    raw = spark.read.schema("key string, value string, batch_id long").json(
+        out
+    )
+    on_disk = {r["key"]: r["value"] for r in raw.collect()}
+    assert on_disk == recs
+    state = {
+        json.loads(r["key"])["window_end"]: json.loads(r["value"])
+        for r in J.read_upsert_state(spark, out).collect()
+    }
+    assert state["2025-01-01 00:01:00"] == {
+        "window_end": "2025-01-01 00:01:00",
+        "count_estimate": 42,
+    }

@@ -306,3 +306,30 @@ def test_new_round3_ops_plan_shapes(t):
     # one-row totals ride a broadcast nested loop, not counted here)
     df = C3.importance_weights(docs)
     assert I.broadcast_join_count(df) >= 1 and not I.has_cartesian(df)
+
+
+def test_round4_ops_plan_shapes(t):
+    """window_topn / ewma_anomaly / anomaly_drilldown /
+    tfidf_top_terms: shuffle counts at the semantic minimum, small
+    sides broadcast, scans pruned, no cartesian products."""
+    from flink_window_dgim_traffic_spark.operators import retrieval as RT4
+
+    ev, docs = t("events"), t("documents")
+    # (window,user) agg + per-window rank: two keyed exchanges, and
+    # the events scan reads only ts + user_id
+    df = W.window_topn(ev)
+    assert I.exchange_count(df) <= 2 and not I.has_cartesian(df)
+    assert I.read_columns(df, "events") <= {"ts", "user_id"}
+    # events collapse to the windows table before the ordered window
+    # (the single-partition window runs on windows, never events)
+    df = W.ewma_anomaly(ev)
+    assert I.read_columns(df, "events") <= {"ts", "event_id"}
+    assert not I.has_cartesian(df)
+    # anomalous-window list broadcasts back to the events probe
+    df = W.anomaly_drilldown(ev)
+    assert I.broadcast_join_count(df) >= 1 and not I.has_cartesian(df)
+    # tf agg + df agg + term join + per-doc rank; corpus count rides
+    # a one-row broadcast
+    df = RT4.tfidf_top_terms(docs)
+    assert not I.has_cartesian(df)
+    assert I.read_columns(df, "documents") <= {"doc_id", "text"}

@@ -308,3 +308,106 @@ def test_window_anomalies_flags_extreme_window(spark):
     }
     assert sum(got.values()) == 1
     assert got["2026-01-01 00:04:00"] == 1  # the burst window (w=3)
+
+
+# ----------------------------------------------------------------------
+# Round-4 window-family additions
+# ----------------------------------------------------------------------
+def _ev(spark, rows):
+    """rows: (event_id, epoch_sec, user_id, event_type)"""
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        [(i, s, u, t, 0.0, "{}") for (i, s, u, t) in rows],
+        "event_id long, sec long, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_seconds("sec").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def test_window_topn_hand_vector(spark):
+    # window (0,60]: user 1 -> 3 events, user 2 -> 2, user 3 -> 1;
+    # window (60,120]: users 4 and 5 tie at 1 -> user_id tie-break
+    rows = [
+        (0, 1, 1, "a"), (1, 2, 1, "a"), (2, 3, 1, "a"),
+        (3, 4, 2, "a"), (4, 5, 2, "a"), (5, 6, 3, "a"),
+        (6, 61, 5, "a"), (7, 62, 4, "a"),
+    ]
+    got = [
+        (r["window_end"][-8:], r["user_id"], r["n_events"], r["rnk"])
+        for r in W.window_topn(_ev(spark, rows), 60, 2)
+        .orderBy("window_end", "rnk")
+        .collect()
+    ]
+    assert got == [
+        ("00:01:00", 1, 3, 1),
+        ("00:01:00", 2, 2, 2),
+        ("00:02:00", 4, 1, 1),
+        ("00:02:00", 5, 1, 2),
+    ]
+
+
+def test_ewma_anomaly_hand_vector(spark):
+    # counts per window: 2, 2, 8 (odd event_ids are the 1-bits)
+    rows = []
+    eid = 1
+    for w, ones in ((0, 2), (60, 2), (120, 8)):
+        for k in range(ones):
+            rows.append((eid, w + k + 1, 0, "a"))
+            eid += 2  # keep event_id odd -> bit 1
+    df = W.ewma_anomaly(_ev(spark, rows), 60, lookback=20, factor=2)
+    got = {
+        r["window_end"][-8:]: (
+            r["ones_exact"], r["ewma_e6"], r["is_anomaly"]
+        )
+        for r in df.collect()
+    }
+    # w1: no history.  w2: hist=[2] -> ewma exactly 2.
+    # w3: hist=[2,2] -> ewma 2; 8 > 2*2 -> anomaly.
+    assert got["00:01:00"] == (2, 0, 0)
+    assert got["00:02:00"] == (2, 2000000, 0)
+    assert got["00:03:00"] == (8, 2000000, 1)
+
+
+def test_ewma_binary_decay_weights(spark):
+    # hist [4, 0]: lag2 weight 1/4, lag1 weight 1/2, denom 3/4 ->
+    # ewma = (4*2^18) / (2^20 - 2^18) = 4/3 -> 1333333 micro
+    rows = [(1, 1, 0, "a"), (3, 2, 0, "a"), (5, 3, 0, "a"),
+            (7, 4, 0, "a"),               # w1: 4 ones
+            (2, 61, 0, "a"),              # w2: 0 ones (even ids)
+            (9, 121, 0, "a")]             # w3: 1 one
+    df = W.ewma_anomaly(_ev(spark, rows), 60)
+    got = {r["window_end"][-8:]: r["ewma_e6"] for r in df.collect()}
+    assert got["00:03:00"] == 1333333
+
+
+def test_anomaly_drilldown_only_anomalous_windows(spark, sf_dir):
+    from flink_window_dgim_traffic_spark.session import table
+
+    ev = table(spark, sf_dir, "events")
+    anom = {
+        r["window_end"]
+        for r in W.window_anomalies(ev, 60)
+        .filter("is_anomaly = 1")
+        .collect()
+    }
+    drill = W.anomaly_drilldown(ev, 60).collect()
+    assert {r["window_end"] for r in drill} <= anom
+    # event counts per window reconcile with the windows' row counts
+    per_win = {}
+    for r in drill:
+        per_win[r["window_end"]] = per_win.get(r["window_end"], 0) + r[
+            "n_events"
+        ]
+    exact = {
+        r["window_end"]: r["n_rows"]
+        for r in W.tumble_exact(ev, 60).collect()
+    }
+    for wend, n in per_win.items():
+        assert exact[wend] == n

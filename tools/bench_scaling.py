@@ -125,6 +125,9 @@ def main() -> None:
         "semantic_dedup_lsh": lambda docs, emb: S.semantic_dedup(
             emb, use_lsh=True
         ),
+        "semantic_dedup_lsh_capped": lambda docs, emb: S.semantic_dedup(
+            emb, use_lsh=True, max_bucket=64
+        ),
         "simsearch_ann_ivf": lambda docs, emb: S.simsearch_ann_ivf(emb),
         "simsearch_ann_ivfpq": lambda docs, emb: S.simsearch_ann_ivfpq(emb),
         "simsearch_ann_lsh": lambda docs, emb: S.simsearch_ann_lsh(emb),
