@@ -96,6 +96,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-4 additions (window discipline: new ops enter
         # ahead of already-green entries) ----
         "window_topn": lambda s, d: W.window_topn(_events(s, d), 60, 3),
+        "sql_window_topn": lambda s, d: Q.sql_window_topn(s, d, 60, 3),
+        "windowed_distinct_users": lambda s, d: W.windowed_distinct_users(
+            _events(s, d), 60
+        ),
         "ewma_anomaly": lambda s, d: W.ewma_anomaly(_events(s, d), 60),
         "anomaly_drilldown": lambda s, d: W.anomaly_drilldown(
             _events(s, d), 60
@@ -396,6 +400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _embeddings(s, d)
         ),
         "approx_distinct_users": lambda s, d: R.approx_distinct_users(_events(s, d)),
+        "windowed_distinct_users_approx": lambda s, d: (
+            W.windowed_distinct_users_approx(_events(s, d), 60)
+        ),
         # DGIM variants: estimate values anchored transitively via
         # tumble_dgim_bound (oracle-green closed form) + equality/
         # bound tests in tests/test_dgim.py, tests/test_windows.py
@@ -539,6 +546,32 @@ SELECT strftime(make_timestamp(we*1000000), '%Y-%m-%d %H:%M:%S')
          AS window_end,
        user_id, n_events, CAST(rnk AS BIGINT) AS rnk
 FROM r WHERE rnk <= 3
+""",
+        # SQL twin of window_topn — same plan, same oracle.
+        "sql_window_topn": """
+WITH c AS (
+  SELECT (CAST(floor(epoch(ts)/60) AS BIGINT)*60 + 60) AS we,
+         user_id, count(*) AS n_events
+  FROM events GROUP BY 1, 2),
+r AS (SELECT we, user_id, n_events,
+      row_number() OVER (
+        PARTITION BY we ORDER BY n_events DESC, user_id ASC) AS rnk
+      FROM c)
+SELECT strftime(make_timestamp(we*1000000), '%Y-%m-%d %H:%M:%S')
+         AS window_end,
+       user_id, n_events, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+""",
+        # Per-window exact distinct users (oracle anchor of the HLL
+        # twin, which is pytest-bound-checked).
+        "windowed_distinct_users": """
+SELECT strftime(make_timestamp(
+         (CAST(floor(epoch(ts)/60) AS BIGINT)*60 + 60)*1000000),
+         '%Y-%m-%d %H:%M:%S') AS window_end,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       count(*) AS n_rows
+FROM events
+GROUP BY CAST(floor(epoch(ts)/60) AS BIGINT)*60 + 60
 """,
         # Binary-decay EWMA anomaly: alpha = 1/2 scaled by 2^20 makes
         # every weight an exact power-of-two BIGINT; num/denom and the

@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "ewma_anomaly",
     "anomaly_drilldown",
     "tfidf_top_terms",
+    "windowed_distinct_users",
+    "windowed_distinct_users_approx",
     "tumble_dgim",
     "tumble_dgim_fast",
     "sql_tumble_dgim",

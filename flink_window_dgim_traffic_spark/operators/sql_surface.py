@@ -163,3 +163,32 @@ def sql_streaming_tumble(parsed_stream, size_sec: int = 60):
         # spark.sql time — dropping it immediately keeps long-lived
         # sessions from leaking one catalog entry per built plan
         spark.catalog.dropTempView(view)
+
+
+def sql_window_topn(
+    spark: SparkSession, sf_dir: str, size_sec: int = 60, k: int = 3
+) -> DataFrame:
+    """Flink SQL Window Top-N, verbatim shape: ROW_NUMBER() OVER
+    (PARTITION BY window ...) around a window TVF aggregate, filtered
+    ``rownum <= N`` — the statement class Flink documents for
+    per-window ranking, as one Spark SQL string.  Equal to the
+    DataFrame twin ``operators.windows.window_topn`` (tested)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT window_end, user_id, n_events, rnk FROM (
+          SELECT window_end, user_id, n_events,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY window_end
+                   ORDER BY n_events DESC, user_id ASC) AS BIGINT)
+                   AS rnk
+          FROM (
+            SELECT date_format(window.end, 'yyyy-MM-dd HH:mm:ss')
+                     AS window_end,
+                   user_id, count(*) AS n_events
+            FROM events
+            GROUP BY window(ts, '{size_sec} seconds'), user_id
+          )
+        ) WHERE rnk <= {int(k)}
+        """
+    )

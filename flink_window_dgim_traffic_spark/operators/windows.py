@@ -843,3 +843,52 @@ def anomaly_drilldown(
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+def windowed_distinct_users(
+    events: DataFrame, size_sec: int = 60
+) -> DataFrame:
+    """Per-tumbling-window exact distinct user count (the unique-
+    visitors dashboard query).  Exact COUNT(DISTINCT) expands to a
+    two-phase plan (partial distinct on (window, user), then the
+    window re-agg) — both phases partially aggregated, no full-row
+    sort.  The oracle anchor for the HLL twin below."""
+    return (
+        events.groupBy(F.window("ts", f"{size_sec} seconds").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.date_format(F.col("w.end"), TS_FMT_SPARK).alias(
+                "window_end"
+            ),
+            "n_users",
+            "n_rows",
+        )
+    )
+
+
+def windowed_distinct_users_approx(
+    events: DataFrame, size_sec: int = 60, rsd: float = 0.02
+) -> DataFrame:
+    """HLL++ twin of :func:`windowed_distinct_users` — the 100 TB
+    dashboard path: approx_count_distinct keeps ONE bounded sketch
+    per window per task (no (window, user) expansion, one shuffle of
+    sketch bytes), at ``rsd`` relative error.  Rows-only for the
+    driver; the error bound vs the exact twin is asserted in
+    ``tests/test_windows.py``."""
+    return (
+        events.groupBy(F.window("ts", f"{size_sec} seconds").alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("n_users_approx"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.date_format(F.col("w.end"), TS_FMT_SPARK).alias(
+                "window_end"
+            ),
+            "n_users_approx",
+            "n_rows",
+        )
+    )

@@ -1,0 +1,202 @@
+"""Streaming twins of the round-4 alerting operators: Flink-style
+window Top-N and the binary-decay EWMA anomaly rule
+(``operators.windows.window_topn`` / ``ewma_anomaly``).
+
+Why these shapes:
+
+- **Top-N** — Flink SQL runs Window Top-N natively; Spark cannot rank
+  over a streaming aggregate inside one query (no window functions
+  downstream of a streaming groupBy).  The Spark-first equivalent
+  relies on an append-mode guarantee: every (window, user) group of a
+  given event-time window is finalized by the SAME watermark crossing,
+  so all of a window's rows arrive in ONE micro-batch — ranking inside
+  ``foreachBatch`` therefore sees each window complete, and emits
+  exactly the batch operator's top-k.
+- **EWMA** — the baseline needs the trailing ``lookback`` CLOSED
+  windows, a 20-row tail no built-in stateful operator models; the
+  incremental-batch pattern (foreachBatch + on-disk state, the
+  ``streaming/pipeline.py`` recipe) carries it.  State writes are
+  batch-id-keyed and promoted by a ``_done`` marker (exactly-once
+  under crash-replay, same staging protocol as the curation
+  pipeline).  The per-batch fold runs driver-side over the window
+  tail — bounded by construction: one row per ``size_sec`` of event
+  time per batch, plus the ≤ ``lookback``-row history.
+
+Both twins are restart-tested equal to their batch operators in
+``tests/test_stream_alerts.py``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def windowed_user_counts_stream(
+    events: DataFrame, size_sec: int = 60, watermark: str = "10 seconds"
+) -> DataFrame:
+    """Append-mode (window, user) event counts — the streamable half
+    of window Top-N; each group is emitted once, when the watermark
+    closes its window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", f"{size_sec} seconds").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.end"), TS_FMT).alias("window_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def window_topn_stream(
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    size_sec: int = 60,
+    k: int = 3,
+    watermark: str = "10 seconds",
+):
+    """Start the streaming window Top-N: rank inside foreachBatch
+    (each closed window arrives whole — see module docstring), append
+    the top-``k`` per window to ``out_dir``.  availableNow trigger —
+    rerun as data arrives, like any incremental batch job."""
+
+    def rank_and_write(batch: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("window_end").orderBy(
+            F.col("n_events").desc(), F.col("user_id").asc()
+        )
+        (
+            batch.withColumn(
+                "rnk", F.row_number().over(w).cast("bigint")
+            )
+            .filter(F.col("rnk") <= k)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        windowed_user_counts_stream(events, size_sec, watermark)
+        .writeStream.foreachBatch(rank_and_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _committed_ids(state_root: str) -> list[int]:
+    done = f"{state_root}/_done"
+    if not os.path.isdir(done):
+        return []
+    return sorted(int(n) for n in os.listdir(done) if n.isdigit())
+
+
+def make_ewma_batch_fn(
+    state_root: str, lookback: int = 20, factor: int = 2
+):
+    """foreachBatch for the EWMA anomaly stream.  Input batches are
+    closed-window counts (window_end string, ones_exact) from the
+    append-mode tumble aggregate; state is the trailing ``lookback``
+    window tail, batch-id-keyed + marker-promoted (exactly-once)."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        marker = f"{state_root}/_done/{batch_id}"
+        if os.path.exists(marker):
+            return
+        spark = batch.sparkSession
+        committed = _committed_ids(state_root)
+        if committed:
+            tail = spark.read.parquet(
+                f"{state_root}/tail/batch-{committed[-1]}"
+            ).collect()
+            hist = sorted(
+                (r["window_end"], r["ones_exact"]) for r in tail
+            )
+        else:
+            hist = []
+        new = sorted(
+            (r["window_end"], r["ones_exact"])
+            for r in batch.select("window_end", "ones_exact").collect()
+        )
+        rows = []
+        counts = [c for _, c in hist]
+        for wend, ones in new:
+            hl = counts[-lookback:]
+            L = len(hl)
+            num = sum(
+                x * (1 << (lookback - L + i)) for i, x in enumerate(hl)
+            )
+            denom = (1 << lookback) - (1 << (lookback - L))
+            ewma_e6 = (num * 1000000) // denom if L else 0
+            flag = 1 if (L and ones * denom > factor * num) else 0
+            rows.append((wend, int(ones), int(ewma_e6), int(flag)))
+            counts.append(ones)
+        schema = (
+            "window_end string, ones_exact bigint, ewma_e6 bigint,"
+            " is_anomaly bigint"
+        )
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{state_root}/out/batch-{batch_id}")
+        new_tail = (hist + new)[-lookback:]
+        spark.createDataFrame(
+            new_tail, "window_end string, ones_exact bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_root}/tail/batch-{batch_id}"
+        )
+        os.makedirs(f"{state_root}/_done", exist_ok=True)
+        open(marker, "w").close()
+
+    return process
+
+
+def ewma_anomaly_stream(
+    parsed: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    size_sec: int = 60,
+    lookback: int = 20,
+    factor: int = 2,
+    watermark: str = "10 seconds",
+):
+    """Start the streaming EWMA anomaly job over the traffic stream
+    (bit/ts rows, the ``tumble_exact_stream`` input shape)."""
+    counts = (
+        parsed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{size_sec} seconds").alias("w"))
+        .agg(F.sum("bit").cast("bigint").alias("ones_exact"))
+        .select(
+            F.date_format(F.col("w.end"), TS_FMT).alias("window_end"),
+            "ones_exact",
+        )
+    )
+    return (
+        counts.writeStream.foreachBatch(
+            make_ewma_batch_fn(state_root, lookback, factor)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_ewma_alerts(spark, state_root: str) -> DataFrame:
+    committed = _committed_ids(state_root)
+    if not committed:
+        return spark.createDataFrame(
+            [],
+            "window_end string, ones_exact bigint, ewma_e6 bigint,"
+            " is_anomaly bigint",
+        )
+    return spark.read.parquet(
+        *[f"{state_root}/out/batch-{i}" for i in committed]
+    )

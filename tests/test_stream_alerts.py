@@ -1,0 +1,211 @@
+"""Streaming alerting twins (window Top-N, EWMA anomaly): ordered
+file-replay through the streaming jobs must equal the batch operators
+over the same closed windows, including across a kill-and-restart of
+the EWMA job (batch-id-keyed state + marker)."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from flink_window_dgim_traffic_spark.operators import windows as W
+from flink_window_dgim_traffic_spark.streaming.alerts import (
+    ewma_anomaly_stream,
+    make_ewma_batch_fn,
+    read_ewma_alerts,
+    window_topn_stream,
+)
+
+SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+BASE = 1_700_000_000  # aligned-ish epoch anchor
+
+
+def _iso(sec: float) -> str:
+    import datetime
+
+    return datetime.datetime.fromtimestamp(
+        sec, datetime.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%S.%f")
+
+
+def _burst_rows():
+    """Three 60 s windows with distinct user activity profiles."""
+    rows = []
+    eid = 0
+    base = (BASE // 60) * 60
+    profile = [
+        (0, {1: 3, 2: 2, 3: 1}),          # window 1
+        (60, {4: 5, 5: 5, 6: 1}),         # window 2: tie at the top
+        (120, {7: 2}),                    # window 3
+    ]
+    for off, users in profile:
+        slot = 0
+        for uid, n in users.items():
+            for _ in range(n):
+                rows.append(
+                    {
+                        "event_id": eid,
+                        "ts": _iso(base + off + 1 + slot * 0.5),
+                        "user_id": uid,
+                        "event_type": "view",
+                        "value": 1.0,
+                        "props": "{}",
+                    }
+                )
+                eid += 1
+                slot += 1
+    return rows
+
+
+def _sentinel_rows(which: int):
+    base = (BASE // 60) * 60
+    return [
+        {
+            "event_id": 9000 + which,
+            "ts": _iso(base + 3600 * (which + 1)),
+            "user_id": 999,
+            "event_type": "view",
+            "value": 0.0,
+            "props": "{}",
+        }
+    ]
+
+
+def _replay_dir(tmp_path):
+    d = tmp_path / "src"
+    d.mkdir()
+    rows = _burst_rows()
+    per = (len(rows) + 2) // 3
+    for c in range(3):
+        with open(f"{d}/chunk_{c}.json", "w") as f:
+            f.write(
+                "\n".join(
+                    json.dumps(r) for r in rows[c * per : (c + 1) * per]
+                )
+            )
+    for which in (0, 1):
+        with open(f"{d}/chunk_{3 + which}_sentinel.json", "w") as f:
+            f.write("\n".join(json.dumps(r) for r in _sentinel_rows(which)))
+    for i, name in enumerate(sorted(os.listdir(d))):
+        os.utime(f"{d}/{name}", (1000000000 + i * 60,) * 2)
+    return str(d)
+
+
+def _stream(spark, path):
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .json(path)
+    )
+
+
+def _closed_batch_events(spark):
+    """Batch twin input: everything the stream's final watermark
+    closes — bursts + sentinel 0 (sentinel 1's own window never
+    closes and is absent from both sides)."""
+    rows = _burst_rows() + _sentinel_rows(0)
+    return spark.createDataFrame(
+        [
+            (
+                r["event_id"],
+                r["ts"].replace("T", " "),
+                r["user_id"],
+                r["event_type"],
+                r["value"],
+                r["props"],
+            )
+            for r in rows
+        ],
+        "event_id long, ts_str string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.to_timestamp("ts_str").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def test_window_topn_stream_matches_batch(spark, tmp_path):
+    src = _replay_dir(tmp_path)
+    out = str(tmp_path / "topn_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = window_topn_stream(_stream(spark, src), out, ckpt, 60, 2)
+    q.awaitTermination()
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("window_end", "user_id", "n_events", "rnk")
+        .collect()
+    }
+    expect = {
+        tuple(r)
+        for r in W.window_topn(_closed_batch_events(spark), 60, 2)
+        .select("window_end", "user_id", "n_events", "rnk")
+        .collect()
+    }
+    assert got == expect
+    # the tie window ranks by user_id: 4 before 5
+    tie = sorted(
+        (r for r in got if r[1] in (4, 5)), key=lambda r: r[3]
+    )
+    assert [r[1] for r in tie] == [4, 5]
+
+
+def test_ewma_stream_matches_batch_and_restarts(spark, tmp_path):
+    src = _replay_dir(tmp_path)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def parsed():
+        return _stream(spark, src).select(
+            (F.col("event_id") % 2).cast("int").alias("bit"), "ts"
+        )
+
+    q = ewma_anomaly_stream(parsed(), state, ckpt, 60)
+    q.awaitTermination()
+    # restart with the same checkpoint: no new data, output unchanged
+    q = ewma_anomaly_stream(parsed(), state, ckpt, 60)
+    q.awaitTermination()
+
+    got = {
+        tuple(r)
+        for r in read_ewma_alerts(spark, state).collect()
+    }
+    expect = {
+        tuple(r)
+        for r in W.ewma_anomaly(_closed_batch_events(spark), 60)
+        .collect()
+    }
+    assert got == expect
+
+
+def test_ewma_crash_between_state_and_marker(spark, tmp_path):
+    """Replay after a crash that wrote state but not the marker must
+    not double-fold the batch's windows into the EWMA tail."""
+    state = str(tmp_path / "state")
+    fn = make_ewma_batch_fn(state, lookback=20, factor=2)
+    b1 = spark.createDataFrame(
+        [("2024-01-01 00:01:00", 2), ("2024-01-01 00:02:00", 2)],
+        "window_end string, ones_exact bigint",
+    )
+    b2 = spark.createDataFrame(
+        [("2024-01-01 00:03:00", 8)],
+        "window_end string, ones_exact bigint",
+    )
+    fn(b1, 0)
+    fn(b2, 1)
+    os.remove(f"{state}/_done/1")  # crash window: state staged, no marker
+    fn(b2, 1)  # replay
+    got = {
+        r["window_end"]: (r["ewma_e6"], r["is_anomaly"])
+        for r in read_ewma_alerts(spark, state).collect()
+    }
+    assert got["2024-01-01 00:02:00"] == (2000000, 0)
+    assert got["2024-01-01 00:03:00"] == (2000000, 1)  # 8 > 2*2

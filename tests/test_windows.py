@@ -411,3 +411,31 @@ def test_anomaly_drilldown_only_anomalous_windows(spark, sf_dir):
     }
     for wend, n in per_win.items():
         assert exact[wend] == n
+
+
+def test_windowed_distinct_users_approx_bound(spark, sf_dir):
+    from flink_window_dgim_traffic_spark.session import table
+
+    ev = table(spark, sf_dir, "events")
+    exact = {
+        r["window_end"]: r["n_users"]
+        for r in W.windowed_distinct_users(ev, 3600).collect()
+    }
+    approx = {
+        r["window_end"]: r["n_users_approx"]
+        for r in W.windowed_distinct_users_approx(ev, 3600, 0.02).collect()
+    }
+    assert set(exact) == set(approx)
+    for wend, n in exact.items():
+        # HLL++ rsd=0.02: allow 5 sigma plus integer slack
+        assert abs(approx[wend] - n) <= max(2, 0.1 * n), (wend, n)
+
+
+def test_sql_window_topn_equals_dataframe(spark, sf_dir):
+    from flink_window_dgim_traffic_spark.operators import sql_surface as Q
+    from flink_window_dgim_traffic_spark.session import table
+
+    ev = table(spark, sf_dir, "events")
+    a = {tuple(r) for r in W.window_topn(ev, 60, 3).collect()}
+    b = {tuple(r) for r in Q.sql_window_topn(spark, sf_dir, 60, 3).collect()}
+    assert a == b
