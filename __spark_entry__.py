@@ -107,6 +107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": lambda s, d: RT.tfidf_top_terms(
             _documents(s, d), 3
         ),
+        "token_budget_select": lambda s, d: C.token_budget_select(
+            _documents(s, d), 20000
+        ),
         # ---- round-3 additions ----
         "duplicated_spans": lambda s, d: D.duplicated_spans(
             _documents(s, d)
@@ -626,6 +629,27 @@ SELECT strftime(make_timestamp(w.we*1000000), '%Y-%m-%d %H:%M:%S')
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM w JOIN anom ON w.we = anom.we
 GROUP BY w.we, event_type
+""",
+        # Token-budget greedy selection: highest-quality docs first
+        # (quality in exact 1e-6 integers, doc_id tie-break) until the
+        # running token total passes the budget.  The oracle is the
+        # naive sorted prefix; Spark computes the identical set with
+        # a bucket-cumulative two-phase plan (no global doc sort).
+        "token_budget_select": f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws
+             FROM documents),
+s AS (SELECT doc_id, len(ws) AS n,
+      len(list_filter(ws, w -> w IN {_STOP_LIST})) AS stop_cnt
+      FROM tok),
+q AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      CAST(round(round(least(n, 50) / 50 * 0.5
+                       + (1 - stop_cnt / n) * 0.5, 6)
+                 * 1000000.0) AS BIGINT) AS q_e6
+      FROM s WHERE n > 0),
+o AS (SELECT *, sum(n_tokens) OVER (
+        ORDER BY q_e6 DESC, doc_id ASC
+        ROWS UNBOUNDED PRECEDING) AS cum FROM q)
+SELECT doc_id, n_tokens, q_e6 FROM o WHERE cum <= 20000
 """,
         # Per-doc top-3 TF-IDF terms; idf quantized once to micro-nats
         # (single-ln recipe), rank on exact BIGINT tf*idf_micro.

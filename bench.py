@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "windowed_distinct_users",
     "windowed_distinct_users_approx",
+    "token_budget_select",
     "tumble_dgim",
     "tumble_dgim_fast",
     "sql_tumble_dgim",

@@ -21,7 +21,7 @@ Both are the map-only / broadcast-join shapes that survive 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import SHINGLE_K, shingles
@@ -428,4 +428,69 @@ def datasheet_unpivot(documents: DataFrame) -> DataFrame:
     ]
     return corpus_datasheet(documents).unpivot(
         "source", metrics, "metric", "value"
+    )
+
+
+def token_budget_select(
+    documents: DataFrame, budget_tokens: int = 20000
+) -> DataFrame:
+    """Select the highest-quality documents until a token budget is
+    filled — the "best N tokens" primitive behind fixed-compute
+    training-set assembly (greedy by quality desc, doc_id tie-break,
+    stop when the running token total would pass ``budget_tokens``).
+
+    Output: (doc_id, n_tokens, q_e6) — the selected set.
+
+    NO GLOBAL SORT: the naive form is a full corpus sort + running
+    sum (single-partition window — a 100 TB non-starter).  Here the
+    integer quality score (exact 1e-6 units) is its own bucket key:
+    phase 1 aggregates tokens per DISTINCT SCORE (a ≤10^6-row table —
+    bounded by the score codomain, not the corpus), cumulates over
+    that tiny table to find the boundary score, and phase 2 keeps
+    full buckets via a broadcast semi-join plus a doc_id-ordered
+    prefix WITHIN the single boundary bucket (a window partitioned by
+    score — only boundary-bucket rows sort).  Result is exactly the
+    greedy prefix; only |distinct scores| rows ever pass through an
+    ordered window."""
+    from flink_window_dgim_traffic_spark.operators.text import (
+        quality_score_col,
+    )
+
+    toks = F.split("text", " ")
+    scored = documents.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(quality_score_col() * F.lit(1000000.0), 0)
+        .cast("bigint")
+        .alias("q_e6"),
+    ).filter(F.col("n_tokens") > 0)
+    buckets = scored.groupBy("q_e6").agg(
+        F.sum("n_tokens").alias("btok")
+    )
+    wb = Window.orderBy(F.col("q_e6").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    b = buckets.withColumn("cum", F.sum("btok").over(wb))
+    full = b.filter(F.col("cum") <= budget_tokens).select("q_e6")
+    boundary = b.filter(
+        (F.col("cum") > budget_tokens)
+        & (F.col("cum") - F.col("btok") < budget_tokens)
+    ).select(
+        "q_e6",
+        (F.lit(budget_tokens) - (F.col("cum") - F.col("btok"))).alias(
+            "remaining"
+        ),
+    )
+    sel_full = scored.join(F.broadcast(full), "q_e6", "left_semi")
+    wd = Window.partitionBy("q_e6").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sel_boundary = (
+        scored.join(F.broadcast(boundary), "q_e6")
+        .withColumn("cumd", F.sum("n_tokens").over(wd))
+        .filter(F.col("cumd") <= F.col("remaining"))
+        .drop("remaining", "cumd")
+    )
+    return sel_full.unionByName(sel_boundary).select(
+        "doc_id", "n_tokens", "q_e6"
     )

@@ -350,3 +350,46 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert got[(3, 2)] == ("bird", 1, idf(1))
     # doc 2: tie on score? dog=ln(1.5), fish=ln(1.5) -> term asc
     assert got[(2, 1)][0] == "dog" and got[(2, 2)][0] == "fish"
+
+
+def test_token_budget_select_boundary_semantics(spark):
+    """The two-phase (bucket-cumulative) plan must equal the naive
+    greedy prefix exactly, including the mid-bucket stop: docs of the
+    boundary score are admitted in doc_id order until the remaining
+    budget is exhausted, and nothing after."""
+    from flink_window_dgim_traffic_spark.operators.corpus import (
+        token_budget_select,
+    )
+
+    # quality is driven by length (<=50 tokens: longer = higher);
+    # craft three score groups with known token counts
+    mk = lambda n, w: " ".join([w] * n)  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (1, mk(30, "zz"), "en", "s", 0),   # q high  (30 tokens)
+            (2, mk(30, "yy"), "en", "s", 0),   # q high  (30 tokens)
+            (3, mk(20, "xx"), "en", "s", 0),   # q mid   (20 tokens)
+            (4, mk(20, "ww"), "en", "s", 0),   # q mid   (20 tokens)
+            (5, mk(20, "vv"), "en", "s", 0),   # q mid   (20 tokens)
+            (6, mk(10, "uu"), "en", "s", 0),   # q low   (10 tokens)
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    # budget 100: both high docs (60) + mid bucket in doc_id order:
+    # doc 3 (80), doc 4 (100) fit exactly; doc 5 would pass 100; low
+    # bucket excluded entirely
+    got = sorted(
+        r["doc_id"]
+        for r in token_budget_select(docs, budget_tokens=100).collect()
+    )
+    assert got == [1, 2, 3, 4]
+    # budget 95: doc 4 would reach 100 > 95 -> only doc 3 from the
+    # boundary bucket
+    got = sorted(
+        r["doc_id"]
+        for r in token_budget_select(docs, budget_tokens=95).collect()
+    )
+    assert got == [1, 2, 3]
+    # budget below the first bucket's first doc: nothing selected
+    assert token_budget_select(docs, budget_tokens=25).count() == 0

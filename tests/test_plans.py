@@ -333,3 +333,11 @@ def test_round4_ops_plan_shapes(t):
     df = RT4.tfidf_top_terms(docs)
     assert not I.has_cartesian(df)
     assert I.read_columns(df, "documents") <= {"doc_id", "text"}
+    # token-budget select: bucket tables broadcast back to the doc
+    # side (two broadcast joins), never a global doc sort fed by a
+    # single-partition exchange of raw documents
+    from flink_window_dgim_traffic_spark.operators import corpus as C4
+
+    df = C4.token_budget_select(docs)
+    assert I.broadcast_join_count(df) >= 2 and not I.has_cartesian(df)
+    assert I.read_columns(df, "documents") <= {"doc_id", "text"}
