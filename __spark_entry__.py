@@ -73,6 +73,20 @@ _documents = _t("documents")
 _embeddings = _t("embeddings")
 
 
+def _neardup_incremental(s: SparkSession, d: str) -> DataFrame:
+    """Persisted-MinHash-index deployment shape: index the even-doc_id
+    half of the corpus on disk, probe the odd half (both halves from
+    the same crawl here, so true near-dups exist across them)."""
+    import tempfile
+
+    docs = _documents(s, d)
+    idx = tempfile.mkdtemp(prefix="spark_graft_ndidx_")
+    D.build_neardup_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    return D.neardup_incremental_lsh(
+        docs.filter(F.col("doc_id") % 2 == 1), idx, threshold=0.5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the driver's correctness gate
     checks the first 50 entries (observed in CORRECTNESS_r01: exactly
@@ -379,6 +393,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _embeddings(s, d), use_lsh=True
         ),
         # sketch/hash-seeded (exact twins above are oracle-green)
+        # crawl-over-crawl NEAR-dup (round 4): build the MinHash index
+        # on the even-doc_id half, probe the odd half against it —
+        # the persisted-index deployment shape end to end.  xxhash64
+        # signatures have no DuckDB twin -> rows-only; estimator
+        # agreement + exact-copy behavior pinned in pytest.
+        "neardup_incremental_lsh": lambda s, d: _neardup_incremental(s, d),
+        # zlib-deflate redundancy signal (round 4): no SQL deflate
+        # exists -> rows-only; exact permille pinned in pytest.
+        "compression_ratio": lambda s, d: QL.compression_ratio(
+            _documents(s, d)
+        ),
         "minhash_lsh_pairs": lambda s, d: D.minhash_lsh_pairs(
             _documents(s, d), threshold=0.8
         ),

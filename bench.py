@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "windowed_distinct_users",
     "windowed_distinct_users_approx",
     "token_budget_select",
+    "neardup_incremental_lsh",
+    "compression_ratio",
     "tumble_dgim",
     "tumble_dgim_fast",
     "sql_tumble_dgim",

@@ -354,19 +354,9 @@ def minhash_lsh_pairs(
     # collect_list shuffle)
     band_keys = _minhash_wide(documents, num_perm, sh=sh).select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[
-                            F.col(f"h{b * rows_per_band + j}")
-                            for j in range(rows_per_band)
-                        ]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_key"),
+        F.posexplode(_band_key_array(num_perm, bands)).alias(
+            "band", "band_key"
+        ),
     )
     if max_bucket is not None:
         ok = (
@@ -836,4 +826,121 @@ def cdc_chunk_dedup(
             .cast("bigint")
             .alias("dup_permille"),
         )
+    )
+
+
+# ----------------------------------------------------------------------
+# Incremental NEAR-dup: persisted MinHash/LSH index, probed per crawl
+# ----------------------------------------------------------------------
+def _band_key_array(num_perm: int = NUM_PERM, bands: int = LSH_BANDS):
+    """The banded signature hash as an array Column over the wide
+    ``h0..h{n-1}`` aggregate — shared by the batch pair generator and
+    the persistent index so both sides bucket identically."""
+    rows_per_band = num_perm // bands
+    return F.array(
+        *[
+            F.xxhash64(
+                *[
+                    F.col(f"h{b * rows_per_band + j}")
+                    for j in range(rows_per_band)
+                ]
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def build_neardup_index(
+    documents: DataFrame,
+    path: str,
+    num_perm: int = NUM_PERM,
+    bands: int = LSH_BANDS,
+) -> None:
+    """Materialize the MinHash near-dup index of an ingested corpus:
+    ``path/bands`` (band, band_key, doc_id — the LSH lookup side) and
+    ``path/signatures`` (doc_id, sig — for signature-estimated
+    verification WITHOUT re-reading old text).  The crawl-over-crawl
+    twin of ``dedup_incremental``'s exact md5 index: a new crawl is
+    probed against it by :func:`neardup_incremental_lsh`, so the
+    ingested corpus is never re-shingled.  At 100 TB the bands table
+    is bucketed on (band, band_key) and the probe is a co-located
+    join; signatures are ~`num_perm`·8 bytes per doc."""
+    wide = _minhash_wide(documents, num_perm).localCheckpoint(eager=True)
+    wide.select(
+        "doc_id",
+        F.posexplode(_band_key_array(num_perm, bands)).alias(
+            "band", "band_key"
+        ),
+    ).write.mode("overwrite").parquet(f"{path}/bands")
+    wide.select(
+        "doc_id",
+        F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"),
+    ).write.mode("overwrite").parquet(f"{path}/signatures")
+
+
+def neardup_incremental_lsh(
+    new_docs: DataFrame,
+    index_path: str,
+    threshold: float = 0.8,
+    num_perm: int = NUM_PERM,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Probe a new crawl against a :func:`build_neardup_index` corpus:
+    candidate (new, old) pairs from band-bucket collisions, verified
+    by SIGNATURE-estimated Jaccard (fraction of agreeing minhash
+    components) ≥ threshold — the standard incremental-MinHash
+    contract: the old corpus's text is never touched, only its
+    ~``num_perm``·8-byte signatures.  E[estimate] = true Jaccard with
+    σ = sqrt(j(1-j)/num_perm) ≈ 0.05 at j=0.8, num_perm=64; the
+    estimator-vs-exact agreement is asserted in tests.
+
+    Output: (new_doc_id, index_doc_id, est_jaccard round 6).  Scale
+    shape: the new crawl's signatures build map-side (one shingle
+    pass); candidates are a (band, band_key) equi-join against the
+    index — shuffle keyed on buckets, never all-pairs; verification
+    is one ``zip_with`` fold over two 64-long arrays per candidate."""
+    spark = new_docs.sparkSession
+    wide = _minhash_wide(new_docs, num_perm).localCheckpoint(eager=True)
+    new_bands = wide.select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.posexplode(_band_key_array(num_perm, bands)).alias(
+            "band", "band_key"
+        ),
+    )
+    idx_bands = spark.read.parquet(f"{index_path}/bands").select(
+        F.col("doc_id").alias("index_doc_id"), "band", "band_key"
+    )
+    cand = (
+        new_bands.join(idx_bands, ["band", "band_key"])
+        .select("new_doc_id", "index_doc_id")
+        .distinct()
+    )
+    new_sigs = wide.select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias(
+            "sig_new"
+        ),
+    )
+    idx_sigs = spark.read.parquet(f"{index_path}/signatures").select(
+        F.col("doc_id").alias("index_doc_id"),
+        F.col("sig").alias("sig_old"),
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            "sig_new", "sig_old", lambda a, b: (a == b).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(new_sigs, "new_doc_id")
+        .join(idx_sigs, "index_doc_id")
+        .select(
+            "new_doc_id",
+            "index_doc_id",
+            F.round(agree / F.lit(float(num_perm)), 6).alias(
+                "est_jaccard"
+            ),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
     )

@@ -838,3 +838,55 @@ def test_semantic_dedup_lsh_cap_agreement(spark, sf_dir):
     }
     agree = sum(exact[v] == capped[v] for v in exact) / len(exact)
     assert agree >= 0.9, agree
+
+
+def test_neardup_incremental_lsh_index_probe(spark, tmp_path):
+    """Crawl-over-crawl NEAR-dup: a persisted MinHash index probed by
+    a new crawl finds exact copies (est_jaccard 1.0) and near-copies,
+    never touching the ingested corpus's text; the signature
+    estimator tracks exact Jaccard within sketch tolerance."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles watch from a mossy stone near the river bend "
+        "and count passing clouds all afternoon long without pause"
+    )
+    words = base.split()
+    near = " ".join(words[:-2] + ["evening", "rest"])  # small edit
+    far = " ".join(w[::-1] for w in words)             # unrelated
+    old = spark.createDataFrame(
+        [(1, base, "en", "s", len(base)), (2, far, "en", "s", len(far))],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base, "en", "s", len(base)),   # exact copy of 1
+            (11, near, "en", "s", len(near)),   # near-copy of 1
+            (12, "completely different words entirely here now "
+                 "nothing shared with anything else at all today",
+             "en", "s", 90),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    idx = str(tmp_path / "nd_index")
+    D.build_neardup_index(old, idx)
+    got = {
+        (r["new_doc_id"], r["index_doc_id"]): r["est_jaccard"]
+        for r in D.neardup_incremental_lsh(
+            new, idx, threshold=0.5
+        ).collect()
+    }
+    assert got[(10, 1)] == 1.0            # exact copy: all perms agree
+    assert (11, 1) in got                 # near-copy found via bands
+    assert all(k[1] != 2 for k in got)    # unrelated index doc silent
+    assert all(k[0] != 12 for k in got)   # unrelated new doc silent
+    # estimator vs exact: the near-copy's true shingle Jaccard
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            old.unionByName(new), threshold=0.0
+        ).collect()
+    }
+    true_j = exact[(1, 11)]
+    assert abs(got[(11, 1)] - true_j) <= 0.2  # ~4 sigma at num_perm=64

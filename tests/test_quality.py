@@ -168,3 +168,42 @@ def test_chunk_dedup_properties_hypothesis(spark):
         assert sum(r["kept_chunks"] for r in out.values()) == len(all_chunks)
 
     run()
+
+
+def test_compression_ratio_signal_and_exact_values(spark):
+    import zlib
+
+    from flink_window_dgim_traffic_spark.operators.quality import (
+        compression_ratio,
+    )
+
+    rep = "spam ham " * 200                      # highly compressible
+    import random
+
+    rng = random.Random(7)
+    junk = "".join(
+        chr(rng.randint(0x21, 0x7E)) for _ in range(1600)
+    )                                            # high entropy
+    docs = spark.createDataFrame(
+        [
+            (1, rep, "en", "s", len(rep)),
+            (2, junk, "en", "s", len(junk)),
+            (3, None, "en", "s", 0),
+            (4, "", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["comp_permille"])
+        for r in compression_ratio(docs).collect()
+    }
+    # exact permille pinned against the same zlib build
+    exp = lambda t: len(zlib.compress(t.encode(), 6)) * 1000 // len(  # noqa: E731
+        t.encode()
+    )
+    assert got[1] == (len(rep), exp(rep))
+    assert got[2] == (len(junk), exp(junk))
+    assert got[3] == (0, 0) and got[4] == (0, 0)
+    # the signal: boilerplate compresses far better than junk
+    assert got[1][1] < 100 < 500 < got[2][1]
