@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "token_budget_select",
     "neardup_incremental_lsh",
     "compression_ratio",
+    "rollup_serve_10min",
     "tumble_dgim",
     "tumble_dgim_fast",
     "sql_tumble_dgim",

@@ -101,15 +101,63 @@ def _read_counters(spark, state_root: str, committed: list[int]):
     return spark.createDataFrame([], "source string, admitted bigint")
 
 
+def _absorbed_ids(state_root: str) -> set[int]:
+    """Batch ids whose index deltas have been folded into the seed
+    index by :func:`compact_curation_state`."""
+    import json
+
+    p = f"{state_root}/absorbed.json"
+    if not os.path.exists(p):
+        return set()
+    with open(p) as f:
+        return set(json.load(f))
+
+
 def _read_index(spark, state_root: str, committed: list[int]):
-    """Seed index ∪ committed per-batch deltas.  At 100 TB the deltas
-    would be periodically compacted into a bucketed-on-fp table (a
-    metadata-only job over committed ids); the anti-join shape is
-    unchanged."""
+    """Seed index ∪ committed per-batch deltas not yet compacted
+    (``compact_curation_state`` folds deltas into the seed — at
+    100 TB the seed is a bucketed-on-fp table and the anti-join is
+    co-located; the probe shape is unchanged either way)."""
+    absorbed = _absorbed_ids(state_root)
     paths = [f"{state_root}/index"] + [
-        f"{state_root}/index_delta/batch-{i}" for i in committed
+        f"{state_root}/index_delta/batch-{i}"
+        for i in committed
+        if i not in absorbed
     ]
     return spark.read.parquet(*paths)
+
+
+def compact_curation_state(spark, state_root: str) -> int:
+    """Fold all committed index deltas into the seed index — the
+    maintenance job that keeps :func:`_read_index` from accumulating
+    one directory per batch forever.  Run while the stream is idle
+    (between ``availableNow`` invocations).
+
+    Crash-safety is IDEMPOTENCE, not staging: the dedup index is a
+    SET probed only by anti-joins, so duplicate fps are semantically
+    invisible.  The write order (merged index overwrite → absorbed
+    ledger → delta-dir removal) therefore leaves a correct superset
+    index after a crash at ANY point, and re-running converges.
+    Returns the number of deltas absorbed."""
+    import json
+    import shutil
+
+    committed = _committed_ids(state_root)
+    absorbed = _absorbed_ids(state_root)
+    pending = [i for i in committed if i not in absorbed]
+    if not pending:
+        return 0
+    merged = _read_index(spark, state_root, committed).select(
+        "fp"
+    ).distinct().localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(f"{state_root}/index")
+    with open(f"{state_root}/absorbed.json", "w") as f:
+        json.dump(sorted(absorbed | set(pending)), f)
+    for i in pending:
+        shutil.rmtree(
+            f"{state_root}/index_delta/batch-{i}", ignore_errors=True
+        )
+    return len(pending)
 
 
 def seed_curation_state(

@@ -195,3 +195,34 @@ def test_crash_between_state_writes_and_marker(spark, tmp_path):
         ).collect()
     }
     assert counters["src1"] == 3
+
+
+def test_compaction_preserves_semantics(spark, tmp_path):
+    """Folding deltas into the seed index must change NOTHING the
+    pipeline computes: later batches dedup identically, re-running
+    compaction is a no-op, and the delta dirs are gone."""
+    import os
+
+    from flink_window_dgim_traffic_spark.streaming.pipeline import (
+        compact_curation_state,
+    )
+
+    bench, chunk1, chunk2 = _corpus()
+
+    def run(compact_between: bool, root: str):
+        state = str(tmp_path / root)
+        seed_curation_state(spark, state, _mk_docs(spark, bench))
+        fn = make_curation_batch_fn(state, cap=3)
+        fn(_mk_docs(spark, chunk1), 0)
+        if compact_between:
+            assert compact_curation_state(spark, state) == 1
+            assert compact_curation_state(spark, state) == 0  # no-op
+            assert not os.path.exists(
+                f"{state}/index_delta/batch-0"
+            )
+        fn(_mk_docs(spark, chunk2), 1)
+        return {
+            tuple(r) for r in read_curated(spark, state).collect()
+        }
+
+    assert run(True, "state_a") == run(False, "state_b")

@@ -105,6 +105,27 @@ SHOWCASE = {
     "lm_quality_gate": "constant-size LM profile broadcast back onto "
     "one token pass; per-doc margin is a map-side-combined exact "
     "BIGINT sum",
+    "window_topn": "(window,user) partial-agg shuffle, then rank "
+    "partitions are single-window user sets — bounded by per-window "
+    "traffic, not corpus size",
+    "ewma_anomaly": "events collapse to the windows table FIRST; the "
+    "ordered window runs over one row per 60 s, never over events",
+    "anomaly_drilldown": "range join rewritten as equi join on the "
+    "tumbling bucket; anomalous-window list broadcasts, probe is "
+    "map-side",
+    "tfidf_top_terms": "tf and df from the same exploded pass (both "
+    "map-side combined); one-row corpus count broadcast; rank "
+    "partitions are per-doc vocabularies",
+    "token_budget_select": "NO global doc sort: cumulative budget "
+    "over the |distinct scores| bucket table; full buckets via "
+    "broadcast semi-join, boundary bucket is the only ordered scan",
+    "windowed_distinct_users": "two-phase exact distinct: partial "
+    "(window,user) dedup then window re-agg, both map-side combined",
+    "neardup_incremental_lsh": "new crawl signatures map-side; "
+    "candidates are (band,key) equi-joins against the on-disk index; "
+    "verification is an in-row zip_with over two 64-long arrays",
+    "compression_ratio": "map-only Arrow-batched deflate, ZERO "
+    "shuffles",
 }
 
 
