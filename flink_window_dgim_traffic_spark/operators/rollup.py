@@ -115,3 +115,58 @@ def rollup_serve(
         "ones_exact",
         "n_rows",
     )
+
+
+def refresh_rollup(spark, path: str, new_events: DataFrame,
+                   levels: tuple[int, ...] = DEFAULT_LEVELS) -> None:
+    """Incrementally fold a new event batch into the hierarchy — the
+    continuous-aggregate REFRESH: aggregate the batch at the finest
+    level, merge by window (sum), and propagate upward so only
+    re-aggregation of the (tiny) level tables happens; raw history is
+    never re-read.  Late events merge into their original windows
+    (the windows tables are keyed by window end, so a late row just
+    adds to an existing key).
+
+    The level tables are one row per window — small forever relative
+    to events — so each refresh rewrites them wholesale via a
+    localCheckpoint (read → merge → overwrite).  For exactly-once
+    under a streaming driver, wrap this in the batch-id-marker recipe
+    (see ``rollup_refresh_batch_fn``)."""
+    levels = tuple(sorted(levels))
+    inc = _finest(new_events, levels[0])
+    for i, lvl in enumerate(levels):
+        existing = spark.read.parquet(f"{path}/level-{lvl}")
+        merged = (
+            existing.unionByName(inc)
+            .groupBy("we_sec")
+            .agg(
+                F.sum("ones_exact").cast("bigint").alias("ones_exact"),
+                F.sum("n_rows").cast("bigint").alias("n_rows"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(f"{path}/level-{lvl}")
+        if i + 1 < len(levels):
+            # propagate ONLY the increment upward (re-coarsened from
+            # the batch's finest aggregates, not the whole level)
+            inc = _coarsen(inc, lvl, levels[i + 1])
+
+
+def rollup_refresh_batch_fn(path: str,
+                            levels: tuple[int, ...] = DEFAULT_LEVELS):
+    """foreachBatch wrapper with the exactly-once marker recipe: a
+    replayed batch id is skipped, so restart replays cannot
+    double-count windows.  (The merge itself is NOT idempotent —
+    sums would double — hence the marker gate, unlike the set-
+    semantics compaction in streaming/pipeline.py.)"""
+    import os
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        marker = f"{path}/_done/{batch_id}"
+        if os.path.exists(marker):
+            return
+        refresh_rollup(batch.sparkSession, path, batch, levels)
+        os.makedirs(f"{path}/_done", exist_ok=True)
+        open(marker, "w").close()
+
+    return process

@@ -35,6 +35,23 @@ from flink_window_dgim_traffic_spark.streaming.stateful_dgim import (  # noqa: E
 )
 
 
+def _topn_agg(parsed):
+    """The streamable half of window Top-N (streaming/alerts.py):
+    (window, user) append-mode counts.  The fixture has no user_id,
+    so one is synthesized from the event second (1000 distinct
+    users) — same key cardinality class as the events table."""
+    from pyspark.sql import functions as F
+
+    from flink_window_dgim_traffic_spark.streaming.alerts import (
+        windowed_user_counts_stream,
+    )
+
+    ev = parsed.select(
+        "ts", F.pmod("ts_sec", F.lit(1000)).alias("user_id")
+    )
+    return windowed_user_counts_stream(ev, 60, watermark="10 seconds")
+
+
 def run_pipeline(spark, fixture_dir: str, name: str, build) -> dict:
     """Replay the whole fixture through `build(parsed)` and time it."""
     stream = J.parse_traffic(
@@ -112,6 +129,15 @@ def main() -> None:
             lambda s: (
                 J.cumulate_exact_stream(s, 60, 10, watermark="10 seconds"),
                 "update",
+            ),
+        ),
+        run_pipeline(
+            spark,
+            fixture,
+            "windowed_user_counts_stream",
+            lambda s: (
+                _topn_agg(s),
+                "append",
             ),
         ),
     ]
