@@ -102,6 +102,48 @@ def _rollup_serve_10min(s: SparkSession, d: str) -> DataFrame:
     return RU.rollup_serve(s, path, 600)
 
 
+def _asof_generic(s: SparkSession, d: str) -> DataFrame:
+    """The GENERIC as-of join operator (relational.asof_join) on the
+    purchases←views pairing, attaching the matched view's event_id
+    (tiebreak-deterministic)."""
+    ev = _events(s, d)
+    buys = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    return R.asof_join(
+        buys,
+        views,
+        on="ts",
+        by=["user_id"],
+        right_cols=["event_id"],
+        tiebreak="event_id",
+    ).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("asof_ts"),
+        "asof_event_id",
+    )
+
+
+def _range_first_hour(s: SparkSession, d: str) -> DataFrame:
+    """The GENERIC range join (relational.range_join): per-user count
+    of events inside [first event, first event + 1 h)."""
+    ev = _events(s, d)
+    first = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("start_ts"))
+        .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        R.range_join(
+            ev, first, on="ts", start="start_ts", end="end_ts",
+            by=["user_id"],
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_first_hour"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the driver's correctness gate
     checks the first 50 entries (observed in CORRECTNESS_r01: exactly
@@ -140,6 +182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _documents(s, d), 20000
         ),
         "rollup_serve_10min": _rollup_serve_10min,
+        "asof_generic": lambda s, d: _asof_generic(s, d),
+        "range_join_first_hour": lambda s, d: _range_first_hour(s, d),
         # ---- round-3 additions ----
         "duplicated_spans": lambda s, d: D.duplicated_spans(
             _documents(s, d)
@@ -691,6 +735,31 @@ o AS (SELECT *, sum(n_tokens) OVER (
         ORDER BY q_e6 DESC, doc_id ASC
         ROWS UNBOUNDED PRECEDING) AS cum FROM q)
 SELECT doc_id, n_tokens, q_e6 FROM o WHERE cum <= 20000
+""",
+        # Generic as-of join: latest prior-or-equal view per purchase,
+        # tiebreak = largest event_id at the matched timestamp (the
+        # lateral ORDER BY mirrors the operator's tie rule exactly).
+        "asof_generic": """
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS asof_ts,
+       v.event_id AS asof_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN LATERAL (
+  SELECT ts, event_id FROM events v
+  WHERE v.event_type = 'view' AND v.user_id = p.user_id
+    AND v.ts <= p.ts
+  ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) v ON true
+""",
+        # Generic range join: per-user events inside the hour after
+        # their first event; oracle is the plain inequality join the
+        # Spark side rewrites into a bucketed equi join.
+        "range_join_first_hour": """
+WITH f AS (SELECT user_id, min(ts) AS s FROM events GROUP BY 1)
+SELECT e.user_id, count(*) AS n_first_hour
+FROM events e JOIN f ON e.user_id = f.user_id
+WHERE e.ts >= f.s AND e.ts < f.s + INTERVAL 1 HOUR
+GROUP BY e.user_id
 """,
         # Continuous-aggregate router served at 10 min from the 1-min
         # materialized level; oracle = direct 600 s tumble over raw

@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "neardup_incremental_lsh",
     "compression_ratio",
     "rollup_serve_10min",
+    "asof_generic",
+    "range_join_first_hour",
     "tumble_dgim",
     "tumble_dgim_fast",
     "sql_tumble_dgim",

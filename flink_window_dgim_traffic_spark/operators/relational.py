@@ -1393,3 +1393,124 @@ def q21_waiting_suppliers(
     return waits.join(
         F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
     ).select("s_name", "numwait")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """GENERIC as-of join — the temporal operator Spark lacks
+    natively (``asof_view_before_purchase`` is the fixed-shape demo;
+    this is the reusable form): every left row is paired with the
+    single right row whose ``on`` timestamp is the closest at-or-
+    before it (``backward``) or at-or-after it (``forward``), within
+    the same ``by`` keys; unmatched left rows keep NULLs.
+
+    NO range join and NO per-row subquery: both inputs are unioned,
+    tagged, and swept by ONE ordered window per ``by`` group —
+    ``last(ignorenulls)`` over the right-side payload struct carries
+    the nearest right row to each left row.  That is a single shuffle
+    on the ``by`` hash (the cost class of any keyed window),
+    independent of how many right rows precede each left row — the
+    MERGE-ASOF plan every temporal engine uses.
+
+    Ties: equal left/right timestamps MATCH (inclusive, both
+    directions); right rows sharing one timestamp are disambiguated
+    by ``tiebreak`` (the largest value wins) — pass one whenever the
+    right side can hold duplicate timestamps, or the pick is
+    partition-order-dependent.
+
+    Output: all left columns + ``asof_<on>`` (the matched right
+    timestamp) + ``asof_<c>`` for each requested right column."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+    by = list(by or [])
+    right_cols = list(right_cols or [])
+    payload = F.struct(
+        F.col(on).alias("_ts"), *[F.col(c).alias(c) for c in right_cols]
+    )
+    lhs = (
+        left.withColumn("_tag", F.lit(1))
+        .withColumn("_tb", F.lit(0).cast("long"))
+        .withColumn("_is_left", F.lit(True))
+    )
+    rhs = right.select(
+        *by,
+        F.col(on),
+        payload.alias("_rp"),
+        F.lit(0).alias("_tag"),
+        (F.col(tiebreak) if tiebreak else F.lit(0))
+        .cast("long")
+        .alias("_tb"),
+        F.lit(False).alias("_is_left"),
+    )
+    tagged = lhs.unionByName(rhs, allowMissingColumns=True)
+    ts_order = F.col(on).asc() if direction == "backward" else F.col(
+        on
+    ).desc()
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts_order, F.col("_tag").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = tagged.withColumn(
+        "_match", F.last("_rp", ignorenulls=True).over(w)
+    ).filter(F.col("_is_left"))
+    sel = [F.col(c) for c in left.columns]
+    sel.append(F.col("_match._ts").alias(f"asof_{on}"))
+    sel += [F.col(f"_match.{c}").alias(f"asof_{c}") for c in right_cols]
+    return out.select(*sel)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    by: list[str] | None = None,
+    bucket_sec: int = 3600,
+) -> DataFrame:
+    """GENERIC range (interval) join: every left row paired with each
+    right interval containing its timestamp (``start <= on < end``),
+    within ``by`` keys.
+
+    Executed as an EQUI join, never an inequality-only join (which
+    Spark plans as a nested-loop/cartesian): both sides map to the
+    fixed ``bucket_sec`` grid — intervals explode into the buckets
+    they overlap (bounded fan-out: ceil(len/bucket)+1 rows per
+    interval), left rows hash to their single bucket — the join runs
+    on (by…, bucket) with the exact interval predicate as a residual
+    filter.  Pick ``bucket_sec`` near the typical interval length:
+    fan-out stays O(1) per interval and each bucket holds only
+    co-located candidates.  Output: left columns + every right
+    column except the grid helpers."""
+    by = list(by or [])
+    b = F.lit(bucket_sec)
+    r_cols = [c for c in right.columns]
+    rhs = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(start) / b),
+                F.floor(
+                    (F.unix_timestamp(end) - F.lit(1)).cast("double") / b
+                ),
+            )
+        ),
+    )
+    lhs = left.withColumn(
+        "_bucket", F.floor(F.unix_timestamp(on) / b)
+    )
+    joined = lhs.join(rhs, [*by, "_bucket"]).filter(
+        (F.col(on) >= F.col(start)) & (F.col(on) < F.col(end))
+    )
+    keep_right = [c for c in r_cols if c not in by]
+    return joined.select(
+        *[F.col(c) for c in left.columns], *keep_right
+    )

@@ -341,3 +341,29 @@ def test_round4_ops_plan_shapes(t):
     df = C4.token_budget_select(docs)
     assert I.broadcast_join_count(df) >= 2 and not I.has_cartesian(df)
     assert I.read_columns(df, "documents") <= {"doc_id", "text"}
+    # generic range join: the interval predicate rides a bucket EQUI
+    # join, never a nested-loop/cartesian
+    from pyspark.sql import functions as F4
+
+    first = (
+        ev.groupBy("user_id")
+        .agg(F4.min("ts").alias("start_ts"))
+        .withColumn(
+            "end_ts", F4.col("start_ts") + F4.expr("INTERVAL 1 HOUR")
+        )
+    )
+    df = R.range_join(
+        ev, first, on="ts", start="start_ts", end="end_ts",
+        by=["user_id"],
+    )
+    assert not I.has_cartesian(df)
+    # generic as-of join: one keyed window sweep, no join at all
+    buys = ev.filter(F4.col("event_type") == "purchase")
+    views = ev.filter(F4.col("event_type") == "view")
+    df = R.asof_join(
+        buys, views, on="ts", by=["user_id"], right_cols=["event_id"],
+        tiebreak="event_id",
+    )
+    assert not I.has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan

@@ -489,3 +489,102 @@ def test_q21_rewrite_equals_literal_exists_formulation(spark, sf_dir):
     assert got == {
         (r["s_name"], r["numwait"]) for r in literal.collect()
     }
+
+
+# ----------------------------------------------------------------------
+# Generic as-of / range join operators (round 4)
+# ----------------------------------------------------------------------
+def _tsdf(spark, rows, cols):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, cols)
+    return df.select(
+        *[
+            F.timestamp_seconds(c).alias(c) if c.endswith("ts") else c
+            for c in df.columns
+        ]
+    )
+
+
+def test_asof_join_backward_forward_and_ties(spark):
+    left = _tsdf(
+        spark,
+        [(1, 100, "a"), (2, 200, "a"), (3, 50, "b")],
+        "id long, ts long, k string",
+    )
+    right = _tsdf(
+        spark,
+        [(10, 90, "a"), (11, 100, "a"), (12, 100, "a"), (13, 150, "a")],
+        "rid long, ts long, k string",
+    )
+    import flink_window_dgim_traffic_spark.operators.relational as R
+
+    back = {
+        r["id"]: (r["asof_rid"],)
+        for r in R.asof_join(
+            left, right, on="ts", by=["k"], right_cols=["rid"],
+            tiebreak="rid",
+        ).collect()
+    }
+    # id 1 at t=100: rights 11 and 12 tie at t=100 (inclusive match),
+    # largest tiebreak wins -> 12.  id 2 at t=200: latest is 13.
+    # id 3 (key b): no right rows -> NULL.
+    assert back[1] == (12,) and back[2] == (13,) and back[3] == (None,)
+    fwd = {
+        r["id"]: r["asof_rid"]
+        for r in R.asof_join(
+            left, right, on="ts", by=["k"], right_cols=["rid"],
+            direction="forward", tiebreak="rid",
+        ).collect()
+    }
+    # forward: id 1 matches the equal-ts rows (largest tiebreak 12);
+    # id 2 at t=200 has nothing at-or-after -> NULL; id 3 (key b)
+    # still has no right rows at all
+    assert fwd[1] == 12 and fwd[2] is None and fwd[3] is None
+
+
+def test_asof_join_rejects_bad_direction(spark):
+    import pytest as _pytest
+
+    import flink_window_dgim_traffic_spark.operators.relational as R
+
+    df = _tsdf(spark, [(1, 1, "a")], "id long, ts long, k string")
+    with _pytest.raises(ValueError, match="direction"):
+        R.asof_join(df, df, direction="nearest")
+
+
+def test_range_join_boundaries_and_multi_interval(spark):
+    import flink_window_dgim_traffic_spark.operators.relational as R
+
+    left = _tsdf(
+        spark,
+        [(1, 100, "a"), (2, 200, "a"), (3, 4000, "a"), (4, 100, "b")],
+        "id long, ts long, k string",
+    )
+    right = _tsdf(
+        spark,
+        [
+            (100, 100, 201, "a"),    # [100, 201): ids 1, 2 (start incl)
+            (101, 150, 5000, "a"),   # [150, 5000): ids 2, 3 (bucket-crossing)
+            (102, 200, 300, "b"),    # no b rows inside
+        ],
+        "iv long, start_ts long, end_ts long, k string",
+    )
+    got = {
+        (r["id"], r["iv"])
+        for r in R.range_join(
+            left, right, on="ts", start="start_ts", end="end_ts",
+            by=["k"], bucket_sec=1000,
+        ).collect()
+    }
+    assert got == {(1, 100), (2, 100), (2, 101), (3, 101)}
+    # end is EXCLUSIVE: a row exactly at end_ts never matches
+    at_end = _tsdf(spark, [(9, 201, "a")], "id long, ts long, k string")
+    got2 = {
+        r["iv"]
+        for r in R.range_join(
+            at_end, right, on="ts", start="start_ts", end="end_ts",
+            by=["k"], bucket_sec=1000,
+        ).collect()
+    }
+    assert got2 == {101}
