@@ -184,6 +184,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_serve_10min": _rollup_serve_10min,
         "asof_generic": lambda s, d: _asof_generic(s, d),
         "range_join_first_hour": lambda s, d: _range_first_hour(s, d),
+        "grouped_topk_events": lambda s, d: R.grouped_topk(
+            _events(s, d), ["event_type"], "value", 5, tiebreak="event_id"
+        ).select("event_type", "event_id", "value", "rnk"),
         # ---- round-3 additions ----
         "duplicated_spans": lambda s, d: D.duplicated_spans(
             _documents(s, d)
@@ -750,6 +753,17 @@ LEFT JOIN LATERAL (
   WHERE v.event_type = 'view' AND v.user_id = p.user_id
     AND v.ts <= p.ts
   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) v ON true
+""",
+        # Generic per-group top-k (map-side partial prune + window):
+        # must equal the plain ROW_NUMBER formulation exactly.
+        "grouped_topk_events": """
+SELECT event_type, event_id, value, CAST(rn AS BIGINT) AS rnk FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY value DESC, event_id ASC) AS rn
+  FROM events)
+WHERE rn <= 5
 """,
         # Generic range join: per-user events inside the hour after
         # their first event; oracle is the plain inequality join the

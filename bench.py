@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "rollup_serve_10min",
     "asof_generic",
     "range_join_first_hour",
+    "grouped_topk_events",
     "tumble_dgim",
     "tumble_dgim_fast",
     "sql_tumble_dgim",

@@ -1514,3 +1514,59 @@ def range_join(
     return joined.select(
         *[F.col(c) for c in left.columns], *keep_right
     )
+
+
+def grouped_topk(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """GENERIC per-group top-k with the lossless map-side partial
+    top-k prune — ``corpus.source_cap``'s signature scale technique
+    exposed as a reusable operator (the plain one-window formulation
+    funnels each group's ENTIRE row set through one task; at 100 TB a
+    hot group is a straggler or an OOM).
+
+    Phase 1 (``mapInPandas``, Arrow-batched, NO shuffle) keeps at
+    most ``k`` rows per group per input partition — lossless, because
+    a group's global top-k is a subset of the union of its
+    per-partition top-k sets.  Phase 2 ranks the ≤ k·partitions
+    survivors per group with the authoritative window.  Output: all
+    input columns + ``rnk``.
+
+    Determinism: pass a ``tiebreak`` (unique within group+order ties)
+    whenever ``order_col`` can repeat — without one, which of the
+    tied rows survives is partition-order-dependent."""
+    sort_cols = [order_col] + ([tiebreak] if tiebreak else [])
+    asc_flags = [ascending] + [True] * (len(sort_cols) - 1)
+
+    def partial(batches):
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            pool = pdf if best is None else pd.concat((best, pdf))
+            best = (
+                pool.sort_values(
+                    sort_cols, ascending=asc_flags, kind="mergesort"
+                )
+                .groupby(by, sort=False)
+                .head(k)
+            )
+        if best is not None and len(best):
+            yield best
+
+    pruned = df.mapInPandas(partial, df.schema)
+    order = [
+        F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    ]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*by).orderBy(*order)
+    return (
+        pruned.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -200,3 +200,33 @@ def read_ewma_alerts(spark, state_root: str) -> DataFrame:
     return spark.read.parquet(
         *[f"{state_root}/out/batch-{i}" for i in committed]
     )
+
+
+def windowed_distinct_users_stream(
+    events: DataFrame,
+    size_sec: int = 60,
+    rsd: float = 0.02,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming twin of ``windows.windowed_distinct_users_approx``:
+    per closed tumbling window, the HLL++ distinct-user estimate —
+    append mode, sketch-sized state per open window (the exact
+    COUNT(DISTINCT) is not streamable without holding every user id
+    in state; the sketch twin is the production dashboard path).
+    HLL merge is associative/commutative, so the estimate equals the
+    batch operator's bit-for-bit (tested)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{size_sec} seconds").alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias(
+                "n_users_approx"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.date_format(F.col("w.end"), TS_FMT).alias("window_end"),
+            "n_users_approx",
+            "n_rows",
+        )
+    )

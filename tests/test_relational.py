@@ -588,3 +588,53 @@ def test_range_join_boundaries_and_multi_interval(spark):
         ).collect()
     }
     assert got2 == {101}
+
+
+def test_grouped_topk_equals_window_formulation(spark, sf_dir):
+    """The map-side-pruned generic top-k must equal the plain
+    one-window formulation bit-for-bit, for any partitioning."""
+    import flink_window_dgim_traffic_spark.operators.relational as R
+    from flink_window_dgim_traffic_spark.session import table
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    for parts in (1, 7):
+        df = ev.repartition(parts)
+        got = {
+            tuple(r)
+            for r in R.grouped_topk(
+                df, ["event_type"], "value", 5, tiebreak="event_id"
+            )
+            .select("event_type", "event_id", "value", "rnk")
+            .collect()
+        }
+        w = W.partitionBy("event_type").orderBy(
+            F.col("value").desc(), F.col("event_id").asc()
+        )
+        expect = {
+            tuple(r)
+            for r in ev.withColumn(
+                "rnk", F.row_number().over(w).cast("bigint")
+            )
+            .filter("rnk <= 5")
+            .select("event_type", "event_id", "value", "rnk")
+            .collect()
+        }
+        assert got == expect, parts
+
+
+def test_grouped_topk_ascending(spark):
+    import flink_window_dgim_traffic_spark.operators.relational as R
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 5), ("a", 3, 7), ("b", 4, 1)],
+        "k string, id long, v long",
+    ).repartition(3)
+    got = {
+        (r["k"], r["id"], r["rnk"])
+        for r in R.grouped_topk(
+            df, ["k"], "v", 2, ascending=True, tiebreak="id"
+        ).collect()
+    }
+    assert got == {("a", 2, 1), ("a", 3, 2), ("b", 4, 1)}

@@ -209,3 +209,35 @@ def test_ewma_crash_between_state_and_marker(spark, tmp_path):
     }
     assert got["2024-01-01 00:02:00"] == (2000000, 0)
     assert got["2024-01-01 00:03:00"] == (2000000, 1)  # 8 > 2*2
+
+
+def test_windowed_distinct_users_stream_matches_batch(spark, tmp_path):
+    """HLL merge is associative/commutative, so the streaming sketch
+    estimate equals the batch approx operator's exactly over the same
+    closed windows."""
+    from flink_window_dgim_traffic_spark.streaming.alerts import (
+        windowed_distinct_users_stream,
+    )
+
+    src = _replay_dir(tmp_path)
+    q = (
+        windowed_distinct_users_stream(_stream(spark, src), 60)
+        .writeStream.format("memory")
+        .queryName("wdus")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r)
+        for r in spark.sql("select * from wdus").collect()
+    }
+    expect = {
+        tuple(r)
+        for r in W.windowed_distinct_users_approx(
+            _closed_batch_events(spark), 60
+        ).collect()
+    }
+    assert got == expect
