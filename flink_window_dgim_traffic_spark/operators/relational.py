@@ -1429,6 +1429,12 @@ def asof_join(
     timestamp) + ``asof_<c>`` for each requested right column."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
+    reserved = {"_tag", "_tb", "_is_left", "_rp", "_match"}
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"left columns collide with asof_join internals: {sorted(clash)}"
+        )
     by = list(by or [])
     right_cols = list(right_cols or [])
     payload = F.struct(

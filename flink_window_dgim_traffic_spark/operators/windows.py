@@ -693,34 +693,33 @@ def window_topn(
     Output: (window_end, user_id, n_events, rnk).
 
     Scale shape: one partially-aggregated shuffle on (window, user)
-    collapses events to the per-window user table, then the
-    ROW_NUMBER partitions by window — each partition is one window's
-    distinct-user set, which is bounded by traffic per window, not
-    corpus size.  If a single window can hold millions of distinct
-    users, pre-trim with the lossless map-side partial top-k used by
-    ``corpus.source_cap`` (each map task emits its local top-k;
-    k·tasks rows reach the rank) before the row_number."""
+    collapses events to the per-window user table; the rank then runs
+    through :func:`relational.grouped_topk` — the lossless map-side
+    partial top-k prune — so even a window holding millions of
+    distinct users feeds the authoritative ROW_NUMBER at most
+    k·partitions rows, never its full user set (output is identical
+    to the plain one-window formulation, which grouped_topk's own
+    tests pin)."""
+    from flink_window_dgim_traffic_spark.operators.relational import (
+        grouped_topk,
+    )
+
     counts = (
         events.groupBy(
             F.window("ts", f"{size_sec} seconds").alias("w"), "user_id"
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
-    )
-    w = Window.partitionBy("w").orderBy(
-        F.col("n_events").desc(), F.col("user_id").asc()
-    )
-    return (
-        counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= k)
         .select(
             F.date_format(F.col("w.end"), TS_FMT_SPARK).alias(
                 "window_end"
             ),
             "user_id",
             "n_events",
-            "rnk",
         )
     )
+    return grouped_topk(
+        counts, ["window_end"], "n_events", k, tiebreak="user_id"
+    ).select("window_end", "user_id", "n_events", "rnk")
 
 
 def ewma_anomaly(
