@@ -187,6 +187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_topk_events": lambda s, d: R.grouped_topk(
             _events(s, d), ["event_type"], "value", 5, tiebreak="event_id"
         ).select("event_type", "event_id", "value", "rnk"),
+        "table_profile_events": lambda s, d: R.table_profile(
+            _events(s, d)
+        ),
         # ---- round-3 additions ----
         "duplicated_spans": lambda s, d: D.duplicated_spans(
             _documents(s, d)
@@ -754,6 +757,26 @@ LEFT JOIN LATERAL (
     AND v.ts <= p.ts
   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) v ON true
 """,
+        # ANALYZE-style per-column profile of events; string forms are
+        # dtype-pinned (strftime micro / printf %.6f / plain cast) so
+        # lexicographic min/max agree across engines.
+        "table_profile_events": "\nUNION ALL\n".join(
+            f"""
+SELECT '{c}' AS "column", count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       min({s}) AS min_str, max({s}) AS max_str
+FROM events"""
+            for c, s in [
+                ("event_id", "CAST(event_id AS VARCHAR)"),
+                ("ts", "strftime(ts, '%Y-%m-%d %H:%M:%S.%f')"),
+                ("user_id", "CAST(user_id AS VARCHAR)"),
+                ("event_type", "event_type"),
+                ("value", "printf('%.6f', value)"),
+                ("props", "props"),
+            ]
+        ),
         # Generic per-group top-k (map-side partial prune + window):
         # must equal the plain ROW_NUMBER formulation exactly.
         "grouped_topk_events": """

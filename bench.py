@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "asof_generic",
     "range_join_first_hour",
     "grouped_topk_events",
+    "table_profile_events",
     "tumble_dgim",
     "tumble_dgim_fast",
     "sql_tumble_dgim",

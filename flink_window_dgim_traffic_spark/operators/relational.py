@@ -1576,3 +1576,64 @@ def grouped_topk(
         pruned.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def table_profile(df: DataFrame) -> DataFrame:
+    """ANALYZE-style per-column profile of ANY DataFrame — the data-
+    quality / catalog-statistics surface (row count, null count,
+    exact distinct count, lexicographic min/max of the string form)
+    in long format: (column, n_rows, n_null, n_distinct, min_str,
+    max_str).
+
+    One JOB, |columns| aggregate expressions — every statistic is a
+    built-in aggregate over one scan (count_distinct expands to a
+    partial-distinct + merge per column, all planned together; no
+    per-column passes, no collect).  The string form is DTYPE-PINNED
+    (timestamps → fixed microsecond format, floats → printf %.6f,
+    else plain cast) so min/max compare identically in any engine —
+    a bare cast's fraction-trimming differs between Spark and DuckDB.
+    Scale note: exact distinct on a 100 TB column is a real shuffle —
+    swap ``approx_count_distinct`` per column when ±2% suffices; the
+    oracle pins the exact variant."""
+    from pyspark.sql.types import DoubleType, FloatType, TimestampType
+
+    def s_form(c: str):
+        dt = df.schema[c].dataType
+        col = F.col(c)
+        if isinstance(dt, TimestampType):
+            out = F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        elif isinstance(dt, (DoubleType, FloatType)):
+            out = F.format_string("%.6f", col)
+        else:
+            out = col.cast("string")
+        return F.when(col.isNotNull(), out)
+
+    aggs = []
+    for c in df.columns:
+        s = s_form(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__dist"),
+            F.min(s).alias(f"{c}__min"),
+            F.max(s).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"{c}__n").alias("n_rows"),
+                        F.col(f"{c}__null").alias("n_null"),
+                        F.col(f"{c}__dist").alias("n_distinct"),
+                        F.col(f"{c}__min").alias("min_str"),
+                        F.col(f"{c}__max").alias("max_str"),
+                    )
+                    for c in df.columns
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.*")

@@ -746,7 +746,12 @@ def ewma_anomaly(
     anywhere (same recipe family as ``embedding_outliers``).
 
     The first window (no history) reports ewma_e6 = 0 and is never
-    anomalous.  Scale shape: the events-to-windows reduction is the
+    anomalous.  "Preceding windows" means preceding NON-EMPTY windows
+    (tumbling aggregates emit no row for an eventless window, in
+    Spark, DuckDB, and the streaming twin alike) — the baseline skips
+    silent gaps rather than treating them as zero-count windows, the
+    usual choice for traffic alerting where a gap means "no data",
+    not "no traffic".  Scale shape: the events-to-windows reduction is the
     ``tumble_exact`` plan; the EWMA itself runs on the WINDOWS table
     (one row per ``size_sec`` — ~525 k rows/year at 60 s, driver-side
     tiny forever), so the single-partition ordered window there is a

@@ -638,3 +638,20 @@ def test_grouped_topk_ascending(spark):
         ).collect()
     }
     assert got == {("a", 2, 1), ("a", 3, 2), ("b", 4, 1)}
+
+
+def test_table_profile_null_handling(spark):
+    import flink_window_dgim_traffic_spark.operators.relational as R
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, None, None), (3, "b", 0.25)],
+        "id long, s string, v double",
+    )
+    prof = {r["column"]: r for r in R.table_profile(df).collect()}
+    assert prof["s"]["n_null"] == 1 and prof["s"]["n_distinct"] == 2
+    assert prof["s"]["min_str"] == "a" and prof["s"]["max_str"] == "b"
+    # NULL never pollutes min/max (no literal 'null' strings)
+    assert prof["v"]["n_null"] == 1
+    assert prof["v"]["min_str"] == "0.250000"
+    assert prof["v"]["max_str"] == "2.500000"
+    assert prof["id"]["n_rows"] == 3 and prof["id"]["n_null"] == 0
