@@ -108,3 +108,102 @@ def test_refresh_batch_fn_replay_is_skipped(spark, sf_dir, tmp_path):
     assert {
         tuple(r) for r in rollup_serve(spark, path, 60).collect()
     } == once
+
+
+def test_end_to_end_datasource_stream_to_rollup(spark, tmp_path):
+    """Capstone composition: the registered traffic DataSource STREAM
+    feeds the continuous-aggregate refresh via foreachBatch — the
+    full reference pipeline (generator → stream → windowed aggregate
+    store) with zero fixture files, exactly-once across restarts.
+    The served 60 s counts must equal a batch aggregation of exactly
+    the rows the stream emitted."""
+    from pyspark.sql import functions as F
+
+    from flink_window_dgim_traffic_spark.operators.rollup import (
+        rollup_refresh_batch_fn,
+        rollup_serve,
+    )
+    from flink_window_dgim_traffic_spark.sources import (
+        traffic_datasource as TD,
+    )
+
+    TD.register(spark)
+    path = str(tmp_path / "agg")
+    raw_out = str(tmp_path / "raw")
+    ckpt = str(tmp_path / "ck")
+    # empty hierarchy seed
+    from flink_window_dgim_traffic_spark.operators.rollup import (
+        build_rollup_hierarchy,
+    )
+
+    build_rollup_hierarchy(
+        spark.createDataFrame(
+            [], "event_id long, ts timestamp"
+        ),
+        path,
+    )
+
+    def run():
+        s = (
+            spark.readStream.format("traffic")
+            .option("duration_sec", 120)
+            .option("step_sec", 40)
+            .load()
+        )
+        # parse the generator's wire rows into the events shape the
+        # rollup expects, keeping a copy of the raw rows for the twin
+        ev = (
+            s.select(
+                F.try_to_timestamp(
+                    F.col("timestamp"),
+                    F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+                ).alias("ts"),
+                F.expr("try_cast(value AS INT)").alias("bit"),
+            )
+            .filter(F.col("ts").isNotNull() & F.col("bit").isNotNull())
+            # rollup derives bit from event_id % 2: synthesize an
+            # event_id with the right parity
+            .select(F.col("bit").cast("long").alias("event_id"), "ts")
+        )
+
+        def fold(batch, bid):
+            rollup_refresh_batch_fn(path)(batch, bid)
+            batch.write.mode("append").parquet(raw_out)
+
+        q = (
+            ev.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for _ in range(4):  # drains the 120 s source in 40 s steps
+        run()
+
+    served = {
+        tuple(r) for r in rollup_serve(spark, path, 60).collect()
+    }
+    raw = spark.read.parquet(raw_out).dropDuplicates()
+    direct = {
+        tuple(r)
+        for r in raw.groupBy(
+            F.window("ts", "60 seconds").alias("w")
+        )
+        .agg(
+            F.sum(F.pmod("event_id", F.lit(2)).cast("int"))
+            .cast("bigint")
+            .alias("ones_exact"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_end"
+            ),
+            "ones_exact",
+            "n_rows",
+        )
+        .collect()
+    }
+    assert served == direct
+    assert len(served) >= 2  # the 120 s source spans >= two windows
