@@ -126,6 +126,17 @@ SHOWCASE = {
     "verification is an in-row zip_with over two 64-long arrays",
     "compression_ratio": "map-only Arrow-batched deflate, ZERO "
     "shuffles",
+    "asof_generic": "MERGE-ASOF shape: union+tag+one keyed window "
+    "sweep — NO join node at all; one shuffle on the by-key hash",
+    "range_join_first_hour": "interval containment as a bucketed "
+    "EQUI join + residual predicate, never a nested-loop cartesian",
+    "grouped_topk_events": "lossless map-side partial top-k prune "
+    "(≤ k rows/group/partition reach the shuffle) before the "
+    "authoritative per-group rank",
+    "table_profile_events": "all columns' count/null/distinct/"
+    "min/max aggregates planned in ONE job over one scan",
+    "rollup_serve_10min": "router reads ONLY the coarsest tiling "
+    "level's tiny table — raw events never rescanned",
 }
 
 
