@@ -190,6 +190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile_events": lambda s, d: R.table_profile(
             _events(s, d)
         ),
+        "corpus_weighted_sample": lambda s, d: C.corpus_weighted_sample(
+            _documents(s, d), 100
+        ),
         # ---- round-3 additions ----
         "duplicated_spans": lambda s, d: D.duplicated_spans(
             _documents(s, d)
@@ -756,6 +759,32 @@ LEFT JOIN LATERAL (
   WHERE v.event_type = 'view' AND v.user_id = p.user_id
     AND v.ts <= p.ts
   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) v ON true
+""",
+        # Efraimidis-Spirakis weighted sample w/o replacement: priority
+        # u^(1/w) as one fixed float sequence (dyadic-rational u, ln,
+        # two multiplies, one divide) quantized to BIGINT micro-keys.
+        "corpus_weighted_sample": f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws
+             FROM documents),
+s AS (SELECT doc_id, len(ws) AS n,
+      len(list_filter(ws, w -> w IN {_STOP_LIST})) AS stop_cnt
+      FROM tok),
+q AS (SELECT doc_id,
+      CAST(round(round(least(n, 50) / 50 * 0.5
+                       + (1 - stop_cnt / n) * 0.5, 6)
+                 * 1000000.0) AS BIGINT) AS q_e6
+      FROM s WHERE n > 0),
+k AS (SELECT doc_id, q_e6,
+      CAST(round(
+        ln((CAST('0x' || substr(md5('ws0:' || CAST(doc_id AS VARCHAR)),
+                                1, 15) AS BIGINT) + 1)
+           / 1152921504606846976.0)
+        * 1000000.0 / q_e6 * 1000000.0) AS BIGINT) AS key_e6
+      FROM q WHERE q_e6 > 0)
+SELECT doc_id, q_e6, key_e6,
+       CAST(row_number() OVER (ORDER BY key_e6 DESC, doc_id ASC)
+            AS BIGINT) AS rnk
+FROM k ORDER BY key_e6 DESC, doc_id ASC LIMIT 100
 """,
         # ANALYZE-style per-column profile of events; string forms are
         # dtype-pinned (strftime micro / printf %.6f / plain cast) so

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "range_join_first_hour",
     "grouped_topk_events",
     "table_profile_events",
+    "corpus_weighted_sample",
     "tumble_dgim",
     "tumble_dgim_fast",
     "sql_tumble_dgim",

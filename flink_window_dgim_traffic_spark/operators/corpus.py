@@ -494,3 +494,59 @@ def token_budget_select(
     return sel_full.unionByName(sel_boundary).select(
         "doc_id", "n_tokens", "q_e6"
     )
+
+
+def corpus_weighted_sample(
+    documents: DataFrame, k: int = 100, salt: str = "ws0"
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, inclusion probability
+    ∝ quality — the Efraimidis–Spirakis A-ES scheme (each doc gets
+    priority u^(1/w) for a uniform u; the top-k priorities ARE a
+    weighted sample without replacement).  The "pick k docs biased
+    toward quality" primitive, deterministic and engine-exact.
+
+    Determinism: u is a dyadic rational from md5(salt, doc_id) (60
+    hash bits + 1 over 2^60 — the bigint→double conversion and the
+    power-of-two divide round identically in every IEEE engine), and
+    the log-priority ``ln(u)·10^6 / q_e6`` is ONE fixed float
+    sequence quantized to a BIGINT key; ranking is key desc (closer
+    to zero = higher priority), doc_id tie-break.  Changing ``salt``
+    redraws the sample.
+
+    Output: (doc_id, q_e6, key_e6, rnk).  Scale shape: the key is
+    map-only; top-k is TakeOrderedAndProject (per-partition heads +
+    one k-row merge), never a global sort."""
+    from flink_window_dgim_traffic_spark.operators.text import (
+        quality_score_col,
+    )
+
+    toks = F.split("text", " ")
+    scored = documents.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(quality_score_col() * F.lit(1000000.0), 0)
+        .cast("bigint")
+        .alias("q_e6"),
+    ).filter((F.col("n_tokens") > 0) & (F.col("q_e6") > 0))
+    h60 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h60 + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = F.round(
+        F.log(u) * F.lit(1000000.0) / F.col("q_e6") * F.lit(1000000.0), 0
+    ).cast("bigint")
+    ranked = (
+        scored.withColumn("key_e6", key)
+        .orderBy(F.col("key_e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("key_e6").desc(), F.col("doc_id").asc())
+    return ranked.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    ).select("doc_id", "q_e6", "key_e6", "rnk")

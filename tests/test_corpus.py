@@ -393,3 +393,32 @@ def test_token_budget_select_boundary_semantics(spark):
     assert got == [1, 2, 3]
     # budget below the first bucket's first doc: nothing selected
     assert token_budget_select(docs, budget_tokens=25).count() == 0
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    """A-ES weighted sampling: inclusion frequency must track quality
+    weight across independent salts, and a fixed salt is rerun-stable."""
+    from flink_window_dgim_traffic_spark.operators.corpus import (
+        corpus_weighted_sample,
+    )
+
+    # two tiers: 20 long, stopword-free docs (high q) vs 20 short,
+    # stopword-heavy docs (low q)
+    hi = " ".join(f"w{i}" for i in range(50))
+    lo = "the of to a"
+    docs = spark.createDataFrame(
+        [(i, hi if i < 20 else lo, "en", "s", 10) for i in range(40)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    a = [tuple(r) for r in corpus_weighted_sample(docs, 10).collect()]
+    b = [tuple(r) for r in corpus_weighted_sample(docs, 10).collect()]
+    assert a == b  # deterministic for a fixed salt
+    hi_picks = lo_picks = 0
+    for s in range(30):
+        got = corpus_weighted_sample(docs, 10, salt=f"t{s}").collect()
+        hi_picks += sum(1 for r in got if r["doc_id"] < 20)
+        lo_picks += sum(1 for r in got if r["doc_id"] >= 20)
+    # q_hi/q_lo ≈ 1.0/0.54 -> expect clear but not total separation
+    assert hi_picks > lo_picks * 1.3, (hi_picks, lo_picks)
+    assert lo_picks > 0  # without replacement, low tier still appears
