@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_weighted_sample": lambda s, d: C.corpus_weighted_sample(
             _documents(s, d), 100
         ),
+        "media_dedup": lambda s, d: M.media_dedup(_documents(s, d)),
         # ---- round-3 additions ----
         "duplicated_spans": lambda s, d: D.duplicated_spans(
             _documents(s, d)
@@ -759,6 +760,13 @@ LEFT JOIN LATERAL (
   WHERE v.event_type = 'view' AND v.user_id = p.user_id
     AND v.ts <= p.ts
   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) v ON true
+""",
+        # Exact media dedup: md5 of the binary payload (== utf-8 text
+        # bytes in the deterministic stand-in blob), min-id per digest.
+        "media_dedup": """
+WITH h AS (SELECT doc_id, md5(text) AS digest FROM documents)
+SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies, digest
+FROM h GROUP BY digest
 """,
         # Efraimidis-Spirakis weighted sample w/o replacement: priority
         # u^(1/w) as one fixed float sequence (dyadic-rational u, ln,

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "grouped_topk_events",
     "table_profile_events",
     "corpus_weighted_sample",
+    "media_dedup",
     "tumble_dgim",
     "tumble_dgim_fast",
     "sql_tumble_dgim",

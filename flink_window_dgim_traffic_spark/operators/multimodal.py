@@ -180,3 +180,27 @@ def multimodal_frame_stats(documents: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames_kept"),
         F.sum(F.octet_length("frame")).cast("bigint").alias("bytes_kept"),
     )
+
+
+def media_dedup(documents: DataFrame) -> DataFrame:
+    """Exact media deduplication over the opaque binary payload: one
+    md5 per blob (JVM-side, streams the bytes — the payload never
+    reaches Python), keep the min doc_id per digest with the copy
+    count.  The media twin of ``dedup.dedup_exact`` — the first pass
+    of any image/video pipeline (perceptual/pHash near-dup would
+    follow the same keyed-aggregation shape on a decoder-derived
+    fingerprint; the decoder is the documented container stub).
+
+    Output: (keep_doc_id, n_copies, digest).  Scale shape: ONE
+    partially-aggregated shuffle on the 16-byte digest; blobs
+    themselves never shuffle."""
+    blobs = with_media_blob(documents)
+    return (
+        blobs.select("doc_id", F.md5("payload").alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_doc_id", "n_copies", "digest")
+    )

@@ -197,3 +197,24 @@ def test_null_and_empty_text_rows(spark):
     assert 1 not in ent_ids and 3 in ent_ids
     iw_ids = {r["doc_id"] for r in C.importance_weights(docs).collect()}
     assert 1 not in iw_ids and 3 in iw_ids
+
+
+def test_media_dedup_exact_copies(spark):
+    from flink_window_dgim_traffic_spark.operators.multimodal import (
+        media_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same bytes", "en", "s", 10),
+            (5, "same bytes", "en", "s", 10),
+            (3, "other bytes", "en", "s", 11),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = {
+        r["keep_doc_id"]: r["n_copies"]
+        for r in media_dedup(docs).collect()
+    }
+    assert got == {1: 2, 3: 1}  # min doc_id survives, copies counted
