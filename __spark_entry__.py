@@ -102,6 +102,63 @@ def _rollup_serve_10min(s: SparkSession, d: str) -> DataFrame:
     return RU.rollup_serve(s, path, 600)
 
 
+def _rollup_serve_realtime(s: SparkSession, d: str) -> DataFrame:
+    """Real-time continuous aggregate: the hierarchy is folded only up
+    to a time cut (the first 4/5 of the event range), the last fifth
+    stays unmaterialized — the realtime router unions the materialized
+    windows below the high-water mark with a direct, scan-pruned
+    aggregation of the raw tail.  The oracle is the direct 60 s tumble
+    over ALL events — hash equality proves the stitched result exact."""
+    import tempfile
+
+    from flink_window_dgim_traffic_spark.operators import rollup as RU
+
+    ev = _events(s, d)
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    cut = lo + (hi - lo) * 4 // 5
+    path = tempfile.mkdtemp(prefix="spark_graft_rollup_rt_")
+    RU.build_rollup_hierarchy(
+        ev.filter(F.unix_micros("ts") <= F.lit(cut)), path
+    )
+    return RU.rollup_serve_realtime(s, path, 60, ev)
+
+
+def _stream_rollup_60s(s: SparkSession, d: str) -> DataFrame:
+    """The streaming surface end to end as an oracle-checked query:
+    the events table is replayed through Structured Streaming (file
+    source, one file per micro-batch) into the continuous-aggregate
+    refresh (foreachBatch, snapshot-staged exactly-once), and the
+    SERVED 60 s windows are returned.  The oracle is the direct 60 s
+    tumble over the same events — the stream-produced state must
+    hash-match the batch aggregation."""
+    import tempfile
+
+    from flink_window_dgim_traffic_spark.operators import rollup as RU
+
+    base = tempfile.mkdtemp(prefix="spark_graft_streamroll_")
+    src, path, ckpt = f"{base}/src", f"{base}/agg", f"{base}/ck"
+    ev = _events(s, d).select("event_id", "ts")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    RU.build_rollup_hierarchy(
+        s.createDataFrame([], "event_id long, ts timestamp"), path
+    )
+    stream = (
+        s.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(RU.rollup_refresh_batch_fn(path))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return RU.rollup_serve(s, path, 60)
+
+
 def _asof_generic(s: SparkSession, d: str) -> DataFrame:
     """The GENERIC as-of join operator (relational.asof_join) on the
     purchases←views pairing, attaching the matched view's event_id
@@ -164,8 +221,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``approx_distinct_users`` is bound-checked against
     ``distinct_users``."""
     return {
-        # ---- round-4 additions (window discipline: new ops enter
+        # ---- round-5 additions (window discipline: new ops enter
         # ahead of already-green entries) ----
+        "span_dedup": lambda s, d: D.span_dedup(_documents(s, d)),
+        "rollup_serve_realtime": _rollup_serve_realtime,
+        "stream_rollup_60s": _stream_rollup_60s,
+        # ---- round-4 additions ----
         "window_topn": lambda s, d: W.window_topn(_events(s, d), 60, 3),
         "sql_window_topn": lambda s, d: Q.sql_window_topn(s, d, 60, 3),
         "windowed_distinct_users": lambda s, d: W.windowed_distinct_users(
@@ -498,6 +559,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _embeddings(s, d)
         ),
         "approx_distinct_users": lambda s, d: R.approx_distinct_users(_events(s, d)),
+        # HLL++ scale switch of table_profile: sketch estimates ->
+        # rows-only; within-3·rsd bound pinned in test_relational.py.
+        "table_profile_events_approx": lambda s, d: R.table_profile(
+            _events(s, d), exact=False
+        ),
         "windowed_distinct_users_approx": lambda s, d: (
             W.windowed_distinct_users_approx(_events(s, d), 60)
         ),
@@ -628,6 +694,44 @@ def oracle_sql() -> dict[str, str]:
         "round(CAST(overlap AS DOUBLE) / CAST(na.c + nb.c - overlap AS DOUBLE), 6)"
     )
     return {
+        # ---- round-5 additions ----
+        # Cross-document span excision: every 5-token span occurring
+        # in >=2 distinct docs is removed from every doc except its
+        # min-doc_id owner; surviving tokens reassembled in order.
+        "span_dedup": """
+WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+t AS (SELECT doc_id, i-1 AS pos, ws[i] AS token
+      FROM tok, unnest(generate_series(1, len(ws))) AS u(i)),
+sp AS (SELECT doc_id, i-1 AS pos, array_to_string(ws[i:i+4], ' ') AS span
+       FROM tok, unnest(generate_series(1, len(ws)-4)) AS u(i)),
+own AS (SELECT span, min(doc_id) AS owner,
+               count(DISTINCT doc_id) AS n_docs
+        FROM sp GROUP BY 1),
+cov AS (SELECT DISTINCT sp.doc_id, sp.pos + j AS pos
+        FROM sp JOIN own USING (span),
+             unnest(generate_series(0, 4)) AS g(j)
+        WHERE own.n_docs >= 2 AND sp.doc_id <> own.owner),
+kept AS (SELECT t.doc_id, t.pos, t.token
+         FROM t ANTI JOIN cov
+           ON t.doc_id = cov.doc_id AND t.pos = cov.pos),
+reb AS (SELECT doc_id, count(*) AS kept_tokens,
+               string_agg(token, ' ' ORDER BY pos) AS dedup_text
+        FROM kept GROUP BY 1),
+tot AS (SELECT doc_id, coalesce(len(ws), 0) AS n_tokens FROM tok)
+SELECT tot.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens - coalesce(kept_tokens, 0) AS BIGINT)
+         AS n_removed_tokens,
+       coalesce(dedup_text, '') AS dedup_text
+FROM tot LEFT JOIN reb USING (doc_id)
+""",
+        # Real-time continuous aggregate (materialized levels below
+        # the high-water mark + scan-pruned raw tail) must equal the
+        # direct 60 s tumble over ALL events.
+        "rollup_serve_realtime": _tumble_sql(60),
+        # Stream-produced rollup state (file-source replay through
+        # the exactly-once snapshot refresh) must equal the same
+        # direct tumble — the streaming surface's hard hash check.
+        "stream_rollup_60s": _tumble_sql(60),
         # ---- round-4 additions ----
         # Flink SQL Window Top-N twin: per tumbling window, top-3
         # users by event count, count-desc / user_id-asc ranked.

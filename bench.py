@@ -30,6 +30,9 @@ from flink_window_dgim_traffic_spark.session import get_spark, table  # noqa: E4
 # BASELINE.md §"Bench exclusions" (plan-identical twins and deliberate
 # anti-pattern parity demos).
 BENCH_QUERIES = [
+    "span_dedup",
+    "rollup_serve_realtime",
+    "table_profile_events_approx",
     "tumble_exact",
     "hop_exact",
     "cumulate_exact",

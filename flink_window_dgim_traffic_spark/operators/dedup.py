@@ -723,6 +723,91 @@ def duplicated_spans(documents: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def span_dedup(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Cross-document span-level deduplication — the "dedup the
+    training text, not the docs" operation (ExactSubstr removal of
+    the deduplicating-training-data literature, restricted to k-token
+    spans): every length-k token window duplicated across ≥2 distinct
+    documents is EXCISED from every document except its canonical
+    owner (the smallest doc_id containing it), and each document's
+    surviving tokens are reassembled in order.  Complements
+    :func:`duplicated_spans` (which only MEASURES duplication) and
+    :func:`chunk_dedup` (aligned chunks miss shifted copies): a
+    paragraph pasted into ten crawls at any token offset survives in
+    exactly one of them.
+
+    Output per doc: n_tokens, n_removed_tokens, dedup_text.
+
+    Scale shape — keyed aggregations and equi-joins only, NO pair
+    join: span extraction is one codegen'd regex projection; span →
+    (owner, doc-frequency) is a map-side-combinable aggregation; the
+    occurrences-of-dup-spans join is an equi-join on the span hash
+    whose build side is one row per duplicated span (AQE
+    skew-splittable on boilerplate spans); covered-position expansion
+    fans out a bounded k rows per occurrence; the final excision is a
+    LEFT ANTI join on (doc_id, position) and the reassembly sorts
+    each doc's survivors in-row (``sort_array``), never a global
+    orderBy.
+    """
+    pat = r"(?<![^ ])(?=(" + r" ".join([r"[^ ]+"] * k) + r"))"
+    toks = F.split("text", " ")
+    tokens = documents.select(
+        "doc_id", F.posexplode(toks).alias("pos", "token")
+    )
+    spans = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all("text", F.lit(pat), 1)
+        ).alias("pos", "span"),
+    )
+    dup_owner = (
+        spans.groupBy("span")
+        .agg(
+            F.min("doc_id").alias("owner"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select("span", "owner")
+    )
+    covered = (
+        spans.join(dup_owner, "span")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    totals = documents.select(
+        "doc_id",
+        F.coalesce(F.size(toks), F.lit(0)).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("n_tokens")
+            - F.coalesce("kept_tokens", F.lit(0))
+        ).cast("bigint").alias("n_removed_tokens"),
+        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+    )
+
+
 def cdc_chunk_dedup(
     documents: DataFrame, w: int = 4, div: int = 8, base: int = 131
 ) -> DataFrame:

@@ -1421,14 +1421,30 @@ def asof_join(
 
     Ties: equal left/right timestamps MATCH (inclusive, both
     directions); right rows sharing one timestamp are disambiguated
-    by ``tiebreak`` (the largest value wins) — pass one whenever the
-    right side can hold duplicate timestamps, or the pick is
-    partition-order-dependent.
+    by ``tiebreak`` ordered in its NATIVE type (the largest value
+    wins — a string id picks the lexicographically largest) — pass
+    one whenever the right side can hold duplicate timestamps, or
+    the pick is partition-order-dependent.  A non-orderable tiebreak
+    type (map) raises instead of silently degrading.
+
+    Scale caveat: with ``by=[]`` the single global window funnels
+    BOTH inputs through one partition — inherent to an unkeyed
+    as-of (the merge needs a total time order); fine for dimension-
+    sized inputs, wrong for two large fact tables.
 
     Output: all left columns + ``asof_<on>`` (the matched right
     timestamp) + ``asof_<c>`` for each requested right column."""
+    from pyspark.sql.types import MapType
+
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
+    if tiebreak is not None:
+        tb_type = right.schema[tiebreak].dataType
+        if isinstance(tb_type, MapType):
+            raise ValueError(
+                f"tiebreak column {tiebreak!r} has non-orderable type"
+                f" {tb_type.simpleString()}"
+            )
     reserved = {"_tag", "_tb", "_is_left", "_rp", "_match"}
     clash = reserved & set(left.columns)
     if clash:
@@ -1440,9 +1456,18 @@ def asof_join(
     payload = F.struct(
         F.col(on).alias("_ts"), *[F.col(c).alias(c) for c in right_cols]
     )
+    # the tiebreak orders in its NATIVE type (never cast — a long
+    # cast silently NULLed string ids); left rows carry a NULL of the
+    # same type (their _tb never participates: _tag already differs)
+    tb_right = F.col(tiebreak) if tiebreak else F.lit(0)
+    tb_left = (
+        F.lit(None).cast(right.schema[tiebreak].dataType)
+        if tiebreak
+        else F.lit(0)
+    )
     lhs = (
         left.withColumn("_tag", F.lit(1))
-        .withColumn("_tb", F.lit(0).cast("long"))
+        .withColumn("_tb", tb_left)
         .withColumn("_is_left", F.lit(True))
     )
     rhs = right.select(
@@ -1450,9 +1475,7 @@ def asof_join(
         F.col(on),
         payload.alias("_rp"),
         F.lit(0).alias("_tag"),
-        (F.col(tiebreak) if tiebreak else F.lit(0))
-        .cast("long")
-        .alias("_tb"),
+        tb_right.alias("_tb"),
         F.lit(False).alias("_is_left"),
     )
     tagged = lhs.unionByName(rhs, allowMissingColumns=True)
@@ -1499,14 +1522,17 @@ def range_join(
     by = list(by or [])
     b = F.lit(bucket_sec)
     r_cols = [c for c in right.columns]
+    # upper bound is floor(end/b) WITHOUT subtracting: unix_timestamp
+    # truncates fractional seconds, so a "-1" would skip the bucket
+    # holding [trunc(end), end) whenever end has a fractional part on
+    # a bucket-aligned second — the at-most-one spurious bucket this
+    # admits is removed by the exact residual filter below
     rhs = right.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
                 F.floor(F.unix_timestamp(start) / b),
-                F.floor(
-                    (F.unix_timestamp(end) - F.lit(1)).cast("double") / b
-                ),
+                F.floor(F.unix_timestamp(end) / b),
             )
         ),
     )
@@ -1578,7 +1604,8 @@ def grouped_topk(
     )
 
 
-def table_profile(df: DataFrame) -> DataFrame:
+def table_profile(df: DataFrame, exact: bool = True,
+                  rsd: float = 0.02) -> DataFrame:
     """ANALYZE-style per-column profile of ANY DataFrame — the data-
     quality / catalog-statistics surface (row count, null count,
     exact distinct count, lexicographic min/max of the string form)
@@ -1592,9 +1619,13 @@ def table_profile(df: DataFrame) -> DataFrame:
     (timestamps → fixed microsecond format, floats → printf %.6f,
     else plain cast) so min/max compare identically in any engine —
     a bare cast's fraction-trimming differs between Spark and DuckDB.
-    Scale note: exact distinct on a 100 TB column is a real shuffle —
-    swap ``approx_count_distinct`` per column when ±2% suffices; the
-    oracle pins the exact variant."""
+    Scale switch: exact distinct on a 100 TB column is a real
+    shuffle per column — ``exact=False`` swaps every distinct count
+    for ``approx_count_distinct`` (HLL++, relative error ``rsd``),
+    turning the whole profile into ONE map-side-combinable pass with
+    sketch-sized partial state.  The oracle pins the exact variant;
+    the approx twin is bound-tested (within 3·rsd of exact on every
+    column) and benched separately."""
     from pyspark.sql.types import DoubleType, FloatType, TimestampType
 
     def s_form(c: str):
@@ -1611,10 +1642,15 @@ def table_profile(df: DataFrame) -> DataFrame:
     aggs = []
     for c in df.columns:
         s = s_form(c)
+        dist = (
+            F.count_distinct(F.col(c))
+            if exact
+            else F.approx_count_distinct(F.col(c), rsd)
+        )
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__null"),
-            F.count_distinct(F.col(c)).alias(f"{c}__dist"),
+            dist.alias(f"{c}__dist"),
             F.min(s).alias(f"{c}__min"),
             F.max(s).alias(f"{c}__max"),
         ]

@@ -56,6 +56,51 @@ def windowed_user_counts_stream(
     )
 
 
+def make_topn_batch_fn(out_dir: str, k: int = 3):
+    """foreachBatch for the streaming window Top-N, with the same
+    exactly-once staging protocol as :func:`make_ewma_batch_fn`: the
+    ranked rows land under a batch-id-keyed path (overwrite-
+    idempotent) and only the ``_done/<id>`` marker, written last,
+    promotes them — a crash between the write and the streaming
+    checkpoint commit replays the batch into the SAME staged path
+    instead of appending the windows' top-k a second time."""
+
+    def rank_and_write(batch: DataFrame, batch_id: int) -> None:
+        marker = f"{out_dir}/_done/{batch_id}"
+        if os.path.exists(marker):
+            return
+        w = Window.partitionBy("window_end").orderBy(
+            F.col("n_events").desc(), F.col("user_id").asc()
+        )
+        (
+            batch.withColumn(
+                "rnk", F.row_number().over(w).cast("bigint")
+            )
+            .filter(F.col("rnk") <= k)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch-{batch_id}")
+        )
+        os.makedirs(f"{out_dir}/_done", exist_ok=True)
+        open(marker, "w").close()
+
+    return rank_and_write
+
+
+def read_topn_alerts(spark, out_dir: str) -> DataFrame:
+    """Top-N rows of COMMITTED batches only — a crashed attempt's
+    staged ``batch-<id>`` (marker never written) is invisible."""
+    committed = _committed_ids(out_dir)
+    if not committed:
+        return spark.createDataFrame(
+            [],
+            "window_end string, user_id long, n_events bigint,"
+            " rnk bigint",
+        )
+    return spark.read.parquet(
+        *[f"{out_dir}/batch-{i}" for i in committed]
+    )
+
+
 def window_topn_stream(
     events: DataFrame,
     out_dir: str,
@@ -65,26 +110,15 @@ def window_topn_stream(
     watermark: str = "10 seconds",
 ):
     """Start the streaming window Top-N: rank inside foreachBatch
-    (each closed window arrives whole — see module docstring), append
-    the top-``k`` per window to ``out_dir``.  availableNow trigger —
-    rerun as data arrives, like any incremental batch job."""
-
-    def rank_and_write(batch: DataFrame, batch_id: int) -> None:
-        w = Window.partitionBy("window_end").orderBy(
-            F.col("n_events").desc(), F.col("user_id").asc()
-        )
-        (
-            batch.withColumn(
-                "rnk", F.row_number().over(w).cast("bigint")
-            )
-            .filter(F.col("rnk") <= k)
-            .write.mode("append")
-            .parquet(out_dir)
-        )
+    (each closed window arrives whole — see module docstring), stage
+    the top-``k`` per window under ``out_dir/batch-<id>`` promoted by
+    a marker (exactly-once; read back with :func:`read_topn_alerts`).
+    availableNow trigger — rerun as data arrives, like any
+    incremental batch job."""
 
     return (
         windowed_user_counts_stream(events, size_sec, watermark)
-        .writeStream.foreachBatch(rank_and_write)
+        .writeStream.foreachBatch(make_topn_batch_fn(out_dir, k))
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .trigger(availableNow=True)

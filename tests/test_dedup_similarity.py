@@ -452,6 +452,87 @@ def test_duplicated_spans_hand_computed(spark):
     assert (got[4]["n_spans"], got[4]["dup_permille"]) == (0, 0)
 
 
+def test_span_dedup_copied_paragraph_survives_once(spark):
+    """The excision operator: a paragraph pasted into three docs at
+    different offsets survives ONLY in the smallest doc_id; unique
+    text is untouched; short docs pass through whole."""
+    para = "p q r s t"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{para} x y", "en", "s", 1),        # canonical owner
+            (2, f"a b {para}", "en", "s", 1),        # shifted copy
+            (3, f"{para} m n {para}", "en", "s", 1),  # two copies
+            (4, "one two", "en", "s", 1),            # too short, unique
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in D.span_dedup(docs, k=5).collect()}
+    assert got[1]["dedup_text"] == f"{para} x y"  # owner keeps it
+    assert got[1]["n_removed_tokens"] == 0
+    assert got[2]["dedup_text"] == "a b"
+    assert got[2]["n_removed_tokens"] == 5
+    # doc 3: both pasted copies excised (even the repeat), glue kept
+    assert got[3]["dedup_text"] == "m n"
+    assert got[3]["n_removed_tokens"] == 10
+    assert got[4]["dedup_text"] == "one two"
+    # the paragraph now appears in exactly one surviving text
+    n_with_para = sum(
+        1 for r in got.values() if para in r["dedup_text"]
+    )
+    assert n_with_para == 1
+
+
+def test_span_dedup_property_matches_python(spark):
+    """Property: for ANY corpus and k, span_dedup equals a brute-force
+    Python model (mark every token covered by a k-gram occurring in
+    >=2 distinct docs, in every doc but the min-doc_id owner)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["a", "b", "c"])
+    doc = st.lists(word, min_size=1, max_size=8)
+    corpus = st.lists(doc, min_size=1, max_size=6)
+
+    @settings(max_examples=10, deadline=None)
+    @given(corpus, st.integers(min_value=2, max_value=3))
+    def run(texts, k):
+        rows = [
+            (i, " ".join(ws), "en", "s", 1) for i, ws in enumerate(texts)
+        ]
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        owners: dict[tuple, int] = {}
+        docsets: dict[tuple, set] = {}
+        for i, ws in enumerate(texts):
+            for j in range(len(ws) - k + 1):
+                g = tuple(ws[j : j + k])
+                owners[g] = min(owners.get(g, i), i)
+                docsets.setdefault(g, set()).add(i)
+        expect = {}
+        for i, ws in enumerate(texts):
+            drop = set()
+            for j in range(len(ws) - k + 1):
+                g = tuple(ws[j : j + k])
+                if len(docsets[g]) >= 2 and owners[g] != i:
+                    drop.update(range(j, j + k))
+            kept = [w for j, w in enumerate(ws) if j not in drop]
+            expect[i] = (len(ws), len(drop), " ".join(kept))
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["n_removed_tokens"],
+                r["dedup_text"],
+            )
+            for r in D.span_dedup(docs, k=k).collect()
+        }
+        assert got == expect
+
+    run()
+
+
 def test_duplicated_spans_property_arbitrary_corpora(spark):
     """Property: for ANY corpus over a tiny alphabet and ANY k, the
     per-doc (n_spans, n_dup_spans) equal a brute-force Python count

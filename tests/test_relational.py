@@ -543,6 +543,64 @@ def test_asof_join_backward_forward_and_ties(spark):
     assert fwd[1] == 12 and fwd[2] is None and fwd[3] is None
 
 
+def test_asof_join_string_tiebreak_native_order(spark):
+    """Round-4 advisor: a string tiebreak used to cast-to-long into
+    NULL, silently degrading 'largest wins' to partition order — it
+    must now order natively (lexicographically largest wins), and a
+    genuinely non-orderable tiebreak type must raise."""
+    import pytest as _pytest
+
+    import flink_window_dgim_traffic_spark.operators.relational as R
+
+    left = _tsdf(spark, [(1, 100, "a")], "id long, ts long, k string")
+    right = _tsdf(
+        spark,
+        [("r-09", 90, "a"), ("r-10", 90, "a"), ("r-02", 90, "a")],
+        "rid string, ts long, k string",
+    )
+    rows = R.asof_join(
+        left, right, on="ts", by=["k"], right_cols=["rid"],
+        tiebreak="rid",
+    ).collect()
+    assert rows[0]["asof_rid"] == "r-10"
+    bad = right.select(
+        "ts", "k", F.create_map(F.lit("x"), F.col("rid")).alias("m")
+    )
+    with _pytest.raises(ValueError, match="non-orderable"):
+        R.asof_join(left, bad, on="ts", by=["k"], tiebreak="m")
+
+
+def test_range_join_fractional_end_on_aligned_second(spark):
+    """Round-4 advisor: an interval end with a fractional part whose
+    truncated second is bucket-aligned (trunc(end) % bucket == 0)
+    used to skip the final bucket — events in [trunc(end), end) were
+    silently dropped."""
+    import flink_window_dgim_traffic_spark.operators.relational as R
+
+    left = spark.createDataFrame(
+        [(1, 999.5), (2, 1000.25), (3, 1000.75)],
+        "id long, sec double",
+    ).select("id", F.timestamp_seconds("sec").alias("ts"))
+    right = spark.createDataFrame(
+        [(7, 900.0, 1000.5)], "iv long, s double, e double"
+    ).select(
+        "iv",
+        F.timestamp_seconds("s").alias("start_ts"),
+        F.timestamp_seconds("e").alias("end_ts"),
+    )
+    got = {
+        r["id"]
+        for r in R.range_join(
+            left, right, on="ts", start="start_ts", end="end_ts",
+            bucket_sec=1000,
+        ).collect()
+    }
+    # end = 1000.5: id 2 at 1000.25 lives in bucket 1 = floor(1000/b),
+    # which the old -1 upper bound never generated; id 3 at 1000.75 is
+    # past the exclusive end and must stay out
+    assert got == {1, 2}
+
+
 def test_asof_join_rejects_bad_direction(spark):
     import pytest as _pytest
 
@@ -655,3 +713,27 @@ def test_table_profile_null_handling(spark):
     assert prof["v"]["min_str"] == "0.250000"
     assert prof["v"]["max_str"] == "2.500000"
     assert prof["id"]["n_rows"] == 3 and prof["id"]["n_null"] == 0
+
+
+def test_table_profile_approx_within_bound(spark, sf_dir):
+    """The scale switch: approx (HLL++) distinct counts must land
+    within 3·rsd of the exact profile on every column, with every
+    other statistic identical."""
+    import flink_window_dgim_traffic_spark.operators.relational as R
+    from flink_window_dgim_traffic_spark.session import table
+
+    ev = table(spark, sf_dir, "events")
+    exact = {r["column"]: r for r in R.table_profile(ev).collect()}
+    approx = {
+        r["column"]: r
+        for r in R.table_profile(ev, exact=False, rsd=0.02).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for c in exact:
+        e, a = exact[c], approx[c]
+        assert a["n_rows"] == e["n_rows"] and a["n_null"] == e["n_null"]
+        assert a["min_str"] == e["min_str"]
+        assert a["max_str"] == e["max_str"]
+        if e["n_distinct"]:
+            err = abs(a["n_distinct"] - e["n_distinct"]) / e["n_distinct"]
+            assert err <= 0.06, (c, err)

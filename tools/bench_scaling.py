@@ -35,6 +35,12 @@ from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
     heavy_hitters as HH,
 )
 from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
+    retrieval as RT,
+)
+from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
+    rollup as RU,
+)
+from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
     similarity as S,
 )
 from flink_window_dgim_traffic_spark.session import (  # noqa: E402
@@ -45,6 +51,10 @@ from flink_window_dgim_traffic_spark.session import (  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = "/tmp/spark_graft_scaling"
 SCALES = [1, 3, 10]
+
+# set per scale inside main() so op lambdas can reach scale-keyed
+# side state (the persisted MinHash index, the rollup hierarchy)
+CTX: dict = {}
 
 
 def build_scaled(spark, scale: int) -> tuple[str, str]:
@@ -106,6 +116,64 @@ def build_scaled(spark, scale: int) -> tuple[str, str]:
     return doc_path, emb_path
 
 
+def build_scaled_events(spark, scale: int) -> str:
+    """Replicate events `scale`× with per-replica TIME SHIFTS past
+    the original span, so the window count (and thus the rollup level
+    tables) grows linearly with scale — the state dimension a refresh
+    actually pays for."""
+    path = f"{OUT}/events_x{scale}.parquet"
+    if not os.path.exists(path):
+        ev = table(spark, SF_DIR, "events").select("event_id", "ts")
+        lo, hi, n = ev.agg(
+            F.min(F.unix_timestamp("ts")),
+            F.max(F.unix_timestamp("ts")),
+            F.count(F.lit(1)),
+        ).collect()[0]
+        span = int(hi - lo) + 86400
+        parts = [
+            ev.select(
+                (F.col("event_id") + k * n).alias("event_id"),
+                F.timestamp_seconds(
+                    F.unix_timestamp("ts") + F.lit(k * span)
+                ).alias("ts"),
+            )
+            for k in range(scale)
+        ]
+        scaled = parts[0]
+        for p in parts[1:]:
+            scaled = scaled.unionAll(p)
+        scaled.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _neardup_incremental(docs, emb):
+    """Probe-side cost of the persisted-index incremental near-dup:
+    the index over the even half is built ONCE per scale (warm-up
+    call); timed runs measure the band-bucket probe only — the
+    every-new-crawl cost."""
+    idx = f"{OUT}/ndidx_x{CTX['scale']}"
+    if not os.path.isdir(idx):
+        D.build_neardup_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    return D.neardup_incremental_lsh(
+        docs.filter(F.col("doc_id") % 2 == 1), idx, threshold=0.5
+    )
+
+
+def _rollup_refresh(spark) -> None:
+    """One refresh of a FIXED-size batch (the 1× events) into a
+    hierarchy built from the scale×-span event log: measures how the
+    continuous-aggregate merge degrades as the materialized state
+    grows (it should track the level-table size, never the raw
+    history)."""
+    path = f"{OUT}/rollup_x{CTX['scale']}"
+    if not os.path.isdir(f"{path}/_commits"):
+        RU.build_rollup_hierarchy(
+            spark.read.parquet(CTX["events_path"]), path
+        )
+    batch = spark.read.parquet(f"{OUT}/events_x1.parquet")
+    RU.refresh_rollup(spark, path, batch)
+
+
 def main() -> None:
     spark = get_spark(app_name="bench_scaling")
     os.makedirs(OUT, exist_ok=True)
@@ -149,16 +217,36 @@ def main() -> None:
                 F.col("doc_a"), F.col("doc_b")
             )
         ),
+        # ---- round-4/5 additions (VERDICT r4 #3: measured rows for
+        # the design-claim-only ops) ----
+        "tfidf_top_terms": lambda docs, emb: RT.tfidf_top_terms(docs, 3),
+        "token_budget_select": lambda docs, emb: C.token_budget_select(
+            docs, 20000
+        ),
+        "span_dedup": lambda docs, emb: D.span_dedup(docs),
+        "neardup_incremental_lsh": _neardup_incremental,
+    }
+
+    # side-effecting ops timed directly (no DataFrame to noop-write)
+    custom_ops = {
+        "rollup_refresh": _rollup_refresh,
     }
 
     only = os.environ.get("SPARK_GRAFT_SCALING_OPS")
     if only:
         keep = set(only.split(","))
         ops = {k: v for k, v in ops.items() if k in keep}
+        custom_ops = {k: v for k, v in custom_ops.items() if k in keep}
 
-    results: dict[str, dict[int, float]] = {k: {} for k in ops}
+    results: dict[str, dict[int, float]] = {
+        k: {} for k in (*ops, *custom_ops)
+    }
     for scale in SCALES:
         doc_path, emb_path = build_scaled(spark, scale)
+        CTX.update(
+            scale=scale,
+            events_path=build_scaled_events(spark, scale),
+        )
         docs = spark.read.parquet(doc_path)
         emb = spark.read.parquet(emb_path)
         for name, build in ops.items():
@@ -169,6 +257,21 @@ def main() -> None:
                 build(docs, emb).write.format("noop").mode(
                     "overwrite"
                 ).save()
+                runs.append(time.time() - t0)
+            sec = round(min(runs), 3)
+            results[name][scale] = sec
+            print(
+                json.dumps(
+                    {"op": name, "scale": scale, "sec": sec}
+                ),
+                flush=True,
+            )
+        for name, run_op in custom_ops.items():
+            run_op(spark)  # warm-up (also builds per-scale state)
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                run_op(spark)
                 runs.append(time.time() - t0)
             sec = round(min(runs), 3)
             results[name][scale] = sec
