@@ -159,6 +159,29 @@ def _stream_rollup_60s(s: SparkSession, d: str) -> DataFrame:
     return RU.rollup_serve(s, path, 60)
 
 
+def _scd2_user_state(s: SparkSession, d: str) -> DataFrame:
+    """Type-2 dimension build over the events change log: each user's
+    event_type observations collapse into versioned state rows with
+    validity windows (relational.scd2_build)."""
+    return R.scd2_build(
+        _events(s, d),
+        key=["user_id"],
+        attrs=["event_type"],
+        ts_col="ts",
+        tiebreak="event_id",
+    ).select(
+        "user_id",
+        "event_type",
+        F.date_format(
+            "valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("valid_from"),
+        F.date_format(
+            "valid_to", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("valid_to"),
+        "is_current",
+    )
+
+
 def _asof_generic(s: SparkSession, d: str) -> DataFrame:
     """The GENERIC as-of join operator (relational.asof_join) on the
     purchases←views pairing, attaching the matched view's event_id
@@ -226,6 +249,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": lambda s, d: D.span_dedup(_documents(s, d)),
         "rollup_serve_realtime": _rollup_serve_realtime,
         "stream_rollup_60s": _stream_rollup_60s,
+        "leakage_safe_split": lambda s, d: C.leakage_safe_split(
+            _documents(s, d)
+        ),
+        "scd2_user_state": _scd2_user_state,
+        "gap_fill_60s": lambda s, d: W.gap_fill_tumble(_events(s, d), 60),
+        "m4_downsample_10min": lambda s, d: W.m4_downsample(
+            _events(s, d), 600
+        ),
+        "hybrid_rrf_topk": lambda s, d: RT.hybrid_retrieval_rrf(
+            _documents(s, d)
+        ),
+        "stratified_sample": lambda s, d: C.stratified_sample(
+            _documents(s, d), "source", 5
+        ),
         # ---- round-4 additions ----
         "window_topn": lambda s, d: W.window_topn(_events(s, d), 60, 3),
         "sql_window_topn": lambda s, d: Q.sql_window_topn(s, d, 60, 3),
@@ -723,6 +760,178 @@ SELECT tot.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
          AS n_removed_tokens,
        coalesce(dedup_text, '') AS dedup_text
 FROM tot LEFT JOIN reb USING (doc_id)
+""",
+        # Cluster-aware (leakage-safe) split: the split hash is keyed
+        # by the near-dup component id (recursive closure of exact
+        # jaccard>=0.8), not the doc id; singleton docs hash their own
+        # id — same md5/cut recipe as corpus_mix.
+        "leakage_safe_split": f"""
+WITH RECURSIVE {_SHINGLE_BASE},
+jp AS (SELECT doc_a, doc_b
+       FROM inter JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+       WHERE round(CAST(overlap AS DOUBLE) / CAST(na.c + nb.c - overlap AS DOUBLE), 6) >= 0.8),
+e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+      UNION SELECT doc_b, doc_a FROM jp),
+nodes AS (SELECT DISTINCT a AS doc FROM e),
+reach AS (
+  SELECT doc, doc AS r FROM nodes
+  UNION
+  SELECT reach.doc, e.b FROM reach JOIN e ON reach.r = e.a
+),
+lab AS (SELECT doc AS doc_id, CAST(min(r) AS BIGINT) AS cid
+        FROM reach GROUP BY doc),
+l AS (SELECT d.doc_id, coalesce(lab.cid, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN lab USING (doc_id)),
+h AS (SELECT doc_id, cluster_id,
+      CAST('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 15)
+           AS BIGINT) AS hv
+      FROM l)
+SELECT doc_id, cluster_id,
+       CASE WHEN hv < 1037629354146162278 THEN 'train'
+            WHEN hv < 1095275429376504627 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+""",
+        # SCD2 dimension build: per user, consecutive identical
+        # event_type observations collapse; validity windows chain
+        # via lead(); the open version is current.
+        "scd2_user_state": """
+WITH m AS (SELECT user_id, ts, event_type, event_id,
+       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS prev
+       FROM events),
+f AS (SELECT user_id, ts, event_type, event_id FROM m
+      WHERE prev IS NULL OR prev IS DISTINCT FROM event_type),
+v AS (SELECT user_id, event_type, ts AS vf,
+      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+      FROM f)
+SELECT user_id, event_type,
+  strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+  strftime(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+  CAST(vt IS NULL AS BIGINT) AS is_current
+FROM v
+""",
+        # Dense gap-filled tumbling series: every bucket between the
+        # first and last observed window, zero-filled + flagged, with
+        # last-observation-carried-forward.
+        "gap_fill_60s": """
+WITH e AS (SELECT CAST(event_id % 2 AS INT) AS bit, ts FROM events),
+w AS (SELECT (CAST(floor(epoch(ts)/60) AS BIGINT)*60 + 60) AS we,
+             CAST(sum(bit) AS BIGINT) AS ones, count(*) AS n
+      FROM e GROUP BY 1),
+b AS (SELECT min(we) AS lo, max(we) AS hi FROM w),
+g AS (SELECT unnest(generate_series(lo, hi, 60)) AS we FROM b),
+d AS (SELECT g.we, w.ones, w.n FROM g LEFT JOIN w USING (we))
+SELECT strftime(make_timestamp(we*1000000), '%Y-%m-%d %H:%M:%S')
+         AS window_end,
+       coalesce(ones, 0) AS ones_exact,
+       coalesce(n, 0) AS n_rows,
+       CAST(ones IS NULL AS BIGINT) AS is_gap,
+       last_value(ones IGNORE NULLS)
+         OVER (ORDER BY we ROWS UNBOUNDED PRECEDING) AS ones_locf
+FROM d
+""",
+        # M4 visualization downsampling: per 10-min bucket the four
+        # value-defining points (first/last by (ts, event_id), min,
+        # max) — raw doubles compared, no arithmetic.
+        "m4_downsample_10min": """
+WITH b AS (SELECT (CAST(floor(epoch(ts)/600) AS BIGINT)*600 + 600) AS we,
+                  epoch_us(ts) AS us, event_id, value
+           FROM events),
+r AS (SELECT we, value,
+      row_number() OVER (PARTITION BY we ORDER BY us, event_id) AS rf,
+      row_number() OVER (PARTITION BY we ORDER BY us DESC, event_id DESC)
+        AS rl
+      FROM b)
+SELECT strftime(make_timestamp(we*1000000), '%Y-%m-%d %H:%M:%S')
+         AS window_end,
+       max(CASE WHEN rf = 1 THEN value END) AS v_first,
+       max(CASE WHEN rl = 1 THEN value END) AS v_last,
+       min(value) AS v_min, max(value) AS v_max, count(*) AS n_rows
+FROM r GROUP BY we
+""",
+        # Reciprocal-rank fusion of the BM25 and plain-TFIDF rankings
+        # (50-deep pools, k0=60, exact integer-micro contributions).
+        "hybrid_rrf_topk": """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+  FROM documents
+), st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+         CAST(sum(CASE WHEN list_contains(ws, 'join') THEN 1 ELSE 0 END)
+              AS DOUBLE) AS df_0,
+         CAST(sum(CASE WHEN list_contains(ws, 'hash') THEN 1 ELSE 0 END)
+              AS DOUBLE) AS df_1,
+         CAST(sum(CASE WHEN list_contains(ws, 'scan') THEN 1 ELSE 0 END)
+              AS DOUBLE) AS df_2
+  FROM d
+), s AS (
+  SELECT doc_id, dl,
+         CAST(len(list_filter(ws, w -> w = 'join')) AS DOUBLE) AS tf_0,
+         CAST(len(list_filter(ws, w -> w = 'hash')) AS DOUBLE) AS tf_1,
+         CAST(len(list_filter(ws, w -> w = 'scan')) AS DOUBLE) AS tf_2
+  FROM d
+), bm AS (
+  SELECT doc_id, round(
+      ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
+        * (tf_0 * 2.2) / (tf_0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))
+        * (tf_1 * 2.2) / (tf_1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5))
+        * (tf_2 * 2.2) / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+    6) AS bm25
+  FROM s, st
+  ORDER BY bm25 DESC, doc_id
+  LIMIT 50
+), bmr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+  FROM bm
+), ti AS (
+  SELECT doc_id,
+    CAST(tf_0 AS BIGINT)
+      * CAST(round(ln(n_docs / df_0) * 1000000.0) AS BIGINT)
+  + CAST(tf_1 AS BIGINT)
+      * CAST(round(ln(n_docs / df_1) * 1000000.0) AS BIGINT)
+  + CAST(tf_2 AS BIGINT)
+      * CAST(round(ln(n_docs / df_2) * 1000000.0) AS BIGINT)
+    AS score_micro
+  FROM s, st
+  ORDER BY score_micro DESC, doc_id
+  LIMIT 50
+), tir AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rnk
+  FROM ti
+), c AS (
+  SELECT doc_id, 1000000 // (60 + rnk) AS c FROM bmr
+  UNION ALL
+  SELECT doc_id, 1000000 // (60 + rnk) AS c FROM tir
+), f AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+         count(*) AS n_lists
+  FROM c GROUP BY 1
+  ORDER BY rrf_micro DESC, doc_id
+  LIMIT 10
+)
+SELECT doc_id, rrf_micro, n_lists,
+       CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id)
+            AS BIGINT) AS rnk
+FROM f
+""",
+        # Deterministic stratified sampling: the 5 smallest salted-md5
+        # priorities per source (Efraimidis-Spirakis under uniform
+        # weights), doc_id tie-broken.
+        "stratified_sample": """
+WITH h AS (SELECT doc_id, source,
+           CAST('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) AS h60
+           FROM documents),
+r AS (SELECT doc_id, source,
+      CAST(row_number() OVER (PARTITION BY source ORDER BY h60, doc_id)
+           AS BIGINT) AS rnk
+      FROM h)
+SELECT doc_id, source, rnk FROM r WHERE rnk <= 5
 """,
         # Real-time continuous aggregate (materialized levels below
         # the high-water mark + scan-pruned raw tail) must equal the

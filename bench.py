@@ -33,6 +33,12 @@ BENCH_QUERIES = [
     "span_dedup",
     "rollup_serve_realtime",
     "table_profile_events_approx",
+    "leakage_safe_split",
+    "scd2_user_state",
+    "gap_fill_60s",
+    "m4_downsample_10min",
+    "hybrid_rrf_topk",
+    "stratified_sample",
     "tumble_exact",
     "hop_exact",
     "cumulate_exact",

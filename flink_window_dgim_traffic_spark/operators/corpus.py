@@ -550,3 +550,91 @@ def corpus_weighted_sample(
     return ranked.withColumn(
         "rnk", F.row_number().over(w).cast("bigint")
     ).select("doc_id", "q_e6", "key_e6", "rnk")
+
+
+def leakage_safe_split(
+    documents: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Contamination-safe train/val/test assignment: the split hash
+    is computed on the NEAR-DUP CLUSTER id, not the doc id, so every
+    member of a near-duplicate group lands in the same partition —
+    the leakage mode a plain per-doc split invites (a test document
+    whose near-copy sits in train silently inflates eval) cannot
+    occur.  The standard eval-hygiene step of LLM corpus pipelines,
+    composed from the existing exact-Jaccard pair generation +
+    distributed label propagation (``dedup.neardup_clusters``), with
+    the SAME salt/cut constants as :func:`split_col` — a singleton
+    document (its own cluster) gets exactly the assignment the plain
+    split would give it.
+
+    Output: (doc_id, cluster_id, split).
+
+    Scale shape: pair generation and clustering are the already-
+    stress-measured bucketed paths; the cluster join back is one
+    hash equi-join on doc_id; the split itself is a map-only md5.
+    At 100 TB swap the exact pair source for
+    ``minhash_lsh_pairs(max_bucket=…)`` — the downstream contract
+    (pairs → components → hash) is unchanged."""
+    from flink_window_dgim_traffic_spark.operators.dedup import (
+        neardup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(documents, threshold=threshold)
+    clusters = neardup_clusters(pairs.select("doc_a", "doc_b"))
+    labeled = (
+        documents.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("split:"), F.col("cluster_id").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        F.when(h < _TRAIN_CUT, "train")
+        .when(h < _VAL_CUT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def stratified_sample(
+    documents: DataFrame, by: str = "source", k: int = 10
+) -> DataFrame:
+    """Deterministic stratified sampling: exactly ``min(k, |stratum|)``
+    documents per ``by`` group — the per-domain/per-language eval-set
+    carve-out every corpus pipeline needs.  With uniform weights,
+    Efraimidis–Spirakis reduces to keeping the k SMALLEST salted-md5
+    priorities per stratum, so the sample is a pure function of doc
+    ids (rerun-stable, engine-independent) and never touches a random
+    number generator.
+
+    Output: (doc_id, ``by``, rnk).
+
+    Scale shape: routed through :func:`relational.grouped_topk` — the
+    lossless map-side partial top-k prune keeps ≤ k rows per stratum
+    per partition before the one authoritative per-stratum window, so
+    a dominant stratum never funnels its raw volume into one task."""
+    from flink_window_dgim_traffic_spark.operators.relational import (
+        grouped_topk,
+    )
+
+    df = documents.withColumn("h60", _hash60("strat"))
+    return grouped_topk(
+        df, [by], "h60", k, ascending=True, tiebreak="doc_id"
+    ).select("doc_id", by, "rnk")

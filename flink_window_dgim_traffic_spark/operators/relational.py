@@ -1673,3 +1673,51 @@ def table_profile(df: DataFrame, exact: bool = True,
         ).alias("p")
     )
     return stacked.select("p.*")
+
+
+def scd2_build(
+    changes: DataFrame,
+    key: list[str],
+    attrs: list[str],
+    ts_col: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a change log — the
+    warehouse operator that turns an event stream of attribute
+    observations into versioned dimension rows: per entity ``key``,
+    consecutive observations whose ``attrs`` are unchanged collapse
+    into one version, each version carries ``valid_from`` (its first
+    observation) and ``valid_to`` (the next version's start, NULL
+    while current), and ``is_current`` marks the open row.
+
+    Determinism: observations are ordered by (``ts_col``,
+    ``tiebreak``); pass a tiebreak whenever one entity can emit two
+    observations at the same timestamp.  Attribute comparison is
+    null-safe (a NULL attribute equals NULL, so missing values do
+    not fabricate versions).
+
+    Scale shape: ONE hash shuffle on the entity key feeding two
+    window passes (the change-collapse lag and the validity lead
+    reuse the same partitioning — Catalyst plans a single Exchange);
+    state per task is one row of lookback.  No join against the
+    dimension's history: the log IS the input, which is how SCD2
+    backfills run at warehouse scale."""
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = Window.partitionBy(*key).orderBy(*order)
+    cur = F.struct(*[F.col(a) for a in attrs])
+    prev = F.lag(cur).over(w)
+    versions = changes.withColumn(
+        "_is_new_version",
+        prev.isNull() | ~prev.eqNullSafe(cur),
+    ).filter(F.col("_is_new_version"))
+    w2 = Window.partitionBy(*key).orderBy(*order)
+    valid_to = F.lead(F.col(ts_col)).over(w2)
+    return versions.select(
+        *key,
+        *attrs,
+        F.col(ts_col).alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().cast("bigint").alias("is_current"),
+    )

@@ -145,3 +145,129 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def query_tfidf_topk(
+    documents: DataFrame,
+    terms: tuple[str, ...] = QUERY_TERMS,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Top-``k`` docs for a fixed term query under the plain TF-IDF
+    scorer (``sum_t tf(t,d) · idf_micro(t)``) — the second lexical
+    ranking :func:`rrf_fuse` combines with BM25.  idf is the
+    single-ln micro-nat quantization of :func:`tfidf_top_terms`
+    (``ln(N/df)``), so the score is an exact BIGINT and the ranking
+    is engine-independent.
+
+    Output: (doc_id, score_micro, rnk).  Same scale shape as
+    :func:`bm25_topk`: one scan, in-row tf via JVM higher-order
+    functions, one broadcast stats row, TakeOrderedAndProject."""
+    toks = F.split(F.col("text"), " ")
+    d = documents.select("doc_id", toks.alias("ws"))
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        *[
+            F.sum(F.array_contains("ws", t).cast("bigint"))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    scored = d.join(F.broadcast(stats))
+    score = None
+    for i, t in enumerate(terms):
+        tf = F.size(
+            F.filter(F.col("ws"), lambda w: w == F.lit(t))  # noqa: B023
+        ).cast("bigint")
+        idf_micro = (
+            F.round(
+                F.log(F.col("n_docs") / F.col(f"df_{i}")) * F.lit(1e6), 0
+            ).cast("bigint")
+        )
+        comp = tf * idf_micro
+        score = comp if score is None else score + comp
+    from pyspark.sql import Window
+
+    ranked = (
+        scored.select("doc_id", score.alias("score_micro"))
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score_micro"), "doc_id")
+    return ranked.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k0: int = 60,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) — the
+    standard hybrid-retrieval combiner: each input ranking
+    contributes ``1/(k0 + rnk)`` per item, summed across rankings;
+    items high in ANY list surface without score calibration between
+    scorers (exactly why RAG stacks fuse BM25 with dense ANN this
+    way).  Inputs are any DataFrames with (``id_col``, ``rnk``) —
+    lexical, dense, or sketch rankings alike.
+
+    Integer determinism: the contribution is quantized as
+    ``1000000 // (k0 + rnk)`` (exact integer division), so the fused
+    score is a BIGINT sum — cross-engine exact, ties broken by id.
+
+    Output: (``id_col``, rrf_micro, n_lists, rnk).
+
+    Scale shape: a union of the (already tiny, top-k-sized) ranking
+    tables, one hash aggregation on the item id, and a
+    TakeOrderedAndProject — the fusion never touches the corpora
+    behind the rankings."""
+    contrib = None
+    for r in rankings:
+        part = r.select(
+            F.col(id_col),
+            (F.lit(1000000) / (F.lit(k0) + F.col("rnk")))
+            .cast("bigint")
+            .alias("c"),
+        )
+        contrib = part if contrib is None else contrib.unionByName(part)
+    fused = (
+        contrib.groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("rrf_micro"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf_micro"), id_col)
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("rrf_micro"), id_col)
+    return fused.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    )
+
+
+def hybrid_retrieval_rrf(
+    documents: DataFrame,
+    terms: tuple[str, ...] = QUERY_TERMS,
+    k: int = TOP_K,
+    pool: int = 50,
+    k0: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval for a fixed term query: RRF-fuse the BM25
+    ranking with the plain TF-IDF ranking (two genuinely different
+    lexical scorers — length-normalized saturation vs raw counts)
+    over a ``pool``-deep candidate list each.  Swapping either input
+    for a dense ANN ranking (``similarity.simsearch_*`` emit the
+    same (id, rnk) shape) is the RAG-stack configuration."""
+    from pyspark.sql import Window
+
+    bm = bm25_topk(documents, terms, pool)
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    bm_ranked = bm.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    )
+    tfidf_ranked = query_tfidf_topk(documents, terms, pool)
+    return rrf_fuse([bm_ranked, tfidf_ranked], k0=k0, k=k)

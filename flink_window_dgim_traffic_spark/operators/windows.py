@@ -896,3 +896,118 @@ def windowed_distinct_users_approx(
             "n_rows",
         )
     )
+
+
+def gap_fill_tumble(events: DataFrame, size_sec: int = 60) -> DataFrame:
+    """Dense (gap-filled) tumbling series — the dashboard/timeseries
+    completion of the window family (TimescaleDB ``time_bucket_gapfill``):
+    every ``size_sec`` bucket between the first and last observed
+    window is emitted, empty buckets zero-filled and flagged, plus a
+    last-observation-carried-forward column (``ones_locf``) for
+    "current value" panels.
+
+    Output: (window_end, ones_exact, n_rows, is_gap, ones_locf).
+
+    Scale shape: the aggregation is the ordinary tumble shuffle over
+    raw events; the dense grid is generated from the aggregate's own
+    ONE-ROW min/max via ``sequence``+``explode`` (never a driver
+    loop), left-joined back on the window key.  The LOCF window is a
+    single global ordered pass — over the SERIES, not the events
+    (one row per ``size_sec`` of span; a century of 1 s buckets is
+    ~3 G rows, so chunk the LOCF by coarse time range before that
+    point), the same bounded-series shape as ``ewma_anomaly``."""
+    agg = (
+        with_bit(events)
+        .select(
+            ((F.floor(F.unix_timestamp("ts") / size_sec) + 1) * size_sec)
+            .cast("bigint")
+            .alias("we_sec"),
+            "bit",
+        )
+        .groupBy("we_sec")
+        .agg(
+            F.sum("bit").cast("bigint").alias("ones"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        # materialize the (series-sized) aggregate ONCE: both the
+        # min/max bounds branch and the grid join consume it, and
+        # without this each branch re-scans the raw events
+        .localCheckpoint(eager=True)
+    )
+    grid = agg.agg(
+        F.min("we_sec").alias("lo"), F.max("we_sec").alias("hi")
+    ).select(
+        F.explode(
+            F.sequence("lo", "hi", F.lit(size_sec).cast("bigint"))
+        ).alias("we_sec")
+    )
+    dense = grid.join(agg, "we_sec", "left")
+    w = Window.orderBy("we_sec").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return dense.select(
+        F.date_format(
+            F.timestamp_seconds("we_sec"), TS_FMT_SPARK
+        ).alias("window_end"),
+        F.coalesce("ones", F.lit(0)).cast("bigint").alias("ones_exact"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_rows"),
+        F.col("ones").isNull().cast("bigint").alias("is_gap"),
+        F.last("ones", ignorenulls=True)
+        .over(w)
+        .cast("bigint")
+        .alias("ones_locf"),
+    )
+
+
+def m4_downsample(
+    events: DataFrame, size_sec: int = 600
+) -> DataFrame:
+    """M4 visualization downsampling (Jugel et al., VLDB 2014): per
+    time bucket keep exactly the four value-defining points a pixel
+    column needs — first, last, min, max of ``value`` — so a plot of
+    the downsampled series is pixel-identical to plotting every raw
+    point.  The decimation operator dashboards run before shipping a
+    100 TB series to a browser.
+
+    Output: (window_end, v_first, v_last, v_min, v_max, n_rows).
+
+    Determinism: first/last order by (ts, event_id) — exact even
+    when one timestamp repeats; min/max compare raw doubles (no
+    arithmetic, so cross-engine exact).
+
+    Scale shape: ONE keyed shuffle on the bucket; first/last come
+    from the same two-sided struct min/max aggregation (map-side
+    combinable), never a window or a sort."""
+    b = (
+        events.select(
+            ((F.floor(F.unix_timestamp("ts") / size_sec) + 1) * size_sec)
+            .cast("bigint")
+            .alias("we_sec"),
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                F.col("event_id").alias("eid"),
+                F.col("value").alias("v"),
+            ).alias("pt"),
+            F.col("value").alias("v"),
+        )
+    )
+    return (
+        b.groupBy("we_sec")
+        .agg(
+            F.min("pt").alias("first_pt"),
+            F.max("pt").alias("last_pt"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.date_format(
+                F.timestamp_seconds("we_sec"), TS_FMT_SPARK
+            ).alias("window_end"),
+            F.col("first_pt.v").alias("v_first"),
+            F.col("last_pt.v").alias("v_last"),
+            "v_min",
+            "v_max",
+            "n_rows",
+        )
+    )

@@ -264,3 +264,41 @@ def windowed_distinct_users_stream(
             "n_rows",
         )
     )
+
+
+def m4_downsample_stream(
+    events: DataFrame, size_sec: int = 600, watermark: str = "10 seconds"
+) -> DataFrame:
+    """Streaming twin of ``windows.m4_downsample``: per closed
+    tumbling bucket, the four value-defining points (first/last by
+    (ts, event_id), min/max of ``value``) — a NATIVE append-mode
+    aggregate, because first/last ride the same struct min/max trick
+    as the batch operator (associative + commutative, so Spark's
+    partial-aggregation streaming state is exact).  No foreachBatch,
+    no Python state: the dashboard decimation runs entirely JVM-side
+    with sketch-sized state per open window.  Equals the batch
+    operator bit-for-bit over closed windows (tested)."""
+    pt = F.struct(
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.col("event_id").alias("eid"),
+        F.col("value").alias("v"),
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{size_sec} seconds").alias("w"))
+        .agg(
+            F.min(pt).alias("first_pt"),
+            F.max(pt).alias("last_pt"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.date_format(F.col("w.end"), TS_FMT).alias("window_end"),
+            F.col("first_pt.v").alias("v_first"),
+            F.col("last_pt.v").alias("v_last"),
+            "v_min",
+            "v_max",
+            "n_rows",
+        )
+    )

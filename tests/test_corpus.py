@@ -422,3 +422,105 @@ def test_weighted_sample_bias_and_determinism(spark):
     # q_hi/q_lo ≈ 1.0/0.54 -> expect clear but not total separation
     assert hi_picks > lo_picks * 1.3, (hi_picks, lo_picks)
     assert lo_picks > 0  # without replacement, low tier still appears
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF with k0=60: ranks (1st,3rd) sum 16393+15873=32266 micro,
+    beating (2nd,2nd)=2·16129=32258 — the exact integer-micro sums
+    decide, and exact ties break by id."""
+    from flink_window_dgim_traffic_spark.operators import retrieval as RT
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rnk long"
+    )
+    b = spark.createDataFrame(
+        [(3, 1), (2, 2), (1, 3)], "doc_id long, rnk long"
+    )
+    rows = {
+        r["doc_id"]: (r["rrf_micro"], r["n_lists"], r["rnk"])
+        for r in RT.rrf_fuse([a, b], k0=60, k=10).collect()
+    }
+    c1, c2, c3 = 1000000 // 61, 1000000 // 62, 1000000 // 63
+    # docs 1 and 3 tie exactly at c1+c3; id breaks the tie; doc 2's
+    # consistent-2nd sum is strictly smaller
+    assert rows[1] == (c1 + c3, 2, 1)
+    assert rows[3] == (c1 + c3, 2, 2)
+    assert rows[2] == (2 * c2, 2, 3)
+    assert 2 * c2 < c1 + c3
+
+
+def test_rrf_fuse_single_list_item(spark):
+    """An item present in only one ranking still fuses (n_lists=1)."""
+    from flink_window_dgim_traffic_spark.operators import retrieval as RT
+
+    a = spark.createDataFrame([(1, 1)], "doc_id long, rnk long")
+    b = spark.createDataFrame([(9, 1)], "doc_id long, rnk long")
+    rows = {
+        r["doc_id"]: (r["rrf_micro"], r["n_lists"])
+        for r in RT.rrf_fuse([a, b], k0=60, k=10).collect()
+    }
+    assert rows == {1: (1000000 // 61, 1), 9: (1000000 // 61, 1)}
+
+
+def test_leakage_safe_split_groups_near_dups(spark):
+    """Near-duplicate docs must land in the SAME split (cluster-keyed
+    hash), and a singleton's assignment equals the plain per-doc
+    split (identical salt + cuts)."""
+    import hashlib
+
+    from flink_window_dgim_traffic_spark.operators import corpus as C
+
+    shared = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (100, shared + " extra", "en", "s", 1),
+            (200, shared + " other", "en", "s", 1),   # near-dup of 100
+            (300, " ".join(f"z{i}" for i in range(30)), "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in C.leakage_safe_split(docs, threshold=0.5).collect()
+    }
+    assert rows[100][0] == rows[200][0] == 100  # min doc_id owns
+    assert rows[100][1] == rows[200][1]         # same split, no leakage
+    assert rows[300][0] == 300
+    # singleton equals the documented per-doc hash assignment
+    h = int(hashlib.md5(b"split:300").hexdigest()[:15], 16)
+    expect = (
+        "train" if h < C._TRAIN_CUT
+        else "val" if h < C._VAL_CUT else "test"
+    )
+    assert rows[300][1] == expect
+
+
+def test_stratified_sample_exact_k_and_determinism(spark, sf_dir):
+    """Exactly min(k, |stratum|) docs per source, identical sample
+    under any input partitioning (pure hash function of doc_id)."""
+    from flink_window_dgim_traffic_spark.operators import corpus as C
+    from flink_window_dgim_traffic_spark.session import table
+
+    docs = table(spark, sf_dir, "documents")
+    sizes = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    base = {
+        (r["doc_id"], r["source"], r["rnk"])
+        for r in C.stratified_sample(docs, "source", 5).collect()
+    }
+    per = {}
+    for _, src, _rnk in base:
+        per[src] = per.get(src, 0) + 1
+    for src, n in sizes.items():
+        assert per.get(src, 0) == min(5, n)
+    again = {
+        (r["doc_id"], r["source"], r["rnk"])
+        for r in C.stratified_sample(
+            docs.repartition(7), "source", 5
+        ).collect()
+    }
+    assert base == again

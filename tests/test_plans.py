@@ -367,3 +367,28 @@ def test_round4_ops_plan_shapes(t):
     assert not I.has_cartesian(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_round5_operator_plan_shapes(t):
+    """Round-5 operators: m4 is ONE keyed shuffle over a pruned scan;
+    span_dedup and the RRF fusion never go cartesian; scd2's two
+    window passes share one exchange (pinned in test_relational)."""
+    from flink_window_dgim_traffic_spark.operators import retrieval as RT
+
+    ev = t("events")
+    df = W.m4_downsample(ev, 600)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert I.read_columns(df, "events") == {"event_id", "ts", "value"}
+    docs = t("documents")
+    df = D.span_dedup(docs)
+    assert not I.has_cartesian(df)
+    assert I.read_columns(df, "documents") <= {"doc_id", "text"}
+    df = RT.hybrid_retrieval_rrf(docs)
+    # the 1-row corpus-stats attach is a BROADCAST nested-loop (the
+    # correct plan for a conditionless 1-row build side); the fusion
+    # itself never sort-merges or shuffle-hash-joins anything
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin BuildRight") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan

@@ -737,3 +737,79 @@ def test_table_profile_approx_within_bound(spark, sf_dir):
         if e["n_distinct"]:
             err = abs(a["n_distinct"] - e["n_distinct"]) / e["n_distinct"]
             assert err <= 0.06, (c, err)
+
+
+def test_scd2_build_collapses_versions_and_validity_chain(spark):
+    """Hand-computed SCD2: consecutive identical observations collapse
+    into one version, validity windows chain (valid_to = next
+    valid_from), only the last version per key is current, and a NULL
+    attribute does not fabricate a version (null-safe compare)."""
+    import flink_window_dgim_traffic_spark.operators.relational as R
+
+    changes = _tsdf(
+        spark,
+        [
+            (1, 100, "a", 1),
+            (1, 200, "a", 2),   # no-op observation -> collapsed
+            (1, 300, "b", 3),
+            (1, 300, "c", 4),   # same ts: tiebreak orders b before c
+            (2, 50, None, 5),
+            (2, 60, None, 6),   # NULL == NULL -> still one version
+            (2, 70, "z", 7),
+        ],
+        "uid long, ts long, state string, seq long",
+    )
+    out = R.scd2_build(
+        changes, key=["uid"], attrs=["state"], ts_col="ts",
+        tiebreak="seq",
+    ).collect()
+    k1 = sorted(
+        [
+            (
+                r["state"],
+                r["valid_from"].timestamp(),
+                r["valid_to"].timestamp() if r["valid_to"] else None,
+                r["is_current"],
+            )
+            for r in out
+            if r["uid"] == 1
+        ],
+        key=lambda t: (t[1], t[0]),
+    )
+    assert k1 == [
+        ("a", 100.0, 300.0, 0),
+        ("b", 300.0, 300.0, 0),
+        ("c", 300.0, None, 1),
+    ]
+    k2 = sorted(
+        [
+            (
+                r["state"],
+                r["valid_from"].timestamp(),
+                r["valid_to"].timestamp() if r["valid_to"] else None,
+                r["is_current"],
+            )
+            for r in out
+            if r["uid"] == 2
+        ],
+        key=lambda t: t[1],
+    )
+    assert k2 == [(None, 50.0, 70.0, 0), ("z", 70.0, None, 1)]
+
+
+def test_scd2_build_single_shuffle(spark):
+    """Both window passes must reuse ONE hash exchange on the key."""
+    import flink_window_dgim_traffic_spark.operators.relational as R
+
+    changes = _tsdf(
+        spark,
+        [(1, 100, "a", 1), (1, 200, "b", 2)],
+        "uid long, ts long, state string, seq long",
+    )
+    plan = (
+        R.scd2_build(changes, ["uid"], ["state"], "ts", "seq")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1

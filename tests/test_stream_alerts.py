@@ -268,3 +268,33 @@ def test_windowed_distinct_users_stream_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == expect
+
+
+def test_m4_downsample_stream_matches_batch(spark, tmp_path):
+    """first/last/min/max ride associative struct min/max, so the
+    native append-mode streaming aggregate equals the batch M4
+    operator bit-for-bit over closed windows."""
+    from flink_window_dgim_traffic_spark.streaming.alerts import (
+        m4_downsample_stream,
+    )
+
+    src = _replay_dir(tmp_path)
+    q = (
+        m4_downsample_stream(_stream(spark, src), 60)
+        .writeStream.format("memory")
+        .queryName("m4s")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r) for r in spark.sql("select * from m4s").collect()
+    }
+    expect = {
+        tuple(r)
+        for r in W.m4_downsample(_closed_batch_events(spark), 60)
+        .collect()
+    }
+    assert got == expect

@@ -439,3 +439,63 @@ def test_sql_window_topn_equals_dataframe(spark, sf_dir):
     a = {tuple(r) for r in W.window_topn(ev, 60, 3).collect()}
     b = {tuple(r) for r in Q.sql_window_topn(spark, sf_dir, 60, 3).collect()}
     assert a == b
+
+
+def test_gap_fill_tumble_zero_fill_and_locf(spark):
+    """A missing window between observations must appear zero-filled
+    and flagged, with the LOCF column carrying the last observed
+    count across the gap."""
+    import datetime
+
+    from flink_window_dgim_traffic_spark.operators import windows as W
+
+    base = datetime.datetime(2024, 1, 1)
+    mk = lambda s: base + datetime.timedelta(seconds=s)
+    # windows :01 (2 events, 1 one-bit) and :04 (1 event) — :02/:03 gap
+    ev = spark.createDataFrame(
+        [(1, mk(10)), (2, mk(20)), (5, mk(190))],
+        "event_id long, ts timestamp",
+    )
+    rows = {
+        r["window_end"]: (
+            r["ones_exact"], r["n_rows"], r["is_gap"], r["ones_locf"]
+        )
+        for r in W.gap_fill_tumble(ev, 60).collect()
+    }
+    assert rows == {
+        "2024-01-01 00:01:00": (1, 2, 0, 1),
+        "2024-01-01 00:02:00": (0, 0, 1, 1),
+        "2024-01-01 00:03:00": (0, 0, 1, 1),
+        "2024-01-01 00:04:00": (1, 1, 0, 1),
+    }
+
+
+def test_m4_downsample_hand_computed(spark):
+    """Per bucket: first/last by (ts, event_id), min/max raw values —
+    including a same-timestamp tie broken by event_id."""
+    import datetime
+
+    from flink_window_dgim_traffic_spark.operators import windows as W
+
+    base = datetime.datetime(2024, 1, 1)
+    mk = lambda s: base + datetime.timedelta(seconds=s)
+    ev = spark.createDataFrame(
+        [
+            (10, mk(0), 5.0),
+            (11, mk(0), 7.0),    # same ts as event 10: eid orders it 2nd
+            (12, mk(300), -1.0),
+            (13, mk(500), 9.0),
+            (20, mk(700), 2.0),  # second bucket
+        ],
+        "event_id long, ts timestamp, value double",
+    )
+    rows = {
+        r["window_end"]: (
+            r["v_first"], r["v_last"], r["v_min"], r["v_max"], r["n_rows"]
+        )
+        for r in W.m4_downsample(ev, 600).collect()
+    }
+    assert rows == {
+        "2024-01-01 00:10:00": (5.0, 9.0, -1.0, 9.0, 4),
+        "2024-01-01 00:20:00": (2.0, 2.0, 2.0, 2.0, 1),
+    }
