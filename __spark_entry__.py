@@ -182,6 +182,90 @@ def _scd2_user_state(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _scd2_point_in_time(s: SparkSession, d: str) -> DataFrame:
+    """Temporal-lookup composition: build the SCD2 state dimension
+    from each user's NON-purchase observations, then enrich every
+    purchase with the version valid at purchase time
+    (relational.scd2_lookup = as-of on valid_from, no join node)."""
+    ev = _events(s, d)
+    dim = R.scd2_build(
+        ev.filter(F.col("event_type") != "purchase"),
+        key=["user_id"],
+        attrs=["event_type"],
+        ts_col="ts",
+        tiebreak="event_id",
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = R.scd2_lookup(facts, dim, ["user_id"], "ts", ["event_type"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("asof_event_type").alias("state"),
+        F.date_format(
+            "asof_valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("state_since"),
+    )
+
+
+def _stream_scd2_user_state(s: SparkSession, d: str) -> DataFrame:
+    """Streaming dimension maintenance, hash-checked: the events
+    change log replayed through Structured Streaming in four
+    time-ordered micro-batches into the incremental SCD2 job
+    (exactly-once staged snapshots); the reconstructed dimension must
+    hash-match the batch scd2_build oracle."""
+    import os
+    import tempfile
+
+    from flink_window_dgim_traffic_spark.streaming import scd2 as SC
+
+    base = tempfile.mkdtemp(prefix="spark_graft_scd2s_")
+    src, root, ckpt = f"{base}/src", f"{base}/dim", f"{base}/ck"
+    ev = _events(s, d).select("user_id", "ts", "event_type", "event_id")
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    span = (hi - lo) // 4 + 1
+    for i in range(4):
+        ev.filter(
+            (F.unix_micros("ts") >= lo + i * span)
+            & (F.unix_micros("ts") < lo + (i + 1) * span)
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/c{i}")
+    files = sorted(
+        f"{src}/c{i}/{n}"
+        for i in range(4)
+        for n in os.listdir(f"{src}/c{i}")
+        if n.endswith(".parquet")
+    )
+    for i, p in enumerate(files):
+        os.utime(p, (1000000000 + i * 60,) * 2)
+    stream = (
+        s.readStream.schema(
+            "user_id long, ts timestamp, event_type string, event_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = SC.scd2_stream(
+        stream, root, ckpt, ["user_id"], ["event_type"], "ts", "event_id"
+    )
+    q.awaitTermination()
+    return SC.read_scd2(s, root).select(
+        "user_id",
+        "event_type",
+        F.date_format(
+            "valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("valid_from"),
+        F.date_format(
+            "valid_to", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("valid_to"),
+        "is_current",
+    )
+
+
 def _asof_generic(s: SparkSession, d: str) -> DataFrame:
     """The GENERIC as-of join operator (relational.asof_join) on the
     purchases←views pairing, attaching the matched view's event_id
@@ -263,6 +347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": lambda s, d: C.stratified_sample(
             _documents(s, d), "source", 5
         ),
+        "scd2_point_in_time": _scd2_point_in_time,
+        "stream_scd2_user_state": _stream_scd2_user_state,
         # ---- round-4 additions ----
         "window_topn": lambda s, d: W.window_topn(_events(s, d), 60, 3),
         "sql_window_topn": lambda s, d: Q.sql_window_topn(s, d, 60, 3),
@@ -932,6 +1018,46 @@ r AS (SELECT doc_id, source,
            AS BIGINT) AS rnk
       FROM h)
 SELECT doc_id, source, rnk FROM r WHERE rnk <= 5
+""",
+        # Streaming SCD2 maintenance == batch build, hash-checked
+        # (same oracle as scd2_user_state).
+        "stream_scd2_user_state": """
+WITH m AS (SELECT user_id, ts, event_type, event_id,
+       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS prev
+       FROM events),
+f AS (SELECT user_id, ts, event_type, event_id FROM m
+      WHERE prev IS NULL OR prev IS DISTINCT FROM event_type),
+v AS (SELECT user_id, event_type, ts AS vf,
+      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+      FROM f)
+SELECT user_id, event_type,
+  strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+  strftime(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+  CAST(vt IS NULL AS BIGINT) AS is_current
+FROM v
+""",
+        # Point-in-time SCD2 lookup: each purchase joined to the
+        # non-purchase state version valid at its timestamp (lateral
+        # latest-valid_from-at-or-before oracle).
+        "scd2_point_in_time": """
+WITH c AS (SELECT user_id, ts, event_type, event_id FROM events
+           WHERE event_type <> 'purchase'),
+m AS (SELECT *, lag(event_type)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM c),
+f AS (SELECT user_id, ts AS vf, event_type FROM m
+      WHERE prev IS NULL OR prev IS DISTINCT FROM event_type)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       v.event_type AS state,
+       strftime(v.vf, '%Y-%m-%d %H:%M:%S.%f') AS state_since
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+LEFT JOIN LATERAL (
+  SELECT event_type, vf FROM f
+  WHERE f.user_id = p.user_id AND f.vf <= p.ts
+  ORDER BY f.vf DESC LIMIT 1) v ON true
 """,
         # Real-time continuous aggregate (materialized levels below
         # the high-water mark + scan-pruned raw tail) must equal the

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "m4_downsample_10min",
     "hybrid_rrf_topk",
     "stratified_sample",
+    "scd2_point_in_time",
     "tumble_exact",
     "hop_exact",
     "cumulate_exact",

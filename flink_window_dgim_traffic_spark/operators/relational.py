@@ -1721,3 +1721,41 @@ def scd2_build(
         valid_to.alias("valid_to"),
         valid_to.isNull().cast("bigint").alias("is_current"),
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    versions: DataFrame,
+    key: list[str],
+    ts_col: str = "ts",
+    attrs: list[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Point-in-time (temporal) dimension lookup: enrich each fact
+    row with the :func:`scd2_build` version whose validity interval
+    contains the fact's timestamp — the "what did the dimension say
+    THEN" join every event-sourced warehouse needs.
+
+    Because SCD2 versions tile time per key (each version's
+    ``valid_from`` is the previous one's ``valid_to``), interval
+    containment reduces to an AS-OF match on ``valid_from`` — so this
+    is :func:`asof_join` (ONE keyed window sweep, no join node, no
+    interval explode), not a range join.  Facts earlier than the
+    key's first version keep NULLs.  If the change log can hold two
+    observations of one key at one timestamp, pass the ``tiebreak``
+    used at build time (kept via ``attrs``) so both engines pick the
+    same same-instant version.
+
+    Output: all fact columns + ``asof_<c>`` per requested attribute
+    + ``asof_valid_from`` (aliased from the as-of timestamp)."""
+    attrs = list(attrs or [])
+    rhs = versions.select(
+        *key,
+        F.col("valid_from").alias(ts_col),
+        *[F.col(c) for c in attrs],
+    )
+    out = asof_join(
+        facts, rhs, on=ts_col, by=key, right_cols=attrs,
+        tiebreak=tiebreak,
+    )
+    return out.withColumnRenamed(f"asof_{ts_col}", "asof_valid_from")

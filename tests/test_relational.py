@@ -813,3 +813,30 @@ def test_scd2_build_single_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_lookup_point_in_time(spark):
+    """Facts join the version VALID at their timestamp: between two
+    changes the older version answers; before the first version the
+    lookup is NULL; at exactly a change instant the new version wins
+    (inclusive as-of)."""
+    import flink_window_dgim_traffic_spark.operators.relational as R
+
+    changes = _tsdf(
+        spark,
+        [(1, 100, "a", 1), (1, 200, "b", 2)],
+        "uid long, ts long, state string, seq long",
+    )
+    versions = R.scd2_build(changes, ["uid"], ["state"], "ts", "seq")
+    facts = _tsdf(
+        spark,
+        [(10, 50), (11, 150), (12, 200), (13, 999)],
+        "fact_id long, ts long",
+    ).withColumn("uid", F.lit(1))
+    got = {
+        r["fact_id"]: r["asof_state"]
+        for r in R.scd2_lookup(
+            facts, versions, ["uid"], "ts", ["state"]
+        ).collect()
+    }
+    assert got == {10: None, 11: "a", 12: "b", 13: "b"}

@@ -137,6 +137,28 @@ SHOWCASE = {
     "min/max aggregates planned in ONE job over one scan",
     "rollup_serve_10min": "router reads ONLY the coarsest tiling "
     "level's tiny table — raw events never rescanned",
+    "rollup_serve_realtime": "materialized windows below the "
+    "high-water mark + ts-pruned raw tail (filter pushed to the "
+    "events scan) — the log is read only above the threshold",
+    "span_dedup": "one regex projection emits spans; owner/dup via "
+    "map-side-combined span agg; excision is a (doc,pos) anti join; "
+    "reassembly sorts in-row — no pair join anywhere",
+    "scd2_user_state": "version collapse (lag) and validity chain "
+    "(lead) share ONE hash exchange on the entity key",
+    "scd2_point_in_time": "temporal lookup reduced to the as-of "
+    "window sweep — no join node, no interval explode",
+    "leakage_safe_split": "exact-jaccard pairs → label propagation → "
+    "one equi join back; the split itself is a map-only md5",
+    "gap_fill_60s": "series aggregated once (checkpointed); dense "
+    "grid generated from its one-row min/max via sequence-explode; "
+    "LOCF runs over the series, never the events",
+    "m4_downsample_10min": "first/last/min/max in ONE map-side-"
+    "combinable shuffle (struct min/max carries first/last)",
+    "hybrid_rrf_topk": "both rankings are broadcast-stats scans + "
+    "TakeOrderedAndProject; the fusion aggregates two top-k-sized "
+    "lists — the corpora are never rescanned",
+    "stratified_sample": "map-side partial top-k prune per stratum "
+    "(≤ k rows/stratum/partition reach the shuffle)",
 }
 
 
