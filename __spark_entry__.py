@@ -348,6 +348,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _documents(s, d), "source", 5
         ),
         "scd2_point_in_time": _scd2_point_in_time,
+        "chunk_text_rag": lambda s, d: T.chunk_text(
+            _documents(s, d), 64, 16
+        ),
+        "windowed_percentiles": lambda s, d: W.windowed_percentiles(
+            _events(s, d), 600
+        ),
+        "bigram_kn_stats": lambda s, d: T.bigram_kn_stats(
+            _documents(s, d)
+        ),
         "stream_scd2_user_state": _stream_scd2_user_state,
         # ---- round-4 additions ----
         "window_topn": lambda s, d: W.window_topn(_events(s, d), 60, 3),
@@ -1036,6 +1045,50 @@ SELECT user_id, event_type,
   strftime(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
   CAST(vt IS NULL AS BIGINT) AS is_current
 FROM v
+""",
+        # RAG sliding-window chunking: 64-token chunks, stride 48;
+        # chunking stops once a window reaches the doc end.
+        "chunk_text_rag": """
+WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws,
+             len(string_split(text,' ')) AS n FROM documents),
+c AS (SELECT doc_id, ws, n,
+      1 + greatest(0, (n - 64 + 47) // 48) AS num
+      FROM tok WHERE n > 0),
+e AS (SELECT doc_id, ws, n,
+      unnest(generate_series(0, num - 1)) AS i FROM c)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       CAST(least(64, n - i*48) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(ws[i*48+1 : i*48+64], ' ') AS chunk_text
+FROM e
+""",
+        # Per-tumbling-window exact interpolated percentiles (same
+        # quantile_cont recipe as value_percentiles_by_type).
+        "windowed_percentiles": """
+WITH w AS (SELECT (CAST(floor(epoch(ts)/600) AS BIGINT)*600 + 600) AS we,
+                  value FROM events)
+SELECT strftime(make_timestamp(we*1000000), '%Y-%m-%d %H:%M:%S')
+         AS window_end,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       count(*) AS n
+FROM w GROUP BY we
+""",
+        # Kneser-Ney continuation statistics over corpus bigrams;
+        # continuation probability in exact ppm of distinct bigrams.
+        "bigram_kn_stats": """
+WITH tok AS (SELECT string_split(text,' ') AS ws FROM documents),
+bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+       FROM tok, unnest(generate_series(1, len(ws)-1)) AS u(i)),
+t AS (SELECT count(*) AS types
+      FROM (SELECT DISTINCT w1, w2 FROM bg)),
+s AS (SELECT w2 AS word, count(*) AS c_right,
+             count(DISTINCT w1) AS n_left_types
+      FROM bg GROUP BY 1)
+SELECT word, CAST(c_right AS BIGINT) AS c_right,
+       CAST(n_left_types AS BIGINT) AS n_left_types,
+       CAST(n_left_types * 1000000 // types AS BIGINT) AS p_cont_ppm
+FROM s, t
 """,
         # Point-in-time SCD2 lookup: each purchase joined to the
         # non-purchase state version valid at its timestamp (lateral

@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "hybrid_rrf_topk",
     "stratified_sample",
     "scd2_point_in_time",
+    "chunk_text_rag",
+    "windowed_percentiles",
+    "bigram_kn_stats",
     "tumble_exact",
     "hop_exact",
     "cumulate_exact",

@@ -261,3 +261,108 @@ def word_entropy(documents: DataFrame) -> DataFrame:
         F.col("n").cast("bigint").alias("n_tokens"),
         ent.alias("entropy_micro_nats"),
     )
+
+
+def chunk_text(
+    documents: DataFrame, size: int = 64, overlap: int = 16
+) -> DataFrame:
+    """RAG-style sliding-window chunking: split each document into
+    ``size``-token chunks advancing by ``size - overlap`` tokens, so
+    consecutive chunks share ``overlap`` tokens of context — the
+    retrieval-corpus preparation step (and the fixed-window cousin of
+    ``packing.sequence_pack``, which packs instead of splits).  The
+    final chunk is allowed to run short; a document shorter than one
+    window yields exactly one chunk; NULL/empty docs yield none.
+
+    Output: (doc_id, chunk_id, n_chunk_tokens, chunk_text).
+
+    Scale shape: map-only — the chunk count and every slice are
+    in-row JVM expressions over the staged token array (one
+    codegen'd projection, ZERO shuffles); all-integer start/count
+    arithmetic so chunk boundaries are engine-exact."""
+    if overlap >= size:
+        raise ValueError(f"overlap {overlap} must be < size {size}")
+    stride = size - overlap
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    num = F.lit(1) + F.greatest(
+        F.lit(0),
+        F.floor((n - F.lit(size) + F.lit(stride) - 1) / stride)
+        .cast("int"),
+    )
+    d = documents.select(
+        "doc_id", toks.alias("ws"), n.alias("n"), num.alias("num")
+    ).filter(F.col("n") > 0)
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("num") - 1)
+        ).alias("chunk_id0"),
+        "ws",
+        "n",
+    ).select(
+        "doc_id",
+        F.col("chunk_id0").cast("bigint").alias("chunk_id"),
+        "ws",
+        "n",
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.least(
+            F.lit(size), F.col("n") - F.col("chunk_id") * stride
+        ).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(
+                "ws",
+                (F.col("chunk_id") * stride + 1).cast("int"),
+                size,
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
+def bigram_kn_stats(documents: DataFrame) -> DataFrame:
+    """Kneser–Ney continuation statistics over corpus bigrams — the
+    LM-training count tables behind interpolated KN smoothing: per
+    word, its raw right-position count and its CONTINUATION count
+    (how many distinct left contexts it follows), plus the
+    continuation probability quantized to exact ppm of the distinct-
+    bigram count (``n_left_types · 10^6 // |distinct bigrams|`` —
+    integer arithmetic, engine-exact).  The continuation count is the
+    famous fix for high-frequency-but-predictable words ("Francisco"
+    is frequent yet follows only "San").
+
+    Scale shape: bigrams are an in-row zip of two array slices (no
+    per-position re-tokenization), then two keyed aggregations (word
+    counts with map-side combine; distinct-left via partial distinct)
+    and one broadcast scalar."""
+    toks = F.split("text", " ")
+    pairs = (
+        documents.select(toks.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ws", 1, F.size("ws") - 1).alias("w1"),
+                    F.slice("ws", 2, F.size("ws") - 1).alias("w2"),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    stats = pairs.groupBy(F.col("w2").alias("word")).agg(
+        F.count(F.lit(1)).alias("c_right"),
+        F.count_distinct("w1").alias("n_left_types"),
+    )
+    types = pairs.distinct().agg(
+        F.count(F.lit(1)).alias("types")
+    )
+    return stats.crossJoin(F.broadcast(types)).select(
+        "word",
+        F.col("c_right").cast("bigint").alias("c_right"),
+        F.col("n_left_types").cast("bigint").alias("n_left_types"),
+        F.expr("n_left_types * 1000000 div types")
+        .cast("bigint")
+        .alias("p_cont_ppm"),
+    )

@@ -1011,3 +1011,38 @@ def m4_downsample(
             "n_rows",
         )
     )
+
+
+def windowed_percentiles(
+    events: DataFrame, size_sec: int = 600
+) -> DataFrame:
+    """Per-tumbling-window exact interpolated percentiles of ``value``
+    (PERCENTILE_CONT semantics) — the p50/p90/p99 latency-dashboard
+    shape, sharing ``relational.value_percentiles_by_type``'s
+    cross-engine recipe (identical (n-1)·p rank interpolation in
+    Spark's ``percentile`` and DuckDB's ``quantile_cont``; rounded to
+    6 dp to absorb one-ulp ordering differences).  Scale note: exact
+    percentiles sort within each window group; the 100 TB path swaps
+    ``approx_percentile`` (mergeable t-digest sketch), asserted
+    within tolerance in tests for the by-type twin."""
+    ps = [0.5, 0.9, 0.99]
+    exact = F.percentile("value", F.array(*[F.lit(p) for p in ps]))
+    return (
+        events.groupBy(F.window("ts", f"{size_sec} seconds").alias("w"))
+        .agg(
+            *[
+                F.round(F.get(exact, i), 6).alias(f"p{int(p * 100)}")
+                for i, p in enumerate(ps)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.date_format(F.col("w.end"), TS_FMT_SPARK).alias(
+                "window_end"
+            ),
+            "p50",
+            "p90",
+            "p99",
+            "n",
+        )
+    )

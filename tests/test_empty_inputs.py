@@ -189,3 +189,62 @@ def test_cdc_chunk_dedup_null_text_matches_oracle(spark):
         oracle[["doc_id", "n_chunks", "n_dup_chunks", "dup_permille"]]
     )
     assert int(got.loc[got.doc_id == 2, "n_chunks"].iloc[0]) == 0
+
+
+def test_round5_ops_empty(empty):
+    from flink_window_dgim_traffic_spark.operators import corpus as C5
+    from flink_window_dgim_traffic_spark.operators import retrieval as RT
+
+    docs = empty("documents")
+    ev = empty("events")
+    assert D.span_dedup(docs).count() == 0
+    assert C5.leakage_safe_split(docs).count() == 0
+    assert C5.stratified_sample(docs).count() == 0
+    assert R.scd2_build(ev, ["user_id"], ["event_type"]).count() == 0
+    assert W.gap_fill_tumble(ev).count() == 0
+    assert W.m4_downsample(ev).count() == 0
+    assert RT.rrf_fuse(
+        [docs.select("doc_id", F.lit(1).alias("rnk"))]
+    ).count() == 0
+    # hybrid retrieval on an empty corpus: both rankings are empty
+    assert RT.hybrid_retrieval_rrf(docs).count() == 0
+
+
+def test_scd2_lookup_empty_sides(spark, empty):
+    """Empty facts -> empty output; empty dimension -> all-NULL
+    lookups (left semantics preserved)."""
+    ev = empty("events")
+    versions = R.scd2_build(ev, ["user_id"], ["event_type"])
+    import datetime
+
+    facts = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 7)],
+        "fact_id long, ts timestamp, user_id long",
+    )
+    out = R.scd2_lookup(
+        facts, versions, ["user_id"], "ts", ["event_type"]
+    ).collect()
+    assert len(out) == 1 and out[0]["asof_event_type"] is None
+    assert (
+        R.scd2_lookup(
+            facts.filter(F.lit(False)), versions, ["user_id"], "ts",
+            ["event_type"],
+        ).count()
+        == 0
+    )
+
+
+def test_span_dedup_null_and_empty_text(spark):
+    """NULL text reports zero tokens; empty-string docs don't crash
+    and a lone empty doc passes through."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed_tokens"], r["dedup_text"])
+        for r in D.span_dedup(docs, k=5).collect()
+    }
+    assert got[1] == (0, 0, "")
+    assert got[2] == (1, 0, "")
+    assert got[3] == (5, 0, "a b c d e")

@@ -218,3 +218,75 @@ def test_media_dedup_exact_copies(spark):
         for r in media_dedup(docs).collect()
     }
     assert got == {1: 2, 3: 1}  # min doc_id survives, copies counted
+
+
+def test_chunk_text_windows_and_overlap(spark):
+    """Hand case: 10 tokens, size 4, overlap 2 (stride 2) -> starts
+    0,2,4,6,8; last chunk short; short docs yield one chunk; empty
+    and NULL docs yield none.  Property: de-overlapped chunks
+    reconstruct the document."""
+    from flink_window_dgim_traffic_spark.operators.text import chunk_text
+
+    text = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a b"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_text(docs, size=4, overlap=2).collect()
+    )
+    d1 = [r for r in rows if r[0] == 1]
+    # chunking stops once a window reaches the end (start 6 covers
+    # t6..t9); no redundant trailing sub-window is emitted
+    assert [r[3] for r in d1] == [
+        "t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6 t7", "t6 t7 t8 t9",
+    ]
+    assert [r[2] for r in d1] == [4, 4, 4, 4]
+    assert [r for r in rows if r[0] == 2] == [(2, 0, 2, "a b")]
+    # empty-string doc: one 1-token chunk (the empty token) — same
+    # tokenization contract as every other text operator
+    assert [r for r in rows if r[0] == 3] == [(3, 0, 1, "")]
+    assert [r for r in rows if r[0] == 4] == []
+    # reconstruction: first chunk + each later chunk minus overlap
+    toks = []
+    for i, (_, _, _, c) in enumerate(d1):
+        ws = c.split(" ")
+        toks.extend(ws if i == 0 else ws[2:])
+    assert " ".join(toks) == text
+
+
+def test_chunk_text_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from flink_window_dgim_traffic_spark.operators.text import chunk_text
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_text(docs, size=4, overlap=4)
+
+
+def test_bigram_kn_continuation_counts(spark):
+    """The KN fixture: 'francisco' is frequent but always follows
+    'san' -> continuation count 1; a word following many distinct
+    lefts gets a high continuation count."""
+    from flink_window_dgim_traffic_spark.operators.text import (
+        bigram_kn_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "san francisco san francisco san francisco"),
+            (2, "the cat and the dog and the bird"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["word"]: (r["c_right"], r["n_left_types"])
+        for r in bigram_kn_stats(docs).collect()
+    }
+    assert got["francisco"] == (3, 1)      # frequent, ONE left context
+    # doc2 bigrams: (the,cat)(cat,and)(and,the)(the,dog)(dog,and)
+    # (and,the)(the,bird) -> 'the' as right word: 2x, follows {and}
+    assert got["the"] == (2, 1)
+    assert got["and"] == (2, 2)            # follows {cat, dog}

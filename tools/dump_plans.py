@@ -159,6 +159,14 @@ SHOWCASE = {
     "lists — the corpora are never rescanned",
     "stratified_sample": "map-side partial top-k prune per stratum "
     "(≤ k rows/stratum/partition reach the shuffle)",
+    "chunk_text_rag": "map-only: chunk count and slices are in-row "
+    "JVM expressions over the staged token array, ZERO shuffles",
+    "windowed_percentiles": "one shuffle on the window key; the "
+    "per-window sort is bounded by window traffic (approx_percentile "
+    "is the documented 100 TB swap)",
+    "bigram_kn_stats": "bigrams via in-row array zip (no "
+    "per-position re-tokenization); two keyed aggregations + one "
+    "broadcast scalar",
 }
 
 
