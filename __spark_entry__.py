@@ -34,6 +34,8 @@ from flink_window_dgim_traffic_spark.operators import parsing as P
 from flink_window_dgim_traffic_spark.operators import pipeline as PL
 from flink_window_dgim_traffic_spark.operators import quality as QL
 from flink_window_dgim_traffic_spark.functions import table_functions as TF
+from flink_window_dgim_traffic_spark.operators import analytics as AN
+from flink_window_dgim_traffic_spark.operators import sketches as SK
 from flink_window_dgim_traffic_spark.operators import sql_surface as Q
 from flink_window_dgim_traffic_spark.operators import relational as R
 from flink_window_dgim_traffic_spark.operators import similarity as S
@@ -123,6 +125,38 @@ def _rollup_serve_realtime(s: SparkSession, d: str) -> DataFrame:
         ev.filter(F.unix_micros("ts") <= F.lit(cut)), path
     )
     return RU.rollup_serve_realtime(s, path, 60, ev)
+
+
+def _sketch_rollup_path(s: SparkSession, d: str) -> str:
+    """Build (once per process per sf_dir) the theta/KLL sketch
+    hierarchy for the events table in a tempdir and return its path —
+    shared by the serve and quantile queries below."""
+    import tempfile
+
+    cache = getattr(_sketch_rollup_path, "_cache", {})
+    if d not in cache:
+        path = tempfile.mkdtemp(prefix="spark_graft_skroll_")
+        SK.build_sketch_rollup(_events(s, d), path)
+        cache[d] = path
+        _sketch_rollup_path._cache = cache
+    return cache[d]
+
+
+def _theta_rollup_serve_10min(s: SparkSession, d: str) -> DataFrame:
+    """Distinct-count continuous aggregate end to end: per-minute
+    theta sketches materialized once, 10-minute distinct-user windows
+    served by UNIONING sketch blobs (raw events never rescanned).
+    The oracle is the direct exact COUNT(DISTINCT) per 600 s window —
+    hash equality holds because theta sketches are exact below 2^lg_k
+    retained keys (operators/sketches.py module docstring)."""
+    return SK.sketch_rollup_serve(s, _sketch_rollup_path(s, d), 600)
+
+
+def _kll_rollup_quantiles_1h(s: SparkSession, d: str) -> DataFrame:
+    """Hourly p50/p95 of ``value`` served by merging per-minute KLL
+    sketches — approximate by design (rows-only); rank-error bounds
+    vs the exact percentile are asserted in tests/test_sketches.py."""
+    return SK.kll_rollup_quantiles(s, _sketch_rollup_path(s, d), 3600)
 
 
 def _stream_rollup_60s(s: SparkSession, d: str) -> DataFrame:
@@ -328,8 +362,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``approx_distinct_users`` is bound-checked against
     ``distinct_users``."""
     return {
-        # ---- round-5 additions (window discipline: new ops enter
-        # ahead of already-green entries) ----
+        # ---- round-5 session-2 additions (window discipline: new ops
+        # enter ahead of already-green entries) ----
+        "theta_distinct_600s": lambda s, d: SK.theta_windowed_distinct(
+            _events(s, d), 600
+        ),
+        "theta_audience_overlap_daily": lambda s, d: (
+            SK.theta_audience_overlap(_events(s, d), 86400)
+        ),
+        "theta_rollup_serve_10min": _theta_rollup_serve_10min,
+        "per_key_trend": lambda s, d: AN.per_key_trend(_events(s, d)),
+        "assoc_pairs_daily": lambda s, d: AN.assoc_pairs(_events(s, d)),
+        "attribution_touch": lambda s, d: AN.attribution_touch(
+            _events(s, d)
+        ),
+        "profile_drift_psi": lambda s, d: AN.profile_drift(_events(s, d)),
+        "neardup_keep_best": lambda s, d: D.neardup_keep_best(
+            _documents(s, d),
+            D.ngram_jaccard_pairs(_documents(s, d), threshold=0.8),
+        ),
+        # ---- round-5 additions ----
         "span_dedup": lambda s, d: D.span_dedup(_documents(s, d)),
         "rollup_serve_realtime": _rollup_serve_realtime,
         "stream_rollup_60s": _stream_rollup_60s,
@@ -667,6 +719,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": lambda s, d: QL.compression_ratio(
             _documents(s, d)
         ),
+        # merged-minute KLL quantiles (round 5): approximate by design
+        # -> rows-only; rank-error bound pinned in test_sketches.py.
+        "kll_rollup_quantiles_1h": _kll_rollup_quantiles_1h,
         "minhash_lsh_pairs": lambda s, d: D.minhash_lsh_pairs(
             _documents(s, d), threshold=0.8
         ),
@@ -826,6 +881,169 @@ def oracle_sql() -> dict[str, str]:
         "round(CAST(overlap AS DOUBLE) / CAST(na.c + nb.c - overlap AS DOUBLE), 6)"
     )
     return {
+        # ---- round-5 session-2 additions ----
+        # Theta sketches are exact below 2^lg_k retained keys, so the
+        # estimates hash-match the exact COUNT(DISTINCT) at test scale
+        # (max 166 distinct users/hour at sf0.1 vs 4096 capacity).
+        "theta_distinct_600s": """
+SELECT strftime(make_timestamp(((CAST(floor(epoch(ts)/600) AS BIGINT)+1)*600)
+         *1000000), '%Y-%m-%d %H:%M:%S') AS window_end,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_rows
+FROM events GROUP BY 1
+""",
+        # Daily audience set algebra: A, B, A∩B (theta intersection),
+        # A∪B (theta union) — all exact below sketch capacity.
+        "theta_audience_overlap_daily": """
+WITH b AS (SELECT (CAST(floor(epoch(ts)/86400) AS BIGINT)+1)*86400 AS we,
+                  event_type, user_id
+           FROM events),
+a AS (SELECT we,
+       count(DISTINCT CASE WHEN event_type='view' THEN user_id END) AS n_a,
+       count(DISTINCT CASE WHEN event_type='purchase' THEN user_id END) AS n_b
+      FROM b GROUP BY 1),
+ov AS (SELECT we, count(*) AS n_overlap FROM (
+         SELECT we, user_id FROM b WHERE event_type='view'
+         INTERSECT
+         SELECT we, user_id FROM b WHERE event_type='purchase') GROUP BY we),
+un AS (SELECT we, count(DISTINCT user_id) AS n_union FROM b
+       WHERE event_type IN ('view','purchase') GROUP BY we)
+SELECT strftime(make_timestamp(we*1000000), '%Y-%m-%d %H:%M:%S') AS window_end,
+       n_a, n_b,
+       coalesce(n_overlap, 0) AS n_overlap,
+       coalesce(n_union, 0) AS n_union
+FROM a LEFT JOIN ov USING (we) LEFT JOIN un USING (we)
+""",
+        # Sketch-rollup serving (minute blobs unioned to 10 min) must
+        # equal the direct exact distinct count per 600 s window.
+        "theta_rollup_serve_10min": """
+SELECT strftime(make_timestamp(((CAST(floor(epoch(ts)/600) AS BIGINT)+1)*600)
+         *1000000), '%Y-%m-%d %H:%M:%S') AS window_end,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_rows
+FROM events GROUP BY 1
+""",
+        # Grouped OLS trend: integer moment sums (x centered per key,
+        # y quantized to micros), doubles only at the final division
+        # in oracle-identical order.
+        "per_key_trend": """
+WITH b AS (SELECT event_type, user_id, epoch_us(ts) AS x_us,
+                  CAST(round(value*1000000.0) AS BIGINT) AS y
+           FROM events),
+m AS (SELECT event_type, user_id, min(x_us) AS x0 FROM b GROUP BY 1, 2),
+c AS (SELECT b.event_type, b.user_id,
+             CAST(b.x_us - m.x0 AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y
+      FROM b JOIN m USING (event_type, user_id)),
+a AS (SELECT event_type, user_id, CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+      FROM c GROUP BY 1, 2)
+SELECT event_type, user_id, CAST(n AS BIGINT) AS n,
+  round(CAST(n*sxy - sx*sy AS DOUBLE)/CAST(n*sxx - sx*sx AS DOUBLE)
+        * 86400.0, 6) AS slope_per_day,
+  round(CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)/1000000.0, 6) AS mean_value
+FROM a WHERE n*sxx - sx*sx > 0
+""",
+        # Market-basket association over user-day baskets: pair
+        # co-occurrence via the basket self-join, lift/support from
+        # exact counts.
+        "assoc_pairs_daily": """
+WITH s AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+                  event_type AS item FROM events),
+ni AS (SELECT item, count(*) AS c FROM s GROUP BY 1),
+nbk AS (SELECT count(*) AS nb FROM (SELECT DISTINCT user_id, d FROM s)),
+p AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_both
+      FROM s a JOIN s b
+        ON a.user_id = b.user_id AND a.d = b.d AND a.item < b.item
+      GROUP BY 1, 2)
+SELECT item_a, item_b, CAST(n_both AS BIGINT) AS n_both,
+       CAST(na.c AS BIGINT) AS n_a, CAST(nbi.c AS BIGINT) AS n_b,
+       round(CAST(n_both AS DOUBLE) * CAST(nb AS DOUBLE)
+             / (CAST(na.c AS DOUBLE) * CAST(nbi.c AS DOUBLE)), 6) AS lift,
+       round(CAST(n_both AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS support
+FROM p JOIN ni na ON na.item = item_a
+       JOIN ni nbi ON nbi.item = item_b, nbk
+""",
+        # First/last-touch attribution: one preceding-rows window
+        # sweep, conversions credited per channel.
+        "attribution_touch": """
+WITH w AS (SELECT event_type,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt,
+    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft
+  FROM events),
+p AS (SELECT coalesce(lt, 'direct') AS cl, coalesce(ft, 'direct') AS cf
+      FROM w WHERE event_type = 'purchase'),
+l AS (SELECT cl AS channel, count(*) AS n_last FROM p GROUP BY 1),
+f AS (SELECT cf AS channel, count(*) AS n_first FROM p GROUP BY 1)
+SELECT channel,
+       CAST(coalesce(n_last, 0) AS BIGINT) AS n_last_touch,
+       CAST(coalesce(n_first, 0) AS BIGINT) AS n_first_touch
+FROM l FULL OUTER JOIN f USING (channel)
+""",
+        # PSI drift per value bin: Laplace-smoothed shares, ln
+        # quantized once to micro-nats (word_entropy recipe); terms
+        # are non-negative by construction.
+        "profile_drift_psi": """
+WITH b AS (SELECT CAST(floor(value/50.0) AS BIGINT) AS bin,
+                  CAST(ts < TIMESTAMP '2024-01-16 00:00:00' AS INT)
+                    AS is_ref
+           FROM events),
+pb AS (SELECT bin, CAST(sum(is_ref) AS BIGINT) AS cnt_ref,
+              CAST(sum(1 - is_ref) AS BIGINT) AS cnt_cur
+       FROM b GROUP BY 1),
+t AS (SELECT sum(cnt_ref) AS n_ref, sum(cnt_cur) AS n_cur,
+             count(*) AS n_bins FROM pb)
+SELECT bin, cnt_ref, cnt_cur,
+  CAST(round((((cnt_ref + 1.0) / (n_ref + n_bins))
+              - ((cnt_cur + 1.0) / (n_cur + n_bins)))
+       * ln(((cnt_ref + 1.0) * (n_cur + n_bins))
+            / ((cnt_cur + 1.0) * (n_ref + n_bins)))
+       * 1000000.0) AS BIGINT) AS psi_micro_nats
+FROM pb, t
+""",
+        # Quality-aware near-dup resolution: component closure
+        # (recursive CTE) + the oracle-exact quality heuristic; keep
+        # the best-quality doc per cluster (ties -> min doc_id).
+        "neardup_keep_best": f"""
+WITH RECURSIVE {{shingle_base}},
+jp AS (SELECT doc_a, doc_b
+       FROM inter JOIN n na ON na.doc_id = doc_a
+                  JOIN n nb ON nb.doc_id = doc_b
+       WHERE round(CAST(overlap AS DOUBLE)
+                   / CAST(na.c + nb.c - overlap AS DOUBLE), 6) >= 0.8),
+e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+      UNION SELECT doc_b, doc_a FROM jp),
+nodes AS (SELECT DISTINCT a AS doc FROM e),
+reach AS (
+  SELECT doc, doc AS r FROM nodes
+  UNION
+  SELECT reach.doc, e.b FROM reach JOIN e ON reach.r = e.a
+),
+lab AS (SELECT doc AS doc_id, CAST(min(r) AS BIGINT) AS cid
+        FROM reach GROUP BY doc),
+l AS (SELECT d.doc_id, coalesce(lab.cid, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN lab USING (doc_id)),
+qc AS (SELECT doc_id, len(ws) AS nt,
+              len(list_filter(ws, w -> w IN ('the','a','of','to','and',
+                'in','is','for','on','at'))) AS stop_cnt
+       FROM tok),
+q AS (SELECT doc_id,
+             round(least(nt, 50) / 50 * 0.5
+                   + (1 - stop_cnt / nt) * 0.5, 6) AS quality_score
+      FROM qc),
+r AS (SELECT l.doc_id, cluster_id, quality_score,
+             row_number() OVER (PARTITION BY cluster_id
+               ORDER BY quality_score DESC, l.doc_id) AS rn
+      FROM l JOIN q USING (doc_id))
+SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id, quality_score,
+       CAST(rn = 1 AS BIGINT) AS is_kept
+FROM r
+""".replace("{shingle_base}", _SHINGLE_BASE),
         # ---- round-5 additions ----
         # Cross-document span excision: every 5-token span occurring
         # in >=2 distinct docs is removed from every doc except its

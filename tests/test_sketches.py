@@ -1,0 +1,156 @@
+"""Mergeable-sketch surfaces (operators/sketches.py): theta distinct
+counts and set algebra, the sketch rollup hierarchy, and KLL quantile
+bounds.  The exactness premise the oracle rests on (theta exact below
+2^lg_k retained keys) is asserted directly here at sf0.001."""
+
+import bisect
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_window_dgim_traffic_spark.operators import sketches as SK
+
+
+def _exact_distinct(events, size_sec):
+    we = ((F.floor(F.unix_timestamp("ts") / size_sec) + 1) * size_sec)
+    rows = (
+        events.groupBy(we.cast("bigint").alias("we_sec"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.date_format(
+                F.timestamp_seconds("we_sec"), SK.TS_FMT_SPARK
+            ).alias("window_end"),
+            "n_users",
+            "n_rows",
+        )
+        .collect()
+    )
+    return {r.window_end: (r.n_users, r.n_rows) for r in rows}
+
+
+def test_theta_windowed_distinct_exact_below_capacity(events):
+    got = {
+        r.window_end: (r.n_users, r.n_rows)
+        for r in SK.theta_windowed_distinct(events, 600).collect()
+    }
+    assert got == _exact_distinct(events, 600)
+
+
+def test_theta_overlap_matches_exact_set_algebra(spark, events):
+    got = {
+        r.window_end: (r.n_a, r.n_b, r.n_overlap, r.n_union)
+        for r in SK.theta_audience_overlap(events, 86400).collect()
+    }
+    rows = events.select(
+        (((F.floor(F.unix_timestamp("ts") / 86400) + 1) * 86400)
+         .cast("bigint").alias("we")),
+        "event_type",
+        "user_id",
+    ).collect()
+    days = {}
+    for r in rows:
+        a, b = days.setdefault(r.we, (set(), set()))
+        if r.event_type == "view":
+            a.add(r.user_id)
+        elif r.event_type == "purchase":
+            b.add(r.user_id)
+    import datetime
+
+    for we, (a, b) in days.items():
+        key = datetime.datetime.utcfromtimestamp(we).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+        assert got[key] == (len(a), len(b), len(a & b), len(a | b))
+    assert len(got) == len(days)
+
+
+def test_theta_sketch_agg_ignores_nulls(spark):
+    # the conditional-aggregate one-pass overlap relies on NULLs (the
+    # CASE's else branch) being excluded from the sketch
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (2, "b"), (3, "b")], "uid long, t string"
+    )
+    row = df.agg(
+        F.theta_sketch_estimate(
+            F.theta_sketch_agg(F.when(F.col("t") == "a", F.col("uid")))
+        ).alias("n")
+    ).collect()[0]
+    assert row.n == 2
+
+
+@pytest.fixture(scope="module")
+def sketch_rollup(tmp_path_factory, events):
+    path = str(tmp_path_factory.mktemp("skroll"))
+    SK.build_sketch_rollup(events, path)
+    return path
+
+
+def test_sketch_rollup_serve_equals_direct_exact(
+    spark, events, sketch_rollup
+):
+    # 600 s is served by unioning ten 60 s blobs; 3600 s reads the
+    # materialized hourly level directly — both must equal exact
+    for sec in (600, 3600, 86400):
+        got = {
+            r.window_end: (r.n_users, r.n_rows)
+            for r in SK.sketch_rollup_serve(
+                spark, sketch_rollup, sec
+            ).collect()
+        }
+        assert got == _exact_distinct(events, sec)
+
+
+def test_sketch_rollup_serve_reads_coarsest_level_only(
+    spark, sketch_rollup
+):
+    df = SK.sketch_rollup_serve(spark, sketch_rollup, 7200)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "level-3600" in plan and "level-60" not in plan.replace(
+        "level-3600", ""
+    )
+
+
+def test_sketch_rollup_refuses_uncommitted(spark, tmp_path):
+    with pytest.raises(ValueError, match="no committed"):
+        SK.sketch_rollup_serve(spark, str(tmp_path), 600)
+
+
+def test_kll_quantiles_within_rank_bound(spark, events, sketch_rollup):
+    # merged-minute KLL p50/p95 must land within 5% rank error of the
+    # exact per-window distribution (KLL guarantees ~1.65% at k=200)
+    got = {
+        r.window_end: (r.p50, r.p95)
+        for r in SK.kll_rollup_quantiles(
+            spark, sketch_rollup, 3600
+        ).collect()
+    }
+    vals = {}
+    rows = events.select(
+        (((F.floor(F.unix_timestamp("ts") / 3600) + 1) * 3600)
+         .cast("bigint")).alias("we"),
+        "value",
+    ).collect()
+    import datetime
+
+    for r in rows:
+        vals.setdefault(r.we, []).append(r.value)
+    assert len(got) == len(vals)
+    for we, vs in vals.items():
+        key = datetime.datetime.utcfromtimestamp(we).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+        vs.sort()
+        n = len(vs)
+        for est, q in zip(got[key], (0.5, 0.95)):
+            # rank of the estimate within the exact sorted values
+            lo = bisect.bisect_left(vs, est) / n
+            hi = bisect.bisect_right(vs, est) / n
+            assert lo - 0.05 <= q <= hi + 0.05, (we, q, est, lo, hi)
+
+
+def test_build_refuses_rebuild(events, sketch_rollup):
+    with pytest.raises(ValueError, match="already built"):
+        SK.build_sketch_rollup(events, sketch_rollup)
