@@ -1,0 +1,272 @@
+"""Product-analytics operators: grouped trend fitting, market-basket
+association, marketing attribution, and distribution-drift scoring.
+
+These are the four classic "beyond GROUP BY" analytics a warehouse
+user reaches for next; each is expressed as a declarative one-or-two
+shuffle DataFrame plan (no UDFs, no driver loops) and is exact
+cross-engine: every floating-point expression is either built from
+exact integer sums (the BIGINT/DECIMAL(38) quantization recipe proven
+for word_entropy / ewma in this repo) or ordered identically to the
+DuckDB oracle so the IEEE doubles match bit-for-bit.
+
+Scale notes (100 TB): per-key trend is ONE partial-aggregated shuffle
+on the key after a broadcast of per-key minima (x is centered per key
+so the DECIMAL(38) moment sums are bounded by the TIME SPAN, not the
+row count); association pairs self-join on the basket id (bounded
+fan-out: baskets are user-days with ~items-per-basket² pair rows);
+attribution is one window sweep per user partition; drift is a
+two-branch scan folded into |bins| rows before the tiny join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+D38 = "decimal(38,0)"
+
+
+def per_key_trend(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_type", "user_id"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend of ``value_col`` over
+    time: slope (value units per DAY) and mean, for every key with at
+    least two distinct timestamps.
+
+    Exactness recipe: y is quantized ONCE to integer micro-units,
+    x is epoch-microseconds CENTERED on the per-key minimum (keeps
+    the DECIMAL(38,0) moment sums span-bounded: with a 30-day span
+    and 1e5 rows/key the largest term, sx², is ~1e34 < 1e38), all
+    four moments are exact integer sums, and only the final
+    slope/mean are computed in doubles — ordered identically to the
+    oracle SQL, so the rounded results hash-match."""
+    keep = [F.col(k) for k in keys]
+    base = events.select(
+        *keep,
+        F.unix_micros(F.col(ts_col)).alias("x_us"),
+        F.round(F.col(value_col) * 1e6).cast("bigint").alias("y_micro"),
+    )
+    mins = base.groupBy(*keys).agg(F.min("x_us").alias("x0"))
+    x = (F.col("x_us") - F.col("x0")).cast(D38)
+    y = F.col("y_micro").cast(D38)
+    agg = (
+        base.join(F.broadcast(mins), list(keys))
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast(D38).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    return (
+        agg.filter(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
+        )
+        .select(
+            *keys,
+            F.col("n").cast("bigint").alias("n"),
+            F.round(num / den * 86400.0, 6).alias("slope_per_day"),
+            F.round(
+                F.col("sy").cast("double")
+                / F.col("n").cast("double")
+                / 1e6,
+                6,
+            ).alias("mean_value"),
+        )
+    )
+
+
+def assoc_pairs(
+    events: DataFrame,
+    basket_keys: tuple[str, ...] = ("user_id",),
+    basket_day: bool = True,
+    item_col: str = "event_type",
+    min_both: int = 1,
+) -> DataFrame:
+    """Market-basket association over event baskets (default: one
+    basket per user-day): for every unordered item pair, co-occurrence
+    count, per-item basket counts, support and lift.
+
+    Plan shape: distinct (basket, item) → self-join on the basket id
+    with ``item_a < item_b`` (fan-out bounded by items-per-basket²,
+    never |baskets|²) → one aggregation on the pair; the per-item and
+    total basket counts are tiny aggregates broadcast into the final
+    projection.  Lift/support are doubles computed from exact BIGINT
+    counts in oracle-identical order."""
+    bcols = [F.col(k) for k in basket_keys]
+    names = list(basket_keys)
+    if basket_day:
+        bcols.append(F.to_date("ts").alias("_day"))
+        names.append("_day")
+    s = events.select(
+        *bcols, F.col(item_col).alias("item")
+    ).distinct()
+    n_item = s.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    n_total = s.select(*names).distinct().agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    basket_eq = [
+        F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}")) for k in names
+    ]
+    cond = basket_eq[0]
+    for c in basket_eq[1:]:
+        cond = cond & c
+    pairs = (
+        a.join(b, cond & (F.col("a.item") < F.col("b.item")))
+        .groupBy(
+            F.col("a.item").alias("item_a"),
+            F.col("b.item").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_both)
+    )
+    na = F.broadcast(
+        n_item.select(
+            F.col("item").alias("item_a"), F.col("c").alias("n_a")
+        )
+    )
+    nb = F.broadcast(
+        n_item.select(
+            F.col("item").alias("item_b"), F.col("c").alias("n_b")
+        )
+    )
+    return (
+        pairs.join(na, "item_a")
+        .join(nb, "item_b")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("nb").cast("double")
+                / (
+                    F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")
+                ),
+                6,
+            ).alias("lift"),
+            F.round(
+                F.col("n_both").cast("double")
+                / F.col("nb").cast("double"),
+                6,
+            ).alias("support"),
+        )
+    )
+
+
+def attribution_touch(
+    events: DataFrame,
+    conversion: str = "purchase",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """First-touch / last-touch attribution: every ``conversion``
+    event is credited to the user's FIRST and MOST RECENT preceding
+    non-conversion event type (``'direct'`` when the conversion has no
+    prior touch), and conversions are counted per channel.
+
+    One window sweep per user partition (rows-preceding frame, no
+    self-join), then a |channels|-row aggregate — the standard
+    at-scale shape for path attribution."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type") != conversion, F.col("event_type")
+    )
+    tagged = events.select(
+        "event_type",
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+    ).filter(F.col("event_type") == conversion)
+    last = tagged.groupBy(
+        F.coalesce("last_touch", F.lit("direct")).alias("channel")
+    ).agg(F.count(F.lit(1)).alias("n_last_touch"))
+    first = tagged.groupBy(
+        F.coalesce("first_touch", F.lit("direct")).alias("channel")
+    ).agg(F.count(F.lit(1)).alias("n_first_touch"))
+    return (
+        last.join(first, "channel", "full_outer")
+        .select(
+            "channel",
+            F.coalesce("n_last_touch", F.lit(0))
+            .cast("bigint")
+            .alias("n_last_touch"),
+            F.coalesce("n_first_touch", F.lit(0))
+            .cast("bigint")
+            .alias("n_first_touch"),
+        )
+    )
+
+
+def profile_drift(
+    events: DataFrame,
+    cut: str = "2024-01-16 00:00:00",
+    value_col: str = "value",
+    bin_width: float = 50.0,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Population-stability-index drift of ``value_col`` between the
+    reference period (``ts < cut``) and the current period
+    (``ts >= cut``): fixed-width bins, Laplace-smoothed bin shares,
+    per-bin PSI contribution in integer micro-nats.
+
+    PSI_bin = (p - q)·ln(p/q) with p = (cnt_ref+1)/(n_ref+B),
+    q = (cnt_cur+1)/(n_cur+B), B = number of observed bins — the +1
+    smoothing keeps ln finite for bins present on one side only.
+    Exactness: counts are exact BIGINTs; the double expression is
+    ordered identically to the oracle and quantized once to micro-nats
+    (the word_entropy ln recipe), so rows hash-match.  Total drift =
+    SUM(psi_micro_nats) downstream; >0.2 nats is the classic
+    "significant shift" alarm line."""
+    side = (F.col(ts_col) < F.to_timestamp(F.lit(cut))).cast("int")
+    binned = events.select(
+        F.floor(F.col(value_col) / bin_width).cast("bigint").alias("bin"),
+        side.alias("is_ref"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("is_ref").cast("bigint").alias("cnt_ref"),
+        F.sum(1 - F.col("is_ref")).cast("bigint").alias("cnt_cur"),
+    )
+    tot = per_bin.agg(
+        F.sum("cnt_ref").alias("n_ref"),
+        F.sum("cnt_cur").alias("n_cur"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    p = (F.col("cnt_ref") + F.lit(1.0)) / (
+        F.col("n_ref") + F.col("n_bins")
+    )
+    q = (F.col("cnt_cur") + F.lit(1.0)) / (
+        F.col("n_cur") + F.col("n_bins")
+    )
+    ratio = (
+        (F.col("cnt_ref") + F.lit(1.0)) * (F.col("n_cur") + F.col("n_bins"))
+    ) / (
+        (F.col("cnt_cur") + F.lit(1.0)) * (F.col("n_ref") + F.col("n_bins"))
+    )
+    return per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "cnt_ref",
+        "cnt_cur",
+        F.round((p - q) * F.log(ratio) * 1e6)
+        .cast("bigint")
+        .alias("psi_micro_nats"),
+    )

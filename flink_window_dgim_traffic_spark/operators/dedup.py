@@ -1029,3 +1029,43 @@ def neardup_incremental_lsh(
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+def neardup_keep_best(
+    documents: DataFrame, pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Quality-aware near-dup resolution: cluster the near-dup pairs
+    (connected components via :func:`neardup_clusters`), then keep the
+    HIGHEST-QUALITY document of each cluster (ties broken by min
+    doc_id) instead of the naive min-id canonical — the "drop the
+    worse copy" decision an LLM-corpus curator actually wants.
+
+    Singleton documents (no near-dup edge) form their own cluster and
+    are always kept.  Plan shape: the component labeling is the
+    existing label-propagation loop; the winner pick is ONE window
+    rank over (cluster, quality desc, doc_id) — no self-join.  Quality
+    is the repo's oracle-exact heuristic (text.quality_score), so the
+    whole decision is hash-checkable against the recursive-CTE DuckDB
+    twin."""
+    from .text import quality_score_col
+
+    labels = neardup_clusters(pairs, max_iters=max_iters).select(
+        "doc_id", "cluster_id"
+    )
+    scored = documents.select(
+        "doc_id", quality_score_col().alias("quality_score")
+    )
+    lab = scored.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        "quality_score",
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    return lab.select(
+        "doc_id",
+        "cluster_id",
+        "quality_score",
+        (F.row_number().over(w) == 1).cast("bigint").alias("is_kept"),
+    )

@@ -1,0 +1,156 @@
+"""Product-analytics operators (operators/analytics.py) and the
+quality-aware near-dup resolution: hand-checkable micro-fixtures plus
+plan-shape pins (broadcasts present, no cartesian on the pair join)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_window_dgim_traffic_spark.operators import analytics as AN
+from flink_window_dgim_traffic_spark.operators import dedup as D
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def tiny_events(spark):
+    rows = [
+        # uid 1: value rises 10 -> 20 -> 30 over two days (slope 10/d)
+        (1, _ts("2024-01-01 00:00:00"), 1, "view", 10.0),
+        (2, _ts("2024-01-02 00:00:00"), 1, "view", 20.0),
+        (3, _ts("2024-01-03 00:00:00"), 1, "view", 30.0),
+        # uid 2: constant value (slope 0); converts twice
+        (4, _ts("2024-01-01 06:00:00"), 2, "click", 5.0),
+        (5, _ts("2024-01-01 07:00:00"), 2, "purchase", 5.0),
+        (6, _ts("2024-01-02 07:00:00"), 2, "view", 5.0),
+        (7, _ts("2024-01-02 08:00:00"), 2, "purchase", 5.0),
+        # uid 3: converts with NO prior touch -> 'direct'
+        (8, _ts("2024-01-01 09:00:00"), 3, "purchase", 1.0),
+        # uid 3 single other event later (n=1 trend keys dropped)
+        (9, _ts("2024-01-05 09:00:00"), 3, "view", 7.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+
+
+def test_per_key_trend_hand_values(tiny_events):
+    got = {
+        (r.event_type, r.user_id): (r.n, r.slope_per_day, r.mean_value)
+        for r in AN.per_key_trend(tiny_events).collect()
+    }
+    assert got[("view", 1)] == (3, 10.0, 20.0)
+    # constant-series slope is 0 only when x varies; uid2 'purchase'
+    # has two distinct ts and equal values -> slope 0
+    assert got[("purchase", 2)] == (2, 0.0, 5.0)
+    # single-observation keys (den == 0) are dropped
+    assert ("view", 3) not in got
+    assert ("purchase", 3) not in got
+
+
+def test_per_key_trend_drops_zero_span_keys(spark):
+    # two rows with the SAME timestamp: den == 0, key dropped
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00"), 1, "view", 1.0),
+            (2, _ts("2024-01-01 00:00:00"), 1, "view", 2.0),
+        ],
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    )
+    assert AN.per_key_trend(df).count() == 0
+
+
+def test_assoc_pairs_hand_values(tiny_events):
+    rows = AN.assoc_pairs(tiny_events).collect()
+    got = {(r.item_a, r.item_b): r for r in rows}
+    # baskets: (1,d1)={view} (1,d2)={view} (1,d3)={view}
+    # (2,d1)={click,purchase} (2,d2)={view,purchase}
+    # (3,d1)={purchase} (3,d5)={view} -> 7 baskets
+    r = got[("click", "purchase")]
+    assert (r.n_both, r.n_a, r.n_b) == (1, 1, 3)
+    assert r.lift == round(1 * 7 / (1 * 3), 6)
+    assert r.support == round(1 / 7, 6)
+    r = got[("purchase", "view")]
+    assert (r.n_both, r.n_a, r.n_b) == (1, 3, 5)
+    assert ("click", "view") not in got  # never co-occur
+
+
+def test_attribution_hand_values(tiny_events):
+    got = {
+        r.channel: (r.n_last_touch, r.n_first_touch)
+        for r in AN.attribution_touch(tiny_events).collect()
+    }
+    # uid2 purchase#5: last/first prior touch = click
+    # uid2 purchase#7: last prior touch = view, first = click
+    # uid3 purchase#8: no prior touch -> direct
+    assert got == {
+        "click": (1, 2),
+        "view": (1, 0),
+        "direct": (1, 1),
+    }
+
+
+def test_profile_drift_zero_when_identical(spark):
+    # same distribution both sides -> every smoothed term is 0
+    rows = [
+        (i, _ts("2024-01-10 00:00:00"), 1, "view", float(v))
+        for i, v in enumerate([10, 60, 110])
+    ] + [
+        (i + 10, _ts("2024-01-20 00:00:00"), 1, "view", float(v))
+        for i, v in enumerate([10, 60, 110])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+    out = AN.profile_drift(df).collect()
+    assert len(out) == 3
+    assert all(r.psi_micro_nats == 0 for r in out)
+    assert all(r.cnt_ref == 1 and r.cnt_cur == 1 for r in out)
+
+
+def test_profile_drift_terms_nonnegative(events):
+    out = AN.profile_drift(events).collect()
+    assert len(out) > 0
+    assert all(r.psi_micro_nats >= 0 for r in out)
+    # full coverage: bin counts sum to the table size
+    n = sum(r.cnt_ref + r.cnt_cur for r in out)
+    assert n == events.count()
+
+
+def test_neardup_keep_best_keeps_highest_quality(spark):
+    # two docs that are exact near-dups (jaccard 1.0) but doc 2 has
+    # more non-stopword tokens -> higher quality -> doc 2 kept even
+    # though doc 1 has the smaller id; doc 3 is a singleton (kept)
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, "the " + base),
+            (2, base + " kappa"),
+            (3, "completely different text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    got = {r.doc_id: r for r in D.neardup_keep_best(docs, pairs).collect()}
+    assert got[1].cluster_id == got[2].cluster_id == 1
+    assert got[3].cluster_id == 3
+    assert got[2].quality_score > got[1].quality_score
+    assert (got[1].is_kept, got[2].is_kept, got[3].is_kept) == (0, 1, 1)
+
+
+def test_assoc_pairs_no_cartesian(events):
+    plan = (
+        AN.assoc_pairs(events)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the three count sides reach the projection via broadcast
+    assert plan.count("BroadcastExchange") >= 2
