@@ -159,6 +159,27 @@ def _kll_rollup_quantiles_1h(s: SparkSession, d: str) -> DataFrame:
     return SK.kll_rollup_quantiles(s, _sketch_rollup_path(s, d), 3600)
 
 
+def _zorder_layout_stats(s: SparkSession, d: str) -> DataFrame:
+    """Z-order the events table on (user_id, value) and surface the
+    per-file min-max footprint + prune decision for a box probe —
+    the measurable layout-quality artifact (tests pin that the
+    z-layout beats a single-column sort on cross-column probes)."""
+    import tempfile
+
+    from flink_window_dgim_traffic_spark.operators import layout as L
+
+    path = tempfile.mkdtemp(prefix="spark_graft_zorder_") + "/events"
+    L.write_zordered(
+        _events(s, d).select("user_id", "value", "ts"),
+        path,
+        ("user_id", "value"),
+    )
+    return L.layout_scan_stats(
+        s, path, ("user_id", "value"),
+        probe={"value": (100.0, 150.0)},
+    )
+
+
 def _stream_rollup_60s(s: SparkSession, d: str) -> DataFrame:
     """The streaming surface end to end as an oracle-checked query:
     the events table is replayed through Structured Streaming (file
@@ -722,6 +743,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merged-minute KLL quantiles (round 5): approximate by design
         # -> rows-only; rank-error bound pinned in test_sketches.py.
         "kll_rollup_quantiles_1h": _kll_rollup_quantiles_1h,
+        # MMR greedy has no SQL twin -> rows-only; numpy-reference
+        # parity pinned in tests/test_analytics_vectors.py.
+        "mmr_diverse_topk": lambda s, d: S.mmr_diverse_topk(
+            _embeddings(s, d)
+        ),
+        # eigendecomposition has no SQL twin -> rows-only; numpy
+        # parity + variance ordering pinned in tests.
+        "pca_project": lambda s, d: S.pca_project(_embeddings(s, d)),
+        # layout quality surface (per-file min-max + prune decision)
+        # -> rows-only; pruning win + soundness in tests/test_layout.py
+        "zorder_layout_stats": _zorder_layout_stats,
         "minhash_lsh_pairs": lambda s, d: D.minhash_lsh_pairs(
             _documents(s, d), threshold=0.8
         ),

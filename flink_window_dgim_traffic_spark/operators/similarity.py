@@ -1235,3 +1235,168 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
         "qvec",
         F.round(err * F.lit(1e6), 0).cast("bigint").alias("max_abs_err_e6"),
     )
+
+
+def mmr_diverse_topk(
+    embeddings: DataFrame,
+    n_query: int = N_QUERY,
+    pool: int = 50,
+    k: int = TOP_K,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: for each query, take the
+    top-``pool`` cosine candidates, then greedily select ``k`` of them
+    maximizing ``lam·relevance − (1−lam)·max_sim_to_already_selected``
+    — the diversity-aware retrieval that plain top-k lacks (near-dup
+    candidates crowd a plain top-k; MMR spreads the picks).
+
+    Scale shape: the candidate pool is built by the existing
+    distributed brute-force/ANN ranking; the inherently-sequential
+    greedy step runs inside ``applyInPandas`` per QUERY group — each
+    group is a bounded ``pool``-row problem, and queries parallelize
+    across tasks.  Deterministic: scores rounded to 1e-6,
+    ties broken by neighbor_id.  Rows-only for the driver (the greedy
+    argmax is not SQL-expressible); exact small-case parity vs a
+    numpy reference is pinned in tests/test_analytics_vectors.py."""
+    import numpy as np
+
+    cands = simsearch_topk(embeddings, n_query=n_query, k=pool)
+    vecs = _with_vec(embeddings).select(
+        F.col("vec_id").alias("neighbor_id"), "v", "nrm"
+    )
+    joined = cands.join(vecs, "neighbor_id").select(
+        "query_id", "neighbor_id", "score", "v", "nrm"
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        # ragged policy: cross-length pairs score NULL and can never
+        # be selected — dropping them also guarantees every remaining
+        # candidate has the query's dimensionality (homogeneous X)
+        pdf = pdf.dropna(subset=["score"])
+        pdf = pdf.sort_values(
+            ["score", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        if len(pdf) == 0:
+            return pdf.assign(mmr_rank=[], mmr_score=[])[
+                ["query_id", "neighbor_id", "score", "mmr_rank",
+                 "mmr_score"]
+            ]
+        X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        rel = pdf["score"].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        sim = (X @ X.T) / np.outer(nrm, nrm)
+        sim = np.round(sim, 6)
+        picked: list[int] = []
+        mmr_scores: list[float] = []
+        avail = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            if picked:
+                div = sim[:, picked].max(axis=1)
+            else:
+                div = np.zeros(n)
+            mmr = np.round(lam * rel - (1.0 - lam) * div, 6)
+            mmr[~avail] = -np.inf
+            # argmax with neighbor_id tie-break: candidates are sorted
+            # by (score desc, id asc); np.argmax takes the FIRST max,
+            # which under that ordering is not id-deterministic when
+            # mmr ties cross score levels — resolve explicitly
+            best = np.flatnonzero(mmr == mmr[avail].max())
+            ids = pdf["neighbor_id"].to_numpy()
+            best = best[np.argmin(ids[best])]
+            picked.append(int(best))
+            mmr_scores.append(float(mmr[best]))
+            avail[best] = False
+        out = pdf.iloc[picked][["query_id", "neighbor_id", "score"]].copy()
+        out["mmr_rank"] = np.arange(1, len(picked) + 1, dtype="int64")
+        out["mmr_score"] = np.array(mmr_scores)
+        return out
+
+    return joined.groupBy("query_id").applyInPandas(
+        _greedy,
+        "query_id bigint, neighbor_id bigint, score double,"
+        " mmr_rank bigint, mmr_score double",
+    )
+
+
+def pca_project(
+    embeddings: DataFrame, k: int = 2, sample_rows: int = 100_000
+) -> DataFrame:
+    """Distributed PCA projection: per-partition Arrow batches fold
+    into (n, Σx, XᵀX) partials (``mapInPandas`` — one d-vector and one
+    d×d matrix per batch, never the rows), the tiny d×d Gram matrix is
+    reduced and eigendecomposed on the driver, and the top-``k``
+    components are broadcast back into a vectorized projection UDF.
+    This is the textbook two-pass shape: the data crosses the wire
+    once as d²-size partials regardless of row count.
+
+    Only vectors of the corpus-MODAL dimensionality participate (the
+    repo's ragged policy).  Sign convention: each component's largest-
+    magnitude coordinate is made positive, so the output is unique.
+    Rows-only for the driver (eigendecomposition has no SQL twin);
+    numpy parity and invariance tests in
+    tests/test_analytics_vectors.py."""
+    import numpy as np
+
+    modal = (
+        embeddings.groupBy(F.size("embedding").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("d"))
+        .limit(1)
+        .collect()[0]["d"]
+    )
+    base = embeddings.filter(F.size("embedding") == modal).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+
+    def _partials(batches):
+        for pdf in batches:
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+            )
+            if len(X) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "xtx": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    parts = base.select("v").mapInPandas(
+        _partials, "n long, s array<double>, xtx array<double>"
+    ).collect()
+    n = sum(p["n"] for p in parts)
+    if n == 0:
+        return base.sparkSession.createDataFrame(
+            [], "vec_id bigint, pc array<double>"
+        )
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    xtx = np.sum(
+        [np.asarray(p["xtx"]).reshape(modal, modal) for p in parts],
+        axis=0,
+    )
+    mean = s / n
+    cov = (xtx - np.outer(s, mean) - np.outer(mean, s)) / n + np.outer(
+        mean, mean
+    )
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    W = vecs[:, order]
+    # sign convention: largest-|coordinate| of each component positive
+    for j in range(W.shape[1]):
+        i = int(np.argmax(np.abs(W[:, j])))
+        if W[i, j] < 0:
+            W[:, j] = -W[:, j]
+    sc = base.sparkSession.sparkContext
+    model = _ship(sc, (mean, W))
+
+    @pandas_udf("array<double>")
+    def _proj(vs: pd.Series) -> pd.Series:
+        mean_, W_ = model.value
+        X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        P = np.round((X - mean_) @ W_, 6)
+        return pd.Series(list(P))
+
+    return base.select("vec_id", _proj("v").alias("pc"))
