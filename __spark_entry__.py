@@ -159,6 +159,39 @@ def _kll_rollup_quantiles_1h(s: SparkSession, d: str) -> DataFrame:
     return SK.kll_rollup_quantiles(s, _sketch_rollup_path(s, d), 3600)
 
 
+def _stream_theta_rollup_60s(s: SparkSession, d: str) -> DataFrame:
+    """Streaming distinct-count continuous aggregate end to end: the
+    events table replayed through Structured Streaming into the
+    SKETCH-rollup refresh (foreachBatch, snapshot-staged
+    exactly-once), then the served 60 s windows' theta estimates are
+    oracle-checked against the direct exact COUNT(DISTINCT) — the
+    stream-merged sketch state must reproduce it (exact below sketch
+    capacity)."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="spark_graft_streamsk_")
+    src, path, ckpt = f"{base}/src", f"{base}/agg", f"{base}/ck"
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    ev = _events(s, d).select("event_id", "ts", "user_id", "value")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    SK.build_sketch_rollup(s.createDataFrame([], schema), path)
+    stream = (
+        s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            SK.sketch_rollup_refresh_batch_fn(path)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return SK.sketch_rollup_serve(s, path, 60)
+
+
 def _zorder_layout_stats(s: SparkSession, d: str) -> DataFrame:
     """Z-order the events table on (user_id, value) and surface the
     per-file min-max footprint + prune decision for a box probe —
@@ -392,6 +425,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SK.theta_audience_overlap(_events(s, d), 86400)
         ),
         "theta_rollup_serve_10min": _theta_rollup_serve_10min,
+        "theta_churn_daily": lambda s, d: SK.theta_churn(
+            _events(s, d), 86400
+        ),
+        "session_paths": lambda s, d: AN.session_paths(_events(s, d)),
+        "stream_theta_rollup_60s": _stream_theta_rollup_60s,
         "per_key_trend": lambda s, d: AN.per_key_trend(_events(s, d)),
         "assoc_pairs_daily": lambda s, d: AN.assoc_pairs(_events(s, d)),
         "attribution_touch": lambda s, d: AN.attribution_touch(
@@ -950,6 +988,70 @@ FROM a LEFT JOIN ov USING (we) LEFT JOIN un USING (we)
         # equal the direct exact distinct count per 600 s window.
         "theta_rollup_serve_10min": """
 SELECT strftime(make_timestamp(((CAST(floor(epoch(ts)/600) AS BIGINT)+1)*600)
+         *1000000), '%Y-%m-%d %H:%M:%S') AS window_end,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_rows
+FROM events GROUP BY 1
+""",
+        # Daily churn via theta set algebra: retained = |A_t ∩
+        # A_{t-1}|, new = active − retained, churned = |A_{t-1} \ A_t|
+        # (0 when the predecessor window has no events) — exact below
+        # sketch capacity.
+        "theta_churn_daily": """
+WITH b AS (SELECT DISTINCT
+             (CAST(floor(epoch(ts)/86400) AS BIGINT)+1)*86400 AS we,
+             user_id
+           FROM events),
+cur AS (SELECT we, count(*) AS n_active FROM b GROUP BY 1),
+ret AS (SELECT c.we, count(*) AS n_ret
+        FROM b c JOIN b p
+          ON p.we = c.we - 86400 AND p.user_id = c.user_id
+        GROUP BY 1),
+chn AS (SELECT p.we + 86400 AS we, count(*) AS n_chn
+        FROM b p ANTI JOIN b c
+          ON c.we = p.we + 86400 AND c.user_id = p.user_id
+        GROUP BY 1)
+SELECT strftime(make_timestamp(cur.we*1000000), '%Y-%m-%d %H:%M:%S')
+         AS window_end,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(coalesce(n_ret, 0) AS BIGINT) AS n_retained,
+       CAST(n_active - coalesce(n_ret, 0) AS BIGINT) AS n_new,
+       CAST(CASE WHEN pv.we IS NULL THEN 0
+                 ELSE coalesce(n_chn, 0) END AS BIGINT) AS n_churned
+FROM cur
+LEFT JOIN ret ON ret.we = cur.we
+LEFT JOIN chn ON chn.we = cur.we
+LEFT JOIN (SELECT we FROM cur) pv ON pv.we = cur.we - 86400
+""",
+        # Top session navigation paths: gap sessionization (lag +
+        # running sum), first-5 steps concatenated in (us, event_id)
+        # order.
+        "session_paths": """
+WITH o AS (SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS pus
+           FROM events),
+s AS (SELECT *, sum(CASE WHEN pus IS NULL
+                          OR us - pus > 14400000000 THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM o),
+r AS (SELECT *, row_number() OVER
+        (PARTITION BY user_id, sess_id ORDER BY ts, event_id) AS rn,
+        count(*) OVER (PARTITION BY user_id, sess_id) AS sess_len
+      FROM s),
+p AS (SELECT user_id, sess_id,
+        string_agg(event_type, '>' ORDER BY us, event_id) AS path,
+        max(sess_len) AS sess_len
+      FROM r WHERE rn <= 5 GROUP BY 1, 2)
+SELECT path, count(*) AS n_sessions,
+       CAST(sum(sess_len) AS BIGINT) AS n_events
+FROM p GROUP BY 1
+""",
+        # Stream-merged sketch state must reproduce the direct exact
+        # per-minute distinct count (theta exact below capacity).
+        "stream_theta_rollup_60s": """
+SELECT strftime(make_timestamp(((CAST(floor(epoch(ts)/60) AS BIGINT)+1)*60)
          *1000000), '%Y-%m-%d %H:%M:%S') AS window_end,
        count(DISTINCT user_id) AS n_users,
        count(*) AS n_rows

@@ -270,3 +270,66 @@ def profile_drift(
         .cast("bigint")
         .alias("psi_micro_nats"),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_sec: int = 4 * 3600,
+    max_steps: int = 5,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Top navigation paths: gap-sessionize (the repo's lag +
+    running-sum recipe, microsecond-exact), take each session's first
+    ``max_steps`` event types in time order, and count sessions per
+    path string — the "how do users move through the product" query.
+
+    Deterministic path assembly: the step structs are sorted by
+    (epoch-micros, event_id) INSIDE the aggregate (``array_sort`` of
+    collected structs), never relying on collect_list order.  Two
+    window sweeps + one aggregation; path cardinality is bounded by
+    |event_types|^max_steps, so the final aggregate is small."""
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("u").orderBy("us", "event_id")
+    prev_us = F.lag("us").over(w)
+    new_sess = F.when(
+        prev_us.isNull()
+        | (F.col("us") - prev_us > gap_sec * 1_000_000),
+        1,
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = base.withColumn(
+        "sess_id", F.sum(new_sess).over(wsum).cast("bigint")
+    )
+    ws = Window.partitionBy("u", "sess_id")
+    ranked = sess.select(
+        "u",
+        "sess_id",
+        "us",
+        "event_id",
+        "event_type",
+        F.row_number().over(ws.orderBy("us", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(ws).alias("sess_len"),
+    ).filter(F.col("rn") <= max_steps)
+    per_sess = ranked.groupBy("u", "sess_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("us", "event_id", "event_type")
+                    )
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.max("sess_len").alias("sess_len"),
+    )
+    return per_sess.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("sess_len").cast("bigint").alias("n_events"),
+    )

@@ -302,3 +302,170 @@ def kll_rollup_quantiles(
             "n_rows",
         )
     )
+
+
+def theta_churn(
+    events: DataFrame,
+    size_sec: int = 86400,
+    key: str = "user_id",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-window audience churn via theta set algebra: for every
+    window, the active set A_t is one sketch; joining each window to
+    its PREDECESSOR window gives retained = |A_t ∩ A_{t-1}|, new =
+    |A_t \\ A_{t-1}| (theta_difference — the operation HLL cannot do),
+    churned = |A_{t-1} \\ A_t|.  Windows whose predecessor has no
+    events treat it as the empty set (retained 0, new = active,
+    churned 0).  One sketch aggregation + ONE self-join on the window
+    key carrying only sketch blobs — the 100 TB churn dashboard never
+    re-shuffles raw keys.  Exact below sketch capacity (the oracle
+    regime)."""
+    we = ((F.floor(F.unix_timestamp("ts") / size_sec) + 1) * size_sec)
+    sk = events.groupBy(we.cast("bigint").alias("we_sec")).agg(
+        F.theta_sketch_agg(key, F.lit(lg_k)).alias("sk")
+    )
+    prev = sk.select(
+        (F.col("we_sec") + size_sec).alias("we_sec"),
+        F.col("sk").alias("sk_prev"),
+    )
+    j = sk.join(prev, "we_sec", "left")
+    has_prev = F.col("sk_prev").isNotNull()
+    return (
+        j.select(
+            "we_sec",
+            F.theta_sketch_estimate("sk").alias("n_active"),
+            F.when(
+                has_prev,
+                F.theta_sketch_estimate(
+                    F.theta_intersection("sk", "sk_prev")
+                ),
+            ).otherwise(F.lit(0)).alias("n_retained"),
+            F.when(
+                has_prev,
+                F.theta_sketch_estimate(
+                    F.theta_difference("sk", "sk_prev")
+                ),
+            ).otherwise(F.theta_sketch_estimate("sk")).alias("n_new"),
+            F.when(
+                has_prev,
+                F.theta_sketch_estimate(
+                    F.theta_difference("sk_prev", "sk")
+                ),
+            ).otherwise(F.lit(0)).alias("n_churned"),
+        )
+        .transform(_fmt_end)
+        .select(
+            "window_end", "n_active", "n_retained", "n_new", "n_churned"
+        )
+    )
+
+
+# ----------------------------------------------------- streaming refresh
+
+def _merge_sketch_level(existing: DataFrame, inc: DataFrame) -> DataFrame:
+    """Same-granularity sketch merge: union by window key, theta blobs
+    union, KLL blobs fold, counts sum — associative, so late windows
+    simply merge into their original key."""
+    return (
+        existing.unionByName(inc)
+        .groupBy("we_sec")
+        .agg(
+            F.theta_union_agg("theta_key").alias("theta_key"),
+            F.collect_list("kll_value").alias("_klls"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+        )
+        .select(
+            "we_sec",
+            "theta_key",
+            F.aggregate(
+                F.slice(
+                    F.col("_klls"),
+                    F.lit(2),
+                    F.greatest(F.size("_klls") - 1, F.lit(0)),
+                ),
+                F.element_at("_klls", 1),
+                lambda acc, x: F.kll_sketch_merge_double(acc, x),
+            ).alias("kll_value"),
+            "n_rows",
+        )
+    )
+
+
+def refresh_sketch_rollup(
+    spark,
+    path: str,
+    new_events: DataFrame,
+    levels: tuple[int, ...] = DEFAULT_LEVELS,
+    key: str = "user_id",
+    value_col: str = "value",
+    lg_k: int = 12,
+    tag: str | None = None,
+) -> bool:
+    """Incrementally fold a new event batch into the sketch hierarchy
+    — the distinct-count/quantile continuous-aggregate REFRESH.  Same
+    crash discipline as :func:`.rollup.refresh_rollup`: every merged
+    level is STAGED under the new snapshot tag and promoted by ONE
+    marker written last; an already-committed tag returns False (the
+    replay skip).  Because sketch union is idempotent-per-element but
+    the count column is not, the snapshot protocol (never merge into
+    visible state) is what carries exactly-once."""
+    from .rollup import _meta
+
+    levels = tuple(sorted(levels))
+    committed = _committed(path)
+    if not committed:
+        raise ValueError(
+            f"no committed sketch rollup at {path!r} — run"
+            " build_sketch_rollup first"
+        )
+    base_seq, base_tag = committed[-1]
+    if tag is None:
+        tag = f"refresh-{base_seq + 1}"
+    if any(t == tag for _, t in committed):
+        return False
+    inc = _finest_sketch(new_events, levels[0], key, value_col, lg_k)
+    for i, lvl in enumerate(levels):
+        existing = spark.read.parquet(_level_path(path, lvl, base_tag))
+        merged = _merge_sketch_level(existing, inc)
+        merged.write.mode("overwrite").parquet(
+            _level_path(path, lvl, tag)
+        )
+        if i + 1 < len(levels):
+            inc = _coarsen_sketch(inc, lvl, levels[i + 1])
+    wm = max(
+        _meta(path, base_seq, base_tag).get("watermark_us", 0),
+        _watermark_us(new_events),
+    )
+    _write_marker(
+        path,
+        base_seq + 1,
+        tag,
+        {"levels": list(levels), "watermark_us": wm, "kind": "sketch"},
+    )
+    return True
+
+
+def sketch_rollup_refresh_batch_fn(
+    path: str,
+    levels: tuple[int, ...] = DEFAULT_LEVELS,
+    key: str = "user_id",
+    value_col: str = "value",
+    lg_k: int = 12,
+):
+    """foreachBatch wrapper: batch id = snapshot tag → exactly-once
+    under crash-replay (replayed committed batches skip; replayed
+    crashed batches re-stage from the same committed base)."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        refresh_sketch_rollup(
+            batch.sparkSession,
+            path,
+            batch,
+            levels,
+            key,
+            value_col,
+            lg_k,
+            tag=f"batch-{batch_id}",
+        )
+
+    return process

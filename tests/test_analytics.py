@@ -154,3 +154,33 @@ def test_assoc_pairs_no_cartesian(events):
     assert "CartesianProduct" not in plan
     # the three count sides reach the projection via broadcast
     assert plan.count("BroadcastExchange") >= 2
+
+
+def test_session_paths_hand_values(spark):
+    rows = [
+        # uid 1, one session: view > click > purchase (3 events)
+        (1, _ts("2024-01-01 00:00:00"), 1, "view", 0.0),
+        (2, _ts("2024-01-01 00:10:00"), 1, "click", 0.0),
+        (3, _ts("2024-01-01 00:20:00"), 1, "purchase", 0.0),
+        # uid 1, second session 5h later (gap > 4h): view only
+        (4, _ts("2024-01-01 05:30:00"), 1, "view", 0.0),
+        # uid 2, 7-event session: path truncates at 5 steps but
+        # n_events counts all 7
+        *[
+            (10 + i, _ts(f"2024-01-02 01:{i:02d}:00"), 2, "click", 0.0)
+            for i in range(7)
+        ],
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+    got = {
+        r.path: (r.n_sessions, r.n_events)
+        for r in AN.session_paths(df).collect()
+    }
+    assert got == {
+        "view>click>purchase": (1, 3),
+        "view": (1, 1),
+        "click>click>click>click>click": (1, 7),
+    }

@@ -154,3 +154,76 @@ def test_kll_quantiles_within_rank_bound(spark, events, sketch_rollup):
 def test_build_refuses_rebuild(events, sketch_rollup):
     with pytest.raises(ValueError, match="already built"):
         SK.build_sketch_rollup(events, sketch_rollup)
+
+
+def test_theta_churn_matches_exact_sets(events):
+    got = {
+        r.window_end: (r.n_active, r.n_retained, r.n_new, r.n_churned)
+        for r in SK.theta_churn(events, 86400).collect()
+    }
+    rows = events.select(
+        (((F.floor(F.unix_timestamp("ts") / 86400) + 1) * 86400)
+         .cast("bigint")).alias("we"),
+        "user_id",
+    ).collect()
+    days = {}
+    for r in rows:
+        days.setdefault(r.we, set()).add(r.user_id)
+    import datetime
+
+    for we, cur in days.items():
+        prev = days.get(we - 86400)
+        key = datetime.datetime.utcfromtimestamp(we).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+        if prev is None:
+            assert got[key] == (len(cur), 0, len(cur), 0)
+        else:
+            assert got[key] == (
+                len(cur),
+                len(cur & prev),
+                len(cur - prev),
+                len(prev - cur),
+            )
+    assert len(got) == len(days)
+
+
+def test_sketch_refresh_crash_window_and_replay(
+    spark, sf_dir, tmp_path, monkeypatch, events
+):
+    """Same discipline as the sum-rollup: a refresh dying after level
+    writes but before the marker leaves committed state untouched;
+    the replay converges to exactly one fold."""
+    import pytest as _pytest
+
+    first = events.filter(F.col("event_id") % 2 == 0)
+    late = events.filter(F.col("event_id") % 2 == 1)
+    path = str(tmp_path / "skcrash")
+    SK.build_sketch_rollup(first, path)
+    before = {
+        tuple(r)
+        for r in SK.sketch_rollup_serve(spark, path, 60).collect()
+    }
+
+    real_marker = SK._write_marker
+    monkeypatch.setattr(
+        SK, "_write_marker",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with _pytest.raises(RuntimeError, match="crash"):
+        SK.refresh_sketch_rollup(spark, path, late, tag="batch-3")
+    assert {
+        tuple(r)
+        for r in SK.sketch_rollup_serve(spark, path, 60).collect()
+    } == before
+    monkeypatch.setattr(SK, "_write_marker", real_marker)
+
+    assert SK.refresh_sketch_rollup(spark, path, late, tag="batch-3")
+    assert not SK.refresh_sketch_rollup(spark, path, late, tag="batch-3")
+    # refreshed hierarchy == hierarchy built from everything at once
+    for sec in (60, 3600, 86400):
+        got = {
+            r.window_end: (r.n_users, r.n_rows)
+            for r in SK.sketch_rollup_serve(spark, path, sec).collect()
+        }
+        assert got == _exact_distinct(events, sec), sec
