@@ -192,6 +192,27 @@ def _stream_theta_rollup_60s(s: SparkSession, d: str) -> DataFrame:
     return SK.sketch_rollup_serve(s, path, 60)
 
 
+def _theta_rollup_realtime(s: SparkSession, d: str) -> DataFrame:
+    """Real-time DISTINCT-count continuous aggregate: the sketch
+    hierarchy is folded up to a time cut (first 4/5 of the range);
+    serving unions materialized sketch blobs below the high-water
+    mark with sketches built from only the ts-pruned raw tail.  The
+    oracle is the direct exact per-minute distinct count over ALL
+    events."""
+    import tempfile
+
+    ev = _events(s, d)
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    cut = lo + (hi - lo) * 4 // 5
+    path = tempfile.mkdtemp(prefix="spark_graft_skroll_rt_")
+    SK.build_sketch_rollup(
+        ev.filter(F.unix_micros("ts") <= F.lit(cut)), path
+    )
+    return SK.sketch_rollup_serve_realtime(s, path, 60, ev)
+
+
 def _zorder_layout_stats(s: SparkSession, d: str) -> DataFrame:
     """Z-order the events table on (user_id, value) and surface the
     per-file min-max footprint + prune decision for a box probe —
@@ -430,6 +451,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "session_paths": lambda s, d: AN.session_paths(_events(s, d)),
         "stream_theta_rollup_60s": _stream_theta_rollup_60s,
+        "theta_rollup_realtime": _theta_rollup_realtime,
+        "rfm_segments": lambda s, d: AN.rfm_segments(_events(s, d)),
+        "conversion_latency": lambda s, d: AN.conversion_latency(
+            _events(s, d)
+        ),
+        "hard_negatives": lambda s, d: S.hard_negatives(
+            _embeddings(s, d)
+        ),
         "per_key_trend": lambda s, d: AN.per_key_trend(_events(s, d)),
         "assoc_pairs_daily": lambda s, d: AN.assoc_pairs(_events(s, d)),
         "attribution_touch": lambda s, d: AN.attribution_touch(
@@ -992,6 +1021,82 @@ SELECT strftime(make_timestamp(((CAST(floor(epoch(ts)/600) AS BIGINT)+1)*600)
        count(DISTINCT user_id) AS n_users,
        count(*) AS n_rows
 FROM events GROUP BY 1
+""",
+        # Realtime sketch serve: materialized blobs below the
+        # high-water mark + raw-tail sketches must reproduce the
+        # direct exact per-minute distinct count.
+        "theta_rollup_realtime": """
+SELECT strftime(make_timestamp(((CAST(floor(epoch(ts)/60) AS BIGINT)+1)*60)
+         *1000000), '%Y-%m-%d %H:%M:%S') AS window_end,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_rows
+FROM events GROUP BY 1
+""",
+        # RFM tiling under a deterministic total order (metric,
+        # user_id): ANSI ntile distributes remainders identically.
+        "rfm_segments": """
+WITH pu AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+              count(*) AS frequency,
+              coalesce(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value*1000000.0) AS BIGINT) END), 0)
+                AS monetary_micro
+            FROM events GROUP BY 1),
+r AS (SELECT max(epoch_us(ts)) AS ref_us FROM events),
+t AS (SELECT user_id,
+        CAST(floor((ref_us - last_us)/86400000000.0) AS BIGINT)
+          AS recency_days,
+        CAST(frequency AS BIGINT) AS frequency,
+        CAST(monetary_micro AS BIGINT) AS monetary_micro,
+        CAST(ntile(5) OVER (ORDER BY last_us DESC, user_id) AS BIGINT)
+          AS r_tile,
+        CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT)
+          AS f_tile,
+        CAST(ntile(5) OVER (ORDER BY monetary_micro DESC, user_id)
+             AS BIGINT) AS m_tile
+      FROM pu, r)
+SELECT *, r_tile::VARCHAR || f_tile::VARCHAR || m_tile::VARCHAR
+         AS segment
+FROM t
+""",
+        # Time-to-convert histogram: integer-microsecond latencies
+        # from one preceding-rows window sweep; bucket -1 =
+        # unattributed.
+        "conversion_latency": """
+WITH w AS (SELECT event_type, epoch_us(ts) AS us,
+    last_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END
+               IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS from_us
+  FROM events),
+c AS (SELECT us, from_us FROM w WHERE event_type = 'purchase')
+SELECT CAST(CASE WHEN from_us IS NULL THEN -1
+            ELSE floor((us - from_us)/600000000.0) END AS BIGINT)
+         AS bucket,
+       count(*) AS n_conversions,
+       CAST(coalesce(sum(us - from_us), 0) AS BIGINT)
+         AS sum_latency_us
+FROM c GROUP BY 1
+""",
+        # Hard negatives: the simsearch plan with the label
+        # inequality folded into the join.
+        "hard_negatives": """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+           sqrt(list_reduce(list_transform(embedding::DOUBLE[],
+             x -> x * x), (x, y) -> x + y)) AS nrm FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS query_label,
+             v AS qv, nrm AS qnrm FROM e WHERE vec_id < 10),
+scored AS (SELECT query_id, query_label, e.vec_id AS neighbor_id,
+  e.label AS neg_label,
+  round(list_reduce(list_transform(list_zip(qv, v),
+    s -> s[1] * s[2]), (x, y) -> x + y) / (qnrm * nrm), 6) AS score
+  FROM q JOIN e
+    ON e.vec_id <> q.query_id AND e.label <> q.query_label),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+      FROM scored)
+SELECT query_id, query_label, neighbor_id, neg_label, score, rnk
+FROM r WHERE rnk <= 5
 """,
         # Daily churn via theta set algebra: retained = |A_t ∩
         # A_{t-1}|, new = active − retained, churned = |A_{t-1} \ A_t|

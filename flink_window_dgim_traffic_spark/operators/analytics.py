@@ -333,3 +333,90 @@ def session_paths(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("sess_len").cast("bigint").alias("n_events"),
     )
+
+
+def rfm_segments(events: DataFrame, n_tiles: int = 5) -> DataFrame:
+    """RFM customer segmentation: per user, recency (days since last
+    event, against the corpus max timestamp), frequency (events), and
+    monetary value (micro-quantized purchase sum), each cut into
+    ``n_tiles`` ntile buckets (1 = best) under a DETERMINISTIC total
+    order (metric, then user_id) so the tiling is reproducible and
+    engine-portable — ANSI ntile distributes remainder rows to the
+    first buckets identically in Spark and DuckDB.
+
+    One aggregation on the user key + three window tilings over the
+    (already tiny) per-user table + one broadcast scalar.  The global
+    ntile is a single-partition sort BY DESIGN (exact tiling needs a
+    total order) — fine up to ~10^8 users after the aggregate shrink;
+    beyond that, swap the ntile for approx-quantile cut points
+    broadcast into a bucket lookup (the same trade the quantile gate
+    documents)."""
+    us = F.unix_micros(F.col("ts"))
+    y = F.round(F.col("value") * 1e6).cast("bigint")
+    per_user = events.groupBy("user_id").agg(
+        F.max(us).alias("last_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", y)),
+            F.lit(0),
+        ).cast("bigint").alias("monetary_micro"),
+    )
+    ref = events.agg(F.max(us).alias("ref_us"))
+    j = per_user.crossJoin(F.broadcast(ref))
+    rec_days = F.floor(
+        (F.col("ref_us") - F.col("last_us")) / F.lit(86_400_000_000)
+    ).cast("bigint")
+    wr = Window.orderBy(F.desc("last_us"), F.asc("user_id"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    wm = Window.orderBy(F.desc("monetary_micro"), F.asc("user_id"))
+    return j.select(
+        "user_id",
+        rec_days.alias("recency_days"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        "monetary_micro",
+        F.ntile(n_tiles).over(wr).cast("bigint").alias("r_tile"),
+        F.ntile(n_tiles).over(wf).cast("bigint").alias("f_tile"),
+        F.ntile(n_tiles).over(wm).cast("bigint").alias("m_tile"),
+    ).withColumn(
+        "segment",
+        F.concat_ws(
+            "", F.col("r_tile"), F.col("f_tile"), F.col("m_tile")
+        ),
+    )
+
+
+def conversion_latency(
+    events: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+    bucket_sec: int = 600,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Time-to-convert distribution: for every ``to_type`` event, the
+    latency since the user's MOST RECENT preceding ``from_type``
+    event, histogrammed into ``bucket_sec`` buckets (bucket −1 =
+    unattributed conversions with no prior touch).  Exact: latencies
+    are integer microseconds; one window sweep + one small aggregate.
+    ``sum_latency_us`` makes downstream means exact."""
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_from = F.last(
+        F.when(F.col("event_type") == from_type, us), ignorenulls=True
+    ).over(w)
+    conv = events.select(
+        "event_type", us.alias("us"), last_from.alias("from_us")
+    ).filter(F.col("event_type") == to_type)
+    lat = F.col("us") - F.col("from_us")
+    bucket = F.when(F.col("from_us").isNull(), F.lit(-1)).otherwise(
+        F.floor(lat / F.lit(bucket_sec * 1_000_000))
+    )
+    return conv.groupBy(bucket.cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.coalesce(F.sum(lat), F.lit(0))
+        .cast("bigint")
+        .alias("sum_latency_us"),
+    )

@@ -1400,3 +1400,52 @@ def pca_project(
         return pd.Series(list(P))
 
     return base.select("vec_id", _proj("v").alias("pc"))
+
+
+def hard_negatives(
+    embeddings: DataFrame, n_query: int = N_QUERY, k: int = 5
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-``k`` most-similar vectors with a DIFFERENT label
+    — maximally confusable negatives.  Same broadcast-query plan as
+    :func:`simsearch_topk` with the label inequality folded into the
+    join, so negatives-per-query is one ranked window over the scored
+    candidates.  Cross-length pairs score NULL (ragged policy) and
+    rank last."""
+    v = as_double(F.col("embedding"))
+    base = embeddings.select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        F.sqrt(sq_norm(v)).alias("nrm"),
+    )
+    q = base.filter(F.col("vec_id") < n_query).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            base,
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("query_label")),
+        )
+        .select(
+            "query_id",
+            "query_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neg_label"),
+            _pair_score(
+                F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -469,3 +469,46 @@ def sketch_rollup_refresh_batch_fn(
         )
 
     return process
+
+
+def sketch_rollup_serve_realtime(
+    spark,
+    path: str,
+    size_sec: int,
+    events: DataFrame,
+    levels: tuple[int, ...] = DEFAULT_LEVELS,
+    key: str = "user_id",
+    value_col: str = "value",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Real-time sketch aggregate (the distinct-count twin of
+    :func:`.rollup.rollup_serve_realtime`): windows at or below the
+    bucket-aligned high-water mark come from materialized sketch
+    blobs; newer windows are sketched directly from ONLY the raw tail
+    (``ts >= T0`` pushed to the scan).  Same invalidation contract:
+    every event below the high-water mark must already be folded."""
+    from .rollup import _meta
+
+    seq, tag = _latest(path)
+    wm_us = _meta(path, seq, tag).get("watermark_us", 0)
+    t0 = (wm_us // (size_sec * 1_000_000)) * size_sec
+    mat = _serve_sketch_sec(spark, path, size_sec, levels).filter(
+        F.col("we_sec") <= F.lit(t0)
+    )
+    tail = _finest_sketch(
+        events.filter(F.col("ts") >= F.timestamp_seconds(F.lit(t0))),
+        size_sec,
+        key,
+        value_col,
+        lg_k,
+    )
+    return (
+        mat.unionByName(tail)
+        .select(
+            "we_sec",
+            F.theta_sketch_estimate("theta_key").alias("n_users"),
+            "n_rows",
+        )
+        .transform(_fmt_end)
+        .select("window_end", "n_users", "n_rows")
+    )

@@ -184,3 +184,53 @@ def test_session_paths_hand_values(spark):
         "view": (1, 1),
         "click>click>click>click>click": (1, 7),
     }
+
+
+def test_rfm_segments_hand_values(spark):
+    # 5 users, distinct recency/frequency/monetary orderings
+    rows = []
+    for u in range(1, 6):
+        # user u: u events on day u (last_us ordering: u5 most recent),
+        # one purchase of value 10*u
+        for i in range(u):
+            rows.append(
+                (u * 10 + i, _ts(f"2024-01-0{u} 12:00:00"), u,
+                 "purchase" if i == 0 else "view", 10.0 * u)
+            )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+    got = {r.user_id: r for r in AN.rfm_segments(df).collect()}
+    # recency: ref = day5; user5 recency 0, user1 recency 4
+    assert got[5].recency_days == 0 and got[1].recency_days == 4
+    # tiles are 1..5 permutations under the deterministic order
+    assert [got[u].r_tile for u in (5, 4, 3, 2, 1)] == [1, 2, 3, 4, 5]
+    assert [got[u].f_tile for u in (5, 4, 3, 2, 1)] == [1, 2, 3, 4, 5]
+    assert [got[u].m_tile for u in (5, 4, 3, 2, 1)] == [1, 2, 3, 4, 5]
+    assert got[5].segment == "111" and got[1].segment == "555"
+    assert got[3].monetary_micro == 30_000_000
+
+
+def test_conversion_latency_hand_values(spark):
+    rows = [
+        (1, _ts("2024-01-01 00:00:00"), 1, "view", 0.0),
+        (2, _ts("2024-01-01 00:05:00"), 1, "purchase", 0.0),  # 5 min
+        (3, _ts("2024-01-01 01:00:00"), 1, "purchase", 0.0),  # 55 min
+        (4, _ts("2024-01-02 00:00:00"), 2, "purchase", 0.0),  # direct
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+    got = {
+        r.bucket: (r.n_conversions, r.sum_latency_us)
+        for r in AN.conversion_latency(df).collect()
+    }
+    # bucket width 600 s: 5 min -> bucket 0; the second purchase is
+    # 3600 s after the SAME view -> bucket 6; no prior view -> -1
+    assert got == {
+        0: (1, 300_000_000),
+        6: (1, 3_600_000_000),
+        -1: (1, 0),
+    }

@@ -114,3 +114,20 @@ def test_pca_variance_ordering(emb):
     )
     v1, v2 = pcs[:, 0].var(), pcs[:, 1].var()
     assert v1 >= v2 > 0
+
+
+def test_hard_negatives_label_and_order(emb):
+    got = S.hard_negatives(emb, n_query=3, k=5).collect()
+    rows = emb.filter(F.size("embedding") == 64).collect()
+    lab = {r.vec_id: r.label for r in rows}
+    by_q = {}
+    for r in got:
+        assert r.neg_label != r.query_label
+        assert r.query_label == lab[r.query_id]
+        assert r.neg_label == lab[r.neighbor_id]
+        by_q.setdefault(r.query_id, []).append((r.rnk, r.score))
+    for q, pairs in by_q.items():
+        pairs.sort()
+        assert [rk for rk, _ in pairs] == [1, 2, 3, 4, 5]
+        scores = [s for _, s in pairs]
+        assert scores == sorted(scores, reverse=True)

@@ -227,3 +227,38 @@ def test_sketch_refresh_crash_window_and_replay(
             for r in SK.sketch_rollup_serve(spark, path, sec).collect()
         }
         assert got == _exact_distinct(events, sec), sec
+
+
+def test_sketch_realtime_serve_equals_direct(spark, events, tmp_path):
+    # hierarchy folded only up to a cut; realtime serve must still
+    # reproduce the exact distinct counts over ALL events
+    lo, hi = events.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    cut = lo + (hi - lo) * 3 // 5
+    path = str(tmp_path / "rt")
+    SK.build_sketch_rollup(
+        events.filter(F.unix_micros("ts") <= F.lit(cut)), path
+    )
+    got = {
+        r.window_end: (r.n_users, r.n_rows)
+        for r in SK.sketch_rollup_serve_realtime(
+            spark, path, 60, events
+        ).collect()
+    }
+    assert got == _exact_distinct(events, 60)
+
+
+def test_sketch_realtime_tail_scan_is_pruned(spark, events, tmp_path):
+    lo, hi = events.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    cut = lo + (hi - lo) * 3 // 5
+    path = str(tmp_path / "rtp")
+    SK.build_sketch_rollup(
+        events.filter(F.unix_micros("ts") <= F.lit(cut)), path
+    )
+    df = SK.sketch_rollup_serve_realtime(spark, path, 60, events)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the raw events scan must carry the ts >= T0 pushed filter
+    assert "PushedFilters" in plan or "GreaterThanOrEqual(ts" in plan

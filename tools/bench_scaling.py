@@ -41,7 +41,13 @@ from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
     rollup as RU,
 )
 from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
+    analytics as AN,
+)
+from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
     similarity as S,
+)
+from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
+    sketches as SK,
 )
 from flink_window_dgim_traffic_spark.session import (  # noqa: E402
     get_spark,
@@ -146,6 +152,55 @@ def build_scaled_events(spark, scale: int) -> str:
     return path
 
 
+def build_scaled_events_full(spark, scale: int) -> str:
+    """Replicate events `scale`× with ALL columns kept and per-replica
+    time shifts (same users over a scale×-longer history): windows —
+    and with them every per-window distinct/quantile/churn state —
+    grow linearly while per-window cardinality stays constant, which
+    is the realistic longer-retention axis."""
+    path = f"{OUT}/events_full_x{scale}.parquet"
+    if not os.path.exists(path):
+        ev = table(spark, SF_DIR, "events")
+        lo, hi, n = ev.agg(
+            F.min(F.unix_timestamp("ts")),
+            F.max(F.unix_timestamp("ts")),
+            F.count(F.lit(1)),
+        ).collect()[0]
+        span = int(hi - lo) + 86400
+        parts = [
+            ev.select(
+                (F.col("event_id") + k * n).alias("event_id"),
+                F.timestamp_seconds(
+                    F.unix_timestamp("ts") + F.lit(k * span)
+                ).alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+            )
+            for k in range(scale)
+        ]
+        scaled = parts[0]
+        for p in parts[1:]:
+            scaled = scaled.unionAll(p)
+        scaled.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _sketch_rollup_refresh(spark) -> None:
+    """Sketch twin of _rollup_refresh: fold a fixed 1× batch into a
+    sketch hierarchy whose committed state spans scale× windows — the
+    merge must track the level-table size, never raw history."""
+    from flink_window_dgim_traffic_spark.operators import sketches as SK
+
+    path = f"{OUT}/skrollup_x{CTX['scale']}"
+    if not os.path.isdir(f"{path}/_commits"):
+        SK.build_sketch_rollup(
+            spark.read.parquet(CTX["events_full_path"]), path
+        )
+    batch = spark.read.parquet(f"{OUT}/events_full_x1.parquet")
+    SK.refresh_sketch_rollup(spark, path, batch)
+
+
 def _neardup_incremental(docs, emb):
     """Probe-side cost of the persisted-index incremental near-dup:
     the index over the even half is built ONCE per scale (warm-up
@@ -225,11 +280,41 @@ def main() -> None:
         ),
         "span_dedup": lambda docs, emb: D.span_dedup(docs),
         "neardup_incremental_lsh": _neardup_incremental,
+        # ---- round-5 session-2 additions ----
+        "neardup_keep_best": lambda docs, emb: D.neardup_keep_best(
+            docs, D.minhash_lsh_pairs(docs, threshold=0.8).select(
+                "doc_a", "doc_b"
+            )
+        ),
+        "mmr_diverse_topk": lambda docs, emb: S.mmr_diverse_topk(emb),
+        "pca_project": lambda docs, emb: S.pca_project(emb),
+        "theta_windowed_distinct": lambda docs, emb: SK.theta_windowed_distinct(
+            CTX["events_full"], 600
+        ),
+        "theta_churn": lambda docs, emb: SK.theta_churn(
+            CTX["events_full"], 86400
+        ),
+        "per_key_trend": lambda docs, emb: AN.per_key_trend(
+            CTX["events_full"]
+        ),
+        "assoc_pairs": lambda docs, emb: AN.assoc_pairs(
+            CTX["events_full"]
+        ),
+        "attribution_touch": lambda docs, emb: AN.attribution_touch(
+            CTX["events_full"]
+        ),
+        "session_paths": lambda docs, emb: AN.session_paths(
+            CTX["events_full"]
+        ),
+        "profile_drift": lambda docs, emb: AN.profile_drift(
+            CTX["events_full"]
+        ),
     }
 
     # side-effecting ops timed directly (no DataFrame to noop-write)
     custom_ops = {
         "rollup_refresh": _rollup_refresh,
+        "sketch_rollup_refresh": _sketch_rollup_refresh,
     }
 
     only = os.environ.get("SPARK_GRAFT_SCALING_OPS")
@@ -243,9 +328,12 @@ def main() -> None:
     }
     for scale in SCALES:
         doc_path, emb_path = build_scaled(spark, scale)
+        ev_full_path = build_scaled_events_full(spark, scale)
         CTX.update(
             scale=scale,
             events_path=build_scaled_events(spark, scale),
+            events_full_path=ev_full_path,
+            events_full=spark.read.parquet(ev_full_path),
         )
         docs = spark.read.parquet(doc_path)
         emb = spark.read.parquet(emb_path)

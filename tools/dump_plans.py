@@ -167,6 +167,28 @@ SHOWCASE = {
     "bigram_kn_stats": "bigrams via in-row array zip (no "
     "per-position re-tokenization); two keyed aggregations + one "
     "broadcast scalar",
+    "theta_distinct_600s": "distinct count as ONE bounded theta "
+    "sketch per window per task — the shuffle carries 32 KiB blobs, "
+    "never a (window, user) row expansion",
+    "theta_rollup_serve_10min": "serves by unioning minute-level "
+    "sketch blobs: the plan reads the level-60 table only, raw "
+    "events appear nowhere",
+    "theta_audience_overlap_daily": "both audience sketches are "
+    "conditional aggregates in ONE pass — set intersection without "
+    "a self-join or key co-location",
+    "theta_churn_daily": "retained/new/churned via theta set "
+    "algebra on a window-key self-join of sketch BLOBS — raw keys "
+    "are never re-shuffled",
+    "per_key_trend": "per-key minima broadcast back; ONE partial-"
+    "aggregated shuffle carries four DECIMAL(38) moments per key",
+    "assoc_pairs_daily": "pair fan-out bounded by items-per-basket² "
+    "(basket equi-join); item/total counts broadcast into the "
+    "projection",
+    "session_paths": "two window sweeps over the user partition, "
+    "then a path aggregate bounded by |types|^steps",
+    "neardup_keep_best": "bucketed pair candidates → label "
+    "propagation; the winner pick is one window rank over "
+    "(cluster, quality) — no self-join",
 }
 
 
