@@ -37,6 +37,7 @@ from flink_window_dgim_traffic_spark.functions import table_functions as TF
 from flink_window_dgim_traffic_spark.operators import analytics as AN
 from flink_window_dgim_traffic_spark.operators import sketches as SK
 from flink_window_dgim_traffic_spark.operators import sql_surface as Q
+from flink_window_dgim_traffic_spark.operators import matching as MT
 from flink_window_dgim_traffic_spark.operators import relational as R
 from flink_window_dgim_traffic_spark.operators import similarity as S
 from flink_window_dgim_traffic_spark.operators import text as T
@@ -437,8 +438,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``approx_distinct_users`` is bound-checked against
     ``distinct_users``."""
     return {
-        # ---- round-5 session-2 additions (window discipline: new ops
+        # ---- round-5 session-3 additions (window discipline: new ops
         # enter ahead of already-green entries) ----
+        "fuzzy_supplier_pairs": lambda s, d: MT.edit_distance_join(
+            _supplier(s, d), "s_suppkey", "s_name", 1
+        ),
+        "collocations_pmi": lambda s, d: T.collocations_pmi(
+            _documents(s, d), 5
+        ),
+        "posting_lists": lambda s, d: RT.posting_lists(
+            _documents(s, d), 100
+        ),
+        "seasonal_anomaly": lambda s, d: W.seasonal_anomaly(
+            _events(s, d), 60, 3600, 3, 2
+        ),
+        "late_data_audit": lambda s, d: W.late_data_audit(
+            _events(s, d).withColumn(
+                "arrival_us",
+                (
+                    F.unix_micros(F.col("ts"))
+                    + (F.col("event_id") % 10) * F.lit(30_000_000)
+                ).cast("bigint"),
+            ),
+            "arrival_us",
+            late_after_sec=60,
+            size_sec=600,
+        ),
+        "value_deciles": lambda s, d: AN.value_deciles(
+            _events(s, d), 10
+        ),
+        # ---- round-5 session-2 additions ----
         "theta_distinct_600s": lambda s, d: SK.theta_windowed_distinct(
             _events(s, d), 600
         ),
@@ -980,6 +1009,108 @@ def oracle_sql() -> dict[str, str]:
         "round(CAST(overlap AS DOUBLE) / CAST(na.c + nb.c - overlap AS DOUBLE), 6)"
     )
     return {
+        # ---- round-5 session-3 additions ----
+        # The engine path is a PassJoin segment-signature equi-join;
+        # the oracle is the brute-force O(n²) levenshtein scan the
+        # signature join must reproduce exactly.
+        "fuzzy_supplier_pairs": """
+SELECT a.s_suppkey AS id_lo, b.s_suppkey AS id_hi,
+       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS ed
+FROM supplier a JOIN supplier b
+  ON a.s_suppkey < b.s_suppkey
+ AND levenshtein(a.s_name, b.s_name) <= 1
+""",
+        # PMI ratio kept as an exact integer in HUGEINT (Spark side:
+        # DECIMAL(38,0) with integral div) — the all-integer recipe.
+        "collocations_pmi": """
+WITH tok AS (SELECT string_split(text,' ') AS ws FROM documents),
+uni AS (SELECT u.w, count(*) AS c_w
+        FROM tok, unnest(ws) AS u(w) GROUP BY 1),
+tot AS (SELECT sum(c_w) AS n_uni FROM uni),
+bgall AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+          FROM tok, unnest(generate_series(1, len(ws)-1)) AS u(i)),
+nbg AS (SELECT count(*) AS n_bg FROM bgall),
+bg AS (SELECT w1, w2, count(*) AS c_xy FROM bgall GROUP BY 1,2
+       HAVING count(*) >= 5)
+SELECT bg.w1, bg.w2, CAST(c_xy AS BIGINT) AS c_xy,
+       CAST(x.c_w AS BIGINT) AS c_x, CAST(y.c_w AS BIGINT) AS c_y,
+       CAST((CAST(c_xy AS HUGEINT) * CAST(n_uni AS HUGEINT)
+             * CAST(n_uni AS HUGEINT) * 1000000)
+            // (CAST(n_bg AS HUGEINT) * CAST(x.c_w AS HUGEINT)
+                * CAST(y.c_w AS HUGEINT)) AS BIGINT) AS pmi_ratio_micro
+FROM bg JOIN uni x ON bg.w1 = x.w JOIN uni y ON bg.w2 = y.w, tot, nbg
+""",
+        "posting_lists": """
+WITH tf AS (
+    SELECT u.term, doc_id, count(*) AS tf
+    FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         unnest(ws) AS u(term)
+    GROUP BY 1,2)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       array_to_string(list_sort(list(doc_id))[1:100], ',')
+           AS postings_head
+FROM tf GROUP BY term
+""",
+        # rational 3/2 factor as multiply-compares; baselines average
+        # observed windows only (same convention as ewma_anomaly)
+        "seasonal_anomaly": """
+WITH cnt AS (
+  SELECT event_type,
+         CAST((floor(epoch(ts)/60)+1)*60 AS BIGINT) AS we_sec,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1,2),
+c2 AS (SELECT *, CAST((we_sec // 60) % 60 AS BIGINT) AS slot FROM cnt),
+base AS (SELECT event_type, slot,
+                CAST(sum(cnt) AS BIGINT) AS slot_total,
+                CAST(count(*) AS BIGINT) AS n_windows
+         FROM c2 GROUP BY 1,2)
+SELECT c2.event_type,
+       strftime(to_timestamp(we_sec), '%Y-%m-%d %H:%M:%S') AS window_end,
+       c2.slot, cnt,
+       CAST((slot_total * 1000000) // n_windows AS BIGINT) AS baseline_e6,
+       CASE WHEN cnt*n_windows*2 > 3*slot_total THEN 'high'
+            ELSE 'low' END AS direction
+FROM c2 JOIN base USING (event_type, slot)
+WHERE cnt*n_windows*2 > 3*slot_total OR cnt*n_windows*3 < 2*slot_total
+""",
+        # the oracle computes the global running high-water mark with
+        # one window function; the engine's sharded prefix max must
+        # reproduce it exactly (arrival = deterministic simulated
+        # delivery permutation: +0..270 s by event_id mod 10)
+        "late_data_audit": """
+WITH a AS (
+  SELECT event_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts) + (event_id % 10) * 30000000 AS arr_us
+  FROM events),
+r AS (
+  SELECT *, max(ts_us) OVER (ORDER BY arr_us, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_prev
+  FROM a),
+l AS (
+  SELECT CAST((floor(ts_us/600000000)+1)*600 AS BIGINT) AS we_sec,
+         CASE WHEN wm_prev IS NULL THEN 0
+              ELSE greatest(0, wm_prev - ts_us) END AS late_us
+  FROM r)
+SELECT strftime(to_timestamp(we_sec), '%Y-%m-%d %H:%M:%S') AS window_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       CAST(max(late_us) AS BIGINT) AS max_lateness_us,
+       CAST(sum(late_us) AS BIGINT) AS sum_lateness_us
+FROM l GROUP BY 1
+""",
+        # ANSI ntile under a deterministic (value, event_id) order;
+        # min/max are exact picks so the doubles are bit-stable
+        "value_deciles": """
+SELECT key, tile, CAST(count(*) AS BIGINT) AS n,
+       min(v) AS v_min, max(v) AS v_max
+FROM (SELECT event_type AS key, value AS v,
+             CAST(ntile(10) OVER (PARTITION BY event_type
+                  ORDER BY value ASC, event_id ASC) AS BIGINT) AS tile
+      FROM events)
+GROUP BY 1,2
+""",
         # ---- round-5 session-2 additions ----
         # Theta sketches are exact below 2^lg_k retained keys, so the
         # estimates hash-match the exact COUNT(DISTINCT) at test scale

@@ -30,6 +30,12 @@ from flink_window_dgim_traffic_spark.session import get_spark, table  # noqa: E4
 # BASELINE.md §"Bench exclusions" (plan-identical twins and deliberate
 # anti-pattern parity demos).
 BENCH_QUERIES = [
+    "fuzzy_supplier_pairs",
+    "collocations_pmi",
+    "posting_lists",
+    "seasonal_anomaly",
+    "late_data_audit",
+    "value_deciles",
     "span_dedup",
     "rollup_serve_realtime",
     "table_profile_events_approx",

@@ -420,3 +420,40 @@ def conversion_latency(
         .cast("bigint")
         .alias("sum_latency_us"),
     )
+
+
+def value_deciles(
+    events: DataFrame,
+    n_tiles: int = 10,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Quantile-bucket feature transform: per key, rank rows into
+    ``n_tiles`` equal-count tiles of ``value_col`` (ANSI ntile —
+    remainder rows go to the earlier tiles, identical in Spark and
+    DuckDB) under a deterministic total order (value, id), then
+    profile each (key, tile): row count and the tile's exact value
+    range.  The discretization step behind quantile feature binning
+    and winsorization in feature pipelines — the per-row tile is
+    computed, the profile is what's emitted.
+
+    Scale shape: the ntile sort is partitioned BY KEY (one sort per
+    key partition, never global); the profile is a keyed
+    re-aggregation of the same partitioning, so the whole plan is
+    one shuffle on ``key_col`` reused by both steps.  min/max of
+    doubles are exact picks (no accumulation), so floats stay
+    bit-stable."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    tiled = events.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).alias("v"),
+        F.ntile(n_tiles).over(w).cast("bigint").alias("tile"),
+    )
+    return tiled.groupBy("key", "tile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("v").alias("v_min"),
+        F.max("v").alias("v_max"),
+    )

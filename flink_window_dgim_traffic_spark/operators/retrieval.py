@@ -271,3 +271,41 @@ def hybrid_retrieval_rrf(
     )
     tfidf_ranked = query_tfidf_topk(documents, terms, pool)
     return rrf_fuse([bm_ranked, tfidf_ranked], k0=k0, k=k)
+
+
+def posting_lists(
+    documents: DataFrame, max_postings: int = 100
+) -> DataFrame:
+    """Materialized inverted index: per term, its document frequency,
+    total term frequency, and the first ``max_postings`` doc ids
+    (ascending) serialized as a comma-joined string — the build step
+    behind high-QPS lexical serving (the scan-time BM25 above is the
+    batch-query sibling; building the index pays off when the same
+    corpus is probed many times).
+
+    Scale shape: explode to (term, doc) pairs, ONE keyed aggregation
+    to per-(term, doc) tf (map-side combine collapses the fan-out),
+    then one keyed aggregation per term.  The posting array is capped
+    at ``max_postings`` BEFORE serialization, so a stop-word term
+    cannot materialize an O(corpus) row; df/tf totals remain exact.
+    Output is fully deterministic (sorted postings, capped slice)."""
+    toks = F.split("text", " ")
+    tf = (
+        documents.select(
+            "doc_id", F.explode(toks).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.array_join(
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")),
+                1,
+                max_postings,
+            ),
+            ",",
+        ).alias("postings_head"),
+    )

@@ -366,3 +366,75 @@ def bigram_kn_stats(documents: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("p_cont_ppm"),
     )
+
+
+def collocations_pmi(
+    documents: DataFrame, min_count: int = 5
+) -> DataFrame:
+    """Corpus collocations ranked by pointwise mutual information —
+    the classic "strongly associated word pair" statistic behind
+    phrase mining and tokenizer-merge candidates (Church & Hanks
+    1990).  PMI = log p(xy) / (p(x)·p(y)); since log is monotone the
+    ranking only needs the RATIO, which we keep as an exact integer:
+
+        pmi_ratio_micro = c_xy · N_uni² · 10^6  //  (N_bg · c_x · c_y)
+
+    computed in DECIMAL(38,0) (c_xy·N_uni²·10^6 can reach ~10^24 —
+    past BIGINT, inside 38 digits; the DuckDB twin uses HUGEINT) so
+    both engines agree bit-for-bit — the embedding_outliers
+    all-integer recipe applied to text statistics.
+
+    Scale shape: bigrams are an in-row zip of two array slices (the
+    bigram_kn_stats staging), unigram/bigram counts are keyed
+    aggregations with map-side combine, the two corpus totals are one
+    broadcast scalar row, and the c_x/c_y attachment is two keyed
+    equi-joins against the (much smaller than the corpus) distinct
+    unigram table.  ``min_count`` prunes the long tail BEFORE the
+    unigram joins."""
+    toks = F.split("text", " ")
+    words = documents.select(F.explode(toks).alias("w"))
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    pairs = (
+        documents.select(toks.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ws", 1, F.size("ws") - 1).alias("w1"),
+                    F.slice("ws", 2, F.size("ws") - 1).alias("w2"),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bg = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_xy")
+    ).filter(F.col("c_xy") >= min_count)
+    totals = words.agg(
+        F.count(F.lit(1)).alias("n_uni")
+    ).crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_bg")))
+    d38 = "decimal(38,0)"
+    out = (
+        bg.join(uni.select(F.col("w").alias("w1"),
+                           F.col("c_w").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("c_w").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    # integral divide (div), never decimal "/": Spark's fractional
+    # decimal division rounds at scale 6, which can disagree with the
+    # oracle's exact HUGEINT // at quotient boundaries
+    ratio = F.expr(
+        f"(cast(c_xy as {d38}) * cast(n_uni as {d38})"
+        f" * cast(n_uni as {d38}) * cast(1000000 as {d38}))"
+        f" div (cast(n_bg as {d38}) * cast(c_x as {d38})"
+        f" * cast(c_y as {d38}))"
+    )
+    return out.select(
+        "w1",
+        "w2",
+        F.col("c_xy").cast("bigint").alias("c_xy"),
+        F.col("c_x").cast("bigint").alias("c_x"),
+        F.col("c_y").cast("bigint").alias("c_y"),
+        ratio.cast("bigint").alias("pmi_ratio_micro"),
+    )

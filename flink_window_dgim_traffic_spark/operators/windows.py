@@ -1046,3 +1046,179 @@ def windowed_percentiles(
             "n",
         )
     )
+
+
+def seasonal_anomaly(
+    events: DataFrame,
+    size_sec: int = 60,
+    cycle_sec: int = 3600,
+    factor_num: int = 3,
+    factor_den: int = 2,
+) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each tumbling window's
+    event count is compared against the mean count of all windows
+    sharing its SLOT in a repeating cycle (default: minute-of-hour),
+    per event type — the complement of the EWMA/median-MAD rules,
+    catching "normal for 3 am, anomalous for 3 pm" patterns that any
+    purely trailing baseline misses.
+
+    All-integer: the threshold factor is the RATIONAL
+    ``factor_num/factor_den`` (default 3/2) so fractional factors
+    stay exact — a window with count c is anomalous when
+    ``c·n_windows·factor_den > factor_num·slot_total`` (high) or
+    ``c·n_windows·factor_num < factor_den·slot_total`` (low) —
+    multiply-compares, never a float mean; the reported baseline is
+    ``slot_total·10^6 div n_windows``.  Baselines average OBSERVED
+    windows only (tumbling aggregates emit no row for an eventless
+    window — same convention as :func:`ewma_anomaly`).
+
+    Scale shape: one keyed aggregation events→windows, then a second
+    tiny aggregation windows→(type, slot) baselines joined back
+    broadcast (the baseline table is |types|·(cycle/size) rows —
+    constant in corpus size)."""
+    if cycle_sec % size_sec != 0:
+        raise ValueError("cycle_sec must be a multiple of size_sec")
+    counts = (
+        events.groupBy(
+            "event_type", F.window("ts", f"{size_sec} seconds").alias("w")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            "event_type",
+            F.unix_timestamp("w.end").alias("we_sec"),
+            "cnt",
+        )
+        .withColumn(
+            "slot",
+            F.pmod(
+                (F.col("we_sec") / size_sec).cast("bigint"),
+                F.lit(cycle_sec // size_sec),
+            ).cast("bigint"),
+        )
+    )
+    base = counts.groupBy("event_type", "slot").agg(
+        F.sum("cnt").cast("bigint").alias("slot_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+    )
+    j = counts.join(F.broadcast(base), ["event_type", "slot"])
+    hi = F.col("cnt") * F.col("n_windows") * F.lit(factor_den) > F.lit(
+        factor_num
+    ) * F.col("slot_total")
+    lo = F.col("cnt") * F.col("n_windows") * F.lit(factor_num) < F.lit(
+        factor_den
+    ) * F.col("slot_total")
+    return (
+        j.filter(hi | lo)
+        .select(
+            "event_type",
+            F.date_format(
+                F.timestamp_seconds("we_sec"), TS_FMT_SPARK
+            ).alias("window_end"),
+            "slot",
+            "cnt",
+            F.expr(
+                "CAST((slot_total * 1000000) div n_windows AS BIGINT)"
+            ).alias("baseline_e6"),
+            F.when(hi, F.lit("high")).otherwise(F.lit("low")).alias(
+                "direction"
+            ),
+        )
+    )
+
+
+def late_data_audit(
+    events: DataFrame,
+    arrival_us_col: str,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    late_after_sec: int = 60,
+    size_sec: int = 600,
+    shard_sec: int = 3600,
+) -> DataFrame:
+    """Watermark lateness audit of an arrival stream: replays the
+    rows in arrival order (``arrival_us_col``, epoch µs, ties broken
+    by ``id_col``), tracks the running event-time high-water mark a
+    streaming engine would hold, and reports per event-time window
+    how many rows arrived AFTER the mark had already passed them by
+    more than ``late_after_sec`` — i.e. the rows a watermark with
+    that delay would have dropped.  The sizing tool for choosing
+    ``withWatermark`` delays before deploying the streaming jobs.
+
+    Scale shape: a global running max is a prefix computation, which
+    would be one giant sorted partition done naively.  Instead the
+    sharded-prefix recipe (same as sequence packing's prefix sum):
+    rows shard by ``shard_sec`` of arrival time, (1) one tiny keyed
+    aggregation gets each shard's max event time, (2) the exclusive
+    running max across shards is computed on that |shards|-row table
+    and broadcast back, (3) the within-shard running max is a window
+    sort partitioned BY SHARD.  Lateness per row =
+    ``max(0, wm_prev − ts)`` with the watermark EXCLUSIVE of the
+    current row (first arrival is never late).  All integer µs."""
+    ts_us = F.unix_micros(F.col(ts_col))
+    arr = F.col(arrival_us_col).cast("bigint")
+    shard_us = shard_sec * 1_000_000
+    base = events.select(
+        F.col(id_col).alias("_id"),
+        ts_us.alias("_ts_us"),
+        arr.alias("_arr_us"),
+        (arr / F.lit(shard_us)).cast("bigint").alias("_shard"),
+    )
+    smax = base.groupBy("_shard").agg(F.max("_ts_us").alias("_smax"))
+    wprev = (
+        Window.orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = smax.select(
+        "_shard", F.max("_smax").over(wprev).alias("_prefix_us")
+    )
+    win_row = (
+        Window.partitionBy("_shard")
+        .orderBy("_arr_us", "_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rows = (
+        base.join(F.broadcast(prefix), "_shard")
+        .withColumn("_row_prev", F.max("_ts_us").over(win_row))
+        .withColumn(
+            "_wm_prev",
+            F.greatest(
+                F.coalesce("_prefix_us", F.lit(-(1 << 62))),
+                F.coalesce("_row_prev", F.lit(-(1 << 62))),
+            ),
+        )
+        .withColumn(
+            "_late_us",
+            F.when(
+                F.col("_wm_prev") == F.lit(-(1 << 62)), F.lit(0)
+            ).otherwise(
+                F.greatest(
+                    F.lit(0), F.col("_wm_prev") - F.col("_ts_us")
+                )
+            ).cast("bigint"),
+        )
+    )
+    size_us = size_sec * 1_000_000
+    we_sec = (
+        (F.floor(F.col("_ts_us") / size_us) + 1) * size_sec
+    ).cast("bigint")
+    late_thresh = late_after_sec * 1_000_000
+    return (
+        rows.groupBy(we_sec.alias("_we_sec"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                (F.col("_late_us") > late_thresh).cast("bigint")
+            ).cast("bigint").alias("n_late"),
+            F.max("_late_us").cast("bigint").alias("max_lateness_us"),
+            F.sum("_late_us").cast("bigint").alias("sum_lateness_us"),
+        )
+        .select(
+            F.date_format(
+                F.timestamp_seconds("_we_sec"), TS_FMT_SPARK
+            ).alias("window_end"),
+            "n_events",
+            "n_late",
+            "max_lateness_us",
+            "sum_lateness_us",
+        )
+    )
