@@ -235,6 +235,31 @@ def _zorder_layout_stats(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _dataset_diff_lineitem(s: SparkSession, d: str) -> DataFrame:
+    """Snapshot diff of the per-part lineitem aggregate at two
+    ship-date cuts — the audit between two pipeline runs.  Counts
+    and quantities are integer-exact (l_quantity is integer-valued;
+    double sums of small integers are exact well below 2^53)."""
+    li = _lineitem(s, d)
+
+    def snap(cut: str) -> DataFrame:
+        return (
+            li.filter(
+                F.col("l_shipdate") < F.lit(cut).cast("timestamp")
+            )
+            .groupBy("l_partkey")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                F.sum("l_quantity").cast("bigint").alias("qty"),
+            )
+        )
+
+    return R.dataset_diff(
+        snap("1997-01-01"), snap("1998-01-01"),
+        ["l_partkey"], ["n_items", "qty"],
+    )
+
+
 def _stream_rollup_60s(s: SparkSession, d: str) -> DataFrame:
     """The streaming surface end to end as an oracle-checked query:
     the events table is replayed through Structured Streaming (file
@@ -467,6 +492,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_deciles": lambda s, d: AN.value_deciles(
             _events(s, d), 10
         ),
+        "skew_report": lambda s, d: R.skew_report(
+            _events(s, d), ["user_id", "event_type"]
+        ),
+        "cross_tab_chi2": lambda s, d: AN.cross_tab_chi2(
+            _events(s, d)
+        ),
+        "lag_correlation": lambda s, d: AN.lag_correlation(
+            _events(s, d), "view", "purchase", 60, 10
+        ),
+        "dataset_diff": _dataset_diff_lineitem,
         # ---- round-5 session-2 additions ----
         "theta_distinct_600s": lambda s, d: SK.theta_windowed_distinct(
             _events(s, d), 600
@@ -1099,6 +1134,107 @@ SELECT strftime(to_timestamp(we_sec), '%Y-%m-%d %H:%M:%S') AS window_end,
        CAST(max(late_us) AS BIGINT) AS max_lateness_us,
        CAST(sum(late_us) AS BIGINT) AS sum_lateness_us
 FROM l GROUP BY 1
+""",
+        # the oracle ranks every key naively (row_number over the
+        # count histogram); the engine's tie-block closed form over
+        # the count-of-counts table must agree — the Gini rank sum is
+        # invariant to tie order, which is what makes both exact
+        "skew_report": """
+WITH k1 AS (SELECT user_id AS _k, count(*) AS cnt
+            FROM events GROUP BY 1),
+r1 AS (SELECT cnt, row_number() OVER (ORDER BY cnt) AS i FROM k1),
+s1 AS (SELECT CAST(sum(cnt) AS BIGINT) n_rows,
+              CAST(count(*) AS BIGINT) n_distinct,
+              CAST(max(cnt) AS BIGINT) max_cnt,
+              sum(CAST((2*i - (SELECT count(*) FROM k1) - 1)
+                  AS HUGEINT)*cnt) AS num
+       FROM r1),
+k2 AS (SELECT event_type AS _k, count(*) AS cnt
+       FROM events GROUP BY 1),
+r2 AS (SELECT cnt, row_number() OVER (ORDER BY cnt) AS i FROM k2),
+s2 AS (SELECT CAST(sum(cnt) AS BIGINT) n_rows,
+              CAST(count(*) AS BIGINT) n_distinct,
+              CAST(max(cnt) AS BIGINT) max_cnt,
+              sum(CAST((2*i - (SELECT count(*) FROM k2) - 1)
+                  AS HUGEINT)*cnt) AS num
+       FROM r2)
+SELECT 'user_id' AS "column", n_rows, n_distinct, max_cnt,
+       CAST(max_cnt*1000000//n_rows AS BIGINT) AS top1_share_ppm,
+       CAST(num*1000000//(CAST(n_distinct AS HUGEINT)*n_rows)
+            AS BIGINT) AS gini_e6
+FROM s1
+UNION ALL
+SELECT 'event_type', n_rows, n_distinct, max_cnt,
+       CAST(max_cnt*1000000//n_rows AS BIGINT),
+       CAST(num*1000000//(CAST(n_distinct AS HUGEINT)*n_rows)
+            AS BIGINT)
+FROM s2
+""",
+        # day slot is floor(epoch/86400) % 7 on BOTH engines (never a
+        # DAYOFWEEK builtin with an engine-specific week origin)
+        "cross_tab_chi2": """
+WITH obs AS (SELECT event_type AS row_key,
+        CAST(floor(epoch(ts)/86400) AS BIGINT) % 7 AS day_slot,
+        CAST(count(*) AS BIGINT) AS observed
+    FROM events GROUP BY 1,2),
+r AS (SELECT row_key, sum(observed) r_tot FROM obs GROUP BY 1),
+c AS (SELECT day_slot, sum(observed) c_tot FROM obs GROUP BY 1),
+n AS (SELECT sum(observed) n_tot FROM obs)
+SELECT row_key, day_slot, observed,
+   CAST(CAST(r_tot AS HUGEINT)*c_tot*1000000 // n_tot AS BIGINT)
+       AS expected_e6,
+   CAST((CAST(observed AS HUGEINT)*n_tot
+         - CAST(r_tot AS HUGEINT)*c_tot)
+        *(CAST(observed AS HUGEINT)*n_tot
+          - CAST(r_tot AS HUGEINT)*c_tot)
+        *1000000 // (CAST(n_tot AS HUGEINT)*r_tot*c_tot)
+        AS BIGINT) AS chi2_cell_e6
+FROM obs JOIN r USING (row_key) JOIN c USING (day_slot), n
+""",
+        # zero-filled dense grid on both engines so quiet buckets
+        # depress correlation instead of vanishing
+        "lag_correlation": """
+WITH f AS (SELECT event_type AS et,
+                  CAST(floor(epoch(ts)/60) AS BIGINT) AS b
+           FROM events WHERE event_type IN ('view','purchase')),
+rng AS (SELECT min(b) bmin, max(b) bmax FROM f),
+grid AS (SELECT u.b FROM rng,
+         unnest(generate_series(bmin,bmax)) AS u(b)),
+cx AS (SELECT b, count(*) x FROM f WHERE et='view' GROUP BY 1),
+cy AS (SELECT b, count(*) y FROM f WHERE et='purchase' GROUP BY 1),
+dense AS (SELECT grid.b, coalesce(x,0) x, coalesce(y,0) y
+          FROM grid LEFT JOIN cx USING (b) LEFT JOIN cy USING (b)),
+lags AS (SELECT u.lag FROM unnest(generate_series(0,10)) AS u(lag)),
+-- stage b+lag as a plain column so the join is a hash equi-join
+-- (a join predicate referencing three relations nested-loops)
+shifted AS (SELECT l.lag, d1.x, d1.b + l.lag AS b2
+            FROM lags l, dense d1),
+pairs AS (SELECT s.lag, s.x, d2.y
+          FROM shifted s JOIN dense d2 ON d2.b = s.b2)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) n_pairs,
+       CAST(sum(x) AS BIGINT) sum_x, CAST(sum(y) AS BIGINT) sum_y,
+       CAST(sum(x*y) AS BIGINT) sum_xy,
+       CAST(count(*)*sum(x*y) - sum(x)*sum(y) AS BIGINT) pearson_num
+FROM pairs GROUP BY 1
+""",
+        "dataset_diff": """
+WITH o AS (SELECT l_partkey, CAST(count(*) AS BIGINT) n_items,
+                  CAST(sum(l_quantity) AS BIGINT) qty
+           FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+           GROUP BY 1),
+n AS (SELECT l_partkey, CAST(count(*) AS BIGINT) n_items,
+             CAST(sum(l_quantity) AS BIGINT) qty
+      FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1)
+SELECT coalesce(o.l_partkey, n.l_partkey) AS l_partkey,
+       o.n_items AS old_n_items, o.qty AS old_qty,
+       n.n_items AS new_n_items, n.qty AS new_qty,
+       CASE WHEN o.l_partkey IS NULL THEN 'added'
+            WHEN n.l_partkey IS NULL THEN 'removed'
+            WHEN o.n_items = n.n_items AND o.qty = n.qty
+                 THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.l_partkey = n.l_partkey
 """,
         # ANSI ntile under a deterministic (value, event_id) order;
         # min/max are exact picks so the doubles are bit-stable

@@ -30,6 +30,10 @@ from flink_window_dgim_traffic_spark.session import get_spark, table  # noqa: E4
 # BASELINE.md §"Bench exclusions" (plan-identical twins and deliberate
 # anti-pattern parity demos).
 BENCH_QUERIES = [
+    "skew_report",
+    "cross_tab_chi2",
+    "lag_correlation",
+    "dataset_diff",
     "fuzzy_supplier_pairs",
     "collocations_pmi",
     "posting_lists",

@@ -457,3 +457,140 @@ def value_deciles(
         F.min("v").alias("v_min"),
         F.max("v").alias("v_max"),
     )
+
+
+def cross_tab_chi2(
+    events: DataFrame,
+    row_col: str = "event_type",
+) -> DataFrame:
+    """Chi-square contingency analysis of event type × day-of-week —
+    the categorical-association test behind seasonality and segment
+    dependence checks (is traffic mix independent of weekday?).  The
+    day slot is computed as ``floor(epoch/86400) % 7`` — pure integer
+    arithmetic, identical on every engine (never an engine-specific
+    DAYOFWEEK whose week origin differs).
+
+    All-integer cells: with O = observed, R/C = row/column totals,
+    N = grand total, the expectation is ``R·C·10^6 div N`` and the
+    cell's chi-square contribution is ``(O·N − R·C)²·10^6 div
+    (N·R·C)`` — deviations squared reach ~10^22 so the arithmetic
+    runs in DECIMAL(38,0) (DuckDB HUGEINT), the embedding_outliers
+    recipe.  Total chi² = Σ cells / 10^6 downstream.
+
+    Scale shape: one keyed aggregation events→cells, two tiny total
+    aggregations broadcast back; the cell table is |types|·7 rows."""
+    slot = F.pmod(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint"),
+        F.lit(7),
+    )
+    obs = events.groupBy(
+        F.col(row_col).alias("row_key"), slot.alias("day_slot")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
+    rtot = obs.groupBy("row_key").agg(
+        F.sum("observed").cast("bigint").alias("r_tot")
+    )
+    ctot = obs.groupBy("day_slot").agg(
+        F.sum("observed").cast("bigint").alias("c_tot")
+    )
+    ntot = obs.agg(F.sum("observed").cast("bigint").alias("n_tot"))
+    d38 = "decimal(38,0)"
+    j = (
+        obs.join(F.broadcast(rtot), "row_key")
+        .join(F.broadcast(ctot), "day_slot")
+        .crossJoin(F.broadcast(ntot))
+    )
+    return j.select(
+        "row_key",
+        "day_slot",
+        "observed",
+        F.expr(
+            f"CAST((CAST(r_tot AS {d38}) * CAST(c_tot AS {d38})"
+            f" * 1000000) div CAST(n_tot AS {d38}) AS BIGINT)"
+        ).alias("expected_e6"),
+        F.expr(
+            f"CAST(((CAST(observed AS {d38}) * CAST(n_tot AS {d38})"
+            f" - CAST(r_tot AS {d38}) * CAST(c_tot AS {d38}))"
+            f" * (CAST(observed AS {d38}) * CAST(n_tot AS {d38})"
+            f" - CAST(r_tot AS {d38}) * CAST(c_tot AS {d38}))"
+            f" * 1000000) div (CAST(n_tot AS {d38})"
+            f" * CAST(r_tot AS {d38}) * CAST(c_tot AS {d38}))"
+            f" AS BIGINT)"
+        ).alias("chi2_cell_e6"),
+    )
+
+
+def lag_correlation(
+    events: DataFrame,
+    type_x: str = "view",
+    type_y: str = "purchase",
+    bucket_sec: int = 60,
+    max_lag: int = 10,
+) -> DataFrame:
+    """Cross-correlation lag scan between two event types: bucket
+    both series on a fixed grid (ZERO-FILLED — absent buckets count
+    0, so quiet periods depress correlation instead of vanishing),
+    then for every lag 0..max_lag emit the exact integer sufficient
+    statistics of the aligned pairs (x_t, y_{t+lag}) plus the
+    Pearson numerator ``n·Σxy − Σx·Σy``.  Which lag maximizes the
+    lead-lag relationship ("views precede purchases by k minutes")
+    is then a driver-side read of max_lag+1 rows; keeping the
+    statistics integer avoids every cross-engine float hazard.
+
+    Scale shape: two keyed aggregations events→bucket counts, a
+    bucket-grid densification via one ``sequence`` explode (the grid
+    is time-span/bucket_sec rows — independent of event volume), a
+    (max_lag+1)-way explode of that grid, and one keyed equi-join
+    grid×grid on the shifted bucket — never an inequality join."""
+    b = F.floor(F.unix_timestamp("ts") / bucket_sec).cast("bigint")
+    filt = events.filter(
+        F.col("event_type").isin(type_x, type_y)
+    ).select(F.col("event_type").alias("et"), b.alias("b"))
+    rng = filt.agg(
+        F.min("b").alias("bmin"), F.max("b").alias("bmax")
+    )
+    grid = rng.select(
+        F.explode(F.sequence("bmin", "bmax")).alias("b")
+    )
+    cx = filt.filter(F.col("et") == type_x).groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    cy = filt.filter(F.col("et") == type_y).groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    dense = (
+        grid.join(cx, "b", "left")
+        .join(cy, "b", "left")
+        .select(
+            "b",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    lagged = dense.select(
+        "b",
+        "x",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(max_lag))
+        ).alias("lag"),
+    ).withColumn("b2", F.col("b") + F.col("lag"))
+    pairs = lagged.join(
+        dense.select(F.col("b").alias("b2"), F.col("y").alias("y2")),
+        "b2",
+    )
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.sum("y2").cast("bigint").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y2")).cast("bigint").alias("sum_xy"),
+    )
+    return agg.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n_pairs",
+        "sum_x",
+        "sum_y",
+        "sum_xy",
+        (
+            F.col("n_pairs") * F.col("sum_xy")
+            - F.col("sum_x") * F.col("sum_y")
+        ).cast("bigint").alias("pearson_num"),
+    )

@@ -1759,3 +1759,121 @@ def scd2_lookup(
         tiebreak=tiebreak,
     )
     return out.withColumnRenamed(f"asof_{ts_col}", "asof_valid_from")
+
+
+def skew_report(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Key-distribution skew diagnostics — the partitioning-design
+    tool: per candidate shuffle/join key, its cardinality, the
+    hottest key's share, and the Gini coefficient of the key
+    frequency distribution.  This is what decides between a plain
+    hash shuffle, AQE skew-split, and salting at 100 TB (a key with
+    top1_share_ppm ≫ 10^6/num_partitions guarantees a straggler).
+
+    All-integer Gini WITHOUT a per-key rank sort: for frequencies
+    sorted ascending, G = Σ_i (2i−n−1)·x_i / (n·Σx).  Tie blocks of
+    equal frequency contribute c·f·(2·cumf − f − n) in closed form
+    (f = #keys with frequency c, cumf = keys with frequency ≤ c), so
+    the rank sum runs over the COUNT-OF-COUNTS table — |distinct
+    frequencies| rows, tiny for any real distribution — instead of
+    the |distinct keys| table.  Scale shape per column: one keyed
+    aggregation (keys→counts), one tiny aggregation (counts→
+    count-of-counts), one ordered window over that tiny table.
+    gini_e6 = num·10^6 div (n_distinct·n_rows), exact in
+    DECIMAL(38,0).
+    """
+    parts = []
+    for c in cols:
+        counts = df.groupBy(F.col(c).alias("_k")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        cc = counts.groupBy("cnt").agg(
+            F.count(F.lit(1)).cast("bigint").alias("f")
+        )
+        wcum = Window.orderBy("cnt").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cc = cc.withColumn("cumf", F.sum("f").over(wcum))
+        d38 = "decimal(38,0)"
+        agg = cc.agg(
+            F.sum(F.col("cnt") * F.col("f")).cast("bigint").alias(
+                "n_rows"
+            ),
+            F.sum("f").cast("bigint").alias("n_distinct"),
+            F.max("cnt").cast("bigint").alias("max_cnt"),
+            F.sum(
+                F.col("cnt").cast(d38)
+                * F.col("f").cast(d38)
+                * (
+                    F.lit(2).cast(d38) * F.col("cumf").cast(d38)
+                    - F.col("f").cast(d38)
+                )
+            ).alias("_rank_part"),
+        )
+        # num = Σ c·f·(2·cumf − f − n) = _rank_part − n·Σ(c·f)
+        parts.append(
+            agg.select(
+                F.lit(c).alias("column"),
+                "n_rows",
+                "n_distinct",
+                "max_cnt",
+                F.expr(
+                    "CAST((max_cnt * 1000000) div n_rows AS BIGINT)"
+                ).alias("top1_share_ppm"),
+                F.expr(
+                    "CAST(((_rank_part - CAST(n_distinct AS"
+                    " DECIMAL(38,0)) * CAST(n_rows AS DECIMAL(38,0)))"
+                    " * 1000000) div (CAST(n_distinct AS"
+                    " DECIMAL(38,0)) * CAST(n_rows AS DECIMAL(38,0)))"
+                    " AS BIGINT)"
+                ).alias("gini_e6"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    cmp_cols: list[str],
+) -> DataFrame:
+    """Snapshot diff — the audit step between two versions of a keyed
+    table (two days of an aggregate, two pipeline runs, two SCD
+    extracts): per key, both versions' compare-column values and a
+    status of ``added`` (key only in new), ``removed`` (only in old),
+    ``changed`` (values differ, null-safe), or ``unchanged``.
+
+    Scale shape: ONE full outer equi-join on the key columns — both
+    sides shuffle-partition by the same key, no broadcast assumption
+    (snapshots are the same order of magnitude by definition).
+    Output columns: key_cols, then old_/new_-prefixed cmp_cols, then
+    status."""
+    o = old.select(
+        *key_cols,
+        *[F.col(c).alias(f"old_{c}") for c in cmp_cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        *key_cols,
+        *[F.col(c).alias(f"new_{c}") for c in cmp_cols],
+        F.lit(1).alias("_in_new"),
+    )
+    j = o.join(n, key_cols, "full_outer")
+    same = F.lit(True)
+    for c in cmp_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        *key_cols,
+        *[f"old_{c}" for c in cmp_cols],
+        *[f"new_{c}" for c in cmp_cols],
+        status.alias("status"),
+    )

@@ -44,7 +44,14 @@ from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
     analytics as AN,
 )
 from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
+    matching as MT,
+)
+from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
     similarity as S,
+)
+from flink_window_dgim_traffic_spark.operators import text as T  # noqa: E402
+from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
+    windows as W,
 )
 from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
     sketches as SK,
@@ -308,6 +315,39 @@ def main() -> None:
         ),
         "profile_drift": lambda docs, emb: AN.profile_drift(
             CTX["events_full"]
+        ),
+        # ---- round-5 session-3 additions ----
+        # ER corpus = 12-char document prefixes: replica word-prefixes
+        # make cross-replica strings differ early, so true-match
+        # structure stays constant per row while the corpus grows
+        "edit_distance_join": lambda docs, emb: MT.edit_distance_join(
+            docs.select(
+                "doc_id",
+                F.substring(F.lower("text"), 1, 12).alias("name"),
+            ),
+            "doc_id",
+            "name",
+            1,
+        ),
+        "collocations_pmi": lambda docs, emb: T.collocations_pmi(
+            docs, 5
+        ),
+        "posting_lists": lambda docs, emb: RT.posting_lists(docs, 100),
+        "seasonal_anomaly": lambda docs, emb: W.seasonal_anomaly(
+            CTX["events_full"], 60, 3600, 3, 2
+        ),
+        "late_data_audit": lambda docs, emb: W.late_data_audit(
+            CTX["events_full"].withColumn(
+                "arrival_us",
+                (
+                    F.unix_micros(F.col("ts"))
+                    + (F.col("event_id") % 10) * F.lit(30_000_000)
+                ).cast("bigint"),
+            ),
+            "arrival_us",
+        ),
+        "value_deciles": lambda docs, emb: AN.value_deciles(
+            CTX["events_full"], 10
         ),
     }
 
