@@ -37,6 +37,7 @@ from flink_window_dgim_traffic_spark.functions import table_functions as TF
 from flink_window_dgim_traffic_spark.operators import analytics as AN
 from flink_window_dgim_traffic_spark.operators import sketches as SK
 from flink_window_dgim_traffic_spark.operators import sql_surface as Q
+from flink_window_dgim_traffic_spark.operators import itemsets as IT
 from flink_window_dgim_traffic_spark.operators import matching as MT
 from flink_window_dgim_traffic_spark.operators import relational as R
 from flink_window_dgim_traffic_spark.operators import similarity as S
@@ -232,6 +233,45 @@ def _zorder_layout_stats(s: SparkSession, d: str) -> DataFrame:
     return L.layout_scan_stats(
         s, path, ("user_id", "value"),
         probe={"value": (100.0, 150.0)},
+    )
+
+
+def _pagerank_cowindow(s: SparkSession, d: str) -> DataFrame:
+    """Fixed-iteration integer PageRank over the user co-occurrence
+    graph (users active in the same 600 s window) — the oracle
+    unrolls the identical three power-iteration rounds as CTEs."""
+    from flink_window_dgim_traffic_spark.operators import graph as G
+
+    return G.pagerank_fixed(
+        G.cowindow_user_edges(_events(s, d), 600), iters=3
+    )
+
+
+def _stream_seasonal_anomaly(s: SparkSession, d: str) -> DataFrame:
+    """Streaming seasonal-baseline maintenance end to end: events
+    file-replayed through Structured Streaming into the snapshot-
+    staged counts merge, flags derived from the committed snapshot
+    via the SAME seasonal_flags code as the batch operator — the
+    oracle is the batch seasonal_anomaly SQL."""
+    import tempfile
+
+    from flink_window_dgim_traffic_spark.streaming import alerts as SA
+
+    base = tempfile.mkdtemp(prefix="spark_graft_streamseas_")
+    src, st, ck = f"{base}/src", f"{base}/state", f"{base}/ck"
+    ev = _events(s, d).select("event_id", "ts", "event_type")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        s.readStream.schema(
+            "event_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = SA.seasonal_anomaly_stream(stream, st, ck, 60)
+    q.awaitTermination()
+    return W.seasonal_flags(
+        SA.read_seasonal_counts(s, st), 60, 3600, 3, 2
     )
 
 
@@ -502,6 +542,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _events(s, d), "view", "purchase", 60, 10
         ),
         "dataset_diff": _dataset_diff_lineitem,
+        "pagerank_cowindow": _pagerank_cowindow,
+        "stream_seasonal_anomaly": _stream_seasonal_anomaly,
+        "frequent_itemsets": lambda s, d: IT.frequent_itemsets(
+            _documents(s, d), 500_000
+        ),
         # ---- round-5 session-2 additions ----
         "theta_distinct_600s": lambda s, d: SK.theta_windowed_distinct(
             _events(s, d), 600
@@ -1216,6 +1261,93 @@ SELECT CAST(lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) n_pairs,
        CAST(sum(x*y) AS BIGINT) sum_xy,
        CAST(count(*)*sum(x*y) - sum(x)*sum(y) AS BIGINT) pearson_num
 FROM pairs GROUP BY 1
+""",
+        # level-wise A-Priori in SQL: L1 -> L2 -> pruned C3 -> L3;
+        # min_support is ceil(n_baskets/2), integer on both engines
+        "frequent_itemsets": """
+WITH it AS (SELECT DISTINCT doc_id AS b, u.w FROM
+  (SELECT doc_id, string_split(text,' ') ws FROM documents),
+  unnest(ws) u(w)),
+nb AS (SELECT count(DISTINCT b) n FROM it),
+s AS (SELECT (n*500000 + 999999)//1000000 AS s FROM nb),
+l1 AS (SELECT w, CAST(count(*) AS BIGINT) support FROM it GROUP BY 1
+       HAVING count(*) >= (SELECT s FROM s)),
+i1 AS (SELECT b, w FROM it WHERE w IN (SELECT w FROM l1)),
+l2 AS (SELECT a.w w1, c.w w2, CAST(count(*) AS BIGINT) support
+       FROM i1 a JOIN i1 c USING (b) WHERE a.w < c.w
+       GROUP BY 1,2 HAVING count(*) >= (SELECT s FROM s)),
+c3 AS (SELECT p.w1, p.w2, q.w2 AS w3
+       FROM l2 p JOIN l2 q ON p.w1 = q.w1 AND p.w2 < q.w2
+       WHERE EXISTS (SELECT 1 FROM l2 z
+                     WHERE z.w1 = p.w2 AND z.w2 = q.w2)),
+l3 AS (SELECT t.w1, t.w2, t.w3, CAST(count(*) AS BIGINT) support
+       FROM c3 t JOIN i1 a ON a.w = t.w1
+       JOIN i1 b2 ON b2.b = a.b AND b2.w = t.w2
+       JOIN i1 c ON c.b = a.b AND c.w = t.w3
+       GROUP BY 1,2,3 HAVING count(*) >= (SELECT s FROM s))
+SELECT CAST(1 AS BIGINT) k, w AS item1, NULL AS item2,
+       NULL AS item3, support FROM l1
+UNION ALL
+SELECT 2, w1, w2, NULL, support FROM l2
+UNION ALL
+SELECT 3, w1, w2, w3, support FROM l3
+""",
+        # three power-iteration rounds unrolled as CTEs; // is floor
+        # division on the all-positive ranks, matching Spark's div
+        "pagerank_cowindow": """
+WITH wu AS (SELECT DISTINCT
+                CAST((floor(epoch(ts)/600)+1)*600 AS BIGINT) we,
+                user_id AS u FROM events),
+e AS (SELECT DISTINCT a.u AS src, b.u AS dst
+      FROM wu a JOIN wu b USING (we) WHERE a.u != b.u),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+r1 AS (SELECT n.node,
+              CAST(150000 + (850 * coalesce(s.in_sum,0)) // 1000
+                   AS BIGINT) AS r
+       FROM nodes n LEFT JOIN (
+         SELECT e.dst, sum(r.r // d.out_deg) AS in_sum
+         FROM r0 r JOIN deg d ON r.node = d.src JOIN e ON e.src = d.src
+         GROUP BY 1) s ON n.node = s.dst),
+r2 AS (SELECT n.node,
+              CAST(150000 + (850 * coalesce(s.in_sum,0)) // 1000
+                   AS BIGINT) AS r
+       FROM nodes n LEFT JOIN (
+         SELECT e.dst, sum(r.r // d.out_deg) AS in_sum
+         FROM r1 r JOIN deg d ON r.node = d.src JOIN e ON e.src = d.src
+         GROUP BY 1) s ON n.node = s.dst),
+r3 AS (SELECT n.node,
+              CAST(150000 + (850 * coalesce(s.in_sum,0)) // 1000
+                   AS BIGINT) AS r
+       FROM nodes n LEFT JOIN (
+         SELECT e.dst, sum(r.r // d.out_deg) AS in_sum
+         FROM r2 r JOIN deg d ON r.node = d.src JOIN e ON e.src = d.src
+         GROUP BY 1) s ON n.node = s.dst)
+SELECT node, r AS rank_ppm FROM r3
+""",
+        # the stream-maintained counts snapshot must reproduce the
+        # batch seasonal flags exactly — same oracle as the batch op
+        "stream_seasonal_anomaly": """
+WITH cnt AS (
+  SELECT event_type,
+         CAST((floor(epoch(ts)/60)+1)*60 AS BIGINT) AS we_sec,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1,2),
+c2 AS (SELECT *, CAST((we_sec // 60) % 60 AS BIGINT) AS slot FROM cnt),
+base AS (SELECT event_type, slot,
+                CAST(sum(cnt) AS BIGINT) AS slot_total,
+                CAST(count(*) AS BIGINT) AS n_windows
+         FROM c2 GROUP BY 1,2)
+SELECT c2.event_type,
+       strftime(to_timestamp(we_sec), '%Y-%m-%d %H:%M:%S') AS window_end,
+       c2.slot, cnt,
+       CAST((slot_total * 1000000) // n_windows AS BIGINT) AS baseline_e6,
+       CASE WHEN cnt*n_windows*2 > 3*slot_total THEN 'high'
+            ELSE 'low' END AS direction
+FROM c2 JOIN base USING (event_type, slot)
+WHERE cnt*n_windows*2 > 3*slot_total OR cnt*n_windows*3 < 2*slot_total
 """,
         "dataset_diff": """
 WITH o AS (SELECT l_partkey, CAST(count(*) AS BIGINT) n_items,

@@ -30,6 +30,11 @@ from flink_window_dgim_traffic_spark.session import get_spark, table  # noqa: E4
 # BASELINE.md §"Bench exclusions" (plan-identical twins and deliberate
 # anti-pattern parity demos).
 BENCH_QUERIES = [
+    "pagerank_cowindow",
+    "frequent_itemsets",
+    # stream_seasonal_anomaly: bench-excluded like the other stream_*
+    # replay queries (BASELINE.md §"Bench exclusions") — its batch
+    # flag computation is benched via seasonal_anomaly
     "skew_report",
     "cross_tab_chi2",
     "lag_correlation",

@@ -1,0 +1,124 @@
+"""Graph analytics over relationship tables: fixed-iteration
+PageRank (power iteration with a damping factor, Brin & Page 1998)
+as a sequence of keyed join+aggregate rounds — the label-propagation
+sibling of ``dedup.neardup_clusters``.
+
+Why fixed-iteration: a convergence loop's iteration count depends on
+float tolerances and would make results engine-dependent; a FIXED
+number of power-iteration rounds with ALL-INTEGER rank arithmetic is
+deterministic everywhere (the DuckDB oracle unrolls the same rounds
+as CTEs and must agree bit-for-bit):
+
+- ranks are ppm-scaled BIGINTs, initialized to 10^6 per node;
+- each round: ``contrib(u) = rank(u) div out_deg(u)`` per edge,
+  ``rank'(v) = base + (d_num · Σ contrib) div d_den`` with the
+  damping ratio d_num/d_den (default 850/1000) and
+  ``base = ((d_den − d_num) · 10^6) div d_den``;
+- integer floor-division mass loss is deliberate and identical on
+  both engines (this is the unnormalized per-node form; dangling
+  nodes simply leak their mass, the standard simplification).
+
+Scale shape per round: one keyed equi-join (ranks ⋈ edges on src —
+ranks and out-degrees are |V|-sized, edges |E|-sized, both hash-
+partitioned on the join key) and one keyed aggregation on dst;
+``iters`` rounds = ``iters`` shuffles, never a cartesian and never
+driver-side state.  Skewed in-degree (a celebrity node) behaves like
+any hot aggregation key — AQE handles moderate skew; pre-aggregate
+per (dst, salt) for pathological graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    d_num: int = 850,
+    d_den: int = 1000,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank over a directed edge list.
+    Output: ``node, rank_ppm`` (BIGINT) after ``iters`` rounds.
+    For an undirected graph pass both edge directions."""
+    if not 0 < d_num < d_den:
+        raise ValueError("need 0 < d_num < d_den")
+    e = edges.select(
+        F.col(src).cast("bigint").alias("src"),
+        F.col(dst).cast("bigint").alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("out_deg")
+    )
+    base = ((d_den - d_num) * 1_000_000) // d_den
+    ranks = nodes.withColumn(
+        "rank_ppm", F.lit(1_000_000).cast("bigint")
+    )
+    for _ in range(iters):
+        contrib = (
+            ranks.join(deg, ranks["node"] == deg["src"])
+            .select(
+                "src",
+                F.expr("rank_ppm div out_deg").alias("contrib"),
+            )
+            .join(e, "src")
+            .groupBy("dst")
+            .agg(F.sum("contrib").cast("bigint").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(
+                contrib, nodes["node"] == contrib["dst"], "left"
+            )
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({d_num} * coalesce(in_sum, 0))"
+                        f" div {d_den}"
+                    )
+                ).cast("bigint").alias("rank_ppm"),
+            )
+        )
+    return ranks
+
+
+def cowindow_user_edges(
+    events: DataFrame, size_sec: int = 600
+) -> DataFrame:
+    """Directed co-occurrence edge list: u→v for every pair of
+    distinct users active in the same ``size_sec`` tumbling window
+    (both directions emitted, so the graph is undirected).  The
+    "worked the same shift" / co-session affinity graph.
+
+    Scale shape: distinct (window, user) first (keyed aggregation —
+    collapses per-user event volume), then a self equi-join ON THE
+    WINDOW KEY.  Pair fan-out is Σ_w k_w² over per-window distinct-
+    user counts k_w — bounded by windows × (active users per window)²,
+    not by event volume; for heavy-tailed windows cap or sample
+    per-window users upstream (the LSH hot-bucket discipline)."""
+    wu = (
+        events.select(
+            (
+                (F.floor(F.unix_timestamp("ts") / size_sec) + 1)
+                * size_sec
+            ).cast("bigint").alias("we_sec"),
+            F.col("user_id").cast("bigint").alias("u"),
+        )
+        .distinct()
+    )
+    other = wu.select("we_sec", F.col("u").alias("v"))
+    return (
+        wu.join(other, "we_sec")
+        .filter(F.col("u") != F.col("v"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .distinct()
+    )

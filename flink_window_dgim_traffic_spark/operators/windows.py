@@ -1088,13 +1088,30 @@ def seasonal_anomaly(
             F.unix_timestamp("w.end").alias("we_sec"),
             "cnt",
         )
-        .withColumn(
-            "slot",
-            F.pmod(
-                (F.col("we_sec") / size_sec).cast("bigint"),
-                F.lit(cycle_sec // size_sec),
-            ).cast("bigint"),
-        )
+    )
+    return seasonal_flags(
+        counts, size_sec, cycle_sec, factor_num, factor_den
+    )
+
+
+def seasonal_flags(
+    counts: DataFrame,
+    size_sec: int = 60,
+    cycle_sec: int = 3600,
+    factor_num: int = 3,
+    factor_den: int = 2,
+) -> DataFrame:
+    """Flag computation half of :func:`seasonal_anomaly`, over an
+    already-materialized windows-count table ``(event_type, we_sec,
+    cnt)`` — shared by the batch operator and the streaming twin
+    (``streaming/alerts.seasonal_anomaly_stream``), so both paths are
+    the same code by construction."""
+    counts = counts.withColumn(
+        "slot",
+        F.pmod(
+            (F.col("we_sec") / size_sec).cast("bigint"),
+            F.lit(cycle_sec // size_sec),
+        ).cast("bigint"),
     )
     base = counts.groupBy("event_type", "slot").agg(
         F.sum("cnt").cast("bigint").alias("slot_total"),

@@ -302,3 +302,89 @@ def m4_downsample_stream(
             "n_rows",
         )
     )
+
+
+def make_seasonal_batch_fn(state_root: str, size_sec: int = 60):
+    """foreachBatch for the seasonal-baseline anomaly stream: the
+    batch's raw events aggregate to (event_type, we_sec, cnt)
+    increments that MERGE (sum) into the committed windows-count
+    snapshot — late rows simply add to their original window's key,
+    like the rollup refresh.  Snapshot writes are batch-id-keyed and
+    promoted by the ``_done`` marker last (exactly-once: a replayed
+    crashed batch re-merges from the same committed base into the
+    same staged path; a replayed committed batch returns
+    immediately).  Flags are NOT stored — they are derived from the
+    counts snapshot at read time via the SAME
+    ``operators.windows.seasonal_flags`` code the batch operator
+    runs, so stream and batch can never drift."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        marker = f"{state_root}/_done/{batch_id}"
+        if os.path.exists(marker):
+            return
+        spark = batch.sparkSession
+        inc = (
+            batch.groupBy(
+                "event_type",
+                F.window("ts", f"{size_sec} seconds").alias("w"),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .select(
+                "event_type",
+                F.unix_timestamp("w.end").alias("we_sec"),
+                "cnt",
+            )
+        )
+        committed = _committed_ids(state_root)
+        if committed:
+            base = spark.read.parquet(
+                f"{state_root}/counts/batch-{committed[-1]}"
+            )
+            merged = (
+                base.unionByName(inc)
+                .groupBy("event_type", "we_sec")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            )
+        else:
+            merged = inc
+        merged.write.mode("overwrite").parquet(
+            f"{state_root}/counts/batch-{batch_id}"
+        )
+        os.makedirs(f"{state_root}/_done", exist_ok=True)
+        open(marker, "w").close()
+
+    return process
+
+
+def read_seasonal_counts(spark, state_root: str) -> DataFrame:
+    """Windows-count snapshot of the LATEST committed batch (a
+    crashed attempt's staged snapshot is invisible)."""
+    committed = _committed_ids(state_root)
+    if not committed:
+        return spark.createDataFrame(
+            [], "event_type string, we_sec bigint, cnt bigint"
+        )
+    return spark.read.parquet(
+        f"{state_root}/counts/batch-{committed[-1]}"
+    )
+
+
+def seasonal_anomaly_stream(
+    events: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    size_sec: int = 60,
+):
+    """Start the streaming seasonal-baseline maintenance over raw
+    events (no watermark needed: the state merge is keyed by window,
+    so arbitrarily late rows fold into their original window).  Query
+    flags with ``operators.windows.seasonal_flags(
+    read_seasonal_counts(spark, state_root))``."""
+    return (
+        events.writeStream.foreachBatch(
+            make_seasonal_batch_fn(state_root, size_sec)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

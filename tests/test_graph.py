@@ -1,0 +1,108 @@
+"""pagerank_fixed / cowindow_user_edges (operators/graph.py): the
+integer power iteration is verified against hand-computed ranks on
+tiny graphs and a pure-Python reference on a random graph; the edge
+builder is pinned on a constructed window layout."""
+
+import datetime as dt
+import random
+
+from pyspark.sql import functions as F
+
+from flink_window_dgim_traffic_spark.operators.graph import (
+    cowindow_user_edges,
+    pagerank_fixed,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _py_pagerank(edges, iters=3, d_num=850, d_den=1000):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    base = ((d_den - d_num) * 1_000_000) // d_den
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(iters):
+        in_sum = {n: 0 for n in nodes}
+        for u, v in edges:
+            in_sum[v] += r[u] // deg[u]
+        r = {n: base + (d_num * in_sum[n]) // d_den for n in nodes}
+    return r
+
+
+def _run(spark, edges, iters=3):
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    got = {
+        r.node: r.rank_ppm
+        for r in pagerank_fixed(df, iters=iters).collect()
+    }
+    assert got == _py_pagerank(edges, iters)
+
+
+def test_two_node_cycle(spark):
+    # symmetric 2-cycle: ranks stay equal; after any iteration
+    # r = 150000 + 850*r_prev//1000 (deg 1)
+    edges = [(1, 2), (2, 1)]
+    _run(spark, edges, iters=1)
+    _run(spark, edges, iters=3)
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    out = {r.node: r.rank_ppm for r in pagerank_fixed(df, iters=1).collect()}
+    assert out == {1: 1_000_000, 2: 1_000_000}  # fixed point
+
+
+def test_star_graph_center_accumulates(spark):
+    # leaves 2..5 each point at 1 and receive only from 1
+    edges = [(i, 1) for i in range(2, 6)] + [(1, i) for i in range(2, 6)]
+    _run(spark, edges, iters=3)
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    out = {r.node: r.rank_ppm for r in pagerank_fixed(df, iters=3).collect()}
+    assert out[1] > out[2]
+    assert len({out[i] for i in range(2, 6)}) == 1  # leaves symmetric
+
+
+def test_dangling_node_keeps_base_only_inflow(spark):
+    # 1 -> 2, 2 has no out-edges (dangling): node 1 gets base only
+    edges = [(1, 2)]
+    _run(spark, edges, iters=2)
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    out = {r.node: r.rank_ppm for r in pagerank_fixed(df, iters=2).collect()}
+    assert out[1] == 150_000  # no in-edges: damping base only
+
+
+def test_random_graph_matches_reference(spark):
+    rng = random.Random(7)
+    edges = list(
+        {
+            (rng.randint(1, 12), rng.randint(1, 12))
+            for _ in range(40)
+        }
+    )
+    edges = [(u, v) for u, v in edges if u != v]
+    _run(spark, edges, iters=4)
+
+
+def test_invalid_damping_rejected(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 2)], "src: bigint, dst: bigint")
+    with pytest.raises(ValueError):
+        pagerank_fixed(df, d_num=1000, d_den=1000)
+
+
+def test_cowindow_edges(spark):
+    # window A: users 1,2 (+ a duplicate event); window B: user 3 alone
+    rows = [
+        (1, T0 + dt.timedelta(seconds=10), 1),
+        (2, T0 + dt.timedelta(seconds=20), 2),
+        (3, T0 + dt.timedelta(seconds=30), 1),  # dup (window, user)
+        (4, T0 + dt.timedelta(seconds=700), 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: bigint, ts: timestamp, user_id: bigint"
+    )
+    got = {
+        (r.src, r.dst)
+        for r in cowindow_user_edges(df, 600).collect()
+    }
+    assert got == {(1, 2), (2, 1)}

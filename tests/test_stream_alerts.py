@@ -298,3 +298,73 @@ def test_m4_downsample_stream_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_seasonal_stream_matches_batch_and_replays(spark, tmp_path):
+    """File-replayed seasonal-baseline maintenance: flags derived
+    from the stream's committed counts snapshot must equal the batch
+    operator over the same events (the state merge is keyed by
+    window, so no watermark is involved); a checkpoint restart with
+    no new data changes nothing."""
+    from flink_window_dgim_traffic_spark.streaming.alerts import (
+        read_seasonal_counts,
+        seasonal_anomaly_stream,
+    )
+
+    src = _replay_dir(tmp_path)
+    state = str(tmp_path / "seas_state")
+    ckpt = str(tmp_path / "seas_ckpt")
+    for _ in range(2):  # second run = restart, no new files
+        q = seasonal_anomaly_stream(_stream(spark, src), state, ckpt, 60)
+        q.awaitTermination()
+    got = sorted(
+        map(
+            tuple,
+            W.seasonal_flags(
+                read_seasonal_counts(spark, state), 60, 3600, 3, 2
+            ).collect(),
+        )
+    )
+    # the stream folds ALL rows (late or not): batch twin = every row
+    rows = _burst_rows() + _sentinel_rows(0) + _sentinel_rows(1)
+    ev = spark.createDataFrame(
+        [
+            (r["event_id"], r["ts"].replace("T", " "), r["event_type"])
+            for r in rows
+        ],
+        "event_id long, ts_str string, event_type string",
+    ).select(
+        "event_id", F.to_timestamp("ts_str").alias("ts"), "event_type"
+    )
+    want = sorted(
+        map(tuple, W.seasonal_anomaly(ev, 60, 3600, 3, 2).collect())
+    )
+    assert got == want
+
+
+def test_seasonal_crash_between_state_and_marker(spark, tmp_path):
+    """A crash after the counts snapshot landed but before the marker
+    must not double-count the batch on replay (the merge sums — NOT
+    idempotent — so the replay must rebuild from the committed
+    base)."""
+    from flink_window_dgim_traffic_spark.streaming.alerts import (
+        make_seasonal_batch_fn,
+        read_seasonal_counts,
+    )
+
+    state = str(tmp_path / "seas2")
+    fn = make_seasonal_batch_fn(state, 60)
+    b0 = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:30", "click")],
+        "event_id long, ts_s string, event_type string",
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "event_type"
+    )
+    fn(b0, 0)
+    b1 = b0.withColumn("event_id", F.col("event_id") + 1)
+    fn(b1, 1)
+    os.remove(f"{state}/_done/1")  # crash: snapshot staged, marker lost
+    fn(b1, 1)  # replay re-merges from batch 0's committed base
+    fn(b1, 1)  # committed replay short-circuits
+    counts = read_seasonal_counts(spark, state).collect()
+    assert len(counts) == 1 and counts[0]["cnt"] == 2  # not 3 or 4

@@ -43,8 +43,12 @@ from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
 from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
     analytics as AN,
 )
+from flink_window_dgim_traffic_spark.operators import graph as G  # noqa: E402
 from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
     matching as MT,
+)
+from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
+    relational as R,
 )
 from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
     similarity as S,
@@ -348,6 +352,29 @@ def main() -> None:
         ),
         "value_deciles": lambda docs, emb: AN.value_deciles(
             CTX["events_full"], 10
+        ),
+        "skew_report": lambda docs, emb: R.skew_report(
+            CTX["events_full"], ["user_id", "event_type"]
+        ),
+        "cross_tab_chi2": lambda docs, emb: AN.cross_tab_chi2(
+            CTX["events_full"]
+        ),
+        "lag_correlation": lambda docs, emb: AN.lag_correlation(
+            CTX["events_full"], "view", "purchase", 60, 10
+        ),
+        "dataset_diff": lambda docs, emb: R.dataset_diff(
+            CTX["events_full"]
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n")),
+            CTX["events_full"]
+            .filter(F.col("event_type") != "error")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n")),
+            ["user_id"],
+            ["n"],
+        ),
+        "pagerank_cowindow": lambda docs, emb: G.pagerank_fixed(
+            G.cowindow_user_edges(CTX["events_full"], 600), iters=3
         ),
     }
 
