@@ -236,6 +236,47 @@ def _zorder_layout_stats(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _scd2_with_deletes(s: SparkSession, d: str) -> DataFrame:
+    """SCD2 build where 'error' events are CDC tombstones: they
+    close the user's open version and leave the key without a
+    current row until a later live event re-inserts it."""
+    ev = _events(s, d).withColumn(
+        "is_delete", F.col("event_type") == F.lit("error")
+    )
+    return R.scd2_build(
+        ev,
+        key=["user_id"],
+        attrs=["event_type"],
+        ts_col="ts",
+        tiebreak="event_id",
+        delete_col="is_delete",
+    ).select(
+        "user_id",
+        "event_type",
+        F.date_format(
+            "valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("valid_from"),
+        F.date_format(
+            "valid_to", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("valid_to"),
+        "is_current",
+    )
+
+
+def _triangles_fuzzy_suppliers(s: SparkSession, d: str) -> DataFrame:
+    """Triangle counts / clustering coefficients over the supplier
+    name-similarity graph (edit distance ≤ 1): the PassJoin pair
+    finder feeds the two-join wedge enumeration; the oracle rebuilds
+    the same edges with a brute-force levenshtein scan and the same
+    ordered 3-way join."""
+    from flink_window_dgim_traffic_spark.operators import graph as G
+
+    pairs = MT.edit_distance_join(
+        _supplier(s, d), "s_suppkey", "s_name", 1
+    )
+    return G.triangle_count(pairs, "id_lo", "id_hi")
+
+
 def _pagerank_cowindow(s: SparkSession, d: str) -> DataFrame:
     """Fixed-iteration integer PageRank over the user co-occurrence
     graph (users active in the same 600 s window) — the oracle
@@ -546,6 +587,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_seasonal_anomaly": _stream_seasonal_anomaly,
         "frequent_itemsets": lambda s, d: IT.frequent_itemsets(
             _documents(s, d), 500_000
+        ),
+        "triangles_fuzzy_suppliers": _triangles_fuzzy_suppliers,
+        "scd2_with_deletes": _scd2_with_deletes,
+        # rows-only BY DESIGN: blake2b byte-gram SimHash has no SQL
+        # twin; semantics pinned in tests/test_text_multimodal.py
+        "media_neardup": lambda s, d: M.media_neardup(
+            _documents(s, d), 3
         ),
         # ---- round-5 session-2 additions ----
         "theta_distinct_600s": lambda s, d: SK.theta_windowed_distinct(
@@ -1261,6 +1309,51 @@ SELECT CAST(lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) n_pairs,
        CAST(sum(x*y) AS BIGINT) sum_xy,
        CAST(count(*)*sum(x*y) - sum(x)*sum(y) AS BIGINT) pearson_num
 FROM pairs GROUP BY 1
+""",
+        # tombstone rows ('error') join the change-collapse as a
+        # distinct deleted state, claim a version slot (closing the
+        # predecessor via the lead), then drop from the output
+        "scd2_with_deletes": """
+WITH c AS (SELECT user_id, ts, event_type, event_id,
+                  (event_type = 'error') AS d FROM events),
+m AS (SELECT *, lag(d) OVER w AS pd, lag(event_type) OVER w AS pa
+      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+f AS (SELECT user_id, ts, event_type, event_id, d FROM m
+      WHERE pd IS NULL OR pd IS DISTINCT FROM d
+         OR pa IS DISTINCT FROM event_type),
+v AS (SELECT user_id, event_type, d, ts AS vf,
+      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+      FROM f)
+SELECT user_id, event_type,
+  strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+  strftime(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+  CAST(vt IS NULL AS BIGINT) AS is_current
+FROM v WHERE NOT d
+""",
+        # ordered-edge wedge enumeration over the levenshtein graph;
+        # cc_ppm = (2·tri·10^6) // (deg·(deg−1)), exact integers
+        "triangles_fuzzy_suppliers": """
+WITH e AS (SELECT a.s_suppkey AS a, b.s_suppkey AS b
+           FROM supplier a JOIN supplier b
+             ON a.s_suppkey < b.s_suppkey
+            AND levenshtein(a.s_name, b.s_name) <= 1),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+        (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY 1),
+tri AS (SELECT x.a, x.b, y.b AS c
+        FROM e x JOIN e y ON x.b = y.a
+        JOIN e z ON z.a = x.a AND z.b = y.b),
+pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM
+       (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+       GROUP BY 1)
+SELECT deg.node, degree,
+       coalesce(n_triangles, 0) AS n_triangles,
+       CASE WHEN degree >= 2 THEN
+         CAST((2 * coalesce(n_triangles,0) * 1000000)
+              // (degree * (degree - 1)) AS BIGINT)
+       ELSE 0 END AS clustering_ppm
+FROM deg LEFT JOIN pn USING (node)
 """,
         # level-wise A-Priori in SQL: L1 -> L2 -> pruned C3 -> L3;
         # min_support is ceil(n_baskets/2), integer on both engines

@@ -31,6 +31,9 @@ from flink_window_dgim_traffic_spark.session import get_spark, table  # noqa: E4
 # anti-pattern parity demos).
 BENCH_QUERIES = [
     "pagerank_cowindow",
+    "triangles_fuzzy_suppliers",
+    "media_neardup",
+    "scd2_with_deletes",
     "frequent_itemsets",
     # stream_seasonal_anomaly: bench-excluded like the other stream_*
     # replay queries (BASELINE.md §"Bench exclusions") — its batch

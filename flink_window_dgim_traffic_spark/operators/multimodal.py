@@ -17,6 +17,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def with_media_blob(documents: DataFrame) -> DataFrame:
@@ -203,4 +204,115 @@ def media_dedup(documents: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
         .select("keep_doc_id", "n_copies", "digest")
+    )
+
+
+def media_simhash_fingerprints(blobs: DataFrame) -> DataFrame:
+    """64-bit SimHash per binary payload from its byte 4-grams — the
+    codec-free perceptual-fingerprint stand-in promised by
+    :func:`media_dedup`'s docstring: a real pHash would hash decoded
+    pixels (decoder = the documented container stub), but the ENTIRE
+    Spark-side shape — Arrow-batched binary in, 64-bit fingerprint
+    out, banded bucket join after — is the production one.  Vectorized
+    Pandas UDF with stable blake2b gram hashes; per-batch gram-vote
+    cache (byte grams repeat heavily)."""
+    import hashlib
+
+    import numpy as np
+
+    @pandas_udf("long")
+    def _fp(payloads: pd.Series) -> pd.Series:
+        gram_bits: dict = {}
+        shifts = np.arange(64, dtype=np.uint64)
+
+        def bits_of(gram: bytes):
+            v = gram_bits.get(gram)
+            if v is None:
+                h = np.uint64(
+                    int.from_bytes(
+                        hashlib.blake2b(
+                            gram, digest_size=8
+                        ).digest(),
+                        "big",
+                    )
+                )
+                v = gram_bits[gram] = (
+                    ((h >> shifts) & np.uint64(1)).astype(np.int32)
+                    * 2 - 1
+                )
+            return v
+
+        def one(p) -> int:
+            b = bytes(p or b"")
+            if len(b) < 4:
+                return 0
+            votes = np.sum(
+                [bits_of(b[i:i + 4]) for i in range(len(b) - 3)],
+                axis=0,
+            )
+            fp = int(
+                np.bitwise_or.reduce(
+                    (votes > 0).astype(np.uint64) << shifts
+                )
+            )
+            return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+        return payloads.map(one)
+
+    return blobs.select("doc_id", _fp(F.col("payload")).alias("simhash"))
+
+
+def media_neardup(
+    documents: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """NEAR-duplicate media detection over binary payloads: byte-gram
+    SimHash fingerprints, then the 4×16-bit chunk pigeonhole bucket
+    join (a pair within hamming distance 3 must agree exactly on ≥1
+    of the 4 chunks) — the media sibling of ``dedup.simhash_pairs``
+    and the second pass after exact ``media_dedup``.  Scale shape:
+    the 8-byte fingerprint is all that ever shuffles (blobs stay
+    put); candidates come from a keyed equi-join on (chunk_no,
+    chunk), never an all-pairs scan.
+
+    Output: ``doc_a, doc_b, hamming`` (doc_a < doc_b)."""
+    fps = media_simhash_fingerprints(with_media_blob(documents))
+    chunks = fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(
+                        F.col("simhash"), 16 * i
+                    ).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_no", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_no") == F.col("b.chunk_no"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))
+            ).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )

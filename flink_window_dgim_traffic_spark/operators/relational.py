@@ -1681,6 +1681,7 @@ def scd2_build(
     attrs: list[str],
     ts_col: str = "ts",
     tiebreak: str | None = None,
+    delete_col: str | None = None,
 ) -> DataFrame:
     """Type-2 slowly-changing-dimension build from a change log — the
     warehouse operator that turns an event stream of attribute
@@ -1696,6 +1697,18 @@ def scd2_build(
     null-safe (a NULL attribute equals NULL, so missing values do
     not fabricate versions).
 
+    CDC deletes: pass ``delete_col`` (boolean-ish) to treat flagged
+    rows as TOMBSTONES — a tombstone closes the key's open version at
+    its timestamp and opens nothing, so the key has no current row
+    until (and unless) a later live observation re-inserts it; a
+    re-insert always opens a fresh version even if its attributes
+    match the pre-delete state, and consecutive tombstones collapse.
+    Mechanically the tombstone participates in the change-collapse as
+    a distinct "deleted" state (so it claims a version slot whose
+    ``valid_from`` becomes the predecessor's ``valid_to``) and the
+    deleted slots are dropped from the output AFTER the validity
+    lead — the standard soft-delete compaction.
+
     Scale shape: ONE hash shuffle on the entity key feeding two
     window passes (the change-collapse lag and the validity lead
     reuse the same partitioning — Catalyst plans a single Exchange);
@@ -1706,9 +1719,16 @@ def scd2_build(
         [F.col(tiebreak).asc()] if tiebreak else []
     )
     w = Window.partitionBy(*key).orderBy(*order)
-    cur = F.struct(*[F.col(a) for a in attrs])
+    del_flag = (
+        F.col(delete_col).cast("boolean")
+        if delete_col
+        else F.lit(False)
+    )
+    cur = F.struct(
+        del_flag.alias("_del"), *[F.col(a) for a in attrs]
+    )
     prev = F.lag(cur).over(w)
-    versions = changes.withColumn(
+    versions = changes.withColumn("_del", del_flag).withColumn(
         "_is_new_version",
         prev.isNull() | ~prev.eqNullSafe(cur),
     ).filter(F.col("_is_new_version"))
@@ -1720,7 +1740,8 @@ def scd2_build(
         F.col(ts_col).alias("valid_from"),
         valid_to.alias("valid_to"),
         valid_to.isNull().cast("bigint").alias("is_current"),
-    )
+        F.col("_del"),
+    ).filter(~F.col("_del")).drop("_del")
 
 
 def scd2_lookup(

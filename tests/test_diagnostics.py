@@ -140,3 +140,69 @@ def test_dataset_diff_null_safe_compare(spark):
         for r in dataset_diff(old, new, ["k"], ["v"]).collect()
     }
     assert out == {1: "unchanged", 2: "changed"}
+
+
+def test_scd2_deletes_tombstone_semantics(spark):
+    """delete closes the open version; re-insert (even with the same
+    attrs) opens a NEW version; consecutive tombstones collapse; a
+    trailing tombstone leaves the key with no current row."""
+    import datetime as dt
+
+    from flink_window_dgim_traffic_spark.operators.relational import (
+        scd2_build,
+    )
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # key 1: live a, delete, delete, live a again (re-insert)
+        (1, t(1), "a", 1, False),
+        (1, t(2), None, 2, True),
+        (1, t(3), None, 3, True),
+        (1, t(4), "a", 4, False),
+        # key 2: live b then tombstone at the end
+        (2, t(1), "b", 5, False),
+        (2, t(9), None, 6, True),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id: bigint, ts: timestamp, attr: string,"
+        " event_id: bigint, is_delete: boolean",
+    )
+    out = scd2_build(
+        df, ["user_id"], ["attr"], "ts", "event_id", "is_delete"
+    ).collect()
+    k1 = sorted(
+        [r for r in out if r.user_id == 1],
+        key=lambda r: r.valid_from,
+    )
+    # two versions of 'a': [1,2) closed by the tombstone, [4,∞) open
+    assert len(k1) == 2
+    assert k1[0].attr == "a" and k1[0].valid_to == t(2)
+    assert k1[0].is_current == 0
+    assert k1[1].valid_from == t(4) and k1[1].is_current == 1
+    k2 = [r for r in out if r.user_id == 2]
+    # b's version closed at the tombstone; key 2 has NO current row
+    assert len(k2) == 1
+    assert k2[0].valid_to == t(9) and k2[0].is_current == 0
+
+
+def test_scd2_no_delete_col_unchanged(spark):
+    """delete_col=None must reproduce the original semantics."""
+    import datetime as dt
+
+    from flink_window_dgim_traffic_spark.operators.relational import (
+        scd2_build,
+    )
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [(1, t(1), "a", 1), (1, t(2), "a", 2), (1, t(3), "b", 3)]
+    df = spark.createDataFrame(
+        rows, "user_id: bigint, ts: timestamp, attr: string,"
+        " event_id: bigint"
+    )
+    out = sorted(
+        scd2_build(df, ["user_id"], ["attr"], "ts", "event_id").collect(),
+        key=lambda r: r.valid_from,
+    )
+    assert [(r.attr, r.is_current) for r in out] == [("a", 0), ("b", 1)]
+    assert out[0].valid_to == t(3)

@@ -106,3 +106,36 @@ def test_cowindow_edges(spark):
         for r in cowindow_user_edges(df, 600).collect()
     }
     assert got == {(1, 2), (2, 1)}
+
+
+def test_triangle_count_hand_vector(spark):
+    from flink_window_dgim_traffic_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # K3 on {1,2,3} plus a pendant 4-1; edges given messy (both
+    # directions, duplicates) to exercise canonicalization
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (4, 1)]
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    out = {r.node: r for r in triangle_count(df).collect()}
+    assert out[1].degree == 3 and out[1].n_triangles == 1
+    assert out[2].degree == 2 and out[2].n_triangles == 1
+    assert out[3].degree == 2 and out[3].n_triangles == 1
+    assert out[4].degree == 1 and out[4].n_triangles == 0
+    # node 2: deg 2, 1 triangle -> cc = 2*1/(2*1) = 1.0
+    assert out[2].clustering_ppm == 1_000_000
+    # node 1: deg 3, 1 triangle -> 2*1e6 // 6
+    assert out[1].clustering_ppm == 2_000_000 // 6
+    assert out[4].clustering_ppm == 0
+
+
+def test_triangle_count_square_no_triangles(spark):
+    from flink_window_dgim_traffic_spark.operators.graph import (
+        triangle_count,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    out = triangle_count(df).collect()
+    assert all(r.n_triangles == 0 for r in out)
+    assert all(r.clustering_ppm == 0 for r in out)

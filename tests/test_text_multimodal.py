@@ -290,3 +290,54 @@ def test_bigram_kn_continuation_counts(spark):
     # (and,the)(the,bird) -> 'the' as right word: 2x, follows {and}
     assert got["the"] == (2, 1)
     assert got["and"] == (2, 2)            # follows {cat, dog}
+
+
+def test_media_neardup_catches_near_identical_blobs(spark):
+    from flink_window_dgim_traffic_spark.operators.multimodal import (
+        media_neardup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 30
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base[:-4] + "cat "),        # tiny byte-level edit
+            (3, "completely different payload " * 40),
+            (4, base),                       # exact duplicate
+        ],
+        "doc_id: bigint, text: string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in media_neardup(docs, max_hamming=3).collect()
+    }
+    assert pairs[(1, 4)] == 0          # identical payloads
+    assert (1, 2) in pairs             # near-identical caught
+    assert not any(3 in p for p in pairs)  # unrelated stays out
+
+
+def test_media_simhash_deterministic_and_short_blobs(spark):
+    from flink_window_dgim_traffic_spark.operators.multimodal import (
+        media_simhash_fingerprints,
+        with_media_blob,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, "abcdefgh")],
+        "doc_id: bigint, text: string",
+    )
+    fp1 = dict(
+        (r.doc_id, r.simhash)
+        for r in media_simhash_fingerprints(
+            with_media_blob(docs)
+        ).collect()
+    )
+    fp2 = dict(
+        (r.doc_id, r.simhash)
+        for r in media_simhash_fingerprints(
+            with_media_blob(docs)
+        ).collect()
+    )
+    assert fp1 == fp2                  # rerun-stable
+    assert fp1[1] == 0 and fp1[2] == 0  # < 4 bytes -> sentinel 0
+    assert fp1[3] != 0
