@@ -444,12 +444,22 @@ def value_deciles(
     one shuffle on ``key_col`` reused by both steps.  min/max of
     doubles are exact picks (no accumulation), so floats stay
     bit-stable."""
-    w = Window.partitionBy(key_col).orderBy(
-        F.col(value_col).asc(), F.col(id_col).asc()
-    )
-    tiled = events.select(
+    # alias FIRST, window over the aliased column: partitioning on a
+    # pre-window alias propagates to the downstream groupBy (hash on
+    # "key" co-locates (key, tile) too), so Catalyst plans ONE
+    # exchange for both steps — aliasing after the window breaks the
+    # partitioning lineage and costs a second shuffle
+    base = events.select(
         F.col(key_col).alias("key"),
         F.col(value_col).alias("v"),
+        F.col(id_col).alias("i"),
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("v").asc(), F.col("i").asc()
+    )
+    tiled = base.select(
+        "key",
+        "v",
         F.ntile(n_tiles).over(w).cast("bigint").alias("tile"),
     )
     return tiled.groupBy("key", "tile").agg(

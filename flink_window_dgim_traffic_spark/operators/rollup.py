@@ -269,7 +269,8 @@ def rollup_serve_realtime(
 
 def refresh_rollup(spark, path: str, new_events: DataFrame,
                    levels: tuple[int, ...] = DEFAULT_LEVELS,
-                   tag: str | None = None) -> bool:
+                   tag: str | None = None,
+                   retract: bool = False) -> bool:
     """Incrementally fold a new event batch into the hierarchy — the
     continuous-aggregate REFRESH: aggregate the batch at the finest
     level, merge by window (sum) against the latest COMMITTED
@@ -285,7 +286,16 @@ def refresh_rollup(spark, path: str, new_events: DataFrame,
     and here it does: the replay recomputes from the same committed
     base and overwrites the orphaned staged files.  A tag that is
     already committed returns False without touching anything (the
-    replay skip).  Returns True when a new snapshot was committed."""
+    replay skip).  Returns True when a new snapshot was committed.
+
+    CDC retraction: ``retract=True`` folds the batch with NEGATED
+    increments — the upstream-delete case of continuous-aggregate
+    maintenance (TimescaleDB invalidation / Flink retract streams).
+    Sum/count are abelian-group aggregates so subtraction is exact;
+    windows whose counts reach zero are dropped from the snapshot
+    (retract-then-refresh equals never-having-ingested, pinned in
+    tests).  The watermark is NOT lowered by a retraction (high-water
+    marks are monotone)."""
     levels = tuple(sorted(levels))
     committed = _committed(path)
     if not committed:
@@ -299,6 +309,12 @@ def refresh_rollup(spark, path: str, new_events: DataFrame,
     if any(t == tag for _, t in committed):
         return False
     inc = _finest(new_events, levels[0])
+    if retract:
+        inc = inc.select(
+            "we_sec",
+            (-F.col("ones_exact")).cast("bigint").alias("ones_exact"),
+            (-F.col("n_rows")).cast("bigint").alias("n_rows"),
+        )
     for i, lvl in enumerate(levels):
         existing = _resolve(spark, path, lvl, base_tag)
         merged = (
@@ -308,6 +324,7 @@ def refresh_rollup(spark, path: str, new_events: DataFrame,
                 F.sum("ones_exact").cast("bigint").alias("ones_exact"),
                 F.sum("n_rows").cast("bigint").alias("n_rows"),
             )
+            .filter(F.col("n_rows") != 0)
         )
         merged.write.mode("overwrite").parquet(
             _level_path(path, lvl, tag)

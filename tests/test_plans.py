@@ -392,3 +392,41 @@ def test_round5_operator_plan_shapes(t):
     assert plan.count("BroadcastNestedLoopJoin BuildRight") >= 2
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_session3_operator_plan_shapes(t):
+    """Round-5 session-3 operators: no cartesian anywhere, pruned
+    scans, and the deciles transform reuses ONE exchange for both
+    the tile sort and the profile aggregation."""
+    from flink_window_dgim_traffic_spark.operators import (
+        analytics as AN,
+    )
+    from flink_window_dgim_traffic_spark.operators import graph as G
+    from flink_window_dgim_traffic_spark.operators import (
+        matching as MT,
+    )
+
+    ev = t("events")
+    # value_deciles: the ntile window and the (key, tile) groupBy are
+    # both partitioned by key -> a single exchange on the key
+    df = AN.value_deciles(ev, 10)
+    assert I.read_columns(df, "events") == {
+        "event_id", "event_type", "value",
+    }
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    # edit-distance join: equi-join on signatures, never a cartesian
+    sup = t("supplier")
+    df = MT.edit_distance_join(sup, "s_suppkey", "s_name", 1)
+    assert not I.has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    # pagerank rounds: keyed joins + aggregations only
+    df = G.pagerank_fixed(G.cowindow_user_edges(ev, 600), iters=2)
+    assert not I.has_cartesian(df)
+    # seasonal anomaly: baseline table joins back BROADCAST
+    df = W.seasonal_anomaly(ev, 60, 3600, 3, 2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert not I.has_cartesian(df)
+    assert I.read_columns(df, "events") == {"event_type", "ts"}

@@ -323,3 +323,42 @@ def test_end_to_end_datasource_stream_to_rollup(spark, tmp_path):
     }
     assert served == direct
     assert len(served) >= 2  # the 120 s source spans >= two windows
+
+
+def test_refresh_retract_roundtrip(spark, tmp_path):
+    """Folding a batch and then retracting it must restore the
+    served windows exactly (sum/count are group aggregates), with
+    zero-count windows dropped rather than left as zeros."""
+    import datetime as dt
+
+    from flink_window_dgim_traffic_spark.operators.rollup import (
+        build_rollup_hierarchy,
+        refresh_rollup,
+        rollup_serve,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    base = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(seconds=10 * i)) for i in range(20)],
+        "event_id: bigint, ts: timestamp",
+    )
+    # the batch lands partly in existing windows, partly in a NEW one
+    batch = spark.createDataFrame(
+        [
+            (100, t0 + dt.timedelta(seconds=30)),
+            (101, t0 + dt.timedelta(hours=2)),
+        ],
+        "event_id: bigint, ts: timestamp",
+    )
+    path = str(tmp_path / "roll")
+    build_rollup_hierarchy(base, path)
+    before = sorted(map(tuple, rollup_serve(spark, path, 60).collect()))
+    assert refresh_rollup(spark, path, batch, tag="add")
+    mid = sorted(map(tuple, rollup_serve(spark, path, 60).collect()))
+    assert mid != before
+    assert refresh_rollup(spark, path, batch, tag="undo", retract=True)
+    after = sorted(map(tuple, rollup_serve(spark, path, 60).collect()))
+    assert after == before  # incl. the 2h window fully dropped
+    # replay-skip still holds for retractions
+    assert not refresh_rollup(spark, path, batch, tag="undo",
+                              retract=True)
