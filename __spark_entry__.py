@@ -236,6 +236,54 @@ def _zorder_layout_stats(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _stream_late_audit(s: SparkSession, d: str) -> DataFrame:
+    """Streaming lateness audit end to end: the simulated arrival
+    stream is replayed in ARRIVAL ORDER (four range-chunk files, one
+    per micro-batch), the foreachBatch fn carries the high-water
+    mark across batches and folds mergeable per-window partials, and
+    the committed audit must hash-match the one-shot batch SQL."""
+    import glob
+    import os as _os
+    import tempfile
+
+    from flink_window_dgim_traffic_spark.streaming import alerts as SA
+
+    base = tempfile.mkdtemp(prefix="spark_graft_streamlate_")
+    src, st, ck = f"{base}/src", f"{base}/state", f"{base}/ck"
+    ev = _events(s, d).select(
+        "event_id",
+        "ts",
+        (
+            F.unix_micros(F.col("ts"))
+            + (F.col("event_id") % 10) * F.lit(30_000_000)
+        ).cast("bigint").alias("arrival_us"),
+    )
+    qs = ev.approxQuantile("arrival_us", [0.25, 0.5, 0.75], 0.0)
+    bounds = [None, *qs, None]
+    for i in range(4):
+        chunk = ev
+        if bounds[i] is not None:
+            chunk = chunk.filter(F.col("arrival_us") > bounds[i])
+        if bounds[i + 1] is not None:
+            chunk = chunk.filter(F.col("arrival_us") <= bounds[i + 1])
+        chunk.coalesce(1).write.parquet(f"{src}/c{i}")
+    for i, path in enumerate(
+        p for j in range(4)
+        for p in sorted(glob.glob(f"{src}/c{j}/*.parquet"))
+    ):
+        _os.utime(path, (1_000_000_000 + i * 60,) * 2)
+    stream = (
+        s.readStream.schema(
+            "event_id long, ts timestamp, arrival_us bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/c*")
+    )
+    q = SA.late_audit_stream(stream, st, ck, "arrival_us", 60, 600)
+    q.awaitTermination()
+    return SA.read_late_audit(s, st)
+
+
 def _scd2_with_deletes(s: SparkSession, d: str) -> DataFrame:
     """SCD2 build where 'error' events are CDC tombstones: they
     close the user's open version and leave the key without a
@@ -590,6 +638,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "triangles_fuzzy_suppliers": _triangles_fuzzy_suppliers,
         "scd2_with_deletes": _scd2_with_deletes,
+        "stream_late_audit": _stream_late_audit,
+        # rows-only BY DESIGN: seeded-xxhash64 sketch cells have no
+        # SQL twin; CMS bounds pinned in tests/test_heavy_hitters.py
+        "cms_user_counts": lambda s, d: HH.cms_estimate(
+            HH.cms_build(_events(s, d), "user_id"),
+            _events(s, d),
+            "user_id",
+        ),
         # rows-only BY DESIGN: blake2b byte-gram SimHash has no SQL
         # twin; semantics pinned in tests/test_text_multimodal.py
         "media_neardup": lambda s, d: M.media_neardup(
@@ -1309,6 +1365,31 @@ SELECT CAST(lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) n_pairs,
        CAST(sum(x*y) AS BIGINT) sum_xy,
        CAST(count(*)*sum(x*y) - sum(x)*sum(y) AS BIGINT) pearson_num
 FROM pairs GROUP BY 1
+""",
+        # the stream-maintained audit (watermark carried across
+        # batches, mergeable partials) must equal the one-shot batch
+        # window-function computation — same SQL as late_data_audit
+        "stream_late_audit": """
+WITH a AS (
+  SELECT event_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts) + (event_id % 10) * 30000000 AS arr_us
+  FROM events),
+r AS (
+  SELECT *, max(ts_us) OVER (ORDER BY arr_us, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_prev
+  FROM a),
+l AS (
+  SELECT CAST((floor(ts_us/600000000)+1)*600 AS BIGINT) AS we_sec,
+         CASE WHEN wm_prev IS NULL THEN 0
+              ELSE greatest(0, wm_prev - ts_us) END AS late_us
+  FROM r)
+SELECT strftime(to_timestamp(we_sec), '%Y-%m-%d %H:%M:%S') AS window_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       CAST(max(late_us) AS BIGINT) AS max_lateness_us,
+       CAST(sum(late_us) AS BIGINT) AS sum_lateness_us
+FROM l GROUP BY 1
 """,
         # tombstone rows ('error') join the change-collapse as a
         # distinct deleted state, claim a version slot (closing the

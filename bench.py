@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "triangles_fuzzy_suppliers",
     "media_neardup",
     "scd2_with_deletes",
+    "cms_user_counts",
     "frequent_itemsets",
     # stream_seasonal_anomaly: bench-excluded like the other stream_*
     # replay queries (BASELINE.md §"Bench exclusions") — its batch

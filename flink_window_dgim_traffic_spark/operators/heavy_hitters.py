@@ -201,3 +201,90 @@ def heavy_hitters_ngrams(
             merge_all, "ngram string, est_lower bigint, est_upper bigint"
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Count-Min Sketch — the linear point-query sketch (Cormode &
+# Muthukrishnan 2005), complementing SpaceSaving's top-k: CMS answers
+# "how often did THIS key occur" with one-sided error in fixed space.
+# ----------------------------------------------------------------------
+
+CMS_WIDTH = 2048
+CMS_DEPTH = 3
+
+
+def _cms_cell(col, j: int, width: int):
+    # xxhash64 with per-row seed j; pmod keeps the cell non-negative
+    return F.pmod(F.xxhash64(col, F.lit(j)), F.lit(width))
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Build the sketch as a (row j, cell, cnt) table — CMS is LINEAR,
+    so the build is nothing but a keyed aggregation: each input row
+    increments ``depth`` cells, map-side combine collapses them, and
+    the result is ≤ depth·width rows regardless of input size.
+    Merging two sketches (cross-partition, cross-batch, cross-day) is
+    a unionByName + re-sum of the same tiny table — no custom state,
+    no UDF, pure JVM expressions (seeded xxhash64).
+
+    Guarantee (standard CMS): for any key,
+    ``exact ≤ estimate ≤ exact + ε·N`` with probability ≥ 1−δ over
+    the hash draw, where ε = e/width and δ = e^-depth; here the hash
+    seeds are FIXED (0..depth−1) so results are deterministic and the
+    one-sided ``estimate ≥ exact`` bound is unconditional."""
+    rows = df.select(F.col(key_col).alias("_k"))
+    parts = [
+        rows.select(
+            F.lit(j).alias("j"), _cms_cell(F.col("_k"), j, width).alias("cell")
+        )
+        for j in range(depth)
+    ]
+    allcells = parts[0]
+    for p in parts[1:]:
+        allcells = allcells.unionByName(p)
+    return allcells.groupBy("j", "cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``: estimate =
+    min over the ``depth`` rows of the key's cell counts (a missing
+    cell reads 0 — the key was never seen).  One keyed equi-join of
+    the (|keys|·depth)-row probe table against the sketch (broadcast:
+    the sketch is ≤ depth·width rows by construction).
+
+    Output: ``key_col, est`` (BIGINT, est ≥ exact always)."""
+    probe = keys.select(F.col(key_col)).distinct()
+    cells = probe.select(
+        key_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    _cms_cell(F.col(key_col), j, width).alias("cell"),
+                )
+                for j in range(depth)
+            ])
+        ).alias("jc"),
+    ).select(key_col, F.col("jc.j").alias("j"), F.col("jc.cell").alias("cell"))
+    return (
+        cells.join(F.broadcast(sketch), ["j", "cell"], "left")
+        .groupBy(key_col)
+        .agg(
+            F.min(F.coalesce("cnt", F.lit(0)))
+            .cast("bigint")
+            .alias("est")
+        )
+    )

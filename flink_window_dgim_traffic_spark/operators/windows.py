@@ -1171,6 +1171,27 @@ def late_data_audit(
     sort partitioned BY SHARD.  Lateness per row =
     ``max(0, wm_prev − ts)`` with the watermark EXCLUSIVE of the
     current row (first arrival is never late).  All integer µs."""
+    rows = lateness_rows(
+        events, arrival_us_col, id_col, ts_col, None, shard_sec
+    )
+    return _late_format(
+        late_audit_increment(rows, late_after_sec, size_sec)
+    )
+
+
+def lateness_rows(
+    events: DataFrame,
+    arrival_us_col: str,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    init_wm_us: int | None = None,
+    shard_sec: int = 3600,
+) -> DataFrame:
+    """Row-level half of :func:`late_data_audit`: per row, its event
+    time (``_ts_us``) and lateness vs the running high-water mark
+    (``_late_us``), via the sharded prefix max.  ``init_wm_us`` seeds
+    the watermark with state carried from earlier arrivals — the hook
+    the streaming twin uses to chain batches."""
     ts_us = F.unix_micros(F.col(ts_col))
     arr = F.col(arrival_us_col).cast("bigint")
     shard_us = shard_sec * 1_000_000
@@ -1193,14 +1214,17 @@ def late_data_audit(
         .orderBy("_arr_us", "_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    rows = (
+    sentinel = (
+        -(1 << 62) if init_wm_us is None else int(init_wm_us)
+    )
+    return (
         base.join(F.broadcast(prefix), "_shard")
         .withColumn("_row_prev", F.max("_ts_us").over(win_row))
         .withColumn(
             "_wm_prev",
             F.greatest(
-                F.coalesce("_prefix_us", F.lit(-(1 << 62))),
-                F.coalesce("_row_prev", F.lit(-(1 << 62))),
+                F.coalesce("_prefix_us", F.lit(sentinel)),
+                F.coalesce("_row_prev", F.lit(sentinel)),
             ),
         )
         .withColumn(
@@ -1213,29 +1237,41 @@ def late_data_audit(
                 )
             ).cast("bigint"),
         )
+        .select("_ts_us", "_late_us")
     )
+
+
+def late_audit_increment(
+    rows: DataFrame,
+    late_after_sec: int = 60,
+    size_sec: int = 600,
+) -> DataFrame:
+    """Aggregation half of :func:`late_data_audit`, emitted as
+    MERGEABLE per-window partials keyed by numeric ``_we_sec`` —
+    counts and sums add, max maxes, so the streaming twin can fold
+    one batch's increment into committed state by key."""
     size_us = size_sec * 1_000_000
     we_sec = (
         (F.floor(F.col("_ts_us") / size_us) + 1) * size_sec
     ).cast("bigint")
     late_thresh = late_after_sec * 1_000_000
-    return (
-        rows.groupBy(we_sec.alias("_we_sec"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum(
-                (F.col("_late_us") > late_thresh).cast("bigint")
-            ).cast("bigint").alias("n_late"),
-            F.max("_late_us").cast("bigint").alias("max_lateness_us"),
-            F.sum("_late_us").cast("bigint").alias("sum_lateness_us"),
-        )
-        .select(
-            F.date_format(
-                F.timestamp_seconds("_we_sec"), TS_FMT_SPARK
-            ).alias("window_end"),
-            "n_events",
-            "n_late",
-            "max_lateness_us",
-            "sum_lateness_us",
-        )
+    return rows.groupBy(we_sec.alias("_we_sec")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(
+            (F.col("_late_us") > late_thresh).cast("bigint")
+        ).cast("bigint").alias("n_late"),
+        F.max("_late_us").cast("bigint").alias("max_lateness_us"),
+        F.sum("_late_us").cast("bigint").alias("sum_lateness_us"),
+    )
+
+
+def _late_format(partials: DataFrame) -> DataFrame:
+    return partials.select(
+        F.date_format(
+            F.timestamp_seconds("_we_sec"), TS_FMT_SPARK
+        ).alias("window_end"),
+        "n_events",
+        "n_late",
+        "max_lateness_us",
+        "sum_lateness_us",
     )

@@ -388,3 +388,120 @@ def seasonal_anomaly_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def make_late_audit_batch_fn(
+    state_root: str,
+    arrival_us_col: str = "arrival_us",
+    late_after_sec: int = 60,
+    size_sec: int = 600,
+):
+    """foreachBatch for the streaming lateness audit: the watermark a
+    streaming engine holds IS cross-batch state, so each batch (a)
+    seeds the row-level lateness computation with the committed
+    high-water mark, (b) folds the batch's per-window partials into
+    the committed counts snapshot (counts/sums add, max maxes), and
+    (c) advances the stored watermark — all under the batch-id
+    staging + marker protocol (exactly-once; a crashed attempt
+    re-stages from the same committed base).  Requires batches to
+    arrive in arrival order (the streaming contract the audit
+    measures against), same as every incremental-batch twin here."""
+    from flink_window_dgim_traffic_spark.operators import windows as W
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        marker = f"{state_root}/_done/{batch_id}"
+        if os.path.exists(marker):
+            return
+        spark = batch.sparkSession
+        committed = _committed_ids(state_root)
+        if committed:
+            prev = spark.read.parquet(
+                f"{state_root}/wm/batch-{committed[-1]}"
+            ).collect()
+            init_wm = int(prev[0]["wm_us"]) if prev else None
+        else:
+            init_wm = None
+        rows = W.lateness_rows(
+            batch, arrival_us_col, init_wm_us=init_wm
+        )
+        inc = W.late_audit_increment(rows, late_after_sec, size_sec)
+        if committed:
+            base = spark.read.parquet(
+                f"{state_root}/counts/batch-{committed[-1]}"
+            )
+            merged = (
+                base.unionByName(inc)
+                .groupBy("_we_sec")
+                .agg(
+                    F.sum("n_events").cast("bigint").alias("n_events"),
+                    F.sum("n_late").cast("bigint").alias("n_late"),
+                    F.max("max_lateness_us")
+                    .cast("bigint")
+                    .alias("max_lateness_us"),
+                    F.sum("sum_lateness_us")
+                    .cast("bigint")
+                    .alias("sum_lateness_us"),
+                )
+            )
+        else:
+            merged = inc
+        merged.write.mode("overwrite").parquet(
+            f"{state_root}/counts/batch-{batch_id}"
+        )
+        bm = batch.agg(
+            F.max(F.unix_micros(F.col("ts"))).alias("m")
+        ).collect()[0]["m"]
+        new_wm = max(
+            x for x in (init_wm, bm, -(1 << 62)) if x is not None
+        )
+        spark.createDataFrame(
+            [(int(new_wm),)], "wm_us bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_root}/wm/batch-{batch_id}"
+        )
+        os.makedirs(f"{state_root}/_done", exist_ok=True)
+        open(marker, "w").close()
+
+    return process
+
+
+def read_late_audit(spark, state_root: str) -> DataFrame:
+    """Formatted audit from the LATEST committed snapshot."""
+    from flink_window_dgim_traffic_spark.operators.windows import (
+        _late_format,
+    )
+
+    committed = _committed_ids(state_root)
+    if not committed:
+        return spark.createDataFrame(
+            [],
+            "window_end string, n_events bigint, n_late bigint,"
+            " max_lateness_us bigint, sum_lateness_us bigint",
+        )
+    return _late_format(
+        spark.read.parquet(
+            f"{state_root}/counts/batch-{committed[-1]}"
+        )
+    )
+
+
+def late_audit_stream(
+    events: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    arrival_us_col: str = "arrival_us",
+    late_after_sec: int = 60,
+    size_sec: int = 600,
+):
+    """Start the streaming lateness audit (availableNow; query the
+    result with :func:`read_late_audit`)."""
+    return (
+        events.writeStream.foreachBatch(
+            make_late_audit_batch_fn(
+                state_root, arrival_us_col, late_after_sec, size_sec
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -368,3 +368,71 @@ def test_seasonal_crash_between_state_and_marker(spark, tmp_path):
     fn(b1, 1)  # committed replay short-circuits
     counts = read_seasonal_counts(spark, state).collect()
     assert len(counts) == 1 and counts[0]["cnt"] == 2  # not 3 or 4
+
+
+def _late_rows(spark, n=60):
+    """Deterministic disorder: arrival = ts + (i%7)*90s jitter."""
+    base = (BASE // 600) * 600
+    rows = [
+        (
+            i,
+            base + i * 20,                      # event time, 20 s apart
+            base * 1_000_000
+            + (i * 20 + (i % 7) * 90) * 1_000_000,  # arrival epoch µs
+        )
+        for i in range(n)
+    ]
+    import datetime
+
+    return spark.createDataFrame(
+        [
+            (
+                i,
+                datetime.datetime.fromtimestamp(
+                    t, datetime.timezone.utc
+                ).replace(tzinfo=None),
+                arr,
+            )
+            for i, t, arr in rows
+        ],
+        "event_id long, ts timestamp, arrival_us bigint",
+    )
+
+
+def test_late_audit_stream_matches_batch_and_crash(spark, tmp_path):
+    """Chaining arrival-ordered batches through the foreachBatch fn
+    must equal the one-shot batch audit (the watermark is the only
+    cross-batch state), and a crash between the counts write and the
+    marker must not double-fold on replay."""
+    from flink_window_dgim_traffic_spark.streaming.alerts import (
+        make_late_audit_batch_fn,
+        read_late_audit,
+    )
+
+    df = _late_rows(spark)
+    state = str(tmp_path / "late_state")
+    fn = make_late_audit_batch_fn(state, "arrival_us", 60, 600)
+    # split by ARRIVAL order into 3 chained batches
+    qs = df.approxQuantile("arrival_us", [0.33, 0.66], 0.0)
+    b0 = df.filter(F.col("arrival_us") <= qs[0])
+    b1 = df.filter(
+        (F.col("arrival_us") > qs[0]) & (F.col("arrival_us") <= qs[1])
+    )
+    b2 = df.filter(F.col("arrival_us") > qs[1])
+    fn(b0, 0)
+    fn(b1, 1)
+    os.remove(f"{state}/_done/1")   # crash after stage, before marker
+    fn(b1, 1)                       # replay re-stages from batch 0
+    fn(b1, 1)                       # committed replay short-circuits
+    fn(b2, 2)
+    got = sorted(map(tuple, read_late_audit(spark, state).collect()))
+    want = sorted(
+        map(
+            tuple,
+            W.late_data_audit(
+                df, "arrival_us", late_after_sec=60, size_sec=600
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert any(r[2] > 0 for r in got)  # the jitter really makes lates
