@@ -606,6 +606,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_anomaly": lambda s, d: W.seasonal_anomaly(
             _events(s, d), 60, 3600, 3, 2
         ),
+        "sql_seasonal_anomaly": lambda s, d: Q.sql_seasonal_anomaly(
+            s, d, 60, 3600
+        ),
         "late_data_audit": lambda s, d: W.late_data_audit(
             _events(s, d).withColumn(
                 "arrival_us",
@@ -1239,6 +1242,28 @@ FROM tf GROUP BY term
         # rational 3/2 factor as multiply-compares; baselines average
         # observed windows only (same convention as ewma_anomaly)
         "seasonal_anomaly": """
+WITH cnt AS (
+  SELECT event_type,
+         CAST((floor(epoch(ts)/60)+1)*60 AS BIGINT) AS we_sec,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1,2),
+c2 AS (SELECT *, CAST((we_sec // 60) % 60 AS BIGINT) AS slot FROM cnt),
+base AS (SELECT event_type, slot,
+                CAST(sum(cnt) AS BIGINT) AS slot_total,
+                CAST(count(*) AS BIGINT) AS n_windows
+         FROM c2 GROUP BY 1,2)
+SELECT c2.event_type,
+       strftime(to_timestamp(we_sec), '%Y-%m-%d %H:%M:%S') AS window_end,
+       c2.slot, cnt,
+       CAST((slot_total * 1000000) // n_windows AS BIGINT) AS baseline_e6,
+       CASE WHEN cnt*n_windows*2 > 3*slot_total THEN 'high'
+            ELSE 'low' END AS direction
+FROM c2 JOIN base USING (event_type, slot)
+WHERE cnt*n_windows*2 > 3*slot_total OR cnt*n_windows*3 < 2*slot_total
+""",
+        # identical SQL as seasonal_anomaly — the Spark-SQL twin must
+        # produce the same values
+        "sql_seasonal_anomaly": """
 WITH cnt AS (
   SELECT event_type,
          CAST((floor(epoch(ts)/60)+1)*60 AS BIGINT) AS we_sec,

@@ -132,14 +132,23 @@ def triangle_count(edges: DataFrame, src: str = "src",
     metric: a node whose neighbors also know each other closes
     triangles (MMDS ch. 10 / Newman's clustering coefficient).
 
-    Algorithm: canonical ordered edges (a < b), then the standard
-    two-join enumeration — wedges (a,b)⋈(b,c) closed by the (a,c)
-    edge — so every triangle is found exactly once in sorted order.
-    Scale shape: two keyed equi-joins on node ids plus keyed
-    aggregations; cost is Σ_b deg(b)² (the wedge count), the known
-    bound for exact triangle enumeration — for power-law graphs cap
-    or sample super-hub wedges upstream.  Clustering coefficient is
-    kept exact-integer: ``cc_ppm = (2·tri·10^6) div (deg·(deg−1))``
+    Algorithm: DEGREE-ORDERED orientation (the Chiba–Nishizeki /
+    "forward" method): orient every edge from its lower-(degree,
+    node) endpoint to the higher one, enumerate wedges only between
+    pairs of OUT-neighbors of a common source, and close each wedge
+    against the canonical edge set — every triangle found exactly
+    once from its lowest-ordered corner.  Why the orientation
+    matters: naive wedge enumeration costs Σ deg(v)² and melts on
+    skewed degree distributions; out-degrees under the degree order
+    are bounded by O(√E), capping total WEDGES at O(E^1.5).  What no
+    enumeration can cap is the OUTPUT: a clique of m duplicates holds
+    m³/6 triangles (the 1×/3×/10× stress measured 36–43× runtime at
+    10× rows on a mass-duplicate corpus with either algorithm) — so
+    collapse exact-duplicate keys FIRST (``dedup.dedup_exact`` /
+    ``media_dedup``) and run triangles on the deduplicated sparse
+    graph, where the stress measures near-linear.  All joins keyed,
+    no cartesian.  Clustering coefficient is kept
+    exact-integer: ``cc_ppm = (2·tri·10^6) div (deg·(deg−1))``
     (0 when deg < 2).
 
     Output: ``node, degree, n_triangles, clustering_ppm``."""
@@ -156,21 +165,50 @@ def triangle_count(edges: DataFrame, src: str = "src",
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )
-    e1 = und.select(F.col("a"), F.col("b"))
-    wedges = e1.alias("x").join(
-        e1.alias("y"), F.col("x.b") == F.col("y.a")
+    # attach (degree, node) order keys to both endpoints, then orient
+    # low -> high; ties broken by node id so the order is total
+    da = deg.select(
+        F.col("node").alias("a"), F.col("degree").alias("dega")
+    )
+    db = deg.select(
+        F.col("node").alias("b"), F.col("degree").alias("degb")
+    )
+    ed = und.join(da, "a").join(db, "b")
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oe = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("degb")).otherwise(F.col("dega")).alias(
+            "dstdeg"
+        ),
+    )
+    x, y = oe.alias("x"), oe.alias("y")
+    # wedges between two out-neighbors of one source, (v, w) taken in
+    # the same (degree, node) order so each pair appears once
+    wedges = x.join(y, F.col("x.src") == F.col("y.src")).filter(
+        (F.col("x.dstdeg") < F.col("y.dstdeg"))
+        | (
+            (F.col("x.dstdeg") == F.col("y.dstdeg"))
+            & (F.col("x.dst") < F.col("y.dst"))
+        )
     ).select(
-        F.col("x.a").alias("a"),
-        F.col("x.b").alias("b"),
-        F.col("y.b").alias("c"),
+        F.col("x.src").alias("u"),
+        F.col("x.dst").alias("v"),
+        F.col("y.dst").alias("w"),
     )
     tri = wedges.join(
-        und.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
-    )
+        und.select(
+            F.col("a").alias("_ca"), F.col("b").alias("_cb")
+        ),
+        (F.least("v", "w") == F.col("_ca"))
+        & (F.greatest("v", "w") == F.col("_cb")),
+    ).select("u", "v", "w")
     per_node = (
-        tri.select(F.col("a").alias("node"))
-        .unionByName(tri.select(F.col("b").alias("node")))
-        .unionByName(tri.select(F.col("c").alias("node")))
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("v").alias("node")))
+        .unionByName(tri.select(F.col("w").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )

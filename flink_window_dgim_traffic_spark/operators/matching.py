@@ -63,9 +63,22 @@ def edit_distance_join(
     id_col: str,
     text_col: str,
     max_ed: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """All pairs (id_lo < id_hi) whose ``text_col`` values are within
     Levenshtein distance ``max_ed``, with the exact distance.
+
+    ``max_bucket`` (opt-in, default None = exact): drop signature
+    buckets holding more than this many strings before the join —
+    the hot-bucket cap of the LSH families applied here.  Formulaic
+    corpora (zero-padded IDs, templated names) can share one segment
+    VERBATIM across the whole corpus, making that signature bucket
+    O(n) wide and the candidate join O(n²); under a cap the join
+    stays near-linear at the cost of possibly missing pairs whose
+    ONLY shared surviving segment was hot (recall trade documented,
+    mirror of ``minhash_lsh_pairs(max_bucket=...)``).  Collapse
+    exact duplicates first (``dedup_exact``) — duplicate classes are
+    the other O(n²) source and the cap does not repair them.
 
     Output: ``id_lo, id_hi, ed`` (BIGINT, BIGINT, BIGINT).
     """
@@ -146,6 +159,15 @@ def edit_distance_join(
             F.lit("").alias("sig"),
         )
     )
+    if max_bucket is not None:
+        hot = (
+            idx.groupBy("l", "i", "sig")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("l", "i", "sig")
+        )
+        idx = idx.join(hot, ["l", "i", "sig"], "left_anti")
+        probe = probe.join(hot, ["l", "i", "sig"], "left_anti")
     cand = (
         idx.join(probe, ["l", "i", "sig"])
         .filter(F.col("id") != F.col("id_p"))

@@ -192,3 +192,48 @@ def sql_window_topn(
         ) WHERE rnk <= {int(k)}
         """
     )
+
+
+def sql_seasonal_anomaly(
+    spark: SparkSession, sf_dir: str, size_sec: int = 60,
+    cycle_sec: int = 3600,
+) -> DataFrame:
+    """The seasonal slot-of-cycle anomaly rule expressed as ONE Spark
+    SQL statement — the migrating-user view of
+    ``windows.seasonal_anomaly`` (values oracle-checked identical;
+    the rational 3/2 factor stays a multiply-compare in SQL too)."""
+    register_views(spark, sf_dir)
+    slots = cycle_sec // size_sec
+    return spark.sql(
+        f"""
+        WITH cnt AS (
+          SELECT event_type,
+                 CAST(unix_timestamp(window.end) AS BIGINT) AS we_sec,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events
+          GROUP BY event_type, window(ts, '{size_sec} seconds')
+        ),
+        c2 AS (
+          SELECT *, pmod(we_sec div {size_sec}, {slots}) AS slot
+          FROM cnt
+        ),
+        base AS (
+          SELECT event_type, slot,
+                 CAST(sum(cnt) AS BIGINT) AS slot_total,
+                 CAST(count(*) AS BIGINT) AS n_windows
+          FROM c2 GROUP BY event_type, slot
+        )
+        SELECT c2.event_type,
+               date_format(timestamp_seconds(we_sec),
+                           'yyyy-MM-dd HH:mm:ss') AS window_end,
+               c2.slot, cnt,
+               CAST((slot_total * 1000000) div n_windows AS BIGINT)
+                   AS baseline_e6,
+               CASE WHEN cnt * n_windows * 2 > 3 * slot_total
+                    THEN 'high' ELSE 'low' END AS direction
+        FROM c2 JOIN base
+          ON c2.event_type = base.event_type AND c2.slot = base.slot
+        WHERE cnt * n_windows * 2 > 3 * slot_total
+           OR cnt * n_windows * 3 < 2 * slot_total
+        """
+    )

@@ -505,3 +505,46 @@ def late_audit_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def vacuum_snapshot_state(
+    state_root: str,
+    snapshot_dirs: tuple[str, ...] = ("counts", "wm", "tail", "current"),
+) -> int:
+    """Reclaim superseded snapshot batches from an incremental-batch
+    state root (seasonal counts, lateness audit counts/wm, EWMA tail,
+    SCD2 current): every committed batch writes a FULL snapshot, so
+    only the latest committed one is ever read — earlier snapshots
+    exist purely as crash-recovery history and can be deleted once a
+    newer commit exists.  Keeps: the latest committed snapshot in
+    each listed subdir, every ``_done`` marker (replay-skip needs
+    them), every staged-but-uncommitted batch (a live attempt may be
+    mid-flight), and any subdir not listed (immutable logs like
+    ``out``/``closed`` are per-batch INCREMENTS, never superseded).
+    Idempotent and crash-safe: it only deletes directories no reader
+    or replayer can resolve.  Returns the number of snapshot dirs
+    removed."""
+    import shutil
+
+    committed = _committed_ids(state_root)
+    if len(committed) < 1:
+        return 0
+    latest = committed[-1]
+    removed = 0
+    for sub in snapshot_dirs:
+        d = f"{state_root}/{sub}"
+        if not os.path.isdir(d):
+            continue
+        for n in os.listdir(d):
+            if not n.startswith("batch-"):
+                continue
+            suffix = n[len("batch-"):]
+            if not suffix.isdigit():
+                continue
+            i = int(suffix)
+            # delete only COMMITTED-and-superseded snapshots: an id
+            # without a marker may be a live attempt's staging dir
+            if i < latest and i in committed:
+                shutil.rmtree(f"{d}/{n}", ignore_errors=True)
+                removed += 1
+    return removed

@@ -117,3 +117,28 @@ def test_no_cartesian_in_plan(spark):
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_max_bucket_cap_trades_recall_not_precision(spark):
+    """Capped joins return a SUBSET of the exact pairs (precision
+    kept); with a generous cap the result is identical."""
+    rows = [(i, f"w{i:03d}x") for i in range(40)]
+    df = spark.createDataFrame(rows, ["id", "txt"])
+    exact = {
+        (r.id_lo, r.id_hi, r.ed)
+        for r in edit_distance_join(df, "id", "txt", 1).collect()
+    }
+    capped = {
+        (r.id_lo, r.id_hi, r.ed)
+        for r in edit_distance_join(
+            df, "id", "txt", 1, max_bucket=5
+        ).collect()
+    }
+    generous = {
+        (r.id_lo, r.id_hi, r.ed)
+        for r in edit_distance_join(
+            df, "id", "txt", 1, max_bucket=1000
+        ).collect()
+    }
+    assert capped <= exact
+    assert generous == exact

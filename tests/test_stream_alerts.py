@@ -436,3 +436,41 @@ def test_late_audit_stream_matches_batch_and_crash(spark, tmp_path):
     )
     assert got == want
     assert any(r[2] > 0 for r in got)  # the jitter really makes lates
+
+
+def test_vacuum_snapshot_state(spark, tmp_path):
+    """Vacuum removes superseded committed snapshots only: the latest
+    committed snapshot, uncommitted staging dirs, and increment logs
+    survive, and reads are unchanged."""
+    from flink_window_dgim_traffic_spark.streaming.alerts import (
+        make_seasonal_batch_fn,
+        read_seasonal_counts,
+        vacuum_snapshot_state,
+    )
+
+    state = str(tmp_path / "vac")
+    fn = make_seasonal_batch_fn(state, 60)
+    b = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:30", "click")],
+        "event_id long, ts_s string, event_type string",
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "event_type"
+    )
+    fn(b, 0)
+    fn(b, 1)
+    fn(b, 2)
+    before = sorted(
+        map(tuple, read_seasonal_counts(spark, state).collect())
+    )
+    # fake a live (uncommitted) staging dir — must survive
+    os.makedirs(f"{state}/counts/batch-9")
+    removed = vacuum_snapshot_state(state)
+    assert removed == 2  # batches 0 and 1 superseded
+    assert os.path.isdir(f"{state}/counts/batch-2")
+    assert os.path.isdir(f"{state}/counts/batch-9")
+    assert not os.path.isdir(f"{state}/counts/batch-0")
+    after = sorted(
+        map(tuple, read_seasonal_counts(spark, state).collect())
+    )
+    assert after == before
+    assert vacuum_snapshot_state(state) == 0  # idempotent

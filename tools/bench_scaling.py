@@ -45,6 +45,9 @@ from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
 )
 from flink_window_dgim_traffic_spark.operators import graph as G  # noqa: E402
 from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
+    itemsets as IT,
+)
+from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
     matching as MT,
 )
 from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
@@ -375,6 +378,34 @@ def main() -> None:
         ),
         "pagerank_cowindow": lambda docs, emb: G.pagerank_fixed(
             G.cowindow_user_edges(CTX["events_full"], 600), iters=3
+        ),
+        "frequent_itemsets": lambda docs, emb: IT.frequent_itemsets(
+            docs, 500_000
+        ),
+        "cms_build_estimate": lambda docs, emb: HH.cms_estimate(
+            HH.cms_build(CTX["events_full"], "user_id"),
+            CTX["events_full"],
+            "user_id",
+        ),
+        # triangles over a synthetic SPARSE bounded-degree graph
+        # (each node linked to its +1/+2/+3 neighbors — triangle-
+        # rich, degree ~6, |E| and triangle count both linear in
+        # nodes): measures the enumeration itself.  Duplicate-heavy
+        # corpora form lev-0 cliques whose m³/6 triangle OUTPUT no
+        # algorithm avoids (measured 36-43× at 10× on a mass-dup
+        # prefix corpus with either wedge order) — the documented
+        # discipline is dedup_exact before graphing.
+        "triangle_count": lambda docs, emb: G.triangle_count(
+            docs.select(
+                F.col("doc_id").alias("src"),
+                F.explode(
+                    F.array(F.lit(1), F.lit(2), F.lit(3))
+                ).alias("d"),
+            ).select(
+                "src", (F.col("src") + F.col("d")).alias("dst")
+            ),
+            "src",
+            "dst",
         ),
     }
 
