@@ -311,6 +311,32 @@ def _scd2_with_deletes(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _fuzzy_supplier_edges(s: SparkSession, d: str) -> DataFrame:
+    return MT.edit_distance_join(
+        _supplier(s, d), "s_suppkey", "s_name", 1
+    )
+
+
+def _components_fuzzy_suppliers(s: SparkSession, d: str) -> DataFrame:
+    """Generic connected components (min-label propagation) over the
+    supplier name-similarity graph; oracle = recursive-CTE closure."""
+    from flink_window_dgim_traffic_spark.operators import graph as G
+
+    return G.connected_components(
+        _fuzzy_supplier_edges(s, d), "id_lo", "id_hi"
+    )
+
+
+def _bfs_suppliers(s: SparkSession, d: str) -> DataFrame:
+    """Bounded-depth BFS distances from supplier 0 over the
+    name-similarity graph; oracle = depth-guarded recursive CTE."""
+    from flink_window_dgim_traffic_spark.operators import graph as G
+
+    return G.bfs_distance(
+        _fuzzy_supplier_edges(s, d), [0], "id_lo", "id_hi", 4
+    )
+
+
 def _triangles_fuzzy_suppliers(s: SparkSession, d: str) -> DataFrame:
     """Triangle counts / clustering coefficients over the supplier
     name-similarity graph (edit distance ≤ 1): the PassJoin pair
@@ -640,6 +666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _documents(s, d), 500_000
         ),
         "triangles_fuzzy_suppliers": _triangles_fuzzy_suppliers,
+        "components_fuzzy_suppliers": _components_fuzzy_suppliers,
+        "bfs_suppliers": _bfs_suppliers,
         "scd2_with_deletes": _scd2_with_deletes,
         "stream_late_audit": _stream_late_audit,
         # rows-only BY DESIGN: seeded-xxhash64 sketch cells have no
@@ -1435,6 +1463,41 @@ SELECT user_id, event_type,
   strftime(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
   CAST(vt IS NULL AS BIGINT) AS is_current
 FROM v WHERE NOT d
+""",
+        # recursive-CTE reachability closure; component id = min
+        # reachable node, matching the min-label propagation
+        "components_fuzzy_suppliers": """
+WITH RECURSIVE
+jp AS (SELECT a.s_suppkey AS a, b.s_suppkey AS b
+       FROM supplier a JOIN supplier b
+         ON a.s_suppkey < b.s_suppkey
+        AND levenshtein(a.s_name, b.s_name) <= 1),
+e AS (SELECT a, b FROM jp UNION SELECT b, a FROM jp),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
+)
+SELECT node, CAST(min(r) AS BIGINT) AS component_id
+FROM reach GROUP BY node
+""",
+        # depth-guarded recursive expansion; dist = min over the
+        # bounded walk set, matching the fixed-round BFS
+        "bfs_suppliers": """
+WITH RECURSIVE
+jp AS (SELECT a.s_suppkey AS a, b.s_suppkey AS b
+       FROM supplier a JOIN supplier b
+         ON a.s_suppkey < b.s_suppkey
+        AND levenshtein(a.s_name, b.s_name) <= 1),
+e AS (SELECT a, b FROM jp UNION SELECT b, a FROM jp),
+walk AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+  UNION
+  SELECT e.b, walk.d + 1 FROM walk JOIN e ON walk.node = e.a
+  WHERE walk.d < 4
+)
+SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node
 """,
         # ordered-edge wedge enumeration over the levenshtein graph;
         # cc_ppm = (2·tri·10^6) // (deg·(deg−1)), exact integers

@@ -32,6 +32,8 @@ from flink_window_dgim_traffic_spark.session import get_spark, table  # noqa: E4
 BENCH_QUERIES = [
     "pagerank_cowindow",
     "triangles_fuzzy_suppliers",
+    "components_fuzzy_suppliers",
+    "bfs_suppliers",
     "media_neardup",
     "scd2_with_deletes",
     "cms_user_counts",

@@ -232,3 +232,75 @@ def triangle_count(edges: DataFrame, src: str = "src",
             ).otherwise(F.lit(0)).cast("bigint"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components of an undirected graph: every node
+    labeled with the MIN node id of its component — the generic
+    surface over the same distributed min-label propagation that
+    powers ``dedup.neardup_clusters`` (each iteration: one keyed
+    join + min-aggregate; O(diameter) rounds with an exact
+    convergence check, no driver-side graph).
+
+    Output: ``node, component_id`` (BIGINT, BIGINT)."""
+    from flink_window_dgim_traffic_spark.operators.dedup import (
+        neardup_clusters,
+    )
+
+    pairs = edges.select(
+        F.col(src).cast("bigint").alias("doc_a"),
+        F.col(dst).cast("bigint").alias("doc_b"),
+    )
+    return neardup_clusters(pairs, max_iters=max_iters).select(
+        F.col("doc_id").alias("node"),
+        F.col("cluster_id").alias("component_id"),
+    )
+
+
+def bfs_distance(
+    edges: DataFrame,
+    sources: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 4,
+) -> DataFrame:
+    """Bounded-depth breadth-first distances from a source set over
+    an undirected graph — the "within k hops of X" reachability query
+    (fraud rings, influence neighborhoods).  FIXED depth keeps the
+    round count deterministic and SQL-mirrorable (the oracle runs the
+    same bounded expansion as a depth-guarded recursive CTE).
+
+    Each round is one keyed equi-join (current distances ⋈ edges) +
+    one min-aggregate — frontier-sized work, ``max_depth`` shuffles,
+    no driver-side state beyond the constant source list.  Nodes not
+    reached within ``max_depth`` are absent from the output.
+
+    Output: ``node, dist`` (BIGINT, BIGINT; dist 0 = a source)."""
+    e = edges.select(
+        F.col(src).cast("bigint").alias("a"),
+        F.col(dst).cast("bigint").alias("b"),
+    )
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(s), 0) for s in sources], "node bigint, dist bigint"
+    )
+    for _ in range(max_depth):
+        step = (
+            dist.join(und, dist["node"] == und["a"])
+            .select(
+                F.col("b").alias("node"),
+                (F.col("dist") + 1).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+        )
+    return dist

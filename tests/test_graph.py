@@ -139,3 +139,54 @@ def test_triangle_count_square_no_triangles(spark):
     out = triangle_count(df).collect()
     assert all(r.n_triangles == 0 for r in out)
     assert all(r.clustering_ppm == 0 for r in out)
+
+
+def test_connected_components_generic(spark):
+    from flink_window_dgim_traffic_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = [(1, 2), (2, 3), (5, 6), (7, 7)]
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    out = {
+        r.node: r.component_id
+        for r in connected_components(df).collect()
+    }
+    assert out[1] == out[2] == out[3] == 1
+    assert out[5] == out[6] == 5
+
+
+def test_bfs_distance_hand_vector(spark):
+    from flink_window_dgim_traffic_spark.operators.graph import (
+        bfs_distance,
+    )
+
+    # path 1-2-3-4-5-6 plus shortcut 1-4
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (1, 4)]
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    out = {
+        r.node: r.dist
+        for r in bfs_distance(df, [1], max_depth=3).collect()
+    }
+    # shortcut wins: 4 at dist 1, 5 at 2, 6 at 3; 3 at min(2, 2)=2
+    assert out == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2, 6: 3}
+    # depth bound: with max_depth=2 node 6 is unreached
+    out2 = {
+        r.node: r.dist
+        for r in bfs_distance(df, [1], max_depth=2).collect()
+    }
+    assert 6 not in out2 and out2[5] == 2
+
+
+def test_bfs_multiple_sources(spark):
+    from flink_window_dgim_traffic_spark.operators.graph import (
+        bfs_distance,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    out = {
+        r.node: r.dist
+        for r in bfs_distance(df, [1, 4], max_depth=2).collect()
+    }
+    assert out == {1: 0, 4: 0, 2: 1, 3: 1}
