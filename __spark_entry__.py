@@ -668,6 +668,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_fuzzy_suppliers": _triangles_fuzzy_suppliers,
         "components_fuzzy_suppliers": _components_fuzzy_suppliers,
         "bfs_suppliers": _bfs_suppliers,
+        "hop_topn": lambda s, d: W.hop_topn(_events(s, d), 60, 10, 3),
+        "percentile_rank": lambda s, d: AN.percentile_rank(
+            _events(s, d)
+        ),
+        "join_hotspots": lambda s, d: R.join_hotspots(
+            _events(s, d), _events(s, d), ["user_id"], 20
+        ),
         "scd2_with_deletes": _scd2_with_deletes,
         "stream_late_audit": _stream_late_audit,
         # rows-only BY DESIGN: seeded-xxhash64 sketch cells have no
@@ -1463,6 +1470,54 @@ SELECT user_id, event_type,
   strftime(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
   CAST(vt IS NULL AS BIGINT) AS is_current
 FROM v WHERE NOT d
+""",
+        # hop-window explode (hop_exact's window generator) feeding
+        # the per-window rank — the sliding Window Top-N
+        "hop_topn": """
+WITH e AS (SELECT user_id, epoch(ts) AS es FROM events),
+x AS (SELECT user_id, unnest(generate_series(
+        (CAST(floor((es - 60)/10) AS BIGINT) + 1) * 10,
+        CAST(floor(es/10) AS BIGINT) * 10, 10)) AS ws FROM e),
+c AS (SELECT ws, user_id, count(*) AS n_events
+      FROM x GROUP BY 1, 2),
+r AS (SELECT ws, user_id, n_events,
+      row_number() OVER (
+        PARTITION BY ws ORDER BY n_events DESC, user_id ASC) AS rnk
+      FROM c)
+SELECT strftime(make_timestamp(ws*1000000), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       strftime(make_timestamp((ws+60)*1000000), '%Y-%m-%d %H:%M:%S')
+         AS window_end,
+       user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+""",
+        # ANSI percent_rank kept integer under the deterministic
+        # (value, event_id) order: (rank-1)*1e6 // (n-1)
+        "percentile_rank": """
+WITH r AS (
+  SELECT event_type AS key, event_id, value AS v,
+         row_number() OVER (PARTITION BY event_type
+              ORDER BY value ASC, event_id ASC) AS rnk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT key, event_id, v,
+       CASE WHEN n > 1
+            THEN CAST(((rnk - 1) * 1000000) // (n - 1) AS BIGINT)
+            ELSE 0 END AS pr_ppm
+FROM r
+""",
+        # count-table join + top-k by fan-out product — the join
+        # skew advisor (prospective self-join on user_id)
+        "join_hotspots": """
+WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+j AS (SELECT user_id, n AS n_left, n AS n_right,
+             CAST(n * n AS BIGINT) AS fanout FROM c),
+r AS (SELECT *, row_number() OVER
+        (ORDER BY fanout DESC, user_id ASC) AS rnk FROM j)
+SELECT user_id, n_left, n_right, fanout, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 20
 """,
         # recursive-CTE reachability closure; component id = min
         # reachable node, matching the min-label propagation

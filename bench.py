@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     "triangles_fuzzy_suppliers",
     "components_fuzzy_suppliers",
     "bfs_suppliers",
+    "hop_topn",
+    "percentile_rank",
+    "join_hotspots",
     "media_neardup",
     "scd2_with_deletes",
     "cms_user_counts",

@@ -604,3 +604,49 @@ def lag_correlation(
             - F.col("sum_x") * F.col("sum_y")
         ).cast("bigint").alias("pearson_num"),
     )
+
+
+def percentile_rank(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key percentile-rank feature transform: each row's rank
+    within its key under the deterministic (value, id) total order,
+    scaled to exact ppm — ``pr_ppm = (rank−1)·10^6 div (n−1)`` (0
+    for a single-row key), the ANSI percent_rank kept integer so
+    both engines agree bit-for-bit.  The normalization step behind
+    rank-based feature scaling (monotone, outlier-immune).
+
+    Scale shape: one shuffle on the key feeding the rank window and
+    a same-partitioning count window — the key is aliased BEFORE the
+    windows so both reuse a single exchange (the value_deciles
+    lesson)."""
+    base = events.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).alias("v"),
+        F.col(id_col).alias("i"),
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("v").asc(), F.col("i").asc()
+    )
+    wn = Window.partitionBy("key")
+    ranked = base.select(
+        "key",
+        "i",
+        "v",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    return ranked.select(
+        "key",
+        F.col("i").alias("event_id"),
+        "v",
+        F.when(F.col("n") > 1,
+               F.expr("CAST(((rnk - 1) * 1000000) div (n - 1)"
+                      " AS BIGINT)"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("pr_ppm"),
+    )

@@ -1898,3 +1898,43 @@ def dataset_diff(
         *[f"new_{c}" for c in cmp_cols],
         status.alias("status"),
     )
+
+
+def join_hotspots(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    k: int = 20,
+) -> DataFrame:
+    """Join-planning diagnostic: for a prospective equi-join, the
+    top-``k`` keys by output fan-out (left count × right count) plus
+    both sides' counts — the companion to :func:`skew_report` that
+    looks at the JOIN rather than one table (a key whose product
+    dominates the total predicts the straggler partition and decides
+    salting / skew-split before the join ever runs).
+
+    Scale shape: two keyed count aggregations (map-side combined),
+    one equi-join of the two COUNT tables (key-cardinality-sized,
+    not row-sized), TakeOrderedAndProject for the top-k — the
+    prospective join's row space is never materialized.
+    Deterministic tie-break on the key columns."""
+    lc = left.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_left")
+    )
+    rc = right.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_right")
+    )
+    j = lc.join(rc, key_cols).select(
+        *key_cols,
+        "n_left",
+        "n_right",
+        (F.col("n_left") * F.col("n_right")).cast("bigint").alias(
+            "fanout"
+        ),
+    )
+    order = [F.col("fanout").desc()] + [F.col(c).asc() for c in key_cols]
+    w = Window.orderBy(*order)
+    return (
+        j.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -1275,3 +1275,54 @@ def _late_format(partials: DataFrame) -> DataFrame:
         "max_lateness_us",
         "sum_lateness_us",
     )
+
+
+def hop_topn(
+    events: DataFrame,
+    size_sec: int = 60,
+    slide_sec: int = 10,
+    k: int = 3,
+) -> DataFrame:
+    """Window Top-N over HOP (sliding) windows — the sliding sibling
+    of :func:`window_topn`, completing the Flink SQL Window Top-N
+    family over both window TVFs the reference uses.
+
+    Output: (window_start, window_end, user_id, n_events, rnk).
+
+    Scale shape: the hop explode multiplies rows by the overlap
+    factor (size/slide) BEFORE the keyed aggregation — inherent to
+    per-(window, user) counting; the rank still routes through the
+    map-side top-k prune so no window's full user set reaches the
+    authoritative ROW_NUMBER."""
+    from flink_window_dgim_traffic_spark.operators.relational import (
+        grouped_topk,
+    )
+
+    counts = (
+        events.groupBy(
+            F.window(
+                "ts", f"{size_sec} seconds", f"{slide_sec} seconds"
+            ).alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT_SPARK).alias(
+                "window_start"
+            ),
+            F.date_format(F.col("w.end"), TS_FMT_SPARK).alias(
+                "window_end"
+            ),
+            "user_id",
+            "n_events",
+        )
+    )
+    return grouped_topk(
+        counts,
+        ["window_start", "window_end"],
+        "n_events",
+        k,
+        tiebreak="user_id",
+    ).select(
+        "window_start", "window_end", "user_id", "n_events", "rnk"
+    )

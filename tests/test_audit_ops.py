@@ -179,3 +179,73 @@ def test_posting_lists_caps_and_sorts(spark):
     assert x.postings_head == "0,1,2"  # capped at 3, ascending
     y = out["y"]
     assert y.df == 5 and y.postings_head == "1,3,5"
+
+
+def test_hop_topn_overlapping_windows(spark):
+    from flink_window_dgim_traffic_spark.operators.windows import (
+        hop_topn,
+    )
+
+    # user 1: 3 events at t=5s; user 2: 2 events at t=12s — the
+    # window [0,60) sees both; sliding windows starting after 5s
+    # lose user 1
+    rows = [(i, T0 + dt.timedelta(seconds=5), "a", 1) for i in range(3)]
+    rows += [
+        (10 + i, T0 + dt.timedelta(seconds=12), "a", 2)
+        for i in range(2)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id: bigint, ts: timestamp, event_type: string,"
+        " user_id: bigint",
+    )
+    out = {
+        (r.window_start, r.rnk): r.user_id
+        for r in hop_topn(df, 60, 10, 1).collect()
+    }
+    assert out[("2024-01-01 00:00:00", 1)] == 1  # both present, 3>2
+    assert out[("2024-01-01 00:00:10", 1)] == 2  # only user 2 left
+
+
+def test_percentile_rank_bounds_and_single_row(spark):
+    from flink_window_dgim_traffic_spark.operators.analytics import (
+        percentile_rank,
+    )
+
+    rows = [(i, T0, "a", float(i)) for i in range(5)] + [
+        (99, T0, "b", 7.0)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id: bigint, ts: timestamp, event_type: string,"
+        " value: double",
+    )
+    out = {
+        (r.key, r.event_id): r.pr_ppm
+        for r in percentile_rank(df).collect()
+    }
+    assert out[("a", 0)] == 0
+    assert out[("a", 4)] == 1_000_000
+    assert out[("a", 2)] == 500_000
+    assert out[("b", 99)] == 0  # single-row key
+
+
+def test_join_hotspots_top_fanout(spark):
+    from flink_window_dgim_traffic_spark.operators.relational import (
+        join_hotspots,
+    )
+
+    left = spark.createDataFrame(
+        [(1,)] * 5 + [(2,)] * 2, "user_id: bigint"
+    )
+    right = spark.createDataFrame(
+        [(1,)] * 3 + [(2,)] * 4 + [(3,)] * 9, "user_id: bigint"
+    )
+    out = [
+        (r.user_id, r.n_left, r.n_right, r.fanout, r.rnk)
+        for r in join_hotspots(left, right, ["user_id"], 10)
+        .orderBy("rnk")
+        .collect()
+    ]
+    # key 3 never joins (absent on the left); 1: 5*3=15, 2: 2*4=8
+    assert out == [(1, 5, 3, 15, 1), (2, 2, 4, 8, 2)]
