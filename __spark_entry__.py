@@ -598,6 +598,20 @@ def _range_first_hour(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _user_day_intervals(s: SparkSession, d: str) -> DataFrame:
+    """User-activity intervals for the sweep-line demo: per user per
+    day, [first event, last event + 60 s) — the "session of the day"
+    interval whose peak overlap is the concurrent-active-users
+    capacity metric."""
+    ev = _events(s, d)
+    return ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.min("ts").alias("start_ts"),
+        (F.max("ts") + F.expr("INTERVAL 60 SECONDS")).alias("end_ts"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the driver's correctness gate
     checks the first 50 entries (observed in CORRECTNESS_r01: exactly
@@ -618,8 +632,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``approx_distinct_users`` is bound-checked against
     ``distinct_users``."""
     return {
-        # ---- round-5 session-3 additions (window discipline: new ops
+        # ---- round-5 session-4 additions (window discipline: new ops
         # enter ahead of already-green entries) ----
+        "max_concurrent_users": lambda s, d: W.max_concurrency(
+            _user_day_intervals(s, d), bucket_sec=600
+        ),
+        "twap_user_30min": lambda s, d: W.time_weighted_avg(
+            _events(s, d), 1800
+        ),
+        "dq_checks_events": lambda s, d: R.dq_checks(
+            _events(s, d),
+            not_null=["event_id", "ts", "user_id", "event_type"],
+            unique=["event_id"],
+            ranges={"value": (0.0, 250.0)},
+            allowed={
+                "event_type": [
+                    "click", "signup", "purchase", "error", "view",
+                ]
+            },
+        ),
+        # ---- round-5 session-3 additions ----
         "fuzzy_supplier_pairs": lambda s, d: MT.edit_distance_join(
             _supplier(s, d), "s_suppkey", "s_name", 1
         ),
@@ -1231,6 +1263,98 @@ def oracle_sql() -> dict[str, str]:
         "round(CAST(overlap AS DOUBLE) / CAST(na.c + nb.c - overlap AS DOUBLE), 6)"
     )
     return {
+        # ---- round-5 session-4 additions ----
+        # Sweep-line peak concurrency: per-instant net deltas, prefix
+        # sum over distinct instants; a bucket's peak includes the
+        # level carried in before its first change (level - net).
+        "max_concurrent_users": """
+WITH iv AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         min(epoch_us(ts)) AS s_us,
+         max(epoch_us(ts)) + 60000000 AS e_us
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), del AS (
+  SELECT t_us, SUM(d) AS net FROM (
+    SELECT s_us AS t_us, CAST(1 AS BIGINT) AS d FROM iv
+    UNION ALL
+    SELECT e_us AS t_us, CAST(-1 AS BIGINT) AS d FROM iv
+  ) GROUP BY t_us
+), lv AS (
+  SELECT t_us, net,
+         SUM(net) OVER (ORDER BY t_us
+                        ROWS UNBOUNDED PRECEDING) AS level
+  FROM del
+), b AS (
+  SELECT (t_us // 600000000 + 1) * 600000000 AS we_us,
+         t_us, level, level - net AS carried
+  FROM lv
+)
+SELECT strftime(make_timestamp(we_us), '%Y-%m-%d %H:%M:%S')
+         AS window_end,
+       GREATEST(max(level), arg_min(carried, t_us)) AS max_concurrent,
+       count(*) AS n_changes
+FROM b GROUP BY we_us
+""",
+        # LOCF time-weighted average: each value holds until the
+        # key's next observation or the window end; exact integer
+        # centi-value x microsecond weights, HUGEINT // division.
+        "twap_user_30min": """
+WITH b AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS v_c,
+         (epoch_us(ts) // 1800000000 + 1) * 1800000000 AS we_us
+  FROM events
+), d AS (
+  SELECT user_id, we_us, v_c,
+         LEAST(COALESCE(LEAD(us) OVER (PARTITION BY user_id
+                                       ORDER BY us, event_id),
+                        we_us),
+               we_us) - us AS dt_us
+  FROM b
+)
+SELECT user_id,
+       strftime(make_timestamp(we_us), '%Y-%m-%d %H:%M:%S')
+         AS window_end,
+       CAST(SUM(CAST(v_c AS HUGEINT) * dt_us)
+              // SUM(CAST(dt_us AS HUGEINT)) AS BIGINT) AS twa_c,
+       CAST(SUM(dt_us) AS BIGINT) AS dur_us,
+       count(*) AS n_rows
+FROM d GROUP BY user_id, we_us
+""",
+        # Deequ-style constraint suite: every check an aggregate over
+        # ONE scan; uniqueness counts surplus duplicates.
+        "dq_checks_events": """
+WITH a AS (
+  SELECT count(*) AS n,
+    SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS v0,
+    SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS v1,
+    SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v2,
+    SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS v3,
+    count(event_id) - count(DISTINCT event_id) AS v4,
+    SUM(CASE WHEN value IS NOT NULL
+              AND (value < 0.0 OR value > 250.0)
+        THEN 1 ELSE 0 END) AS v5,
+    SUM(CASE WHEN event_type IS NOT NULL
+              AND event_type NOT IN
+                ('click','signup','purchase','error','view')
+        THEN 1 ELSE 0 END) AS v6
+  FROM events
+)
+SELECT "check", "column", n_rows,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS passed
+FROM (
+  SELECT 'not_null' AS "check", 'event_id' AS "column",
+         n AS n_rows, v0 AS n_violations FROM a
+  UNION ALL SELECT 'not_null', 'ts', n, v1 FROM a
+  UNION ALL SELECT 'not_null', 'user_id', n, v2 FROM a
+  UNION ALL SELECT 'not_null', 'event_type', n, v3 FROM a
+  UNION ALL SELECT 'unique', 'event_id', n, v4 FROM a
+  UNION ALL SELECT 'range[0.0,250.0]', 'value', n, v5 FROM a
+  UNION ALL SELECT 'allowed_values', 'event_type', n, v6 FROM a
+)
+""",
         # ---- round-5 session-3 additions ----
         # The engine path is a PassJoin segment-signature equi-join;
         # the oracle is the brute-force O(n²) levenshtein scan the

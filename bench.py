@@ -30,6 +30,9 @@ from flink_window_dgim_traffic_spark.session import get_spark, table  # noqa: E4
 # BASELINE.md §"Bench exclusions" (plan-identical twins and deliberate
 # anti-pattern parity demos).
 BENCH_QUERIES = [
+    "max_concurrent_users",
+    "twap_user_30min",
+    "dq_checks_events",
     "pagerank_cowindow",
     "triangles_fuzzy_suppliers",
     "components_fuzzy_suppliers",

@@ -1938,3 +1938,76 @@ def join_hotspots(
         j.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def dq_checks(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    unique: list[str] | None = None,
+    ranges: dict[str, tuple[float, float]] | None = None,
+    allowed: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Declarative data-quality constraint suite (the Deequ /
+    Great-Expectations shape): evaluate completeness (``not_null``),
+    key uniqueness (``unique``), numeric bounds (``ranges``,
+    inclusive) and categorical domains (``allowed``) over a table
+    and emit one row per check — the validation gate a 100 TB
+    ingest runs before promoting a batch.
+
+    Output: (check, column, n_rows, n_violations, passed) — a range
+    or domain violation counts non-null offending rows only (nulls
+    are the completeness check's job); a uniqueness violation counts
+    surplus duplicates (``count(col) − count_distinct(col)``).
+
+    Scale shape: ONE job, one scan — every check is a built-in
+    aggregate planned together (the ``table_profile`` recipe);
+    uniqueness is the only per-column partial-distinct shuffle, and
+    the checks themselves are map-side combinable.  No collect, no
+    per-check passes."""
+    specs: list[tuple[str, str, object]] = []
+    for c in not_null or []:
+        specs.append(
+            ("not_null", c, F.sum(F.col(c).isNull().cast("bigint")))
+        )
+    for c in unique or []:
+        specs.append(
+            (
+                "unique",
+                c,
+                F.count(F.col(c)) - F.count_distinct(F.col(c)),
+            )
+        )
+    for c, (lo, hi) in (ranges or {}).items():
+        bad = F.col(c).isNotNull() & (
+            (F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))
+        )
+        specs.append((f"range[{lo},{hi}]", c, F.sum(bad.cast("bigint"))))
+    for c, vals in (allowed or {}).items():
+        bad = F.col(c).isNotNull() & ~F.col(c).isin(list(vals))
+        specs.append(("allowed_values", c, F.sum(bad.cast("bigint"))))
+    if not specs:
+        raise ValueError("dq_checks: no constraints given")
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.coalesce(expr.cast("bigint"), F.lit(0)).alias(f"__v{i}")
+        for i, (_, _, expr) in enumerate(specs)
+    ]
+    wide = df.agg(*aggs)
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(chk).alias("check"),
+                        F.lit(c).alias("column"),
+                        F.col("__n").alias("n_rows"),
+                        F.col(f"__v{i}").alias("n_violations"),
+                        (F.col(f"__v{i}") == 0)
+                        .cast("bigint")
+                        .alias("passed"),
+                    )
+                    for i, (chk, c, _) in enumerate(specs)
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.*")

@@ -1326,3 +1326,155 @@ def hop_topn(
     ).select(
         "window_start", "window_end", "user_id", "n_events", "rnk"
     )
+
+
+def max_concurrency(
+    intervals: DataFrame,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_sec: int = 600,
+) -> DataFrame:
+    """Sweep-line maximum concurrency — per time bucket, the peak
+    number of simultaneously-open half-open intervals
+    ``[start, end)`` (peak concurrent sessions / connections / jobs,
+    the capacity-planning aggregate interval stores compute with a
+    dedicated index).
+
+    Algorithm: each interval contributes a +1 delta at ``start`` and
+    a −1 at ``end``; deltas at the SAME microsecond are pre-summed
+    (one keyed aggregation), so tie order between engines can never
+    matter; a running sum over the distinct change instants is the
+    concurrency level holding on ``[t, next_t)``.  A bucket's peak is
+    ``greatest(max level at its change points, level carried in from
+    before its first change point)`` — buckets with no change points
+    hold a constant level and are omitted (gap-fill downstream via
+    ``gap_fill_tumble`` if a dense series is needed).
+
+    Output: (window_end, max_concurrent, n_changes) — all integers.
+
+    Scale shape: the raw intervals reduce to ≤2·|intervals| delta
+    rows in ONE keyed aggregation; only the distinct-instant SERIES
+    passes the ordered running-sum window (the same bounded-series
+    global pass as ``gap_fill_tumble``'s LOCF — at 100 TB shard the
+    prefix sum like ``late_data_audit``: per-shard partials + an
+    exclusive prefix of shard totals)."""
+    bucket_us = bucket_sec * 1_000_000
+    deltas = (
+        intervals.select(
+            F.unix_micros(F.col(start_col)).alias("t_us"),
+            F.lit(1).cast("bigint").alias("d"),
+        )
+        .unionAll(
+            intervals.select(
+                F.unix_micros(F.col(end_col)).alias("t_us"),
+                F.lit(-1).cast("bigint").alias("d"),
+            )
+        )
+        .groupBy("t_us")
+        .agg(F.sum("d").alias("net"))
+    )
+    w = Window.orderBy("t_us").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # level entering the instant == level − this instant's own net
+    # (the prefix sum one row earlier) — no second window pass needed
+    levels = deltas.select(
+        "t_us",
+        "net",
+        F.sum("net").over(w).alias("level"),
+    ).withColumn("carried", F.col("level") - F.col("net"))
+    b = levels.withColumn(
+        "we_us",
+        F.expr(f"(t_us div {bucket_us} + 1) * {bucket_us}").cast(
+            "bigint"
+        ),
+    )
+    return (
+        b.groupBy("we_us")
+        .agg(
+            F.max("level").alias("peak_at_changes"),
+            F.min(F.struct("t_us", "carried")).alias("first_pt"),
+            F.count(F.lit(1)).alias("n_changes"),
+        )
+        .select(
+            F.date_format(
+                F.timestamp_seconds(F.expr("we_us div 1000000")),
+                TS_FMT_SPARK,
+            ).alias("window_end"),
+            F.greatest(
+                F.col("peak_at_changes"), F.col("first_pt.carried")
+            )
+            .cast("bigint")
+            .alias("max_concurrent"),
+            "n_changes",
+        )
+    )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    size_sec: int = 1800,
+    by: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key per-tumbling-window TIME-weighted average of a step
+    signal (TimescaleDB ``time_weight('locf', ...)``): each
+    observation's value holds until the key's next observation or
+    the window end, whichever is first, and the window's average
+    weights each value by how long it held.  The right way to
+    average irregularly-sampled gauges — a plain AVG over-counts
+    bursts of samples.
+
+    All-integer cross-engine recipe: values are quantized to
+    centi-units (``round(value*100)`` — exact for 2-dp data),
+    durations are exact microseconds, and the weighted mean is ONE
+    integral division ``Σ(v_c·dt_us) div Σdt_us`` in DECIMAL(38)
+    (DuckDB HUGEINT ``//``) — no IEEE division between engines.
+
+    Output: (key, window_end, twa_c, dur_us, n_rows).
+
+    Scale shape: ONE exchange — the lead() window partitions by the
+    key, and the following groupBy on (key, window) is satisfied by
+    the same hash partitioning (subset of the group keys), so
+    Catalyst plans no second shuffle.  Keys with heavy event counts
+    sort within their partition only."""
+    size_us = size_sec * 1_000_000
+    kw = Window.partitionBy(by).orderBy("us", "event_id")
+    base = events.select(
+        F.col(by),
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col(value_col) * 100)
+        .cast("bigint")
+        .alias("v_c"),
+    ).withColumn(
+        "we_us",
+        F.expr(f"(us div {size_us} + 1) * {size_us}").cast("bigint"),
+    )
+    dt = base.withColumn(
+        "dt_us",
+        F.least(
+            F.coalesce(F.lead("us").over(kw), F.col("we_us")),
+            F.col("we_us"),
+        )
+        - F.col("us"),
+    )
+    num = "CAST(v_c AS DECIMAL(38,0)) * CAST(dt_us AS DECIMAL(38,0))"
+    return (
+        dt.groupBy(by, "we_us")
+        .agg(
+            F.sum(F.expr(num)).alias("num"),
+            F.sum(F.col("dt_us").cast("decimal(38,0)")).alias("den"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.col(by),
+            F.date_format(
+                F.timestamp_seconds(F.expr("we_us div 1000000")),
+                TS_FMT_SPARK,
+            ).alias("window_end"),
+            F.expr("num div den").cast("bigint").alias("twa_c"),
+            F.col("den").cast("bigint").alias("dur_us"),
+            "n_rows",
+        )
+    )

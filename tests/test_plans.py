@@ -430,3 +430,40 @@ def test_session3_operator_plan_shapes(t):
     assert "BroadcastHashJoin" in plan
     assert not I.has_cartesian(df)
     assert I.read_columns(df, "events") == {"event_type", "ts"}
+
+
+def test_session4_operator_plan_shapes(t):
+    """Session-4 operators: TWAP's lead window and its (key, window)
+    groupBy share ONE hash exchange on the key; dq_checks is a single
+    scan with no join; max_concurrency reads only the two interval
+    bound columns past its first aggregation."""
+    import pyspark.sql.functions as F
+
+    ev = t("events")
+    # time_weighted_avg: groupBy(user_id, we_us) is satisfied by the
+    # lead window's HashPartitioning(user_id) -> single exchange
+    df = W.time_weighted_avg(ev, 1800)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert I.read_columns(df, "events") == {
+        "event_id", "ts", "user_id", "value",
+    }
+    # dq_checks: one scan, every constraint an aggregate, no joins
+    df = R.dq_checks(
+        ev,
+        not_null=["event_id", "ts"],
+        unique=["event_id"],
+        ranges={"value": (0.0, 250.0)},
+    )
+    assert not I.has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # max_concurrency: deltas reduce in a keyed agg before the
+    # (documented) global-series prefix window; no cartesian
+    iv = ev.groupBy("user_id").agg(
+        F.min("ts").alias("start_ts"),
+        (F.max("ts") + F.expr("INTERVAL 60 SECONDS")).alias("end_ts"),
+    )
+    df = W.max_concurrency(iv, bucket_sec=600)
+    assert not I.has_cartesian(df)
+    assert I.read_columns(df, "events") == {"user_id", "ts"}

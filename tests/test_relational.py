@@ -840,3 +840,51 @@ def test_scd2_lookup_point_in_time(spark):
         ).collect()
     }
     assert got == {10: None, 11: "a", 12: "b", 13: "b"}
+
+
+def test_dq_checks_hand_computed(spark):
+    """Each constraint kind counts exactly its violations over one
+    scan: nulls for not_null, surplus duplicates for unique,
+    non-null out-of-bounds for range, non-null out-of-domain for
+    allowed_values."""
+    from flink_window_dgim_traffic_spark.operators import relational as R
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (1, "b", -5.0),     # dup id, below range
+            (2, None, 50.0),    # null category
+            (3, "zz", None),    # bad category, null value
+        ],
+        "id long, cat string, v double",
+    )
+    out = R.dq_checks(
+        df,
+        not_null=["cat", "v"],
+        unique=["id"],
+        ranges={"v": (0.0, 100.0)},
+        allowed={"cat": ["a", "b"]},
+    )
+    rows = {
+        (r["check"], r["column"]): (
+            r["n_rows"], r["n_violations"], r["passed"]
+        )
+        for r in out.collect()
+    }
+    assert rows == {
+        ("not_null", "cat"): (4, 1, 0),
+        ("not_null", "v"): (4, 1, 0),
+        ("unique", "id"): (4, 1, 0),
+        ("range[0.0,100.0]", "v"): (4, 1, 0),
+        ("allowed_values", "cat"): (4, 1, 0),
+    }
+
+
+def test_dq_checks_requires_constraints(spark):
+    import pytest as _pytest
+
+    from flink_window_dgim_traffic_spark.operators import relational as R
+
+    df = spark.range(1)
+    with _pytest.raises(ValueError):
+        R.dq_checks(df)

@@ -499,3 +499,69 @@ def test_m4_downsample_hand_computed(spark):
         "2024-01-01 00:10:00": (5.0, 9.0, -1.0, 9.0, 4),
         "2024-01-01 00:20:00": (2.0, 2.0, 2.0, 2.0, 1),
     }
+
+
+def test_max_concurrency_hand_computed(spark):
+    """Sweep-line peak: overlapping half-open intervals, a bucket
+    whose first change is a −1 must still see the carried-in level,
+    and end==start instants cancel (half-open semantics)."""
+    import datetime
+
+    from flink_window_dgim_traffic_spark.operators import windows as W
+
+    base = datetime.datetime(2024, 1, 1)
+    mk = lambda s: base + datetime.timedelta(seconds=s)
+    # A [0,100), B [50,150), C [100,200): at t=100 A closes and C
+    # opens (net 0 → level stays 2); peak is 2 throughout.
+    iv = spark.createDataFrame(
+        [(mk(0), mk(100)), (mk(50), mk(150)), (mk(100), mk(200))],
+        "start_ts timestamp, end_ts timestamp",
+    )
+    rows = {
+        r["window_end"]: (r["max_concurrent"], r["n_changes"])
+        for r in W.max_concurrency(iv, bucket_sec=60).collect()
+    }
+    # bucket :01 holds t=0 (lvl 1) and t=50 (lvl 2) → peak 2
+    # bucket :02 holds t=100 (net 0, lvl 2) → peak 2
+    # bucket :03 holds t=150 (lvl 1) → carried-in 2 wins
+    # bucket :04 holds t=200 (lvl 0) → carried-in 1 wins
+    assert rows == {
+        "2024-01-01 00:01:00": (2, 2),
+        "2024-01-01 00:02:00": (2, 1),
+        "2024-01-01 00:03:00": (2, 1),
+        "2024-01-01 00:04:00": (1, 1),
+    }
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    """LOCF weighting: value 1.00 holds 600 s then 3.00 holds to the
+    window end (1200 s) → TWA = (100·600e6 + 300·1200e6) div 1800e6
+    = 233; a burst of samples at one instant gets zero weight for
+    all but the last."""
+    import datetime
+
+    from flink_window_dgim_traffic_spark.operators import windows as W
+
+    base = datetime.datetime(2024, 1, 1)
+    mk = lambda s: base + datetime.timedelta(seconds=s)
+    ev = spark.createDataFrame(
+        [
+            (1, mk(0), 7, 1.00),
+            (2, mk(600), 7, 3.00),
+            # user 8: two samples at the same instant — the earlier
+            # (by event_id) gets dt=0, the later holds to window end
+            (3, mk(0), 8, 9.00),
+            (4, mk(0), 8, 5.00),
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    rows = {
+        (r["user_id"], r["window_end"]): (
+            r["twa_c"], r["dur_us"], r["n_rows"]
+        )
+        for r in W.time_weighted_avg(ev, 1800).collect()
+    }
+    assert rows == {
+        (7, "2024-01-01 00:30:00"): (233, 1_800_000_000, 2),
+        (8, "2024-01-01 00:30:00"): (500, 1_800_000_000, 2),
+    }

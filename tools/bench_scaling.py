@@ -407,6 +407,34 @@ def main() -> None:
             "src",
             "dst",
         ),
+        # ---- round-5 session-4 additions ----
+        # sweep-line peak concurrency: deltas reduce keyed; only the
+        # distinct-instant series crosses the global prefix window
+        "max_concurrency": lambda docs, emb: W.max_concurrency(
+            CTX["events_full"]
+            .groupBy("user_id", F.to_date("ts").alias("day"))
+            .agg(
+                F.min("ts").alias("start_ts"),
+                (F.max("ts") + F.expr("INTERVAL 60 SECONDS")).alias(
+                    "end_ts"
+                ),
+            ),
+            bucket_sec=600,
+        ),
+        "time_weighted_avg": lambda docs, emb: W.time_weighted_avg(
+            CTX["events_full"], 1800
+        ),
+        "dq_checks": lambda docs, emb: R.dq_checks(
+            CTX["events_full"],
+            not_null=["event_id", "ts", "user_id", "event_type"],
+            unique=["event_id"],
+            ranges={"value": (0.0, 250.0)},
+            allowed={
+                "event_type": [
+                    "click", "signup", "purchase", "error", "view",
+                ]
+            },
+        ),
     }
 
     # side-effecting ops timed directly (no DataFrame to noop-write)
