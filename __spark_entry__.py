@@ -1291,7 +1291,8 @@ WITH iv AS (
 )
 SELECT strftime(make_timestamp(we_us), '%Y-%m-%d %H:%M:%S')
          AS window_end,
-       GREATEST(max(level), arg_min(carried, t_us)) AS max_concurrent,
+       CAST(GREATEST(max(level), arg_min(carried, t_us)) AS BIGINT)
+         AS max_concurrent,
        count(*) AS n_changes
 FROM b GROUP BY we_us
 """,
@@ -1512,17 +1513,18 @@ WITH obs AS (SELECT event_type AS row_key,
     FROM events GROUP BY 1,2),
 r AS (SELECT row_key, sum(observed) r_tot FROM obs GROUP BY 1),
 c AS (SELECT day_slot, sum(observed) c_tot FROM obs GROUP BY 1),
-n AS (SELECT sum(observed) n_tot FROM obs)
-SELECT row_key, day_slot, observed,
+n AS (SELECT sum(observed) n_tot FROM obs),
+e AS (SELECT row_key, day_slot, observed,
    CAST(CAST(r_tot AS HUGEINT)*c_tot*1000000 // n_tot AS BIGINT)
-       AS expected_e6,
-   CAST((CAST(observed AS HUGEINT)*n_tot
-         - CAST(r_tot AS HUGEINT)*c_tot)
-        *(CAST(observed AS HUGEINT)*n_tot
-          - CAST(r_tot AS HUGEINT)*c_tot)
-        *1000000 // (CAST(n_tot AS HUGEINT)*r_tot*c_tot)
+       AS expected_e6
+FROM obs JOIN r USING (row_key) JOIN c USING (day_slot), n)
+SELECT row_key, day_slot, observed, expected_e6,
+   CAST((CAST(observed AS HUGEINT)*1000000 - expected_e6)
+        *(CAST(observed AS HUGEINT)*1000000 - expected_e6)
+        // GREATEST(CAST(expected_e6 AS HUGEINT),
+                    CAST(1 AS HUGEINT))
         AS BIGINT) AS chi2_cell_e6
-FROM obs JOIN r USING (row_key) JOIN c USING (day_slot), n
+FROM e
 """,
         # zero-filled dense grid on both engines so quiet buckets
         # depress correlation instead of vanishing

@@ -481,11 +481,15 @@ def cross_tab_chi2(
     DAYOFWEEK whose week origin differs).
 
     All-integer cells: with O = observed, R/C = row/column totals,
-    N = grand total, the expectation is ``R·C·10^6 div N`` and the
-    cell's chi-square contribution is ``(O·N − R·C)²·10^6 div
-    (N·R·C)`` — deviations squared reach ~10^22 so the arithmetic
-    runs in DECIMAL(38,0) (DuckDB HUGEINT), the embedding_outliers
-    recipe.  Total chi² = Σ cells / 10^6 downstream.
+    N = grand total, the expectation in micro-units is ``E_e6 =
+    R·C·10^6 div N`` and the cell's chi-square contribution is the
+    fixed-point textbook form ``(O·10^6 − E_e6)² div max(E_e6, 1)``
+    (e12/e6 = micro-units) — truncation only in E_e6 (<1 µ-unit) and
+    the final div, identical stepwise on both engines.  Intermediate
+    bound: (N·10^6)² = N²·10^12, so DECIMAL(38,0) (DuckDB HUGEINT)
+    is safe to N ≈ 10^13 rows — unlike the naive ``(O·N − R·C)²``
+    form whose N⁴ deviation-square overflows 38 digits at N ≈ 3·10^9.
+    Total chi² = Σ cells / 10^6 downstream.
 
     Scale shape: one keyed aggregation events→cells, two tiny total
     aggregations broadcast back; the cell table is |types|·7 rows."""
@@ -509,22 +513,24 @@ def cross_tab_chi2(
         .join(F.broadcast(ctot), "day_slot")
         .crossJoin(F.broadcast(ntot))
     )
-    return j.select(
+    e_e6 = (
+        f"(CAST(r_tot AS {d38}) * CAST(c_tot AS {d38})"
+        f" * 1000000) div CAST(n_tot AS {d38})"
+    )
+    return j.withColumn(
+        "expected_e6", F.expr(f"CAST({e_e6} AS BIGINT)")
+    ).select(
         "row_key",
         "day_slot",
         "observed",
+        "expected_e6",
         F.expr(
-            f"CAST((CAST(r_tot AS {d38}) * CAST(c_tot AS {d38})"
-            f" * 1000000) div CAST(n_tot AS {d38}) AS BIGINT)"
-        ).alias("expected_e6"),
-        F.expr(
-            f"CAST(((CAST(observed AS {d38}) * CAST(n_tot AS {d38})"
-            f" - CAST(r_tot AS {d38}) * CAST(c_tot AS {d38}))"
-            f" * (CAST(observed AS {d38}) * CAST(n_tot AS {d38})"
-            f" - CAST(r_tot AS {d38}) * CAST(c_tot AS {d38}))"
-            f" * 1000000) div (CAST(n_tot AS {d38})"
-            f" * CAST(r_tot AS {d38}) * CAST(c_tot AS {d38}))"
-            f" AS BIGINT)"
+            f"CAST(((CAST(observed AS {d38}) * 1000000"
+            f" - CAST(expected_e6 AS {d38}))"
+            f" * (CAST(observed AS {d38}) * 1000000"
+            f" - CAST(expected_e6 AS {d38})))"
+            f" div GREATEST(CAST(expected_e6 AS {d38}),"
+            f" CAST(1 AS {d38})) AS BIGINT)"
         ).alias("chi2_cell_e6"),
     )
 

@@ -1719,8 +1719,12 @@ def scd2_build(
         [F.col(tiebreak).asc()] if tiebreak else []
     )
     w = Window.partitionBy(*key).orderBy(*order)
+    # Coalesce the flag: a NULL delete marker means "not a delete" —
+    # without this, NULL makes the struct compare drop the row from
+    # the output entirely, and NULL-vs-false flags would count as
+    # distinct states in the change collapse, fabricating versions.
     del_flag = (
-        F.col(delete_col).cast("boolean")
+        F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
         if delete_col
         else F.lit(False)
     )

@@ -285,10 +285,16 @@ def posting_lists(
 
     Scale shape: explode to (term, doc) pairs, ONE keyed aggregation
     to per-(term, doc) tf (map-side combine collapses the fan-out),
-    then one keyed aggregation per term.  The posting array is capped
-    at ``max_postings`` BEFORE serialization, so a stop-word term
-    cannot materialize an O(corpus) row; df/tf totals remain exact.
-    Output is fully deterministic (sorted postings, capped slice)."""
+    then a per-term rank (``row_number`` over the term partition)
+    that caps the posting set to ``max_postings`` BEFORE the
+    ``collect_list`` — so a stop-word term's aggregation buffer holds
+    at most ``max_postings`` ids, never an O(corpus) array; df/tf
+    totals come from the same uncapped rows (conditional collect) and
+    remain exact.  The rank window and the term groupBy share one
+    hash Exchange (groupBy keys ⊆ window partition keys).  Output is
+    fully deterministic (sorted postings, capped slice)."""
+    from pyspark.sql import Window
+
     toks = F.split("text", " ")
     tf = (
         documents.select(
@@ -297,14 +303,20 @@ def posting_lists(
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    return tf.groupBy("term").agg(
+    rnk = F.row_number().over(
+        Window.partitionBy("term").orderBy("doc_id")
+    )
+    capped = tf.withColumn("_rnk", rnk)
+    return capped.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df"),
         F.sum("tf").cast("bigint").alias("total_tf"),
         F.array_join(
-            F.slice(
-                F.sort_array(F.collect_list("doc_id")),
-                1,
-                max_postings,
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("_rnk") <= max_postings, F.col("doc_id")
+                    )
+                )
             ),
             ",",
         ).alias("postings_head"),

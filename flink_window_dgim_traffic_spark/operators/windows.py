@@ -1106,12 +1106,17 @@ def seasonal_flags(
     cnt)`` — shared by the batch operator and the streaming twin
     (``streaming/alerts.seasonal_anomaly_stream``), so both paths are
     the same code by construction."""
+    # Integral `div` + `%`, never float-div-then-cast: the oracle
+    # floors (DuckDB `//`) then takes sign-of-dividend remainder
+    # (`%`); a double division truncates toward zero — divergent for
+    # negative epoch seconds (pre-1970 timestamps).  Spark's `%` has
+    # DuckDB's remainder semantics, unlike F.pmod.
     counts = counts.withColumn(
         "slot",
-        F.pmod(
-            (F.col("we_sec") / size_sec).cast("bigint"),
-            F.lit(cycle_sec // size_sec),
-        ).cast("bigint"),
+        F.expr(
+            f"CAST((we_sec div {int(size_sec)})"
+            f" % {int(cycle_sec // size_sec)} AS BIGINT)"
+        ),
     )
     base = counts.groupBy("event_type", "slot").agg(
         F.sum("cnt").cast("bigint").alias("slot_total"),
@@ -1199,7 +1204,11 @@ def lateness_rows(
         F.col(id_col).alias("_id"),
         ts_us.alias("_ts_us"),
         arr.alias("_arr_us"),
-        (arr / F.lit(shard_us)).cast("bigint").alias("_shard"),
+        # integral div — float division of ~1.7e15 µs values risks
+        # boundary misrounds (see seasonal_flags slot note)
+        F.expr(f"CAST({arrival_us_col} AS BIGINT) div {shard_us}").alias(
+            "_shard"
+        ),
     )
     smax = base.groupBy("_shard").agg(F.max("_ts_us").alias("_smax"))
     wprev = (

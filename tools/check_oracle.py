@@ -57,6 +57,76 @@ def normalize(pdf: pd.DataFrame) -> list:
     return cols, rows
 
 
+def dtype_class(dt) -> str:
+    """Coarse dtype family used for cross-engine parity.
+
+    The driver's value hash is dtype/representation-sensitive: a DuckDB
+    HUGEINT that pandas materializes as float64 (``3417.0``) hashes
+    differently from Spark's bigint (``3417``) even though the values
+    compare equal here.  Classify pandas dtypes into families and fail
+    any query where the two frames disagree (r03 ``embedding_outliers``
+    and r05 ``max_concurrent_users`` both escaped the value compare but
+    failed the driver hash for exactly this reason)."""
+    s = str(dt)
+    if "int" in s and "interval" not in s:
+        return "int"
+    if "float" in s or "double" in s:
+        return "float"
+    if "decimal" in s.lower():
+        return "decimal"
+    if "bool" in s:
+        return "bool"
+    if "datetime" in s or "timestamp" in s:
+        return "ts"
+    return "other"
+
+
+def dtype_parity(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame):
+    """Return list of (col, spark_class, duck_class) disagreements.
+
+    ``object`` columns (strings, arrays, decimals boxed by either
+    engine) are compared by inspecting the first non-null value so a
+    float-valued object column still trips against an integer column.
+    """
+    import decimal as _dec
+
+    def klass(pdf, col):
+        c = dtype_class(pdf[col].dtype)
+        if c == "other":
+            nn = pdf[col].dropna()
+            if len(nn):
+                v = nn.iloc[0]
+                if hasattr(v, "item") and not hasattr(v, "__len__"):
+                    v = v.item()  # numpy scalar boxed in object column
+                if isinstance(v, bool):
+                    return "bool"
+                if isinstance(v, (int,)):
+                    return "int"
+                if isinstance(v, float):
+                    return "float"
+                if isinstance(v, _dec.Decimal):
+                    return "decimal"
+        return c
+
+    bad = []
+    for col in spark_pdf.columns:
+        if col not in duck_pdf.columns:
+            continue
+        a, b = klass(spark_pdf, col), klass(duck_pdf, col)
+        # int vs decimal is fine for the value compare only if both
+        # engines hash identically — the driver treats Decimal(3417)
+        # and 3417 as distinct reprs, so flag every family mismatch
+        # except other/other (strings, arrays — value compare covers).
+        if a != b:
+            # empty frames on one side give 'other' with no evidence
+            if len(spark_pdf) == 0 or len(duck_pdf) == 0:
+                continue
+            if {a, b} == {"other"}:
+                continue
+            bad.append((col, a, b))
+    return bad
+
+
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame):
     sc, sr = normalize(spark_pdf)
     dc, dr = normalize(duck_pdf)
@@ -67,6 +137,12 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame):
     for i, (a, b) in enumerate(zip(sr, dr)):
         if a != b:
             return False, f"first row diff at sorted idx {i}:\n  spark={a}\n  duck ={b}"
+    mism = dtype_parity(spark_pdf, duck_pdf)
+    if mism:
+        return False, (
+            "values match but dtype families differ (driver hash would be "
+            f"red): {mism} — add explicit CASTs to the oracle SQL"
+        )
     return True, f"{len(sr)} rows"
 
 
