@@ -1342,6 +1342,7 @@ def max_concurrency(
     start_col: str = "start_ts",
     end_col: str = "end_ts",
     bucket_sec: int = 600,
+    shard_sec: int = 3600,
 ) -> DataFrame:
     """Sweep-line maximum concurrency — per time bucket, the peak
     number of simultaneously-open half-open intervals
@@ -1362,12 +1363,19 @@ def max_concurrency(
     Output: (window_end, max_concurrent, n_changes) — all integers.
 
     Scale shape: the raw intervals reduce to ≤2·|intervals| delta
-    rows in ONE keyed aggregation; only the distinct-instant SERIES
-    passes the ordered running-sum window (the same bounded-series
-    global pass as ``gap_fill_tumble``'s LOCF — at 100 TB shard the
-    prefix sum like ``late_data_audit``: per-shard partials + an
-    exclusive prefix of shard totals)."""
+    rows in ONE keyed aggregation; the distinct-instant series is
+    data-proportional, so the running sum is SHARDED (the
+    ``lateness_rows`` recipe): instants shard by ``shard_sec`` of
+    event time, (1) one tiny keyed aggregation gets each shard's net
+    total, (2) the exclusive prefix sum across shards runs on that
+    |shards|-row table and broadcasts back, (3) the within-shard
+    running sum is a window sort partitioned BY SHARD — no
+    single-partition pass ever touches a data-proportional series.
+    Output is bit-identical for any ``shard_sec`` (prefix sums are
+    associative); partitioning-invariance pinned in
+    tests/test_windows_extra.py."""
     bucket_us = bucket_sec * 1_000_000
+    shard_us = shard_sec * 1_000_000
     deltas = (
         intervals.select(
             F.unix_micros(F.col(start_col)).alias("t_us"),
@@ -1381,17 +1389,40 @@ def max_concurrency(
         )
         .groupBy("t_us")
         .agg(F.sum("d").alias("net"))
+        # integral div — float division of ~1.7e15 µs values risks
+        # boundary misrounds; floor semantics match the shard walls
+        .withColumn("_shard", F.expr(f"t_us div {shard_us}"))
     )
-    w = Window.orderBy("t_us").rowsBetween(
-        Window.unboundedPreceding, 0
+    stot = deltas.groupBy("_shard").agg(
+        F.sum("net").alias("_stot")
+    )
+    w_shard = Window.orderBy("_shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = stot.select(
+        "_shard",
+        F.coalesce(F.sum("_stot").over(w_shard), F.lit(0)).alias(
+            "_prefix"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("_shard")
+        .orderBy("t_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     # level entering the instant == level − this instant's own net
     # (the prefix sum one row earlier) — no second window pass needed
-    levels = deltas.select(
-        "t_us",
-        "net",
-        F.sum("net").over(w).alias("level"),
-    ).withColumn("carried", F.col("level") - F.col("net"))
+    levels = (
+        deltas.join(F.broadcast(prefix), "_shard")
+        .select(
+            "t_us",
+            "net",
+            (F.col("_prefix") + F.sum("net").over(w_in)).alias(
+                "level"
+            ),
+        )
+        .withColumn("carried", F.col("level") - F.col("net"))
+    )
     b = levels.withColumn(
         "we_us",
         F.expr(f"(t_us div {bucket_us} + 1) * {bucket_us}").cast(

@@ -458,8 +458,10 @@ def test_session4_operator_plan_shapes(t):
     assert not I.has_cartesian(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
-    # max_concurrency: deltas reduce in a keyed agg before the
-    # (documented) global-series prefix window; no cartesian
+    # max_concurrency: deltas reduce in a keyed agg, the running sum
+    # is SHARDED (partitioned by _shard) — the only SinglePartition
+    # exchange in the plan is the |shards|-row prefix table, never
+    # the data-proportional instant series
     iv = ev.groupBy("user_id").agg(
         F.min("ts").alias("start_ts"),
         (F.max("ts") + F.expr("INTERVAL 60 SECONDS")).alias("end_ts"),
@@ -467,3 +469,6 @@ def test_session4_operator_plan_shapes(t):
     df = W.max_concurrency(iv, bucket_sec=600)
     assert not I.has_cartesian(df)
     assert I.read_columns(df, "events") == {"user_id", "ts"}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_shard" in plan
+    assert plan.count("Exchange SinglePartition") == 1

@@ -533,6 +533,33 @@ def test_max_concurrency_hand_computed(spark):
     }
 
 
+def test_max_concurrency_shard_invariance(spark, events):
+    """The sharded prefix sum is bit-identical for ANY shard width
+    and any input partitioning (prefix sums are associative) — the
+    partitioning-invariance pin for the 100 TB shape where the
+    distinct-instant series never crosses a single partition."""
+    import pyspark.sql.functions as F
+
+    from flink_window_dgim_traffic_spark.operators import windows as W
+
+    iv = events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.min("ts").alias("start_ts"),
+        (F.max("ts") + F.expr("INTERVAL 60 SECONDS")).alias("end_ts"),
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+    ref = key(W.max_concurrency(iv, bucket_sec=600))
+    assert ref  # non-trivial series
+    # odd shard width -> change instants split across many shards
+    assert key(W.max_concurrency(iv, bucket_sec=600, shard_sec=7)) == ref
+    # pathological input partitioning
+    assert (
+        key(W.max_concurrency(iv.repartition(17), bucket_sec=600))
+        == ref
+    )
+
+
 def test_time_weighted_avg_hand_computed(spark):
     """LOCF weighting: value 1.00 holds 600 s then 3.00 holds to the
     window end (1200 s) → TWA = (100·600e6 + 300·1200e6) div 1800e6
