@@ -30,6 +30,14 @@ from flink_window_dgim_traffic_spark.session import get_spark, table  # noqa: E4
 # BASELINE.md §"Bench exclusions" (plan-identical twins and deliberate
 # anti-pattern parity demos).
 BENCH_QUERIES = [
+    "kcore_users_60s",
+    "ivm_join_orders",
+    "bigram_surprisal",
+    "ppr_cowindow",
+    "daily_movers",
+    "corpus_shuffle_shards",
+    "cdc_user_snapshot",
+    "winsorized_value_stats",
     "max_concurrent_users",
     "twap_user_30min",
     "dq_checks_events",

@@ -656,3 +656,110 @@ def percentile_rank(
         .cast("bigint")
         .alias("pr_ppm"),
     )
+
+
+def winsorized_stats(
+    events: DataFrame,
+    lo_ppm: int = 50_000,
+    hi_ppm: int = 950_000,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key winsorized mean — the robust-statistics feature
+    transform that clamps each group's tails to its own rank-based
+    cutoffs before averaging (outlier-immune location estimate for
+    feature pipelines and data-quality drift rows).  Rank-based, not
+    value-interpolated: the lo cutoff is the value at rank
+    ``max(1, n·lo_ppm div 10^6)`` under the deterministic total
+    order (value, id) and the hi cutoff the value at rank
+    ``min(n, n·hi_ppm div 10^6 + 1)``, so both cutoffs are actual
+    observed values (no float interpolation to drift cross-engine)
+    and the whole statistic is exact in 1e-6 micro-units.
+
+    Output per key: ``n``, ``lo_e6``/``hi_e6`` (the clamp values),
+    ``wins_mean_e6`` (mean of clamped values, integer floor-div).
+
+    Scale shape: ONE hash exchange on ``key_col`` — the rank
+    window, the cutoff-broadcast window (conditional max over the
+    same partition), and the final groupBy all reuse the same
+    partitioning (alias-first discipline, see ``value_deciles``);
+    per-task state is one sort per key partition.  No join, no
+    global sort, no driver collect."""
+    base = events.select(
+        F.col(key_col).alias("key"),
+        F.round(F.col(value_col) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("v_e6"),
+        F.col(id_col).alias("i"),
+    )
+    wo = Window.partitionBy("key").orderBy(
+        F.col("v_e6").asc(), F.col("i").asc()
+    )
+    ranked = base.select(
+        "key",
+        "v_e6",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("key")).alias("n"),
+    )
+    lo_rank = F.greatest(
+        F.lit(1), F.expr(f"n * {int(lo_ppm)} div 1000000")
+    )
+    hi_rank = F.least(
+        F.col("n"), F.expr(f"n * {int(hi_ppm)} div 1000000") + 1
+    )
+    wk = Window.partitionBy("key")
+    cut = ranked.select(
+        "key",
+        "v_e6",
+        F.max(F.when(F.col("rn") == lo_rank, F.col("v_e6")))
+        .over(wk)
+        .alias("lo_e6"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("v_e6")))
+        .over(wk)
+        .alias("hi_e6"),
+    )
+    return cut.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("lo_e6").cast("bigint").alias("lo_e6"),
+        F.min("hi_e6").cast("bigint").alias("hi_e6"),
+        F.expr(
+            "CAST(sum(greatest(lo_e6, least(hi_e6, v_e6)))"
+            " div count(*) AS BIGINT)"
+        ).alias("wins_mean_e6"),
+    )
+
+
+def daily_movers(
+    events: DataFrame,
+    key_col: str = "event_type",
+    day_col: str = "ts",
+) -> DataFrame:
+    """Day-over-day movers: per key and calendar day, the event count
+    and its delta vs the key's previous OBSERVED day — the trending /
+    regression-detector series dashboards sort by.  First observed
+    day baselines against 0 (its appearance IS the move).
+
+    Output: ``key, day, n, prev_n, delta`` (day formatted
+    yyyy-MM-dd; counts/deltas BIGINT).
+
+    Scale shape: one map-side-combinable (key, day) count, then a
+    per-key lag window over the AGGREGATED day series (|keys| ×
+    |days| rows, not event volume) — two keyed exchanges total, no
+    join, no global sort."""
+    daily = events.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_format(day_col, "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("key").orderBy("day")
+    return daily.select(
+        "key",
+        "day",
+        "n",
+        F.coalesce(F.lag("n").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("prev_n"),
+        (F.col("n") - F.coalesce(F.lag("n").over(w), F.lit(0)))
+        .cast("bigint")
+        .alias("delta"),
+    )

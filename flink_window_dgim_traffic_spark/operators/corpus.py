@@ -638,3 +638,39 @@ def stratified_sample(
     return grouped_topk(
         df, [by], "h60", k, ascending=True, tiebreak="doc_id"
     ).select("doc_id", by, "rnk")
+
+
+def shuffle_shards(documents: DataFrame, n_shards: int = 64) -> DataFrame:
+    """Deterministic corpus shuffle for training export: every doc
+    gets a shard and a dense within-shard position under the salted
+    md5 order — the "global shuffle" step before writing training
+    shards, done WITHOUT a global sort.  Training wants examples
+    decorrelated from ingest order (same-source/same-crawl runs hurt
+    SGD); a hash order is a fixed uniform permutation, reproducible
+    on any cluster layout and any parallelism, and appending new docs
+    never reorders existing (shard, pos) pairs' relative order within
+    a shard prefix... unlike ``ORDER BY rand()``, which is neither
+    stable nor restartable.
+
+    Output: ``doc_id, shard, pos`` (all BIGINT; pos is 1-based dense
+    within shard).
+
+    Scale shape: shard assignment is map-only (md5 bits); the only
+    shuffle is ONE hash exchange on ``shard`` for the within-shard
+    row_number — each task sorts one shard, no global sort ever;
+    writing then partitions by ``shard``, which is exactly the
+    training-reader layout."""
+    h = _hash60("shuffle")
+    base = documents.select(
+        "doc_id",
+        (h % F.lit(n_shards)).cast("bigint").alias("shard"),
+        h.alias("_h"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_h").asc(), F.col("doc_id").asc()
+    )
+    return base.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

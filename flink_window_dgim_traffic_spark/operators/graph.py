@@ -304,3 +304,193 @@ def bfs_distance(
             .agg(F.min("dist").cast("bigint").alias("dist"))
         )
     return dist
+
+
+def kcore_fixed(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 6,
+) -> DataFrame:
+    """k-core decomposition by FIXED-round simultaneous peeling
+    (Matula & Beck 1983's peeling order, batched): each round drops
+    every node whose current degree is below ``k``, together with its
+    edges, and after ``rounds`` rounds the surviving nodes are
+    reported with their degree inside the surviving subgraph.  When
+    the peel has converged within ``rounds`` (no sub-``k`` node left —
+    extra rounds are no-ops) the output IS the exact k-core; the
+    fixed round count keeps the computation SQL-mirrorable the same
+    way :func:`pagerank_fixed` and :func:`bfs_distance` are (the
+    DuckDB oracle unrolls the identical rounds as CTEs and must agree
+    bit-for-bit), and convergence at the chosen ``rounds`` is pinned
+    per-dataset in tests against :func:`kcore`.
+
+    Scale shape per round: one keyed degree aggregation (map-side
+    combinable) + two semi-joins of the edge list against the
+    |V|-sized survivor set — all hash-partitioned equi-joins, no
+    cartesian, no driver-side graph state.  Each round's survivor
+    edge list is pinned with an eager ``localCheckpoint``: the round
+    body references it three times (degree build + both semi-join
+    probes), so an un-truncated lineage would grow ~3× per round and
+    blow up analysis long before data size matters (measured: 12
+    un-checkpointed rounds hang the optimizer on a 30-node graph) —
+    the same per-iteration discipline as ``dedup.neardup_clusters``.
+
+    Output: ``node, core_degree`` (BIGINT, BIGINT) — nodes of the
+    k-core with their within-core degree."""
+    e = edges.select(
+        F.col(src).cast("bigint").alias("a"),
+        F.col(dst).cast("bigint").alias("b"),
+    )
+    und = (
+        e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        keep = (
+            und.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("dg"))
+            .filter(F.col("dg") >= k)
+            .select("a")
+        )
+        und = (
+            und.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return und.groupBy("a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    ).select(F.col("a").alias("node"), "core_degree")
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Exact k-core: the convergence-checked production twin of
+    :func:`kcore_fixed` — peels until NO node is below degree ``k``
+    (one exact scalar edge-count check per round, the same
+    convergence discipline as ``dedup.neardup_clusters``), with an
+    eager ``localCheckpoint`` per round so the loop's lineage stays
+    O(1) instead of O(rounds).  Equal to ``kcore_fixed(rounds=R)``
+    for any R ≥ the convergence depth (pinned in tests).
+
+    Output: ``node, core_degree`` (BIGINT, BIGINT)."""
+    e = edges.select(
+        F.col(src).cast("bigint").alias("a"),
+        F.col(dst).cast("bigint").alias("b"),
+    )
+    und = (
+        e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = und.count()
+    for _ in range(max_iters):
+        keep = (
+            und.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("dg"))
+            .filter(F.col("dg") >= k)
+            .select("a")
+        )
+        und = (
+            und.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        remaining = und.count()
+        if remaining == n_edges:
+            break
+        n_edges = remaining
+    return und.groupBy("a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    ).select(F.col("a").alias("node"), "core_degree")
+
+
+def ppr_fixed(
+    edges: DataFrame,
+    sources: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    d_num: int = 850,
+    d_den: int = 1000,
+) -> DataFrame:
+    """Fixed-iteration integer PERSONALIZED PageRank: random walks
+    restart only at the ``sources`` set, so ranks measure proximity
+    to those seeds rather than global centrality — the
+    "related items / local influence" query (recommendations, fraud
+    neighborhoods) that plain PageRank can't answer.  Same all-
+    integer discipline as :func:`pagerank_fixed` (ppm-scaled BIGINT
+    ranks, ``iters`` unrollable rounds, floor-div mass loss identical
+    cross-engine): initialization and the restart base are 10^6 for
+    source nodes and 0 elsewhere; each round
+
+        rank'(v) = base_v + (d_num · Σ contrib) div d_den.
+
+    Scale shape per round: identical to ``pagerank_fixed`` — one
+    keyed equi-join + one keyed aggregation, ``iters`` shuffles, no
+    driver-side state beyond the constant source list.
+
+    Output: ``node, rank_ppm`` (BIGINT, BIGINT)."""
+    if not 0 < d_num < d_den:
+        raise ValueError("need 0 < d_num < d_den")
+    if not sources:
+        raise ValueError("need at least one source node")
+    e = edges.select(
+        F.col(src).cast("bigint").alias("src"),
+        F.col(dst).cast("bigint").alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("out_deg")
+    )
+    src_set = ",".join(str(int(x)) for x in sorted(set(sources)))
+    base_col = F.expr(
+        f"CASE WHEN node IN ({src_set}) THEN"
+        f" {((d_den - d_num) * 1_000_000) // d_den} ELSE 0 END"
+    ).cast("bigint")
+    init_col = F.expr(
+        f"CASE WHEN node IN ({src_set}) THEN 1000000 ELSE 0 END"
+    ).cast("bigint")
+    ranks = nodes.withColumn("rank_ppm", init_col)
+    for _ in range(iters):
+        contrib = (
+            ranks.join(deg, ranks["node"] == deg["src"])
+            .select(
+                "src",
+                F.expr("rank_ppm div out_deg").alias("contrib"),
+            )
+            .join(e, "src")
+            .groupBy("dst")
+            .agg(F.sum("contrib").cast("bigint").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(
+                contrib, nodes["node"] == contrib["dst"], "left"
+            )
+            .select(
+                "node",
+                (
+                    base_col
+                    + F.expr(
+                        f"({d_num} * coalesce(in_sum, 0))"
+                        f" div {d_den}"
+                    )
+                ).cast("bigint").alias("rank_ppm"),
+            )
+        )
+    return ranks

@@ -2015,3 +2015,54 @@ def dq_checks(
         ).alias("p")
     )
     return stacked.select("p.*")
+
+
+def cdc_apply(
+    changelog: DataFrame,
+    key: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+    keep_tombstones: bool = False,
+) -> DataFrame:
+    """Changelog → snapshot compaction: the batch MERGE / Kafka
+    compacted-topic materialization (and the batch twin of the
+    streaming upsert-state reader, ``streaming/jobs.py``
+    ``read_upsert_state``) — per entity ``key`` the change with the
+    highest ``seq_cols`` wins, and a key whose winning change is a
+    delete tombstone is ABSENT from the snapshot.  This is the
+    apply-changes half of every CDC ingest (Debezium → warehouse
+    table): :func:`scd2_build` keeps the full version history, this
+    keeps only the current image.
+
+    Determinism: ``seq_cols`` must totally order each key's changes
+    (pass a change-log offset as the last column whenever one key can
+    emit two changes at the same timestamp); NULL ops count as
+    upserts (a NULL flag from a permissive decode must not silently
+    delete — same coalesce discipline as ``scd2_build``'s tombstone
+    flag).
+
+    Scale shape: ONE hash shuffle on the entity key feeding a single
+    max-by window pass (row_number over seq desc, keep rank 1) —
+    the standard compaction shape; no join, no global sort.  At
+    warehouse scale this runs per partition-of-keys and is exactly
+    what a MERGE INTO with latest-wins semantics plans.
+
+    ``keep_tombstones=True`` keeps a key's winning DELETE row in the
+    output (op column retained): the shape a downstream incremental
+    consumer needs — a per-batch compaction must still FORWARD the
+    tombstone so it can override earlier batches' upserts
+    (``streaming`` CDC maintenance uses this; the final read drops
+    tombstone winners, same end state)."""
+    order = [F.col(c).desc() for c in seq_cols]
+    w = Window.partitionBy(*key).orderBy(*order)
+    winners = changelog.withColumn(
+        "_rn", F.row_number().over(w)
+    ).filter(F.col("_rn") == 1)
+    if not keep_tombstones:
+        winners = winners.filter(
+            ~F.coalesce(
+                F.col(op_col) == F.lit(delete_op), F.lit(False)
+            )
+        )
+    return winners.drop("_rn")

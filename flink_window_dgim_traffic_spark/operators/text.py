@@ -438,3 +438,83 @@ def collocations_pmi(
         F.col("c_y").cast("bigint").alias("c_y"),
         ratio.cast("bigint").alias("pmi_ratio_micro"),
     )
+
+
+def bigram_surprisal(documents: DataFrame) -> DataFrame:
+    """LM-free gibberish/novelty scoring: each document's mean
+    integer bigram surprisal against the corpus bigram distribution -
+    the cheap proxy for "would a language model be surprised by this
+    text" that CCNet-style pipelines use to sort crawl text before
+    any real LM exists.  Surprisal of a bigram with corpus count c
+    (out of N total bigram occurrences) is quantized to whole BITS:
+
+        bits(b) = floor(log2(N)) - floor(log2(c))
+
+    computed as ``length(bin(N)) - length(bin(c))`` - the binary-
+    string length is the exact integer log2 in BOTH engines (no
+    float log, no libm divergence), which is what keeps the score
+    hash-identical cross-engine.  High mean-bits = rare transitions
+    (gibberish or genuinely novel text); low = boilerplate.
+
+    Output per doc: ``doc_id, n_bigrams, mean_bits_milli`` (mean
+    surprisal in millibits, exact integer floor-div; docs with <2
+    tokens report 0 bigrams and 0 score).
+
+    Scale shape: bigrams are the same in-row zip as
+    :func:`bigram_kn_stats`; corpus counts are ONE map-side-
+    combinable aggregation; the per-doc score is an equi-join of doc
+    bigrams against the (vocab-squared-bounded, typically tiny)
+    count table - a stop-bigram hot key is AQE-splittable - and one
+    keyed per-doc aggregation.  The count table is reused via an
+    eager localCheckpoint so the corpus pass runs once."""
+    toks = F.split("text", " ")
+    pairs = (
+        documents.select("doc_id", toks.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ws", 1, F.size("ws") - 1).alias("w1"),
+                    F.slice("ws", 2, F.size("ws") - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "bg.w1", "bg.w2").alias("b"),
+        )
+    )
+    counts = (
+        pairs.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    total_bits = counts.agg(
+        F.length(F.bin(F.sum("c"))).alias("nb")
+    )
+    scored = (
+        pairs.join(counts, "b")
+        .crossJoin(F.broadcast(total_bits))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.expr(
+                "CAST(sum(nb - length(bin(c))) * 1000"
+                " div count(*) AS BIGINT)"
+            ).alias("mean_bits_milli"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0))
+            .cast("bigint")
+            .alias("n_bigrams"),
+            F.coalesce("mean_bits_milli", F.lit(0))
+            .cast("bigint")
+            .alias("mean_bits_milli"),
+        )
+    )

@@ -234,3 +234,95 @@ def test_conversion_latency_hand_values(spark):
         6: (1, 3_600_000_000),
         -1: (1, 0),
     }
+
+
+def _py_winsorized(vals, lo_ppm, hi_ppm):
+    v = sorted(round(x * 1_000_000) for x in vals)
+    n = len(v)
+    lo = v[max(1, n * lo_ppm // 1_000_000) - 1]
+    hi = v[min(n, n * hi_ppm // 1_000_000 + 1) - 1]
+    clamped = [max(lo, min(hi, x)) for x in v]
+    return n, lo, hi, sum(clamped) // n
+
+
+def test_winsorized_stats_hand_vector(spark):
+    from flink_window_dgim_traffic_spark.operators.analytics import (
+        winsorized_stats,
+    )
+
+    vals = [0.0, 1.0, 2.0, 3.0, 100.0]
+    rows = [("a", v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_type string, value double, event_id bigint"
+    )
+    out = winsorized_stats(df, lo_ppm=400_000, hi_ppm=600_000).collect()
+    assert len(out) == 1
+    r = out[0]
+    # lo rank 2 -> 1.0, hi rank 4 -> 3.0; clamped mean 2.0
+    assert (r.n, r.lo_e6, r.hi_e6, r.wins_mean_e6) == (
+        5, 1_000_000, 3_000_000, 2_000_000,
+    )
+    assert _py_winsorized(vals, 400_000, 600_000) == (
+        5, 1_000_000, 3_000_000, 2_000_000,
+    )
+
+
+def test_winsorized_stats_random_matches_python(spark):
+    import random
+
+    from flink_window_dgim_traffic_spark.operators.analytics import (
+        winsorized_stats,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    per_key = {}
+    for i in range(400):
+        key = rng.choice(["a", "b", "c"])
+        # duplicate-heavy values exercise the tie order (value, id)
+        v = float(rng.randint(0, 20))
+        rows.append((key, v, i))
+        per_key.setdefault(key, []).append(v)
+    df = spark.createDataFrame(
+        rows, "event_type string, value double, event_id bigint"
+    )
+    got = {
+        r.key: (r.n, r.lo_e6, r.hi_e6, r.wins_mean_e6)
+        for r in winsorized_stats(
+            df, lo_ppm=50_000, hi_ppm=950_000
+        ).collect()
+    }
+    want = {
+        k: _py_winsorized(v, 50_000, 950_000)
+        for k, v in per_key.items()
+    }
+    assert got == want
+
+
+def test_daily_movers_hand_vector(spark):
+    import datetime as dt
+
+    from flink_window_dgim_traffic_spark.operators.analytics import (
+        daily_movers,
+    )
+
+    def t(day, h):
+        return dt.datetime(2024, 1, day, h, 0, 0)
+
+    rows = [
+        ("click", t(1, 1)), ("click", t(1, 2)),   # day1: 2
+        ("click", t(2, 1)), ("click", t(2, 2)), ("click", t(2, 3)),
+        ("view", t(2, 1)),                        # view first seen day2
+        ("view", t(4, 1)),                        # gap day3 skipped
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        (r.key, r.day): (r.n, r.prev_n, r.delta)
+        for r in daily_movers(df).collect()
+    }
+    assert got == {
+        ("click", "2024-01-01"): (2, 0, 2),
+        ("click", "2024-01-02"): (3, 2, 1),
+        ("view", "2024-01-02"): (1, 0, 1),
+        ("view", "2024-01-04"): (1, 1, 0),
+    }

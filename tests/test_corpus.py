@@ -524,3 +524,33 @@ def test_stratified_sample_exact_k_and_determinism(spark, sf_dir):
         ).collect()
     }
     assert base == again
+
+
+def test_shuffle_shards_permutation_properties(spark, sf_dir):
+    from flink_window_dgim_traffic_spark.operators.corpus import (
+        shuffle_shards,
+    )
+    from flink_window_dgim_traffic_spark.session import table
+
+    docs = table(spark, sf_dir, "documents")
+    out = shuffle_shards(docs, n_shards=8).collect()
+    n = docs.count()
+    # every doc exactly once
+    assert len(out) == n == len({r.doc_id for r in out})
+    by_shard = {}
+    for r in out:
+        assert 0 <= r.shard < 8
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    # dense 1..k positions within every shard
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # deterministic across reruns
+    again = {
+        (r.doc_id, r.shard, r.pos)
+        for r in shuffle_shards(docs, n_shards=8).collect()
+    }
+    assert again == {(r.doc_id, r.shard, r.pos) for r in out}
+    # decorrelated from ingest order: consecutive doc_ids spread
+    # across shards (at least half the shards touched by first 16)
+    first = sorted(out, key=lambda r: r.doc_id)[:16]
+    assert len({r.shard for r in first}) >= 4

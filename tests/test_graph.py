@@ -190,3 +190,123 @@ def test_bfs_multiple_sources(spark):
         for r in bfs_distance(df, [1, 4], max_depth=2).collect()
     }
     assert out == {1: 0, 4: 0, 2: 1, 3: 1}
+
+
+def _py_kcore(edges, k):
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    while True:
+        deg = {}
+        for a, _ in und:
+            deg[a] = deg.get(a, 0) + 1
+        low = {n for n, d in deg.items() if d < k}
+        if not low:
+            break
+        und = {
+            (a, b) for a, b in und if a not in low and b not in low
+        }
+    deg = {}
+    for a, _ in und:
+        deg[a] = deg.get(a, 0) + 1
+    return deg
+
+
+def test_kcore_hand_vector(spark):
+    from flink_window_dgim_traffic_spark.operators.graph import (
+        kcore,
+        kcore_fixed,
+    )
+
+    # triangle {1,2,3} with a tail 3-4-5: the 2-core is the triangle
+    # (5 peels first, exposing 4 — a 2-round cascade)
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    want = {1: 2, 2: 2, 3: 2}
+    got = {r.node: r.core_degree for r in kcore(df, k=2).collect()}
+    assert got == want
+    got_f = {
+        r.node: r.core_degree
+        for r in kcore_fixed(df, k=2, rounds=4).collect()
+    }
+    assert got_f == want
+    # k=3: nothing survives
+    assert kcore(df, k=3).count() == 0
+
+
+def test_kcore_random_matches_python(spark):
+    from flink_window_dgim_traffic_spark.operators.graph import (
+        kcore,
+        kcore_fixed,
+    )
+
+    rng = random.Random(7)
+    edges = list(
+        {
+            (a, b)
+            for a, b in (
+                sorted(rng.sample(range(30), 2)) for _ in range(90)
+            )
+        }
+    )
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    for k in (2, 4):
+        want = _py_kcore(edges, k)
+        got = {r.node: r.core_degree for r in kcore(df, k=k).collect()}
+        assert got == want, f"k={k}"
+        # fixed-round twin agrees once rounds >= convergence depth
+        got_f = {
+            r.node: r.core_degree
+            for r in kcore_fixed(df, k=k, rounds=12).collect()
+        }
+        assert got_f == want, f"fixed k={k}"
+
+
+def _py_ppr(edges, sources, iters=3, d_num=850, d_den=1000):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    srcs = set(sources)
+    base = ((d_den - d_num) * 1_000_000) // d_den
+    r = {n: (1_000_000 if n in srcs else 0) for n in nodes}
+    for _ in range(iters):
+        in_sum = {n: 0 for n in nodes}
+        for u, v in edges:
+            in_sum[v] += r[u] // deg[u]
+        r = {
+            n: (base if n in srcs else 0)
+            + (d_num * in_sum[n]) // d_den
+            for n in nodes
+        }
+    return r
+
+
+def test_ppr_fixed_matches_python(spark):
+    from flink_window_dgim_traffic_spark.operators.graph import (
+        ppr_fixed,
+    )
+
+    rng = random.Random(3)
+    und = {
+        tuple(sorted(rng.sample(range(20), 2))) for _ in range(50)
+    }
+    edges = [e for p in und for e in (p, p[::-1])]
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    for sources in ([0], [0, 5, 7]):
+        want = _py_ppr(edges, sources)
+        got = {
+            r.node: r.rank_ppm
+            for r in ppr_fixed(df, sources).collect()
+        }
+        assert got == want, f"sources={sources}"
+    # seeds dominate their own neighborhood: a seed outranks any
+    # node at distance >= 2 from every seed
+    got = {
+        r.node: r.rank_ppm for r in ppr_fixed(df, [0]).collect()
+    }
+    nbrs = {v for u, v in edges if u == 0}
+    far = set(got) - nbrs - {0}
+    if far:
+        assert got[0] > max(got[n] for n in far)

@@ -1,0 +1,120 @@
+"""Incremental join view maintenance (operators/ivm.py): multi-batch
+refresh == one-shot join, asymmetric/empty deltas, same-batch
+(delta-delta) matches counted exactly once, replay idempotence, and
+crash invisibility of staged-but-uncommitted deltas."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from flink_window_dgim_traffic_spark.operators import ivm
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_ivm_multi_batch_equals_direct_join(spark, tmp_path):
+    p = str(tmp_path / "jv")
+    L = "k bigint, lv string"
+    R = "k bigint, rv string"
+    l0 = _mk(spark, [(1, "a"), (2, "b")], L)
+    r0 = _mk(spark, [(1, "x")], R)
+    assert ivm.build_join_view(l0, r0, p, ["k"])
+    # batch 1: both sides, incl. a same-batch match on k=3
+    l1 = _mk(spark, [(3, "c")], L)
+    r1 = _mk(spark, [(2, "y"), (3, "z")], R)
+    assert ivm.refresh_join_view(spark, p, l1, r1, tag="b1")
+    # batch 2: left only (matches old right rows)
+    l2 = _mk(spark, [(1, "d")], L)
+    assert ivm.refresh_join_view(spark, p, delta_left=l2, tag="b2")
+    # batch 3: right only (matches rows from every older left batch)
+    r3 = _mk(spark, [(1, "w"), (3, "v")], R)
+    assert ivm.refresh_join_view(spark, p, delta_right=r3, tag="b3")
+
+    all_l = l0.unionByName(l1).unionByName(l2)
+    all_r = r0.unionByName(r1).unionByName(r3)
+    want = _rows(all_l.join(all_r, "k"))
+    got = _rows(ivm.read_join_view(spark, p))
+    assert got == want and len(got) > 0
+
+
+def test_ivm_replay_skip_and_empty_refresh(spark, tmp_path):
+    p = str(tmp_path / "jv")
+    L = "k bigint, lv string"
+    R = "k bigint, rv string"
+    ivm.build_join_view(
+        _mk(spark, [(1, "a")], L), _mk(spark, [(1, "x")], R), p, ["k"]
+    )
+    l1 = _mk(spark, [(2, "b")], L)
+    assert ivm.refresh_join_view(spark, p, delta_left=l1, tag="b1")
+    before = _rows(ivm.read_join_view(spark, p))
+    # replaying the same tag is a no-op returning False
+    assert not ivm.refresh_join_view(spark, p, delta_left=l1, tag="b1")
+    assert _rows(ivm.read_join_view(spark, p)) == before
+    # a refresh with no deltas commits an empty marker harmlessly
+    assert ivm.refresh_join_view(spark, p, tag="b2")
+    assert _rows(ivm.read_join_view(spark, p)) == before
+
+
+def test_ivm_staged_without_marker_is_invisible(spark, tmp_path):
+    p = str(tmp_path / "jv")
+    L = "k bigint, lv string"
+    R = "k bigint, rv string"
+    ivm.build_join_view(
+        _mk(spark, [(1, "a")], L), _mk(spark, [(1, "x")], R), p, ["k"]
+    )
+    before = _rows(ivm.read_join_view(spark, p))
+    # simulate a crash: stage view/left delta dirs with NO marker
+    _mk(spark, [(9, "ghost")], L).write.parquet(
+        f"{p}/left/delta-crash"
+    )
+    _mk(spark, [(9, "ghost")], "k bigint, lv string").write.parquet(
+        f"{p}/view/delta-crash"
+    )
+    assert _rows(ivm.read_join_view(spark, p)) == before
+    # the replay with the same tag overwrites the orphans and commits
+    assert ivm.refresh_join_view(
+        spark, p, delta_left=_mk(spark, [(1, "b")], L), tag="crash"
+    )
+    got = _rows(ivm.read_join_view(spark, p))
+    assert (1, "b", "x") in {(r[0], r[1], r[2]) for r in got}
+    assert not any("ghost" in str(r) for r in got)
+
+
+def test_ivm_rejects_overlapping_columns(spark, tmp_path):
+    import pytest
+
+    p = str(tmp_path / "jv")
+    df = _mk(spark, [(1, "a")], "k bigint, v string")
+    with pytest.raises(ValueError):
+        ivm.build_join_view(df, df, p, ["k"])
+
+
+def test_ivm_streaming_batch_fn_equals_direct_join(spark, tmp_path):
+    """foreachBatch maintenance == one-shot join, and replaying a
+    committed batch id is a no-op (exactly-once under crash-replay)."""
+    from flink_window_dgim_traffic_spark.operators.ivm import (
+        build_join_view,
+        ivm_refresh_batch_fn,
+        read_join_view,
+    )
+
+    p = str(tmp_path / "jv")
+    L = "k bigint, lv string"
+    R = "k bigint, rv string"
+    left = _mk(spark, [(1, "a"), (2, "b"), (3, "c")], L)
+    build_join_view(left, _mk(spark, [], R), p, ["k"])
+    fn = ivm_refresh_batch_fn(p, side="right")
+    b0 = _mk(spark, [(1, "x"), (3, "y")], R)
+    b1 = _mk(spark, [(2, "z"), (3, "w")], R)
+    fn(b0, 0)
+    fn(b1, 1)
+    # crash-replay of batch 1 must not double anything
+    fn(b1, 1)
+    want = _rows(left.join(b0.unionByName(b1), "k"))
+    assert _rows(read_join_view(spark, p)) == want

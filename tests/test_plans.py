@@ -472,3 +472,40 @@ def test_session4_operator_plan_shapes(t):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(_shard" in plan
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_round6_operator_plan_shapes(t):
+    """Round-6 operators: winsorized_stats' rank window, cutoff
+    window and final groupBy reuse ONE hash exchange on the key;
+    cdc_apply is one exchange (the max-by window) with no join."""
+    import pyspark.sql.functions as F
+
+    ev = t("events")
+    from flink_window_dgim_traffic_spark.operators.analytics import (
+        winsorized_stats,
+    )
+    df = winsorized_stats(ev)
+    assert not I.has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert I.read_columns(df, "events") == {
+        "event_type", "value", "event_id",
+    }
+
+    from flink_window_dgim_traffic_spark.operators.relational import (
+        cdc_apply,
+    )
+    log = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "value",
+    )
+    df = cdc_apply(log, ["user_id"], ["us", "event_id"])
+    assert not I.has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan

@@ -888,3 +888,69 @@ def test_dq_checks_requires_constraints(spark):
     df = spark.range(1)
     with _pytest.raises(ValueError):
         R.dq_checks(df)
+
+
+def test_cdc_apply_hand_vector(spark):
+    from flink_window_dgim_traffic_spark.operators.relational import (
+        cdc_apply,
+    )
+
+    rows = [
+        # k1: two upserts, latest wins
+        (1, 1, "U", 10.0),
+        (1, 2, "U", 20.0),
+        # k2: upsert then delete -> absent
+        (2, 1, "U", 5.0),
+        (2, 2, "D", None),
+        # k3: delete then re-insert -> present
+        (3, 1, "D", None),
+        (3, 2, "U", 7.0),
+        # k4: NULL op counts as upsert, not delete
+        (4, 1, None, 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k bigint, seq bigint, op string, val double"
+    )
+    got = {
+        r.k: (r.seq, r.val)
+        for r in cdc_apply(df, ["k"], ["seq"]).collect()
+    }
+    assert got == {1: (2, 20.0), 3: (2, 7.0), 4: (1, 9.0)}
+
+
+def test_cdc_apply_seq_tiebreak(spark):
+    from flink_window_dgim_traffic_spark.operators.relational import (
+        cdc_apply,
+    )
+
+    # same timestamp, offset breaks the tie deterministically
+    rows = [(1, 5, 1, "U", 1.0), (1, 5, 2, "U", 2.0)]
+    df = spark.createDataFrame(
+        rows, "k bigint, ts bigint, off bigint, op string, val double"
+    )
+    out = cdc_apply(df, ["k"], ["ts", "off"]).collect()
+    assert len(out) == 1 and out[0].val == 2.0
+
+
+def test_cdc_apply_keep_tombstones(spark):
+    from flink_window_dgim_traffic_spark.operators.relational import (
+        cdc_apply,
+    )
+
+    rows = [
+        (1, 1, "U", 1.0),
+        (1, 2, "D", None),
+        (2, 1, "U", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k bigint, seq bigint, op string, val double"
+    )
+    got = {
+        r.k: r.op
+        for r in cdc_apply(
+            df, ["k"], ["seq"], keep_tombstones=True
+        ).collect()
+    }
+    # the winning tombstone is FORWARDED (streaming consumers need
+    # it to override earlier batches), not dropped
+    assert got == {1: "D", 2: "U"}

@@ -341,3 +341,58 @@ def test_media_simhash_deterministic_and_short_blobs(spark):
     assert fp1 == fp2                  # rerun-stable
     assert fp1[1] == 0 and fp1[2] == 0  # < 4 bytes -> sentinel 0
     assert fp1[3] != 0
+
+
+def test_bigram_surprisal_hand_vector(spark):
+    from flink_window_dgim_traffic_spark.operators.text import (
+        bigram_surprisal,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id bigint, text string",
+    )
+    # corpus bigrams: "a b" x3, "b a" x1, "b c" x1; N=5 -> 3 bits
+    # bits: "a b" = 3-2 = 1, "b a" = "b c" = 3-1 = 2
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_bits_milli)
+        for r in bigram_surprisal(docs).collect()
+    }
+    assert got == {
+        1: (3, (1 + 2 + 1) * 1000 // 3),  # 1333
+        2: (2, (1 + 2) * 1000 // 2),      # 1500
+        3: (0, 0),
+    }
+
+
+def test_bigram_surprisal_python_reference(spark, sf_dir):
+    from collections import Counter
+
+    from flink_window_dgim_traffic_spark.operators.text import (
+        bigram_surprisal,
+    )
+    from flink_window_dgim_traffic_spark.session import table
+
+    docs = table(spark, sf_dir, "documents").limit(200)
+    rows = docs.select("doc_id", "text").collect()
+    cnt = Counter()
+    per_doc = {}
+    for r in rows:
+        ws = r.text.split(" ")
+        bgs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        per_doc[r.doc_id] = bgs
+        cnt.update(bgs)
+    n_total = sum(cnt.values())
+    nb = n_total.bit_length()
+    want = {}
+    for d, bgs in per_doc.items():
+        if not bgs:
+            want[d] = (0, 0)
+        else:
+            s = sum(nb - cnt[b].bit_length() for b in bgs)
+            want[d] = (len(bgs), s * 1000 // len(bgs))
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_bits_milli)
+        for r in bigram_surprisal(docs).collect()
+    }
+    assert got == want

@@ -228,6 +228,33 @@ def _neardup_incremental(docs, emb):
     )
 
 
+def _ivm_refresh(spark) -> None:
+    """One refresh of a FIXED 1× insert batch into a join view whose
+    accumulated left state spans scale× history: IVM's contract is
+    that refresh cost tracks the DELTA (ΔL ⋈ R against the constant-
+    size dim side), never the accumulated view — this row measures
+    exactly that."""
+    from flink_window_dgim_traffic_spark.operators import ivm as IV
+
+    path = f"{OUT}/ivmjv_x{CTX['scale']}"
+    ev = spark.read.parquet(CTX["events_full_path"]).select(
+        "event_id", "user_id", "value"
+    )
+    if not os.path.isdir(f"{path}/_commits"):
+        dim = ev.select("user_id").distinct().withColumn(
+            "seg", (F.col("user_id") % 7).cast("bigint")
+        )
+        IV.build_join_view(ev, dim, path, ["user_id"])
+    batch = spark.read.parquet(f"{OUT}/events_full_x1.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    CTX["ivm_seq"] = CTX.get("ivm_seq", 0) + 1
+    IV.refresh_join_view(
+        spark, path, delta_left=batch,
+        tag=f"b{CTX['scale']}_{CTX['ivm_seq']}",
+    )
+
+
 def _rollup_refresh(spark) -> None:
     """One refresh of a FIXED-size batch (the 1× events) into a
     hierarchy built from the scale×-span event log: measures how the
@@ -424,6 +451,46 @@ def main() -> None:
         "time_weighted_avg": lambda docs, emb: W.time_weighted_avg(
             CTX["events_full"], 1800
         ),
+        # ---- round-6 additions ----
+        # k-core over the co-occurrence graph of a scale×-longer
+        # history: the window/user bipartite build grows linearly,
+        # the user-pair edge set saturates (same user population) —
+        # the realistic longer-retention shape for affinity graphs
+        "kcore_users": lambda docs, emb: G.kcore_fixed(
+            G.cowindow_user_edges(CTX["events_full"], 60),
+            k=8,
+            rounds=6,
+        ),
+        "cdc_apply": lambda docs, emb: R.cdc_apply(
+            CTX["events_full"].select(
+                "user_id",
+                F.unix_micros("ts").alias("us"),
+                "event_id",
+                F.when(
+                    F.col("event_type") == "error", F.lit("D")
+                ).otherwise(F.lit("U")).alias("op"),
+                "value",
+            ),
+            ["user_id"],
+            ["us", "event_id"],
+        ),
+        "winsorized_stats": lambda docs, emb: AN.winsorized_stats(
+            CTX["events_full"]
+        ),
+        "bigram_surprisal": lambda docs, emb: T.bigram_surprisal(
+            docs
+        ),
+        "ppr_cowindow": lambda docs, emb: G.ppr_fixed(
+            G.cowindow_user_edges(CTX["events_full"], 600),
+            [0, 1],
+            iters=3,
+        ),
+        "daily_movers": lambda docs, emb: AN.daily_movers(
+            CTX["events_full"]
+        ),
+        "shuffle_shards": lambda docs, emb: C.shuffle_shards(
+            docs, 64
+        ),
         "dq_checks": lambda docs, emb: R.dq_checks(
             CTX["events_full"],
             not_null=["event_id", "ts", "user_id", "event_type"],
@@ -441,6 +508,7 @@ def main() -> None:
     custom_ops = {
         "rollup_refresh": _rollup_refresh,
         "sketch_rollup_refresh": _sketch_rollup_refresh,
+        "ivm_refresh": _ivm_refresh,
     }
 
     only = os.environ.get("SPARK_GRAFT_SCALING_OPS")
