@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "ppr_cowindow",
     "daily_movers",
     "corpus_shuffle_shards",
+    "asof_nearest_views",
+    "er_supplier_canonical",
     "cdc_user_snapshot",
     "winsorized_value_stats",
     "max_concurrent_users",

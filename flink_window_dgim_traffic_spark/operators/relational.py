@@ -1408,7 +1408,9 @@ def asof_join(
     natively (``asof_view_before_purchase`` is the fixed-shape demo;
     this is the reusable form): every left row is paired with the
     single right row whose ``on`` timestamp is the closest at-or-
-    before it (``backward``) or at-or-after it (``forward``), within
+    before it (``backward``), at-or-after it (``forward``), or
+    closest in either direction (``nearest`` — equal distance
+    prefers backward, the pandas ``merge_asof`` convention), within
     the same ``by`` keys; unmatched left rows keep NULLs.
 
     NO range join and NO per-row subquery: both inputs are unioned,
@@ -1436,7 +1438,7 @@ def asof_join(
     timestamp) + ``asof_<c>`` for each requested right column."""
     from pyspark.sql.types import MapType
 
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
     if tiebreak is not None:
         tb_type = right.schema[tiebreak].dataType
@@ -1445,7 +1447,7 @@ def asof_join(
                 f"tiebreak column {tiebreak!r} has non-orderable type"
                 f" {tb_type.simpleString()}"
             )
-    reserved = {"_tag", "_tb", "_is_left", "_rp", "_match"}
+    reserved = {"_tag", "_tb", "_is_left", "_rp", "_match", "_mb", "_mf"}
     clash = reserved & set(left.columns)
     if clash:
         raise ValueError(
@@ -1479,17 +1481,61 @@ def asof_join(
         F.lit(False).alias("_is_left"),
     )
     tagged = lhs.unionByName(rhs, allowMissingColumns=True)
-    ts_order = F.col(on).asc() if direction == "backward" else F.col(
-        on
-    ).desc()
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(ts_order, F.col("_tag").asc(), F.col("_tb").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    out = tagged.withColumn(
-        "_match", F.last("_rp", ignorenulls=True).over(w)
-    ).filter(F.col("_is_left"))
+    if direction == "nearest":
+        # BOTH sweeps (same by-hash partitioning -> ONE exchange, two
+        # sorts), then the closer match wins; equal distance prefers
+        # backward (the pandas merge_asof convention)
+        from pyspark.sql.types import TimestampType
+
+        w_b = (
+            Window.partitionBy(*by)
+            .orderBy(
+                F.col(on).asc(), F.col("_tag").asc(), F.col("_tb").asc()
+            )
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_f = (
+            Window.partitionBy(*by)
+            .orderBy(
+                F.col(on).desc(), F.col("_tag").asc(), F.col("_tb").asc()
+            )
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        is_ts = isinstance(left.schema[on].dataType, TimestampType)
+
+        def _num(c):
+            return F.unix_micros(c) if is_ts else c
+
+        mb = F.last("_rp", ignorenulls=True).over(w_b)
+        mf = F.last("_rp", ignorenulls=True).over(w_f)
+        swept = tagged.select(
+            "*", mb.alias("_mb"), mf.alias("_mf")
+        ).filter(F.col("_is_left"))
+        choose_b = F.col("_mf").isNull() | (
+            F.col("_mb").isNotNull()
+            & (
+                (_num(F.col(on)) - _num(F.col("_mb._ts")))
+                <= (_num(F.col("_mf._ts")) - _num(F.col(on)))
+            )
+        )
+        out = swept.withColumn(
+            "_match",
+            F.when(choose_b, F.col("_mb")).otherwise(F.col("_mf")),
+        )
+    else:
+        ts_order = (
+            F.col(on).asc()
+            if direction == "backward"
+            else F.col(on).desc()
+        )
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(ts_order, F.col("_tag").asc(), F.col("_tb").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = tagged.withColumn(
+            "_match", F.last("_rp", ignorenulls=True).over(w)
+        ).filter(F.col("_is_left"))
     sel = [F.col(c) for c in left.columns]
     sel.append(F.col("_match._ts").alias(f"asof_{on}"))
     sel += [F.col(f"_match.{c}").alias(f"asof_{c}") for c in right_cols]

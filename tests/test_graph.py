@@ -310,3 +310,28 @@ def test_ppr_fixed_matches_python(spark):
     far = set(got) - nbrs - {0}
     if far:
         assert got[0] > max(got[n] for n in far)
+
+
+def test_kcore_fixed_converged_on_testdata(spark, sf_dir):
+    """Pin the driver entry's convergence claim on the REAL
+    co-occurrence graph: 6 fixed rounds reach the true k-core (==
+    the convergence-checked kcore) at the test SF, for the driver's
+    k=8 and for a k with an actual cascade on this graph."""
+    from flink_window_dgim_traffic_spark.operators.graph import (
+        cowindow_user_edges,
+        kcore,
+        kcore_fixed,
+    )
+    from flink_window_dgim_traffic_spark.session import table
+
+    ev = table(spark, sf_dir, "events")
+    edges = cowindow_user_edges(ev, 60).localCheckpoint(eager=True)
+    for k in (2, 8):
+        want = {
+            r.node: r.core_degree for r in kcore(edges, k=k).collect()
+        }
+        got = {
+            r.node: r.core_degree
+            for r in kcore_fixed(edges, k=k, rounds=6).collect()
+        }
+        assert got == want, f"k={k}"

@@ -608,7 +608,7 @@ def test_asof_join_rejects_bad_direction(spark):
 
     df = _tsdf(spark, [(1, 1, "a")], "id long, ts long, k string")
     with _pytest.raises(ValueError, match="direction"):
-        R.asof_join(df, df, direction="nearest")
+        R.asof_join(df, df, direction="sideways")
 
 
 def test_range_join_boundaries_and_multi_interval(spark):
@@ -954,3 +954,87 @@ def test_cdc_apply_keep_tombstones(spark):
     # the winning tombstone is FORWARDED (streaming consumers need
     # it to override earlier batches), not dropped
     assert got == {1: "D", 2: "U"}
+
+
+def test_asof_join_nearest_hand_vector(spark):
+    from flink_window_dgim_traffic_spark.operators.relational import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 95), (1, 50), (2, 7)], "k bigint, ts bigint"
+    )
+    right = spark.createDataFrame(
+        [(1, 0, 100), (1, 90, 101), (2, 7, 102), (2, 200, 103)],
+        "k bigint, ts bigint, rid bigint",
+    )
+    got = {
+        (r.k, r.ts): (r.asof_ts, r.asof_rid)
+        for r in asof_join(
+            left, right, on="ts", by=["k"],
+            right_cols=["rid"], direction="nearest",
+        ).collect()
+    }
+    assert got == {
+        (1, 10): (0, 100),    # 10 back vs 80 forward -> backward
+        (1, 95): (90, 101),   # backward 5 vs nothing after
+        (1, 50): (90, 101),   # 50 back vs 40 forward -> forward
+        (2, 7): (7, 102),     # exact hit
+    }
+    # equal distance prefers backward
+    left2 = spark.createDataFrame([(1, 45)], "k bigint, ts bigint")
+    got2 = asof_join(
+        left2, right, on="ts", by=["k"],
+        right_cols=["rid"], direction="nearest",
+    ).collect()[0]
+    assert (got2.asof_ts, got2.asof_rid) == (0, 100)
+
+
+def test_asof_join_nearest_matches_pandas(spark):
+    import random
+
+    import pandas as pd
+
+    from flink_window_dgim_traffic_spark.operators.relational import (
+        asof_join,
+    )
+
+    rng = random.Random(5)
+    lrows = [
+        (k, rng.randint(0, 1000)) for k in (1, 2, 3) for _ in range(40)
+    ]
+    # unique right timestamps per key (pandas picks its own winner
+    # among duplicate right ts; keep the comparison unambiguous)
+    rrows = [
+        (k, ts, k * 10_000 + ts)
+        for k in (1, 2)
+        for ts in rng.sample(range(0, 1000, 3), 60)
+    ]
+    left = spark.createDataFrame(lrows, "k bigint, ts bigint")
+    right = spark.createDataFrame(rrows, "k bigint, ts bigint, rid bigint")
+    got = (
+        asof_join(
+            left, right, on="ts", by=["k"],
+            right_cols=["rid"], direction="nearest",
+        )
+        .toPandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    lp = pd.DataFrame(lrows, columns=["k", "ts"]).sort_values(
+        ["ts", "k"]
+    )
+    rp = pd.DataFrame(
+        rrows, columns=["k", "ts", "rid"]
+    ).sort_values(["ts", "k"])
+    want = (
+        pd.merge_asof(
+            lp, rp, on="ts", by="k", direction="nearest",
+            suffixes=("", "_r"),
+        )
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    assert list(got["asof_rid"].fillna(-1).astype("int64")) == list(
+        want["rid"].fillna(-1).astype("int64")
+    )

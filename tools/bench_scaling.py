@@ -491,6 +491,21 @@ def main() -> None:
         "shuffle_shards": lambda docs, emb: C.shuffle_shards(
             docs, 64
         ),
+        "asof_nearest": lambda docs, emb: R.asof_join(
+            CTX["events_full"]
+            .filter(F.col("event_type") == "purchase")
+            .select("user_id", F.unix_micros("ts").alias("us"),
+                    "event_id"),
+            CTX["events_full"]
+            .filter(F.col("event_type") == "view")
+            .select("user_id", F.unix_micros("ts").alias("us"),
+                    "event_id"),
+            on="us",
+            by=["user_id"],
+            right_cols=["event_id"],
+            direction="nearest",
+            tiebreak="event_id",
+        ),
         "dq_checks": lambda docs, emb: R.dq_checks(
             CTX["events_full"],
             not_null=["event_id", "ts", "user_id", "event_type"],
