@@ -1135,6 +1135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "asof_nearest_views": _asof_nearest_views,
         "er_supplier_canonical": _er_supplier_canonical,
+        "kmeans_quantized": lambda s, d: S.kmeans_quantized(
+            _embeddings(s, d), k=8, rounds=2
+        ),
         # ---- round-5 session-3 additions ----
         "fuzzy_supplier_pairs": _fuzzy_supplier_edges,
         "posting_lists": lambda s, d: RT.posting_lists(
@@ -1206,7 +1209,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _documents(s, d)
         ),
         "scd2_user_state": _scd2_user_state,
-        "gap_fill_60s": lambda s, d: W.gap_fill_tumble(_events(s, d), 60),
         "m4_downsample_10min": lambda s, d: W.m4_downsample(
             _events(s, d), 600
         ),
@@ -1248,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             D.ngram_jaccard_pairs(_documents(s, d), threshold=0.8),
         ),
         "session_paths": lambda s, d: AN.session_paths(_events(s, d)),
+        "gap_fill_60s": lambda s, d: W.gap_fill_tumble(_events(s, d), 60),
         "theta_audience_overlap_daily": lambda s, d: (
             SK.theta_audience_overlap(_events(s, d), 86400)
         ),
@@ -1797,6 +1800,65 @@ def oracle_sql() -> dict[str, str]:
         " FROM e6 GROUP BY a"
     )
     kcore_sql = "\n".join(_kc)
+    # k-means oracle: unroll the SAME fixed rounds as
+    # similarity.kmeans_quantized at the (vec_id, dim) exploded
+    # level — quantize, md5-seed, per-round (assign -> floor-mean
+    # update with empty-cluster carry), final assignment.
+    _km_rounds, _km_k = 2, 8
+    _km = [
+        "WITH comp AS (SELECT vec_id, i AS dim,"
+        " CAST(embedding[i] AS DOUBLE) AS x FROM embeddings,"
+        " unnest(generate_series(1, len(embedding))) AS t(i)),",
+        "r AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM comp"
+        " GROUP BY dim),",
+        "q AS (SELECT vec_id, dim, CASE WHEN hi > lo THEN"
+        " CAST(round((x - lo) / (hi - lo) * 255.0) AS BIGINT)"
+        " ELSE 0 END AS c FROM comp JOIN r USING (dim)),",
+        "hs AS (SELECT DISTINCT vec_id, CAST('0x' ||"
+        " substr(md5('kmeans:' || CAST(vec_id AS VARCHAR)), 1, 15)"
+        " AS BIGINT) AS hv FROM q),",
+        "sd AS (SELECT vec_id, rn - 1 AS cluster FROM"
+        " (SELECT vec_id, row_number() OVER (ORDER BY hv, vec_id)"
+        f" AS rn FROM hs) WHERE rn <= {_km_k}),",
+        "c0 AS (SELECT sd.cluster, q.dim, q.c AS cc FROM sd"
+        " JOIN q USING (vec_id))",
+    ]
+    for _i in range(_km_rounds):
+        p, n = f"c{_i}", _i + 1
+        _km.append(
+            f", d{n} AS (SELECT q.vec_id, {p}.cluster,"
+            f" sum((q.c - {p}.cc) * (q.c - {p}.cc)) AS dist"
+            f" FROM q JOIN {p} USING (dim) GROUP BY 1, 2)"
+        )
+        _km.append(
+            f", a{n} AS (SELECT vec_id, cluster FROM (SELECT *,"
+            " row_number() OVER (PARTITION BY vec_id"
+            f" ORDER BY dist, cluster) AS rn FROM d{n}) WHERE rn = 1)"
+        )
+        _km.append(
+            f", u{n} AS (SELECT a{n}.cluster, q.dim,"
+            f" sum(q.c) // count(*) AS cc FROM a{n}"
+            " JOIN q USING (vec_id) GROUP BY 1, 2)"
+        )
+        _km.append(
+            f", c{n} AS (SELECT {p}.cluster, {p}.dim,"
+            f" coalesce(u{n}.cc, {p}.cc) AS cc FROM {p}"
+            f" LEFT JOIN u{n} ON {p}.cluster = u{n}.cluster"
+            f" AND {p}.dim = u{n}.dim)"
+        )
+    _km.append(
+        f", df AS (SELECT q.vec_id, c{_km_rounds}.cluster,"
+        f" sum((q.c - c{_km_rounds}.cc) * (q.c - c{_km_rounds}.cc))"
+        f" AS dist FROM q JOIN c{_km_rounds} USING (dim)"
+        " GROUP BY 1, 2)"
+    )
+    _km.append(
+        "SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,"
+        " CAST(dist AS BIGINT) AS dist FROM (SELECT *,"
+        " row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY dist, cluster) AS rn FROM df) WHERE rn = 1"
+    )
+    kmeans_sql = "\n".join(_km)
     # shared by the batch op and its streaming twin: the IVM/CDC
     # contract is that incremental maintenance is indistinguishable
     # from the one-shot computation, so the SQL twin IS the same.
@@ -1818,6 +1880,7 @@ WHERE rn = 1 AND event_type <> 'error'
     return {
         # ---- round-6 additions ----
         "kcore_users_60s": kcore_sql,
+        "kmeans_quantized": kmeans_sql,
         # IVM contract: multi-batch maintenance of the join view is
         # indistinguishable from the one-shot join.
         "ivm_join_orders": ivm_digest_sql,

@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "corpus_shuffle_shards",
     "asof_nearest_views",
     "er_supplier_canonical",
+    "kmeans_quantized",
     "cdc_user_snapshot",
     "winsorized_value_stats",
     "max_concurrent_users",

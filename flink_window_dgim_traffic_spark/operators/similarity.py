@@ -1449,3 +1449,120 @@ def hard_negatives(
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def kmeans_quantized(
+    embeddings: DataFrame, k: int = 8, rounds: int = 2
+) -> DataFrame:
+    """Fixed-round Lloyd's k-means over int8-QUANTIZED codes — the
+    clustering primitive behind IVF index builds and corpus
+    bucketing, made engine-exact: distances are integer sums of
+    squared code deltas, centroid updates are integer floor-means,
+    seeding is the k smallest salted-md5 vec_ids (a fixed uniform
+    draw, no RNG), and the round count is FIXED — the same
+    determinism discipline as ``graph.pagerank_fixed``, so the
+    DuckDB oracle unrolls identical rounds and hash-matches
+    bit-for-bit.  (Production variants trade this for float BLAS and
+    convergence checks; the *structure* — broadcast centroids,
+    in-row argmin, one keyed re-aggregation per round — is the same.)
+
+    Tie-breaks are total: assignment argmin orders by (dist,
+    cluster); empty clusters keep their previous centroid.
+
+    Output: ``vec_id, cluster, dist`` (BIGINT each; dist = squared
+    integer code distance to the final centroid).
+
+    Scale shape per round: centroids are a k×dim broadcast (tiny);
+    assignment is an in-row ``aggregate``/``zip_with`` argmin over
+    the broadcast array (map-only — vectors never explode); the
+    centroid update is ONE (cluster, dim)-keyed partial-aggregated
+    shuffle over posexploded codes.  ``rounds`` is a small constant."""
+    q = quantize_embeddings(embeddings).select("vec_id", "qvec")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmeans:"), F.col("vec_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    # k smallest hashes via TakeOrdered (no global window/shuffle);
+    # the row_number window then runs over only k rows
+    topk = (
+        q.select("vec_id", "qvec", h.alias("_h"))
+        .orderBy(F.col("_h").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("_h").asc(), F.col("vec_id").asc())
+    seeds = topk.withColumn("_rn", F.row_number().over(w)).select(
+        (F.col("_rn") - 1).cast("bigint").alias("cluster"),
+        F.col("qvec").alias("cvec"),
+    )
+
+    def _assign(cent: DataFrame) -> DataFrame:
+        cents = cent.groupBy().agg(
+            F.array_sort(
+                F.collect_list(F.struct("cluster", "cvec"))
+            ).alias("cents")
+        )
+        scored = q.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "qvec",
+            F.array_min(
+                F.transform(
+                    F.col("cents"),
+                    lambda c: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("qvec"),
+                                c["cvec"],
+                                lambda a, b: (
+                                    (a - b).cast("bigint")
+                                    * (a - b).cast("bigint")
+                                ),
+                            ),
+                            F.lit(0).cast("bigint"),
+                            lambda acc, x: acc + x,
+                        ).alias("dist"),
+                        c["cluster"].alias("cluster"),
+                    ),
+                )
+            ).alias("best"),
+        )
+        return scored.select(
+            "vec_id",
+            "qvec",
+            F.col("best.cluster").alias("cluster"),
+            F.col("best.dist").alias("dist"),
+        )
+
+    cent = seeds
+    for _ in range(rounds):
+        assigned = _assign(cent)
+        upd = (
+            assigned.select(
+                "cluster", F.posexplode("qvec").alias("dim", "c")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.expr("sum(c) div count(*)").alias("cc"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cc"))),
+                    lambda s: s["cc"].cast("int"),
+                ).alias("cvec")
+            )
+        )
+        # empty clusters keep their previous centroid
+        cent = (
+            cent.select("cluster", F.col("cvec").alias("prev"))
+            .join(upd, "cluster", "left")
+            .select(
+                "cluster", F.coalesce("cvec", "prev").alias("cvec")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return _assign(cent).select(
+        "vec_id", F.col("cluster").cast("bigint"), F.col("dist")
+    )

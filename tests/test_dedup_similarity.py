@@ -971,3 +971,65 @@ def test_neardup_incremental_lsh_index_probe(spark, tmp_path):
     }
     true_j = exact[(1, 11)]
     assert abs(got[(11, 1)] - true_j) <= 0.2  # ~4 sigma at num_perm=64
+
+
+def test_kmeans_quantized_matches_python(spark, sf_dir):
+    """Fixed-round integer k-means == a pure-python replay on the
+    SAME quantized codes (seeding, argmin tie-break, floor-mean
+    update, empty-cluster carry all replicated)."""
+    import hashlib
+
+    from flink_window_dgim_traffic_spark.operators import (
+        similarity as S,
+    )
+    from flink_window_dgim_traffic_spark.session import table
+
+    emb = table(spark, sf_dir, "embeddings").limit(150)
+    codes = {
+        r.vec_id: list(r.qvec)
+        for r in S.quantize_embeddings(emb).select(
+            "vec_id", "qvec"
+        ).collect()
+    }
+    k, rounds = 5, 2
+
+    def h60(v):
+        return int(
+            hashlib.md5(f"kmeans:{v}".encode()).hexdigest()[:15], 16
+        )
+
+    seed_ids = sorted(codes, key=lambda v: (h60(v), v))[:k]
+    cent = {c: list(codes[v]) for c, v in enumerate(seed_ids)}
+
+    def assign():
+        out = {}
+        for v, q in codes.items():
+            best = min(
+                (
+                    (sum((a - b) ** 2 for a, b in zip(q, cv)), c)
+                    for c, cv in cent.items()
+                )
+            )
+            out[v] = best
+        return out
+
+    for _ in range(rounds):
+        a = assign()
+        sums = {}
+        for v, (_, c) in a.items():
+            s = sums.setdefault(c, [0] * (len(codes[v]) + 1))
+            for i, x in enumerate(codes[v]):
+                s[i] += x
+            s[-1] += 1
+        for c, s in sums.items():
+            n = s[-1]
+            cent[c] = [x // n for x in s[:-1]]
+    want = {v: (c, d) for v, (d, c) in assign().items()}
+
+    got = {
+        r.vec_id: (r.cluster, r.dist)
+        for r in S.kmeans_quantized(emb, k=k, rounds=rounds).collect()
+    }
+    assert got == want
+    # every cluster label in range, deterministic rerun
+    assert {c for c, _ in got.values()} <= set(range(k))

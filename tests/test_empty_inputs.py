@@ -248,3 +248,38 @@ def test_span_dedup_null_and_empty_text(spark):
     assert got[1] == (0, 0, "")
     assert got[2] == (1, 0, "")
     assert got[3] == (5, 0, "a b c d e")
+
+
+def test_round6_ops_empty(empty, spark):
+    from flink_window_dgim_traffic_spark.operators import (
+        analytics as AN,
+    )
+    from flink_window_dgim_traffic_spark.operators import corpus as C
+    from flink_window_dgim_traffic_spark.operators import graph as G
+
+    ev = empty("events")
+    docs = empty("documents")
+    assert AN.winsorized_stats(ev).count() == 0
+    assert AN.daily_movers(ev).count() == 0
+    assert C.shuffle_shards(docs).count() == 0
+    assert T.bigram_surprisal(docs).count() == 0
+    log = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.lit("U").alias("op"),
+        "value",
+    )
+    assert R.cdc_apply(log, ["user_id"], ["us", "event_id"]).count() == 0
+    e = spark.createDataFrame([], "src bigint, dst bigint")
+    assert G.kcore_fixed(e, k=2, rounds=2).count() == 0
+    assert G.kcore(e, k=2).count() == 0
+    assert G.ppr_fixed(e, [0]).count() == 0
+    # nearest as-of with an empty right side: all matches NULL
+    left = spark.createDataFrame([(1, 10)], "k bigint, ts bigint")
+    right = spark.createDataFrame([], "k bigint, ts bigint, rid bigint")
+    out = R.asof_join(
+        left, right, on="ts", by=["k"],
+        right_cols=["rid"], direction="nearest",
+    ).collect()
+    assert len(out) == 1 and out[0].asof_rid is None

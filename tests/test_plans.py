@@ -509,3 +509,30 @@ def test_round6_operator_plan_shapes(t):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_asof_nearest_single_exchange(t):
+    """direction='nearest' runs BOTH directional sweeps over the
+    same by-hash partitioning: ONE exchange (plus sorts), no join."""
+    import pyspark.sql.functions as F
+
+    from flink_window_dgim_traffic_spark.operators.relational import (
+        asof_join,
+    )
+
+    ev = t("events")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    df = asof_join(
+        buys, views, on="us", by=["user_id"],
+        right_cols=["event_id"], direction="nearest",
+        tiebreak="event_id",
+    )
+    assert not I.has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange") == 1

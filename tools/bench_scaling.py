@@ -491,6 +491,9 @@ def main() -> None:
         "shuffle_shards": lambda docs, emb: C.shuffle_shards(
             docs, 64
         ),
+        "kmeans_quantized": lambda docs, emb: S.kmeans_quantized(
+            emb, k=8, rounds=2
+        ),
         "asof_nearest": lambda docs, emb: R.asof_join(
             CTX["events_full"]
             .filter(F.col("event_type") == "purchase")
