@@ -1138,6 +1138,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_quantized": lambda s, d: S.kmeans_quantized(
             _embeddings(s, d), k=8, rounds=2
         ),
+        "path_regex_match": lambda s, d: AN.path_regex_match(
+            _events(s, d)
+        ),
         # ---- round-5 session-3 additions ----
         "fuzzy_supplier_pairs": _fuzzy_supplier_edges,
         "posting_lists": lambda s, d: RT.posting_lists(
@@ -1209,9 +1212,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _documents(s, d)
         ),
         "scd2_user_state": _scd2_user_state,
-        "m4_downsample_10min": lambda s, d: W.m4_downsample(
-            _events(s, d), 600
-        ),
         "hybrid_rrf_topk": lambda s, d: RT.hybrid_retrieval_rrf(
             _documents(s, d)
         ),
@@ -1250,6 +1250,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             D.ngram_jaccard_pairs(_documents(s, d), threshold=0.8),
         ),
         "session_paths": lambda s, d: AN.session_paths(_events(s, d)),
+        "m4_downsample_10min": lambda s, d: W.m4_downsample(
+            _events(s, d), 600
+        ),
         "gap_fill_60s": lambda s, d: W.gap_fill_tumble(_events(s, d), 60),
         "theta_audience_overlap_daily": lambda s, d: (
             SK.theta_audience_overlap(_events(s, d), 86400)
@@ -1926,6 +1929,19 @@ r3 AS (SELECT n.node,
          FROM r2 r JOIN deg d ON r.node = d.src JOIN e ON e.src = d.src
          GROUP BY 1) s ON n.node = s.dst)
 SELECT node, r AS rank_ppm FROM r3
+""",
+        # Batch MATCH_RECOGNIZE: journey string (ordered char-per-
+        # event) + RE2-subset regex; non-overlapping match count.
+        "path_regex_match": """
+WITH j AS (SELECT user_id, count(*) AS n_events,
+            string_agg(substr(event_type, 1, 1), ''
+                       ORDER BY epoch_us(ts), event_id) AS journey
+           FROM events GROUP BY user_id)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(regexp_matches(journey, 'v(c|v)*p') AS BIGINT) AS matched,
+       CAST(len(regexp_extract_all(journey, 'v(c|v)*p')) AS BIGINT)
+         AS n_matches
+FROM j
 """,
         # Deterministic training-shard shuffle: salted-md5 permutation
         # (the corpus_mix hash recipe), ONE exchange on shard.

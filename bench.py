@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "asof_nearest_views",
     "er_supplier_canonical",
     "kmeans_quantized",
+    "path_regex_match",
     "cdc_user_snapshot",
     "winsorized_value_stats",
     "max_concurrent_users",

@@ -763,3 +763,57 @@ def daily_movers(
         .cast("bigint")
         .alias("delta"),
     )
+
+
+def path_regex_match(
+    events: DataFrame,
+    pattern: str = "v(c|v)*p",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Batch MATCH_RECOGNIZE over whole user journeys: each user's
+    full time-ordered event-type sequence is encoded one CHARACTER
+    per event (first letter of the type — 'v'iew 'c'lick 'p'urchase
+    's'ignup 'e'rror) and matched against a plain regex — the
+    CEP-pattern query class (Flink MATCH_RECOGNIZE / Esper) reduced
+    to a string match, which works because a journey IS a string
+    once steps are deterministically ordered.  The default pattern
+    finds a view leading through clicks/views to a purchase.
+
+    Cross-engine exactness: the char encoding is injective on the
+    fixture types and the pattern stays in the RE2-compatible subset
+    both engines share; match COUNT uses non-overlapping left-to-
+    right semantics (regexp_count), identical in Spark and DuckDB.
+
+    Output: ``user_id, n_events, matched (0/1), n_matches``.
+
+    Scale shape: one keyed aggregation builds the per-user string
+    (structs sorted INSIDE the aggregate — never collect_list order),
+    then the regex is a map-only projection.  Per-user state is the
+    journey string: bounded by events-per-user; for power users cap
+    upstream (the ``session_paths`` max_steps discipline)."""
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+    )
+    journeys = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("us", "event_id", "ch"))
+                ),
+                lambda s: s["ch"],
+            ),
+            "",
+        ).alias("journey"),
+    )
+    return journeys.select(
+        "user_id",
+        "n_events",
+        F.col("journey").rlike(pattern).cast("bigint").alias("matched"),
+        F.regexp_count("journey", F.lit(pattern))
+        .cast("bigint")
+        .alias("n_matches"),
+    )

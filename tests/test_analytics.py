@@ -326,3 +326,36 @@ def test_daily_movers_hand_vector(spark):
         ("view", "2024-01-02"): (1, 0, 1),
         ("view", "2024-01-04"): (1, 1, 0),
     }
+
+
+def test_path_regex_match_hand_vector(spark):
+    import datetime as dt
+
+    from flink_window_dgim_traffic_spark.operators.analytics import (
+        path_regex_match,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def r(uid, i, et):
+        return (uid, t0 + dt.timedelta(seconds=i), i, et)
+
+    rows = [
+        # u1: view click purchase view purchase -> 'vcpvp':
+        # matches 'v(c|v)*p' at vcp and vp -> 2 non-overlapping
+        r(1, 1, "view"), r(1, 2, "click"), r(1, 3, "purchase"),
+        r(1, 4, "view"), r(1, 5, "purchase"),
+        # u2: no purchase -> no match
+        r(2, 1, "view"), r(2, 2, "click"),
+        # u3: error breaks the chain: 'vep' has no match
+        r(3, 1, "view"), r(3, 2, "error"), r(3, 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint,"
+        " event_type string"
+    )
+    got = {
+        r_.user_id: (r_.n_events, r_.matched, r_.n_matches)
+        for r_ in path_regex_match(df).collect()
+    }
+    assert got == {1: (5, 1, 2), 2: (2, 0, 0), 3: (3, 0, 0)}

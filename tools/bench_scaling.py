@@ -494,6 +494,9 @@ def main() -> None:
         "kmeans_quantized": lambda docs, emb: S.kmeans_quantized(
             emb, k=8, rounds=2
         ),
+        "path_regex_match": lambda docs, emb: AN.path_regex_match(
+            CTX["events_full"]
+        ),
         "asof_nearest": lambda docs, emb: R.asof_join(
             CTX["events_full"]
             .filter(F.col("event_type") == "purchase")
