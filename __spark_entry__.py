@@ -1051,6 +1051,50 @@ def _stream_ivm_join(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _ivm_join_cdc(s: SparkSession, d: str) -> DataFrame:
+    """Z-SET incremental join maintenance end to end (the DBSP
+    multiplicity generalization — deletes as -1 deltas, no history
+    rewrite): build the orders ⋈ lineitem view, RETRACT every
+    'F'-status order in one delta batch, re-insert the even-keyed
+    half in another, and digest the compacted view.  Oracle = the
+    one-shot join over exactly the surviving orders: incremental
+    retraction must be indistinguishable from never having ingested
+    the deleted rows."""
+    import tempfile
+
+    from flink_window_dgim_traffic_spark.operators import ivm as IV
+
+    base = tempfile.mkdtemp(prefix="spark_graft_ivmz_")
+    o = _orders(s, d).select("o_orderkey", "o_orderstatus")
+    li = _lineitem(s, d).select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_returnflag",
+        "l_quantity",
+    )
+    IV.build_join_view_zset(o, li, base, ["o_orderkey"])
+    dead = o.filter(F.col("o_orderstatus") == "F")
+    IV.refresh_join_view_zset(
+        s, base,
+        delta_left=dead.withColumn("_mult", F.lit(-1)),
+        tag="retract",
+    )
+    IV.refresh_join_view_zset(
+        s, base,
+        delta_left=dead.filter(F.col("o_orderkey") % 2 == 0),
+        tag="reinsert",
+    )
+    return (
+        IV.read_join_view(s, base)
+        .groupBy("o_orderstatus", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("sum_qty"),
+        )
+    )
+
+
 def _ivm_join_orders(s: SparkSession, d: str) -> DataFrame:
     """Incremental JOIN view maintenance driven end to end: the
     orders ⋈ lineitem view is built from one-third of each side, then
@@ -1141,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_regex_match": lambda s, d: AN.path_regex_match(
             _events(s, d)
         ),
+        "ivm_join_cdc": _ivm_join_cdc,
         # ---- round-5 session-3 additions ----
         "fuzzy_supplier_pairs": _fuzzy_supplier_edges,
         "posting_lists": lambda s, d: RT.posting_lists(
@@ -1212,9 +1257,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _documents(s, d)
         ),
         "scd2_user_state": _scd2_user_state,
-        "hybrid_rrf_topk": lambda s, d: RT.hybrid_retrieval_rrf(
-            _documents(s, d)
-        ),
         "stratified_sample": lambda s, d: C.stratified_sample(
             _documents(s, d), "source", 5
         ),
@@ -1250,6 +1292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             D.ngram_jaccard_pairs(_documents(s, d), threshold=0.8),
         ),
         "session_paths": lambda s, d: AN.session_paths(_events(s, d)),
+        "hybrid_rrf_topk": lambda s, d: RT.hybrid_retrieval_rrf(
+            _documents(s, d)
+        ),
         "m4_downsample_10min": lambda s, d: W.m4_downsample(
             _events(s, d), 600
         ),
@@ -1888,6 +1933,16 @@ WHERE rn = 1 AND event_type <> 'error'
         # indistinguishable from the one-shot join.
         "ivm_join_orders": ivm_digest_sql,
         "stream_ivm_join": ivm_digest_sql,
+        # Z-set retraction contract: the maintained view after
+        # delete/re-insert deltas == the one-shot join over exactly
+        # the surviving orders.
+        "ivm_join_cdc": """
+SELECT o_orderstatus, l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderstatus <> 'F' OR o_orderkey % 2 = 0
+GROUP BY 1, 2
+""",
         "stream_cdc_user_snapshot": cdc_snapshot_sql,
         # Personalized PageRank: identical unrolled rounds to the
         # pagerank_cowindow oracle, with the source-conditional

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "er_supplier_canonical",
     "kmeans_quantized",
     "path_regex_match",
+    "ivm_join_cdc",
     "cdc_user_snapshot",
     "winsorized_value_stats",
     "max_concurrent_users",

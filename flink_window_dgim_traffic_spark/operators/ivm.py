@@ -34,10 +34,11 @@ Scale notes: the L ⋈ ΔR term must scan the accumulated left state
 (that is inherent to join IVM — the new right rows may match ANY old
 left row); on a cluster, write both side states bucketed by the join
 key (``sources/bucketing.py``) so that scan is a shuffle-free
-bucket-local probe, and let AQE broadcast the delta side.  Insert-only
-deltas are assumed (the Flink append-stream join class); upstream
-deletes compose with :func:`relational.cdc_apply` compaction upstream
-or a retraction column, both outside this operator's contract.
+bucket-local probe, and let AQE broadcast the delta side.  The plain
+API is insert-only (the Flink append-stream join class); DELETES and
+duplicate bags are the Z-SET mode below (``build_join_view_zset`` /
+``refresh_join_view_zset`` — DBSP multiplicities, retraction as a
+-1 delta, same O(|Δ|) cost and append-only storage).
 """
 
 from __future__ import annotations
@@ -184,14 +185,32 @@ def refresh_join_view(
 
 def read_join_view(spark, path: str) -> DataFrame:
     """The maintained join: union of every COMMITTED view delta —
-    staged (uncommitted) dirs are invisible by construction."""
-    tags = _visible_tags(path)
-    if not tags:
+    staged (uncommitted) dirs are invisible by construction.  For a
+    Z-set view the deltas are COMPACTED on read (mult-sum per
+    distinct row, non-positive rows dropped, surviving rows
+    replicated by their multiplicity) so the result is the plain bag
+    the one-shot join would produce — a delete delta really removes
+    its rows."""
+    from pyspark.sql import functions as F
+
+    committed = _committed(path)
+    if not committed:
         raise ValueError(f"no committed join view at {path!r}")
+    tags = [t for _, t in committed]
     df = _read_deltas(spark, path, "view", tags)
     if df is None:
         raise ValueError(f"committed view has no delta dirs at {path!r}")
-    return df
+    if not _meta(path, *committed[0]).get("zset"):
+        return df
+    cols = [c for c in df.columns if c != "_mult"]
+    bag = (
+        df.groupBy(*cols)
+        .agg(F.sum("_mult").cast("bigint").alias("_m"))
+        .filter(F.col("_m") > 0)
+    )
+    return bag.select(
+        *cols, F.explode(F.expr("sequence(1, _m)")).alias("_i")
+    ).drop("_i")
 
 
 def ivm_refresh_batch_fn(path: str, side: str = "left"):
@@ -216,3 +235,136 @@ def ivm_refresh_batch_fn(path: str, side: str = "left"):
         )
 
     return process
+
+
+# ----------------------------------------------------------------------
+# Z-set (multiplicity) mode: DELETES without history rewrites
+# ----------------------------------------------------------------------
+# The DBSP/Differential-Dataflow generalization: every delta row
+# carries an integer multiplicity ``_mult`` (+1 insert, -1 retract,
+# +n duplicate bag rows), the join is BILINEAR in multiplicities
+# (ΔV mult = l._mult · r._mult — which is exactly why the three-term
+# delta rule extends unchanged to deletes), and the materialized view
+# is the mult-sum per distinct row with non-positive rows dropped.
+# Storage stays append-only delta dirs + atomic markers: a delete is
+# just another delta file, so retractions cost O(|Δ|) like inserts and
+# history is still never rewritten.
+
+
+def _with_mult(df: DataFrame, zset: bool) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    if not zset:
+        return df
+    if "_mult" not in df.columns:
+        return df.withColumn("_mult", F.lit(1).cast("bigint"))
+    return df.withColumn("_mult", F.col("_mult").cast("bigint"))
+
+
+def _join_deltas(left: DataFrame, right: DataFrame, keys: list[str],
+                 zset: bool) -> DataFrame:
+    """Inner join of two delta sets; in zset mode the output
+    multiplicity is the PRODUCT of the sides' (bilinearity)."""
+    from pyspark.sql import functions as F
+
+    if not zset:
+        return left.join(right, keys)
+    l = left.withColumnRenamed("_mult", "_lm")
+    r = right.withColumnRenamed("_mult", "_rm")
+    return (
+        l.join(r, keys)
+        .withColumn("_mult", (F.col("_lm") * F.col("_rm")).cast("bigint"))
+        .drop("_lm", "_rm")
+    )
+
+
+def build_join_view_zset(
+    left: DataFrame,
+    right: DataFrame,
+    path: str,
+    keys: list[str],
+    tag: str = "base",
+) -> bool:
+    """Z-set twin of :func:`build_join_view`: sides may carry a
+    ``_mult`` BIGINT column (added as +1 when absent); the view
+    stores multiplicities and :func:`read_join_view` compacts them."""
+    overlap = (set(left.columns) & set(right.columns)) - set(keys) - {"_mult"}
+    if overlap:
+        raise ValueError(
+            f"non-key columns shared between sides: {sorted(overlap)}"
+        )
+    if _committed(path):
+        return False
+    l, r = _with_mult(left, True), _with_mult(right, True)
+    l.write.mode("overwrite").parquet(_delta_dir(path, "left", tag))
+    r.write.mode("overwrite").parquet(_delta_dir(path, "right", tag))
+    _join_deltas(l, r, keys, True).write.mode("overwrite").parquet(
+        _delta_dir(path, "view", tag)
+    )
+    _write_marker(
+        path, 1, tag,
+        {"keys": keys, "sides": ["left", "right", "view"], "zset": True},
+    )
+    return True
+
+
+def refresh_join_view_zset(
+    spark,
+    path: str,
+    delta_left: DataFrame | None = None,
+    delta_right: DataFrame | None = None,
+    tag: str | None = None,
+) -> bool:
+    """Fold Z-set deltas (inserts, deletes as ``_mult`` = -1,
+    duplicates as +n) into the materialized join — same staged-dir +
+    atomic-marker exactly-once contract as
+    :func:`refresh_join_view`, same three-term delta rule; deletes
+    need NO special casing because the join is bilinear in
+    multiplicities."""
+    committed = _committed(path)
+    if not committed:
+        raise ValueError(
+            f"no committed join view at {path!r} — run"
+            " build_join_view_zset first"
+        )
+    meta0 = _meta(path, *committed[0])
+    if not meta0.get("zset"):
+        raise ValueError(
+            f"{path!r} is an insert-only view; use refresh_join_view"
+        )
+    base_seq, _ = committed[-1]
+    if tag is None:
+        tag = f"refresh-{base_seq + 1}"
+    if any(t == tag for _, t in committed):
+        return False
+    keys = meta0["keys"]
+    tags = [t for _, t in committed]
+    left_state = _read_deltas(spark, path, "left", tags)
+    right_state = _read_deltas(spark, path, "right", tags)
+    dl = _with_mult(delta_left, True) if delta_left is not None else None
+    dr = _with_mult(delta_right, True) if delta_right is not None else None
+    sides = []
+    view_terms = []
+    if dl is not None:
+        if right_state is not None:
+            view_terms.append(_join_deltas(dl, right_state, keys, True))
+        dl.write.mode("overwrite").parquet(_delta_dir(path, "left", tag))
+        sides.append("left")
+    if dr is not None:
+        if left_state is not None:
+            view_terms.append(_join_deltas(left_state, dr, keys, True))
+        dr.write.mode("overwrite").parquet(_delta_dir(path, "right", tag))
+        sides.append("right")
+    if dl is not None and dr is not None:
+        view_terms.append(_join_deltas(dl, dr, keys, True))
+    if view_terms:
+        dv = view_terms[0]
+        for t in view_terms[1:]:
+            dv = dv.unionByName(t)
+        dv.write.mode("overwrite").parquet(_delta_dir(path, "view", tag))
+        sides.append("view")
+    _write_marker(
+        path, base_seq + 1, tag,
+        {"keys": keys, "sides": sides, "zset": True},
+    )
+    return True

@@ -118,3 +118,55 @@ def test_ivm_streaming_batch_fn_equals_direct_join(spark, tmp_path):
     fn(b1, 1)
     want = _rows(left.join(b0.unionByName(b1), "k"))
     assert _rows(read_join_view(spark, p)) == want
+
+
+def test_ivm_zset_deletes_and_duplicates(spark, tmp_path):
+    """Z-set mode: deletes (mult -1) remove their join rows, a
+    re-insert restores them, duplicate rows (mult 2) count twice,
+    and the compacted view equals the one-shot join of the compacted
+    sides at every step."""
+    from pyspark.sql import functions as F
+
+    from flink_window_dgim_traffic_spark.operators.ivm import (
+        build_join_view_zset,
+        read_join_view,
+        refresh_join_view_zset,
+    )
+
+    p = str(tmp_path / "jvz")
+    L = "k bigint, lv string"
+    R = "k bigint, rv string"
+    l0 = _mk(spark, [(1, "a"), (2, "b")], L)
+    r0 = _mk(spark, [(1, "x"), (2, "y"), (1, "x2")], R)
+    assert build_join_view_zset(l0, r0, p, ["k"])
+    assert _rows(read_join_view(spark, p)) == _rows(l0.join(r0, "k"))
+
+    # delete left k=1 -> both its join rows vanish
+    d1 = l0.filter("k = 1").withColumn("_mult", F.lit(-1))
+    assert refresh_join_view_zset(spark, p, delta_left=d1, tag="del1")
+    assert _rows(read_join_view(spark, p)) == _rows(
+        l0.filter("k = 2").join(r0, "k")
+    )
+
+    # re-insert it -> rows come back
+    d2 = l0.filter("k = 1")
+    assert refresh_join_view_zset(spark, p, delta_left=d2, tag="ins1")
+    assert _rows(read_join_view(spark, p)) == _rows(l0.join(r0, "k"))
+
+    # duplicate right row with mult 2 -> its join rows count twice
+    d3 = _mk(spark, [(2, "z")], R).withColumn("_mult", F.lit(2))
+    assert refresh_join_view_zset(spark, p, delta_right=d3, tag="dup")
+    got = _rows(read_join_view(spark, p))
+    assert got.count((2, "b", "z")) == 2
+
+    # delete one copy -> exactly one remains
+    d4 = _mk(spark, [(2, "z")], R).withColumn("_mult", F.lit(-1))
+    assert refresh_join_view_zset(spark, p, delta_right=d4, tag="undup")
+    got = _rows(read_join_view(spark, p))
+    assert got.count((2, "b", "z")) == 1
+
+    # replay idempotence holds for zset refreshes too
+    assert not refresh_join_view_zset(
+        spark, p, delta_right=d4, tag="undup"
+    )
+    assert _rows(read_join_view(spark, p)) == got

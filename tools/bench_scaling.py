@@ -255,6 +255,34 @@ def _ivm_refresh(spark) -> None:
     )
 
 
+def _ivm_zset_retract(spark) -> None:
+    """One Z-set RETRACTION refresh (a fixed 1× batch of -1 deltas)
+    into a join view whose accumulated state spans scale× history:
+    deletes must cost O(|Δ|) like inserts — never a history
+    rewrite."""
+    from flink_window_dgim_traffic_spark.operators import ivm as IV
+
+    path = f"{OUT}/ivmz_x{CTX['scale']}"
+    ev = spark.read.parquet(CTX["events_full_path"]).select(
+        "event_id", "user_id", "value"
+    )
+    if not os.path.isdir(f"{path}/_commits"):
+        dim = ev.select("user_id").distinct().withColumn(
+            "seg", (F.col("user_id") % 7).cast("bigint")
+        )
+        IV.build_join_view_zset(ev, dim, path, ["user_id"])
+    batch = (
+        spark.read.parquet(f"{OUT}/events_full_x1.parquet")
+        .select("event_id", "user_id", "value")
+        .withColumn("_mult", F.lit(-1))
+    )
+    CTX["ivmz_seq"] = CTX.get("ivmz_seq", 0) + 1
+    IV.refresh_join_view_zset(
+        spark, path, delta_left=batch,
+        tag=f"z{CTX['scale']}_{CTX['ivmz_seq']}",
+    )
+
+
 def _rollup_refresh(spark) -> None:
     """One refresh of a FIXED-size batch (the 1× events) into a
     hierarchy built from the scale×-span event log: measures how the
@@ -530,6 +558,7 @@ def main() -> None:
         "rollup_refresh": _rollup_refresh,
         "sketch_rollup_refresh": _sketch_rollup_refresh,
         "ivm_refresh": _ivm_refresh,
+        "ivm_zset_retract": _ivm_zset_retract,
     }
 
     only = os.environ.get("SPARK_GRAFT_SCALING_OPS")
