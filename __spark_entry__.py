@@ -317,13 +317,26 @@ def _scd2_with_deletes(s: SparkSession, d: str) -> DataFrame:
 # build is pinned once with an eager localCheckpoint so the graph
 # iterations read materialized edges instead of re-running the
 # window self-join.
-_COWINDOW_EDGE_CACHE: dict[tuple[int, str, int], DataFrame] = {}
+_COWINDOW_EDGE_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _session_token(s: SparkSession) -> str:
+    """Session-unique cache key component: the Spark application id,
+    which a stopped-and-replaced session never reuses — unlike
+    ``id(session)``, which CPython can recycle for a NEW session
+    after the old one is garbage-collected, handing out checkpointed
+    DataFrames bound to a dead context.  Keying on the app id also
+    self-evicts: entries of a stopped application are unreachable
+    under the new application's key (the handful of stale entries
+    cost dict slots, not executor memory — their blocks died with
+    the context)."""
+    return s.sparkContext.applicationId
 
 
 def _cowindow_edges(s: SparkSession, d: str, size_sec: int) -> DataFrame:
     from flink_window_dgim_traffic_spark.operators import graph as G
 
-    key = (id(s), d, size_sec)
+    key = (_session_token(s), d, size_sec)
     df = _COWINDOW_EDGE_CACHE.get(key)
     if df is None:
         df = G.cowindow_user_edges(
@@ -339,11 +352,11 @@ def _cowindow_edges(s: SparkSession, d: str, size_sec: int) -> DataFrame:
 # built once per (session, sf_dir) and pinned with an eager
 # localCheckpoint — the graph iterations then read the materialized
 # ≤|pairs| edge rows instead of re-running the segment join.
-_FUZZY_EDGE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_FUZZY_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _fuzzy_supplier_edges(s: SparkSession, d: str) -> DataFrame:
-    key = (id(s), d)
+    key = (_session_token(s), d)
     df = _FUZZY_EDGE_CACHE.get(key)
     if df is None:
         df = MT.edit_distance_join(

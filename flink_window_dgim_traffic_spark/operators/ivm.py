@@ -91,9 +91,19 @@ def _read_deltas(spark, path: str, side: str, tags: list[str]) -> DataFrame | No
 
 
 def _visible_tags(path: str) -> list[str]:
-    """Tags of committed refreshes in commit order — the only deltas
-    a reader may union."""
-    return [t for _, t in _committed(path)]
+    """Tags whose delta dirs a reader may union, in commit order —
+    the committed history with compaction applied: a marker carrying
+    ``absorbs`` supersedes those tags' dirs with its own, so after a
+    compaction the visible set is O(1 + refreshes-since-compaction),
+    never O(total refreshes).  (Replay-skip checks still consult the
+    FULL committed list — an absorbed tag stays committed.)"""
+    vis: list[str] = []
+    for seq, tag in _committed(path):
+        for absorbed in _meta(path, seq, tag).get("absorbs", []):
+            if absorbed in vis:
+                vis.remove(absorbed)
+        vis.append(tag)
+    return vis
 
 
 def build_join_view(
@@ -131,26 +141,37 @@ def refresh_join_view(
     delta_left: DataFrame | None = None,
     delta_right: DataFrame | None = None,
     tag: str | None = None,
+    compact_after: int | None = None,
 ) -> bool:
     """Fold insert-only deltas of either (or both) sides into the
     materialized join: stage ``left/right/view`` delta dirs for this
     tag, then promote with one marker.  ΔV is the three-term delta
     rule; the ΔL⋈ΔR term is what keeps same-batch matches from being
     missed, and joining ΔL against the PRE-refresh right state is
-    what keeps them from being counted twice."""
+    what keeps them from being counted twice.  With ``compact_after``
+    set, a successful refresh that leaves more than that many visible
+    delta dirs triggers :func:`compact_join_view` — amortized O(1)
+    read fan-in for long-running maintenance loops."""
     committed = _committed(path)
     if not committed:
         raise ValueError(
             f"no committed join view at {path!r} — run"
             " build_join_view first"
         )
+    meta0 = _meta(path, *committed[0])
+    if meta0.get("zset"):
+        raise ValueError(
+            f"{path!r} is a Z-set view; use refresh_join_view_zset"
+            " (a plain refresh would stage _mult-less deltas and"
+            " corrupt the multiplicity state)"
+        )
     base_seq, base_tag = committed[-1]
     if tag is None:
         tag = f"refresh-{base_seq + 1}"
     if any(t == tag for _, t in committed):
         return False
-    keys = _meta(path, *committed[0])["keys"]
-    tags = [t for _, t in committed]
+    keys = meta0["keys"]
+    tags = _visible_tags(path)
     left_state = _read_deltas(spark, path, "left", tags)
     right_state = _read_deltas(spark, path, "right", tags)
     sides = []
@@ -180,6 +201,8 @@ def refresh_join_view(
         )
         sides.append("view")
     _write_marker(path, base_seq + 1, tag, {"keys": keys, "sides": sides})
+    if compact_after is not None and len(_visible_tags(path)) > compact_after:
+        compact_join_view(spark, path)
     return True
 
 
@@ -196,7 +219,7 @@ def read_join_view(spark, path: str) -> DataFrame:
     committed = _committed(path)
     if not committed:
         raise ValueError(f"no committed join view at {path!r}")
-    tags = [t for _, t in committed]
+    tags = _visible_tags(path)
     df = _read_deltas(spark, path, "view", tags)
     if df is None:
         raise ValueError(f"committed view has no delta dirs at {path!r}")
@@ -213,7 +236,9 @@ def read_join_view(spark, path: str) -> DataFrame:
     ).drop("_i")
 
 
-def ivm_refresh_batch_fn(path: str, side: str = "left"):
+def ivm_refresh_batch_fn(
+    path: str, side: str = "left", run_id: str | None = None
+):
     """foreachBatch wrapper for STREAMING maintenance of the join
     view: the micro-batch is the delta of ``side`` and the batch id
     IS the refresh tag, so the staged-delta + atomic-marker promotion
@@ -221,9 +246,19 @@ def ivm_refresh_batch_fn(path: str, side: str = "left"):
     crash-replay at any point — a replayed committed batch returns
     immediately, a replayed crashed batch re-stages from the same
     committed base (the ``rollup.rollup_refresh_batch_fn``
-    discipline applied to joins)."""
+    discipline applied to joins).
+
+    Tag namespacing: the replay skip keys on the tag alone, so batch
+    ids are only unique within ONE checkpoint lineage.  Pass
+    ``run_id`` (e.g. the checkpoint dir's name, or the stream's
+    query id) whenever the view path may outlive a checkpoint
+    location or be fed by more than one stream — otherwise a
+    restarted-from-scratch stream re-issues batch 0 and the skip
+    silently drops its data.  Without a run_id the checkpoint dir
+    and view path lifetimes MUST be coupled (delete both together)."""
     if side not in ("left", "right"):
         raise ValueError(f"side must be left/right, got {side!r}")
+    prefix = f"{run_id}-" if run_id else ""
 
     def process(batch: DataFrame, batch_id: int) -> None:
         refresh_join_view(
@@ -231,10 +266,83 @@ def ivm_refresh_batch_fn(path: str, side: str = "left"):
             path,
             delta_left=batch if side == "left" else None,
             delta_right=batch if side == "right" else None,
-            tag=f"batch-{batch_id}",
+            tag=f"{prefix}batch-{batch_id}",
         )
 
     return process
+
+
+def compact_join_view(
+    spark, path: str, min_tags: int = 2, clean: bool = True
+) -> bool:
+    """Fold every visible delta dir into ONE compacted snapshot per
+    side — the maintenance job that keeps :func:`read_join_view` /
+    refresh fan-in O(1) instead of O(#refreshes) (after 10k
+    streaming batches the naive reader unions 10k parquet dirs and
+    pays an O(#refreshes) listing per query; the VERDICT-r6 design
+    gap).  The ``compact_curation_state`` idempotence discipline
+    applied to BAG/Z-set state, where duplicates are NOT semantically
+    invisible, so staging + one atomic marker replaces set-idempotence:
+
+    - write ``left/right/view delta-compact-<seq>`` = union of the
+      visible dirs (Z-set mode additionally mult-sums per distinct
+      row and drops exact zeros — negative totals are kept, they are
+      legitimate transient Z-set state);
+    - commit ONE marker whose ``absorbs`` lists the superseded tags —
+      :func:`_visible_tags` then swaps them for the compacted dirs;
+    - only after the marker, delete absorbed dirs (``clean=True``).
+
+    Crash-safe at every point: before the marker the staged compact
+    dirs are invisible and a rerun overwrites them from the still-
+    present sources; after the marker the absorbed dirs are dead
+    weight a rerun's leftover sweep removes.  Replay-skip of past
+    refresh tags keeps working — absorbed tags stay in the committed
+    list.  Returns False (no-op) below ``min_tags`` visible dirs."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    committed = _committed(path)
+    if not committed:
+        raise ValueError(f"no committed join view at {path!r}")
+    meta0 = _meta(path, *committed[0])
+    vis = _visible_tags(path)
+    # leftover sweep: dirs of committed-but-absorbed tags (a prior
+    # compaction that crashed between marker and cleanup)
+    stale = {t for _, t in committed} - set(vis)
+    for side in ("left", "right", "view"):
+        for t in stale:
+            shutil.rmtree(_delta_dir(path, side, t), ignore_errors=True)
+    if len(vis) < min_tags:
+        return False
+    base_seq, _ = committed[-1]
+    ctag = f"compact-{base_seq + 1}"
+    zset = bool(meta0.get("zset"))
+    sides = []
+    for side in ("left", "right", "view"):
+        df = _read_deltas(spark, path, side, vis)
+        if df is None:
+            continue
+        if zset:
+            cols = [c for c in df.columns if c != "_mult"]
+            df = (
+                df.groupBy(*cols)
+                .agg(F.sum("_mult").cast("bigint").alias("_mult"))
+                .filter(F.col("_mult") != 0)
+            )
+        df.write.mode("overwrite").parquet(_delta_dir(path, side, ctag))
+        sides.append(side)
+    meta = {"keys": meta0["keys"], "sides": sides, "absorbs": vis}
+    if zset:
+        meta["zset"] = True
+    _write_marker(path, base_seq + 1, ctag, meta)
+    if clean:
+        for side in ("left", "right", "view"):
+            for t in vis:
+                shutil.rmtree(
+                    _delta_dir(path, side, t), ignore_errors=True
+                )
+    return True
 
 
 # ----------------------------------------------------------------------
@@ -314,13 +422,16 @@ def refresh_join_view_zset(
     delta_left: DataFrame | None = None,
     delta_right: DataFrame | None = None,
     tag: str | None = None,
+    compact_after: int | None = None,
 ) -> bool:
     """Fold Z-set deltas (inserts, deletes as ``_mult`` = -1,
     duplicates as +n) into the materialized join — same staged-dir +
     atomic-marker exactly-once contract as
     :func:`refresh_join_view`, same three-term delta rule; deletes
     need NO special casing because the join is bilinear in
-    multiplicities."""
+    multiplicities.  ``compact_after`` as in
+    :func:`refresh_join_view` (the Z-set compaction additionally
+    mult-sums, so absorbed retractions physically shrink state)."""
     committed = _committed(path)
     if not committed:
         raise ValueError(
@@ -338,7 +449,7 @@ def refresh_join_view_zset(
     if any(t == tag for _, t in committed):
         return False
     keys = meta0["keys"]
-    tags = [t for _, t in committed]
+    tags = _visible_tags(path)
     left_state = _read_deltas(spark, path, "left", tags)
     right_state = _read_deltas(spark, path, "right", tags)
     dl = _with_mult(delta_left, True) if delta_left is not None else None
@@ -367,4 +478,6 @@ def refresh_join_view_zset(
         path, base_seq + 1, tag,
         {"keys": keys, "sides": sides, "zset": True},
     )
+    if compact_after is not None and len(_visible_tags(path)) > compact_after:
+        compact_join_view(spark, path)
     return True

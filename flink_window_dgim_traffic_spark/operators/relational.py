@@ -1965,9 +1965,12 @@ def join_hotspots(
 
     Scale shape: two keyed count aggregations (map-side combined),
     one equi-join of the two COUNT tables (key-cardinality-sized,
-    not row-sized), TakeOrderedAndProject for the top-k — the
-    prospective join's row space is never materialized.
-    Deterministic tie-break on the key columns."""
+    not row-sized), then ``orderBy().limit(k)`` — planned as
+    TakeOrderedAndProject (per-partition k-row heads + one k-row
+    merge, never a global sort of the key table) — the prospective
+    join's row space is never materialized and the only ordered
+    unpartitioned window ranks the ≤ k survivors.  Deterministic
+    tie-break on the key columns."""
     lc = left.groupBy(*key_cols).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_left")
     )
@@ -1983,10 +1986,10 @@ def join_hotspots(
         ),
     )
     order = [F.col("fanout").desc()] + [F.col(c).asc() for c in key_cols]
+    topk = j.orderBy(*order).limit(k)
     w = Window.orderBy(*order)
-    return (
-        j.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= k)
+    return topk.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
     )
 
 

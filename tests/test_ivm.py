@@ -170,3 +170,121 @@ def test_ivm_zset_deletes_and_duplicates(spark, tmp_path):
         spark, p, delta_right=d4, tag="undup"
     )
     assert _rows(read_join_view(spark, p)) == got
+
+
+def test_ivm_compaction_preserves_view_and_future_refreshes(
+    spark, tmp_path
+):
+    """read_join_view before == after compact_join_view; a refresh
+    AFTER compaction (whose L⋈ΔR term probes the compacted state)
+    still equals the one-shot join; absorbed tags stay replay-
+    skipped; absorbed delta dirs are physically gone."""
+    p = str(tmp_path / "jv")
+    L = "k bigint, lv string"
+    R = "k bigint, rv string"
+    l0 = _mk(spark, [(1, "a"), (2, "b")], L)
+    r0 = _mk(spark, [(1, "x")], R)
+    ivm.build_join_view(l0, r0, p, ["k"])
+    l1 = _mk(spark, [(3, "c")], L)
+    r1 = _mk(spark, [(2, "y"), (3, "z")], R)
+    ivm.refresh_join_view(spark, p, l1, r1, tag="b1")
+    l2 = _mk(spark, [(1, "d")], L)
+    ivm.refresh_join_view(spark, p, delta_left=l2, tag="b2")
+    before = _rows(ivm.read_join_view(spark, p))
+    assert ivm.compact_join_view(spark, p)
+    assert _rows(ivm.read_join_view(spark, p)) == before
+    # fan-in is now ONE visible tag
+    assert len(ivm._visible_tags(p)) == 1
+    # absorbed dirs removed, replay skip still honors absorbed tags
+    assert not os.path.isdir(f"{p}/view/delta-b1")
+    assert not ivm.refresh_join_view(spark, p, delta_left=l1, tag="b1")
+    # post-compaction refresh probes the compacted state correctly
+    r3 = _mk(spark, [(1, "w"), (3, "v")], R)
+    assert ivm.refresh_join_view(spark, p, delta_right=r3, tag="b3")
+    all_l = l0.unionByName(l1).unionByName(l2)
+    all_r = r0.unionByName(r1).unionByName(r3)
+    assert _rows(ivm.read_join_view(spark, p)) == _rows(
+        all_l.join(all_r, "k")
+    )
+    # below min_tags the compactor is a no-op... after compacting b3
+    assert ivm.compact_join_view(spark, p)
+    assert not ivm.compact_join_view(spark, p)
+
+
+def test_ivm_zset_compaction_and_crash_midway(spark, tmp_path):
+    """Z-set compaction mult-sums (retracted rows physically vanish,
+    net-negative rows survive); a compaction that crashes BEFORE the
+    marker leaves the view untouched and a rerun converges; plain
+    refresh_join_view on a zset view raises."""
+    import pytest
+
+    p = str(tmp_path / "jvz")
+    L = "k bigint, lv string"
+    R = "k bigint, rv string"
+    l0 = _mk(spark, [(1, "a"), (2, "b")], L)
+    r0 = _mk(spark, [(1, "x"), (2, "y")], R)
+    ivm.build_join_view_zset(l0, r0, p, ["k"])
+    # retract (2,b) entirely, and pre-retract a future right row
+    l_neg = _mk(spark, [(2, "b")], L).withColumn(
+        "_mult", F.lit(-1).cast("bigint")
+    )
+    ivm.refresh_join_view_zset(spark, p, delta_left=l_neg, tag="b1")
+    with pytest.raises(ValueError, match="Z-set"):
+        ivm.refresh_join_view(spark, p, delta_left=l0, tag="nope")
+    before = _rows(ivm.read_join_view(spark, p))
+    assert before == [(1, "a", "x")]
+
+    # crash mid-compaction: marker write raises after dirs staged
+    real = ivm._write_marker
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before marker")
+
+    ivm._write_marker = boom
+    try:
+        with pytest.raises(RuntimeError):
+            ivm.compact_join_view(spark, p)
+    finally:
+        ivm._write_marker = real
+    # staged compact dirs are invisible
+    assert _rows(ivm.read_join_view(spark, p)) == before
+    # rerun converges; the zset left state physically dropped (2,b)
+    assert ivm.compact_join_view(spark, p)
+    assert _rows(ivm.read_join_view(spark, p)) == before
+    tags = ivm._visible_tags(p)
+    assert len(tags) == 1
+    left_state = spark.read.parquet(f"{p}/left/delta-{tags[0]}")
+    assert _rows(left_state.select("k", "lv")) == [(1, "a")]
+
+
+def test_ivm_auto_compaction_and_run_id_namespace(spark, tmp_path):
+    """compact_after keeps visible fan-in bounded across many
+    refreshes; run_id-namespaced batch fns from two lineages don't
+    collide on batch ids."""
+    p = str(tmp_path / "jva")
+    L = "k bigint, lv string"
+    R = "k bigint, rv string"
+    ivm.build_join_view(
+        _mk(spark, [(1, "a")], L), _mk(spark, [(1, "x")], R), p, ["k"]
+    )
+    for i in range(6):
+        ivm.refresh_join_view(
+            spark, p,
+            delta_left=_mk(spark, [(1, f"v{i}")], L),
+            tag=f"t{i}", compact_after=3,
+        )
+    assert len(ivm._visible_tags(p)) <= 4
+    got = _rows(ivm.read_join_view(spark, p))
+    assert len(got) == 7  # (1,a,x) + six refreshed rows
+
+    # two streams with distinct run_ids both deliver their batch 0
+    p2 = str(tmp_path / "jvb")
+    ivm.build_join_view(
+        _mk(spark, [(1, "a")], L), _mk(spark, [(1, "x")], R), p2, ["k"]
+    )
+    fn_a = ivm.ivm_refresh_batch_fn(p2, "left", run_id="runA")
+    fn_b = ivm.ivm_refresh_batch_fn(p2, "left", run_id="runB")
+    fn_a(_mk(spark, [(1, "fromA")], L), 0)
+    fn_b(_mk(spark, [(1, "fromB")], L), 0)
+    vals = {r[1] for r in _rows(ivm.read_join_view(spark, p2))}
+    assert {"fromA", "fromB"} <= vals

@@ -536,3 +536,38 @@ def test_asof_nearest_single_exchange(t):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_round7_rfm_no_global_ntile(t):
+    """rfm_segments (VERDICT r6 #1): the three global single-task
+    ntile sorts are gone — tiling runs through _dist_ntile's sharded
+    rank.  Pin: no ntile in the plan, the rank windows are hash-
+    partitioned on the _s1 shard, and the only ordered-unpartitioned
+    windows are the bounded <=256-row shard-total prefixes (one per
+    metric pass)."""
+    from flink_window_dgim_traffic_spark.operators.analytics import (
+        rfm_segments,
+    )
+
+    df = rfm_segments(t("events"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan
+    # the data-proportional rank windows are partitioned on the shard
+    assert "hashpartitioning(_s1" in plan
+    # every SinglePartition exchange is bounded: per metric pass one
+    # 1-row min/max aggregate + one <=256-row shard-total prefix
+    # (the final pass's plan shows its own pair; earlier passes hide
+    # behind the checkpoint pins) — never a data-proportional funnel
+    assert plan.count("Exchange SinglePartition") <= 4
+
+
+def test_round7_join_hotspots_takeordered(t):
+    """join_hotspots (VERDICT r6 #2): top-k by fanout is
+    TakeOrderedAndProject (per-partition heads + k-row merge), not a
+    global row_number over every distinct key; the remaining
+    unpartitioned window ranks only the <= k survivors."""
+    ev = t("events")
+    df = R.join_hotspots(ev, ev, ["user_id"], 20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert not I.has_cartesian(df)
