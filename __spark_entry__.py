@@ -366,6 +366,16 @@ def _fuzzy_supplier_edges(s: SparkSession, d: str) -> DataFrame:
     return df
 
 
+def _fuzzy_supplier_edges_cold(s: SparkSession, d: str) -> DataFrame:
+    """COLD-PATH twin of ``fuzzy_supplier_pairs``: the same PassJoin
+    edit-distance edge build, but bypassing the session edge cache —
+    this is the ~seconds-at-sf0.1 build cost that the five cached
+    graph-family timings amortize away (VERDICT r6 perf caveat); a
+    benched cold entry keeps it visible in the cross-round ratio
+    discipline.  Same output, same oracle as fuzzy_supplier_pairs."""
+    return MT.edit_distance_join(_supplier(s, d), "s_suppkey", "s_name", 1)
+
+
 def _components_fuzzy_suppliers(s: SparkSession, d: str) -> DataFrame:
     """Generic connected components (min-label propagation) over the
     supplier name-similarity graph; oracle = recursive-CTE closure."""
@@ -1167,8 +1177,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``approx_distinct_users`` is bound-checked against
     ``distinct_users``."""
     return {
-        # ---- round-6 additions (window discipline: new ops enter
-        # ahead of already-green entries) ----
+        # ---- round-7 additions / changed-this-round (window
+        # discipline: new + changed ops enter ahead of green
+        # entries; the three green unchanged tail entries slide
+        # past slot 50 and keep their local-sweep oracles) ----
+        "fuzzy_supplier_edges_cold": _fuzzy_supplier_edges_cold,
+        "rfm_segments": lambda s, d: AN.rfm_segments(_events(s, d)),
+        "join_hotspots": lambda s, d: R.join_hotspots(
+            _events(s, d), _events(s, d), ["user_id"], 20
+        ),
+        # Flink window-TVF family completion: Window Deduplication +
+        # Window Join (inner and anti modes)
+        "window_dedup_first": lambda s, d: W.window_dedup(
+            _events(s, d), 600
+        ),
+        "window_join_views_buys": lambda s, d: W.window_join(
+            _events(s, d).filter(F.col("event_type") == "view"),
+            _events(s, d).filter(F.col("event_type") == "purchase"),
+            600,
+        ),
+        "window_antijoin_views": lambda s, d: W.window_join(
+            _events(s, d).filter(F.col("event_type") == "view"),
+            _events(s, d).filter(F.col("event_type") == "purchase"),
+            600,
+            how="left_anti",
+        ),
+        # ---- round-6 additions ----
         "max_concurrent_users": lambda s, d: W.max_concurrency(
             _user_day_intervals(s, d), bucket_sec=600
         ),
@@ -1288,7 +1322,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # this round to make room for the never-verified block above;
         # all keep their oracle_sql() twins for the local sweep ----
         "hop_topn": lambda s, d: W.hop_topn(_events(s, d), 60, 10, 3),
-        "rfm_segments": lambda s, d: AN.rfm_segments(_events(s, d)),
         "conversion_latency": lambda s, d: AN.conversion_latency(
             _events(s, d)
         ),
@@ -1317,9 +1350,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "percentile_rank": lambda s, d: AN.percentile_rank(
             _events(s, d)
-        ),
-        "join_hotspots": lambda s, d: R.join_hotspots(
-            _events(s, d), _events(s, d), ["user_id"], 20
         ),
         "twap_user_30min": lambda s, d: W.time_weighted_avg(
             _events(s, d), 1800
@@ -2274,6 +2304,54 @@ FROM (
         # the oracle is the brute-force O(n²) levenshtein scan the
         # signature join must reproduce exactly.
         "fuzzy_supplier_pairs": """
+SELECT a.s_suppkey AS id_lo, b.s_suppkey AS id_hi,
+       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS ed
+FROM supplier a JOIN supplier b
+  ON a.s_suppkey < b.s_suppkey
+ AND levenshtein(a.s_name, b.s_name) <= 1
+""",
+        # Flink Window Deduplication: rownum=1 per (window, key)
+        # under (ts, event_id) — integer-µs window slots
+        "window_dedup_first": """
+WITH t AS (
+  SELECT *, epoch_us(ts) // 600000000 AS wslot,
+         row_number() OVER (
+           PARTITION BY epoch_us(ts) // 600000000, user_id
+           ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events)
+SELECT strftime(make_timestamp((wslot + 1) * 600000000),
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       user_id, event_id, event_type, value
+FROM t WHERE rn = 1
+""",
+        # Flink Window Join (inner): same tumbling window, same user
+        "window_join_views_buys": """
+WITH l AS (SELECT user_id, epoch_us(ts) // 600000000 AS wslot,
+                  event_id AS l_event_id
+           FROM events WHERE event_type = 'view'),
+r AS (SELECT user_id, epoch_us(ts) // 600000000 AS wslot,
+             event_id AS r_event_id
+      FROM events WHERE event_type = 'purchase')
+SELECT strftime(make_timestamp((l.wslot + 1) * 600000000),
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       l.user_id AS user_id, l_event_id, r_event_id
+FROM l JOIN r ON l.user_id = r.user_id AND l.wslot = r.wslot
+""",
+        # Flink Window Join (anti): views with NO purchase partner in
+        # their window — the abandoned-browse shape
+        "window_antijoin_views": """
+WITH l AS (SELECT user_id, epoch_us(ts) // 600000000 AS wslot,
+                  event_id AS l_event_id
+           FROM events WHERE event_type = 'view'),
+r AS (SELECT user_id, epoch_us(ts) // 600000000 AS wslot
+      FROM events WHERE event_type = 'purchase')
+SELECT strftime(make_timestamp((l.wslot + 1) * 600000000),
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       user_id, l_event_id
+FROM l ANTI JOIN r USING (user_id, wslot)
+""",
+        # cold-path twin: identical semantics, cache bypassed
+        "fuzzy_supplier_edges_cold": """
 SELECT a.s_suppkey AS id_lo, b.s_suppkey AS id_hi,
        CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS ed
 FROM supplier a JOIN supplier b

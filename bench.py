@@ -30,6 +30,32 @@ from flink_window_dgim_traffic_spark.session import get_spark, table  # noqa: E4
 # BASELINE.md §"Bench exclusions" (plan-identical twins and deliberate
 # anti-pattern parity demos).
 BENCH_QUERIES = [
+    # ---- round-7: previously un-benched batch entries enter the
+    # cross-round ratio discipline (VERDICT r6 ask #5), plus the
+    # cache-bypassing cold twin of the fuzzy edge build (ask #7) ----
+    "fuzzy_supplier_edges_cold",
+    "rfm_segments",
+    "window_dedup_first",
+    "window_join_views_buys",
+    "window_antijoin_views",
+    "theta_distinct_600s",
+    "theta_rollup_serve_10min",
+    "theta_churn_daily",
+    "theta_rollup_realtime",
+    "theta_audience_overlap_daily",
+    "kll_rollup_quantiles_1h",
+    "session_paths",
+    "conversion_latency",
+    "per_key_trend",
+    "assoc_pairs_daily",
+    "attribution_touch",
+    "profile_drift_psi",
+    "hard_negatives",
+    "neardup_keep_best",
+    "mmr_diverse_topk",
+    "pca_project",
+    "zorder_layout_stats",
+    # ---- pre-round-7 list ----
     "kcore_users_60s",
     "ivm_join_orders",
     "bigram_surprisal",

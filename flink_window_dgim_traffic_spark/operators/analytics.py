@@ -793,27 +793,67 @@ def winsorized_stats(
     Output per key: ``n``, ``lo_e6``/``hi_e6`` (the clamp values),
     ``wins_mean_e6`` (mean of clamped values, integer floor-div).
 
-    Scale shape: ONE hash exchange on ``key_col`` — the rank
-    window, the cutoff-broadcast window (conditional max over the
-    same partition), and the final groupBy all reuse the same
-    partitioning (alias-first discipline, see ``value_deciles``);
-    per-task state is one sort per key partition.  No join, no
-    global sort, no driver collect."""
+    Scale shape (r7 rewrite — the r6 form ranked every RAW row
+    through one window task per key, the 2.0×-at-10× stress row):
+    an ORDER STATISTIC never needs per-row ranks — the id tie-break
+    only permutes equal values, so the value at rank r is determined
+    by the (value → count) multiset alone.  So: (1) pre-aggregate to
+    distinct ``(key, v_e6)`` pairs with counts (one distributed
+    keyed aggregation — a dominant duplicate value collapses to one
+    row); (2) the sharded cumulative-count recipe of
+    :func:`_dist_ntile` over the PAIR table (value-range shard →
+    per-(key, shard) totals → per-key prefix over ≤ 256 bounded
+    shard rows → within-shard pair cumulation, every window
+    partitioned); (3) the cutoff per key is the pair whose rank
+    range [cum_before+1, cum_before+cnt] contains lo/hi_rank; (4)
+    the winsorized sum is Σ cnt·clamp(v) over pairs.  Raw rows pass
+    through exactly one aggregation; no per-key all-rows sort
+    anywhere.  The shard/cut/total side tables are |keys|·256-,
+    |keys|-, |keys|-sized and broadcast (for a very-high-cardinality
+    ``key_col``, drop the broadcast hints and let AQE plan the
+    joins)."""
     base = events.select(
         F.col(key_col).alias("key"),
         F.round(F.col(value_col) * 1_000_000, 0)
         .cast("bigint")
         .alias("v_e6"),
-        F.col(id_col).alias("i"),
     )
-    wo = Window.partitionBy("key").orderBy(
-        F.col("v_e6").asc(), F.col("i").asc()
+    # one raw-row aggregation, pinned once (multi-consumer idiom):
+    # shard totals, cumulation, and the final stats are three plan
+    # branches over the pair table — and min/max come from the pairs
+    # too, so raw events are scanned exactly ONCE
+    pairs0 = (
+        base.groupBy("key", "v_e6")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
-    ranked = base.select(
-        "key",
-        "v_e6",
-        F.row_number().over(wo).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("key")).alias("n"),
+    mm = pairs0.agg(
+        F.min("v_e6").alias("_mn"), F.max("v_e6").alias("_mx")
+    )
+    pairs = pairs0.crossJoin(F.broadcast(mm)).withColumn(
+        "_s1", F.expr("(v_e6 - _mn) * 256 div (_mx - _mn + 1)")
+    )
+    shard = pairs.groupBy("key", "_s1").agg(F.sum("cnt").alias("sc"))
+    w_sh = Window.partitionBy("key").orderBy("_s1").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    shard = shard.withColumn(
+        "soff", F.coalesce(F.sum("sc").over(w_sh), F.lit(0))
+    )
+    totals = shard.groupBy("key").agg(
+        F.sum("sc").cast("bigint").alias("n")
+    )
+    w_in = Window.partitionBy("key", "_s1").orderBy("v_e6").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = (
+        pairs.withColumn(
+            "icum", F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+        )
+        .join(F.broadcast(shard.select("key", "_s1", "soff")),
+              ["key", "_s1"])
+        .join(F.broadcast(totals), "key")
+        .withColumn("cb", F.col("soff") + F.col("icum"))
     )
     lo_rank = F.greatest(
         F.lit(1), F.expr(f"n * {int(lo_ppm)} div 1000000")
@@ -821,25 +861,36 @@ def winsorized_stats(
     hi_rank = F.least(
         F.col("n"), F.expr(f"n * {int(hi_ppm)} div 1000000") + 1
     )
-    wk = Window.partitionBy("key")
-    cut = ranked.select(
-        "key",
-        "v_e6",
-        F.max(F.when(F.col("rn") == lo_rank, F.col("v_e6")))
-        .over(wk)
-        .alias("lo_e6"),
-        F.max(F.when(F.col("rn") == hi_rank, F.col("v_e6")))
-        .over(wk)
-        .alias("hi_e6"),
+    in_lo = (F.col("cb") < lo_rank) & (
+        lo_rank <= F.col("cb") + F.col("cnt")
     )
-    return cut.groupBy("key").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.min("lo_e6").cast("bigint").alias("lo_e6"),
-        F.min("hi_e6").cast("bigint").alias("hi_e6"),
-        F.expr(
-            "CAST(sum(greatest(lo_e6, least(hi_e6, v_e6)))"
-            " div count(*) AS BIGINT)"
-        ).alias("wins_mean_e6"),
+    in_hi = (F.col("cb") < hi_rank) & (
+        hi_rank <= F.col("cb") + F.col("cnt")
+    )
+    cuts = (
+        cum.select(
+            "key",
+            F.when(in_lo, F.col("v_e6")).alias("lo_v"),
+            F.when(in_hi, F.col("v_e6")).alias("hi_v"),
+        )
+        .groupBy("key")
+        .agg(
+            F.max("lo_v").cast("bigint").alias("lo_e6"),
+            F.max("hi_v").cast("bigint").alias("hi_e6"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(cuts), "key")
+        .groupBy("key")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n"),
+            F.min("lo_e6").cast("bigint").alias("lo_e6"),
+            F.min("hi_e6").cast("bigint").alias("hi_e6"),
+            F.expr(
+                "CAST(sum(cnt * greatest(lo_e6, least(hi_e6, v_e6)))"
+                " div sum(cnt) AS BIGINT)"
+            ).alias("wins_mean_e6"),
+        )
     )
 
 

@@ -722,6 +722,108 @@ def window_topn(
     ).select("window_end", "user_id", "n_events", "rnk")
 
 
+def window_dedup(
+    events: DataFrame,
+    size_sec: int = 60,
+    key_cols: tuple[str, ...] = ("user_id",),
+    keep: str = "first",
+) -> DataFrame:
+    """Flink SQL "Window Deduplication" (the window-TVF companion of
+    Window Top-N: ROW_NUMBER over a window TVF partitioned by key,
+    ``rownum = 1``): per tumbling window and key, keep the FIRST (or
+    LAST) row under the deterministic total order (event time,
+    event_id).
+
+    Output: (window_end, *key_cols, event_id, event_type, value).
+
+    Scale shape: NOT a rank window — row_number=1 is an argmin, so
+    one ``min_by``/``max_by`` over a struct ordering key does it in a
+    single partially-aggregated shuffle on (window, key); ties are
+    impossible because event_id joins the ordering.  A hot (window,
+    key) group costs a map-side combine, never a per-group sort."""
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be first/last, got {keep!r}")
+    us = F.unix_micros(F.col("ts"))
+    ordc = F.struct(us.alias("us"), F.col("event_id").alias("i"))
+    row = F.struct("event_id", "event_type", "value")
+    pick = F.min_by(row, ordc) if keep == "first" else F.max_by(row, ordc)
+    return (
+        events.groupBy(
+            F.window("ts", f"{size_sec} seconds").alias("w"), *key_cols
+        )
+        .agg(pick.alias("r"))
+        .select(
+            F.date_format(F.col("w.end"), TS_FMT_SPARK).alias(
+                "window_end"
+            ),
+            *key_cols,
+            F.col("r.event_id").alias("event_id"),
+            F.col("r.event_type").alias("event_type"),
+            F.col("r.value").alias("value"),
+        )
+    )
+
+
+def window_join(
+    left: DataFrame,
+    right: DataFrame,
+    size_sec: int = 60,
+    key_cols: tuple[str, ...] = ("user_id",),
+    how: str = "inner",
+) -> DataFrame:
+    """Flink SQL "Window Join" (the last window-TVF companion op):
+    join rows of two inputs that fall in the SAME tumbling window
+    with equal keys — ``SELECT ... FROM TUMBLE(L) JOIN TUMBLE(R) ON
+    l.window_start = r.window_start AND l.key = r.key``.  ``how``
+    covers Flink's inner / left_semi / left_anti window-join modes
+    (semi = "had a partner this window", anti = "had none" — the
+    abandoned-browse shape).
+
+    Output (inner): (window_end, *key_cols, l_event_id, r_event_id);
+    semi/anti keep the left row's (window_end, *key_cols,
+    l_event_id).
+
+    Scale shape: the window start is a pure column (no TVF explode
+    for tumble), so this is ONE equi-join on (key, window-slot) —
+    shuffle-partitioned on exactly the keys Flink's window join
+    hashes on; AQE handles a skewed (key, window) pair.  No
+    time-range inequality (that is :func:`relational.asof_join` /
+    interval join territory) — window alignment IS the equality."""
+    if how not in ("inner", "left_semi", "left_anti"):
+        raise ValueError(
+            f"how must be inner/left_semi/left_anti, got {how!r}"
+        )
+    step = int(size_sec) * 1_000_000
+
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            *key_cols,
+            F.expr(f"unix_micros(ts) div {step}").alias("wslot"),
+            F.col("event_id").alias(f"{side}_event_id"),
+        )
+
+    l = prep(left, "l")
+    r = prep(right, "r")
+    on = [*key_cols, "wslot"]
+    wend = F.timestamp_micros((F.col("wslot") + 1) * step)
+    if how == "inner":
+        j = l.join(r, on)
+        return j.select(
+            F.date_format(wend, TS_FMT_SPARK).alias("window_end"),
+            *key_cols,
+            "l_event_id",
+            "r_event_id",
+        )
+    # semi/anti need no distinct on the probe side — Spark's semi
+    # join is already existential
+    j = l.join(r.select(*on), on, how)
+    return j.select(
+        F.date_format(wend, TS_FMT_SPARK).alias("window_end"),
+        *key_cols,
+        "l_event_id",
+    )
+
+
 def ewma_anomaly(
     events: DataFrame,
     size_sec: int = 60,

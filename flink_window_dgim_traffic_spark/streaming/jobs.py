@@ -2,11 +2,14 @@
 pipelines (SURVEY.md §3): JSON source → parse/filter → event-time
 tumble/hop window → DGIM or exact aggregate → append or upsert sink.
 
-Differences by design (SURVEY §7.0/§7.4): event-time + watermark
-instead of the reference's untestable processing-time windows
-(``PROCTIME()``); upsert-kafka emulated with foreachBatch writing
-keyed JSON records (the reference PK is "NOT ENFORCED" anyway,
-``StreamingJob.java:63``).
+Differences by design (SURVEY §7.0/§7.4): event-time + watermark is
+the CANONICAL mode instead of the reference's unreproducible
+processing-time windows; the reference's ``PROCTIME()`` computed
+column (S3) is available as the ``parse_traffic(..., proctime=True)``
+opt-in, which stamps ``current_timestamp()`` at ingest so the same
+window jobs run as processing-time windows.  Upsert-kafka is emulated
+with foreachBatch writing keyed JSON records (the reference PK is
+"NOT ENFORCED" anyway, ``StreamingJob.java:63``).
 """
 
 from __future__ import annotations
@@ -111,10 +114,35 @@ def kafka_traffic_stream(spark, bootstrap: str, topic: str) -> DataFrame:
     return decode_traffic_kafka(reader.load())
 
 
-def parse_traffic(raw: DataFrame) -> DataFrame:
+def parse_traffic(raw: DataFrame, proctime: bool = False) -> DataFrame:
     """Permissive parse (P2-P6): try-cast bit, try-parse event-time
     timestamp, drop nulls.  Adds both the TimestampType ``ts`` (for
-    windows/watermarks) and epoch-seconds ``ts_sec`` (for DGIM)."""
+    windows/watermarks) and epoch-seconds ``ts_sec`` (for DGIM).
+
+    ``proctime=True`` is the S3 opt-in (the reference's computed
+    ``proctime AS PROCTIME()`` column, ``StreamingJob.java:41``,
+    ``job.py:127``): ``ts`` is stamped ``current_timestamp()`` AT
+    INGEST — evaluated during micro-batch execution, i.e. processing
+    time — so the unchanged downstream window jobs become
+    processing-time windows exactly as in the reference (which
+    windows on ``proctime``, never reading the payload timestamp).
+    The parsed event time is kept alongside as ``event_ts`` (nullable
+    — proctime mode tolerates a malformed payload timestamp, like
+    Flink's, where only the bit must parse).  Event-time mode stays
+    the canonical default: proctime results are wall-clock-dependent
+    and unreproducible BY CONSTRUCTION (SURVEY §7.0), which is why
+    tests pin this mode's schema and plumbing, not its values."""
+    if proctime:
+        parsed = raw.select(
+            F.col("value").try_cast("int").alias("bit"),
+            F.current_timestamp().alias("ts"),
+            F.try_to_timestamp(
+                F.col("timestamp"), F.lit(ISO_US_SPARK)
+            ).alias("event_ts"),
+        )
+        return parsed.filter(F.col("bit").isNotNull()).withColumn(
+            "ts_sec", F.unix_timestamp("ts")
+        )
     parsed = raw.select(
         F.col("value").try_cast("int").alias("bit"),
         F.try_to_timestamp(F.col("timestamp"), F.lit(ISO_US_SPARK)).alias("ts"),

@@ -432,3 +432,61 @@ def test_sql_streaming_tumble_matches_batch(spark, fixture_dir, batch_parsed):
     for r in spark.sql("SELECT * FROM t_sql_stream").collect():
         final[r["window_end"]] = (r["ones_exact"], r["n_rows"])
     assert final == _batch_expect(batch_parsed)
+
+
+def test_proctime_optin_schema_and_totals(spark, fixture_dir):
+    """S3 opt-in (parse_traffic(..., proctime=True)): ts is a real
+    TimestampType stamped at ingest inside wall-clock bounds, the
+    bit parse/filter is unchanged, a malformed payload timestamp is
+    TOLERATED (event_ts null, row kept — Flink proctime semantics),
+    and the unchanged tumble job runs on it end-to-end with window
+    boundaries in processing time: per-window values can't be
+    golden, but the totals must equal the event-time run's."""
+    import datetime
+
+    batch = traffic_bits_df(spark, DURATION, seed=42)
+    before = datetime.datetime.now(datetime.timezone.utc).replace(
+        tzinfo=None
+    ) - datetime.timedelta(seconds=60)
+    p = J.parse_traffic(batch, proctime=True)
+    assert [f.name for f in p.schema.fields] == [
+        "bit", "ts", "event_ts", "ts_sec",
+    ]
+    assert p.schema["ts"].dataType.typeName() == "timestamp"
+    rows = p.collect()
+    after = datetime.datetime.now(datetime.timezone.utc).replace(
+        tzinfo=None
+    ) + datetime.timedelta(seconds=60)
+    # proctime keeps every bit-parseable row (even bad payload ts:
+    # the fixture's ~1% malformed rows), event-time additionally
+    # drops unparseable timestamps
+    n_bit_ok = batch.filter(
+        F.col("value").try_cast("int").isNotNull()
+    ).count()
+    ev = J.parse_traffic(batch).collect()
+    assert len(rows) == n_bit_ok >= len(ev)
+    assert all(before <= r["ts"] <= after for r in rows)
+    # malformed payload timestamp: kept in proctime mode, dropped in
+    # event-time mode
+    bad = spark.createDataFrame(
+        [("1", "not-a-timestamp"), ("x", "2024-01-01 00:00:00.000")],
+        "value string, timestamp string",
+    )
+    pb = J.parse_traffic(bad, proctime=True).collect()
+    assert len(pb) == 1 and pb[0]["event_ts"] is None
+    assert J.parse_traffic(bad).count() == 0
+
+    # end-to-end: the unchanged tumble job over the proctime stream
+    stream = J.parse_traffic(
+        J.file_traffic_stream(spark, fixture_dir), proctime=True
+    )
+    J.run_stream_to_memory(
+        J.tumble_exact_stream(stream, 60), "t_proc", "update"
+    )
+    upd = spark.sql("SELECT * FROM t_proc").collect()
+    final = {}
+    for r in upd:
+        final[r["window_end"]] = (r["ones_exact"], r["n_rows"])
+    want_ones = sum(r["bit"] for r in rows)
+    assert sum(v[1] for v in final.values()) == n_bit_ok
+    assert sum(v[0] for v in final.values()) == want_ones

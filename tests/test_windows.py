@@ -592,3 +592,82 @@ def test_time_weighted_avg_hand_computed(spark):
         (7, "2024-01-01 00:30:00"): (233, 1_800_000_000, 2),
         (8, "2024-01-01 00:30:00"): (500, 1_800_000_000, 2),
     }
+
+
+# ----------------------------------------------------------------------
+# Round-7 window-family completions: Window Dedup + Window Join
+# ----------------------------------------------------------------------
+def test_window_dedup_first_last(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        # window [0,60): user 1 has 3 events, user 2 has 1
+        (5, 10, 1, "view"),
+        (2, 20, 1, "click"),
+        (9, 50, 1, "purchase"),
+        (3, 30, 2, "view"),
+        # window [60,120): user 1 again — same second, id tiebreak
+        (7, 70, 1, "view"),
+        (6, 70, 1, "click"),
+    ]
+    df = _ev(spark, rows)
+    first = {
+        (r["window_end"], r["user_id"]): r["event_id"]
+        for r in W.window_dedup(df, 60, keep="first").collect()
+    }
+    assert first[("1970-01-01 00:01:00", 1)] == 5  # earliest ts wins
+    assert first[("1970-01-01 00:01:00", 2)] == 3
+    assert first[("1970-01-01 00:02:00", 1)] == 6  # ts tie -> min id
+    last = {
+        (r["window_end"], r["user_id"]): r["event_id"]
+        for r in W.window_dedup(df, 60, keep="last").collect()
+    }
+    assert last[("1970-01-01 00:01:00", 1)] == 9
+    assert last[("1970-01-01 00:02:00", 1)] == 7  # ts tie -> max id
+    # rank-free plan: an aggregation, not a row_number window
+    plan = (
+        W.window_dedup(df, 60)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "row_number" not in plan and "Window" not in plan
+
+
+def test_window_join_modes(spark):
+    rows_l = [
+        (1, 10, 1, "view"),
+        (2, 70, 1, "view"),
+        (3, 15, 2, "view"),
+    ]
+    rows_r = [
+        (10, 30, 1, "purchase"),   # same window as l:1
+        (11, 95, 2, "purchase"),   # window 2, user 2 — no view there
+        (12, 40, 1, "purchase"),   # same window as l:1 (2nd partner)
+    ]
+    l, r = _ev(spark, rows_l), _ev(spark, rows_r)
+    inner = sorted(
+        (x["window_end"], x["user_id"], x["l_event_id"], x["r_event_id"])
+        for x in W.window_join(l, r, 60).collect()
+    )
+    assert inner == [
+        ("1970-01-01 00:01:00", 1, 1, 10),
+        ("1970-01-01 00:01:00", 1, 1, 12),
+    ]
+    semi = sorted(
+        (x["window_end"], x["user_id"], x["l_event_id"])
+        for x in W.window_join(l, r, 60, how="left_semi").collect()
+    )
+    assert semi == [("1970-01-01 00:01:00", 1, 1)]
+    anti = sorted(
+        (x["window_end"], x["user_id"], x["l_event_id"])
+        for x in W.window_join(l, r, 60, how="left_anti").collect()
+    )
+    assert anti == [
+        ("1970-01-01 00:01:00", 2, 3),
+        ("1970-01-01 00:02:00", 1, 2),
+    ]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        W.window_join(l, r, 60, how="full")
+    with _pt.raises(ValueError):
+        W.window_dedup(l, 60, keep="any")

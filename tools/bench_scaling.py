@@ -70,7 +70,10 @@ from flink_window_dgim_traffic_spark.session import (  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = "/tmp/spark_graft_scaling"
-SCALES = [1, 3, 10]
+SCALES = [
+    int(s)
+    for s in os.environ.get("SPARK_GRAFT_SCALES", "1,3,10").split(",")
+]
 
 # set per scale inside main() so op lambdas can reach scale-keyed
 # side state (the persisted MinHash index, the rollup hierarchy)
@@ -226,6 +229,126 @@ def _neardup_incremental(docs, emb):
     return D.neardup_incremental_lsh(
         docs.filter(F.col("doc_id") % 2 == 1), idx, threshold=0.5
     )
+
+
+def _er_canonical_synth(docs):
+    """Synthetic entity-resolution corpus: one record per doc_id with
+    a formatted name (dense ids ⇒ each name has a bounded set of
+    edit-distance-1 digit-substitution neighbors present in the
+    table, so the true match graph grows LINEARLY with rows) and a
+    25-way blocking key.  Mirrors __spark_entry__._er_supplier_canonical."""
+    from flink_window_dgim_traffic_spark.operators import (
+        graph as G2,
+        matching as MT2,
+    )
+
+    # hash-derived names (no accidental ed<=1 collisions, no shared
+    # formulaic prefix to degenerate PassJoin's segments) with an
+    # explicit pair structure: docs 2k/2k+1 share a base and differ
+    # in ONE suffix char, so true edges are n/2 disjoint pairs —
+    # LINEAR edges, constant cluster size, which keeps the row a
+    # measurement of the operator rather than of a giant-component
+    # propagation (dense digit-substitution names gave every node
+    # ~80 neighbors and one diameter-heavy component)
+    sup = docs.select(
+        F.col("doc_id").alias("s_suppkey"),
+        F.concat(
+            F.substring(
+                F.md5(F.expr("cast(doc_id div 2 as string)")), 1, 10
+            ),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("a")).otherwise(
+                F.lit("b")
+            ),
+        ).alias("s_name"),
+        # pairs share a blocking key (div 2 BEFORE mod) so blocking
+        # keeps the true edges
+        F.expr("(doc_id div 2) % 25").cast("bigint").alias("nat"),
+    )
+    edges = MT2.edit_distance_join(sup, "s_suppkey", "s_name", 1)
+    lo = sup.select(
+        F.col("s_suppkey").alias("id_lo"), F.col("nat").alias("nat_lo")
+    )
+    hi = sup.select(
+        F.col("s_suppkey").alias("id_hi"), F.col("nat").alias("nat_hi")
+    )
+    edges = (
+        edges.join(lo, "id_lo")
+        .join(hi, "id_hi")
+        .filter(F.col("nat_lo") == F.col("nat_hi"))
+    )
+    comp = G2.connected_components(edges, "id_lo", "id_hi")
+    return (
+        sup.join(
+            comp, sup.s_suppkey == comp.node, "left"
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.coalesce("component_id", F.col("s_suppkey")).alias(
+                "entity_id"
+            ),
+        )
+        .groupBy("entity_id")
+        .agg(
+            F.min("s_suppkey").cast("bigint").alias("canonical_key"),
+            F.min_by("s_name", F.col("s_suppkey")).alias(
+                "canonical_name"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        )
+    )
+
+
+def _ivm_manytag_build(spark, compact: bool) -> str:
+    """State for the many-refresh IVM read rows: a join view over the
+    scale× history plus 32 committed small refreshes — uncompacted
+    (33 visible delta dirs) or compacted to one snapshot."""
+    from flink_window_dgim_traffic_spark.operators import ivm as IV
+
+    suffix = "_c" if compact else ""
+    path = f"{OUT}/ivmmany_x{CTX['scale']}{suffix}"
+    if not os.path.isdir(f"{path}/_commits"):
+        ev = spark.read.parquet(CTX["events_full_path"]).select(
+            "event_id", "user_id", "value"
+        )
+        dim = ev.select("user_id").distinct().withColumn(
+            "seg", (F.col("user_id") % 7).cast("bigint")
+        )
+        IV.build_join_view(ev, dim, path, ["user_id"])
+        batch = (
+            spark.read.parquet(f"{OUT}/events_full_x1.parquet")
+            .select("event_id", "user_id", "value")
+            .limit(200)
+            .localCheckpoint(eager=True)
+        )
+        for i in range(32):
+            IV.refresh_join_view(
+                spark, path, delta_left=batch, tag=f"m{i}"
+            )
+        if compact:
+            IV.compact_join_view(spark, path)
+    return path
+
+
+def _ivm_read_32tags(spark) -> None:
+    """read_join_view over 33 visible delta dirs (no compaction) —
+    the O(#refreshes) fan-in the compactor exists to bound."""
+    from flink_window_dgim_traffic_spark.operators import ivm as IV
+
+    path = _ivm_manytag_build(spark, compact=False)
+    IV.read_join_view(spark, path).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
+def _ivm_read_compacted(spark) -> None:
+    """Same logical view after compact_join_view: one dir per side."""
+    from flink_window_dgim_traffic_spark.operators import ivm as IV
+
+    path = _ivm_manytag_build(spark, compact=True)
+    IV.read_join_view(spark, path).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
 
 def _ivm_refresh(spark) -> None:
@@ -540,6 +663,22 @@ def main() -> None:
             direction="nearest",
             tiebreak="event_id",
         ),
+        # ---- round-7 additions ----
+        # sharded-rank RFM tiling (was 3 global single-task ntile
+        # sorts): all three passes over the per-user aggregate
+        "rfm_segments": lambda docs, emb: AN.rfm_segments(
+            CTX["events_full"]
+        ),
+        # TakeOrderedAndProject top-k over the key-count join
+        "join_hotspots": lambda docs, emb: R.join_hotspots(
+            CTX["events_full"], CTX["events_full"], ["user_id"], 20
+        ),
+        # ER canonicalization end to end on a synthetic scale×
+        # entity table (dense ids → formatted names: each id has a
+        # bounded set of ed<=1 digit-substitution neighbors, so true
+        # edges grow linearly): PassJoin → blocking → components →
+        # canonical records
+        "er_canonical": lambda docs, emb: _er_canonical_synth(docs),
         "dq_checks": lambda docs, emb: R.dq_checks(
             CTX["events_full"],
             not_null=["event_id", "ts", "user_id", "event_type"],
@@ -559,6 +698,8 @@ def main() -> None:
         "sketch_rollup_refresh": _sketch_rollup_refresh,
         "ivm_refresh": _ivm_refresh,
         "ivm_zset_retract": _ivm_zset_retract,
+        "ivm_read_32tags": _ivm_read_32tags,
+        "ivm_read_compacted": _ivm_read_compacted,
     }
 
     only = os.environ.get("SPARK_GRAFT_SCALING_OPS")
