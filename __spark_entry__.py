@@ -1074,6 +1074,68 @@ def _stream_ivm_join(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _stream_window_join(s: SparkSession, d: str) -> DataFrame:
+    """Flink's windowing-TVF JOIN as a true STREAM-STREAM join driven
+    end to end: both sides replay as time-ordered micro-batches, the
+    join condition is tumble-window EQUALITY + user equality (Spark
+    uses the window equality to bound and evict join state), append
+    mode emits matches as they form.  Oracle = the batch window-join
+    SQL (same as ``window_join_views_buys``)."""
+    import os
+    import tempfile
+
+    from flink_window_dgim_traffic_spark.streaming.joins import (
+        window_join_stream,
+    )
+
+    ev = _events(s, d).select(
+        "event_id", "user_id", "ts", "event_type"
+    ).filter(F.col("event_type").isin("view", "purchase"))
+    base = tempfile.mkdtemp(prefix="spark_graft_swj_")
+    src = f"{base}/src"
+    us = F.unix_micros(F.col("ts"))
+    lo, hi = ev.agg(F.min(us), F.max(us)).collect()[0]
+    span = (hi - lo) // 3 + 1
+    for i in range(3):
+        ev.filter(
+            (us >= lo + i * span) & (us < lo + (i + 1) * span)
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/c{i}")
+    files = sorted(
+        f"{src}/c{i}/{n}"
+        for i in range(3)
+        for n in os.listdir(f"{src}/c{i}")
+        if n.endswith(".parquet")
+    )
+    for i, p in enumerate(files):
+        os.utime(p, (1000000000 + i * 60,) * 2)
+    stream = (
+        s.readStream.schema(
+            "event_id bigint, user_id bigint, ts timestamp,"
+            " event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        window_join_stream(
+            stream.filter(F.col("event_type") == "view"),
+            stream.filter(F.col("event_type") == "purchase"),
+            600,
+        )
+        .writeStream.format("memory")
+        .queryName("t_swj_drv")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return s.sql(
+        "SELECT window_end, user_id, l_event_id, r_event_id"
+        " FROM t_swj_drv"
+    )
+
+
 def _ivm_join_cdc(s: SparkSession, d: str) -> DataFrame:
     """Z-SET incremental join maintenance end to end (the DBSP
     multiplicity generalization — deletes as -1 deltas, no history
@@ -1186,6 +1248,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_hotspots": lambda s, d: R.join_hotspots(
             _events(s, d), _events(s, d), ["user_id"], 20
         ),
+        # exact GLOBAL order statistics without a global sort —
+        # the sharded pair-table recipe, global flavor
+        "global_value_quantiles": lambda s, d: AN.global_quantiles(
+            _events(s, d)
+        ),
         # Flink window-TVF family completion: Window Deduplication +
         # Window Join (inner and anti modes)
         "window_dedup_first": lambda s, d: W.window_dedup(
@@ -1202,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             600,
             how="left_anti",
         ),
+        "stream_window_join": _stream_window_join,
         # ---- round-6 additions ----
         "max_concurrent_users": lambda s, d: W.max_concurrency(
             _user_day_intervals(s, d), bucket_sec=600
@@ -2310,6 +2378,21 @@ FROM supplier a JOIN supplier b
   ON a.s_suppkey < b.s_suppkey
  AND levenshtein(a.s_name, b.s_name) <= 1
 """,
+        # exact type-1 global quantiles: value at rank ceil(p*n)
+        # over micro-quantized values
+        "global_value_quantiles": """
+WITH v AS (SELECT CAST(round(value*1000000.0) AS BIGINT) AS v_e6
+           FROM events),
+n AS (SELECT count(*) AS n FROM v),
+r AS (SELECT v_e6, row_number() OVER (ORDER BY v_e6) AS rn FROM v),
+p AS (SELECT unnest([500000, 900000, 990000]) AS p_ppm)
+SELECT CAST(p.p_ppm AS BIGINT) AS p_ppm, n.n AS n,
+       CAST(greatest(1, (n.n * p.p_ppm + 999999) // 1000000)
+            AS BIGINT) AS rank,
+       r.v_e6 AS value_e6
+FROM p, n
+JOIN r ON r.rn = greatest(1, (n.n * p.p_ppm + 999999) // 1000000)
+""",
         # Flink Window Deduplication: rownum=1 per (window, key)
         # under (ts, event_id) — integer-µs window slots
         "window_dedup_first": """
@@ -2326,6 +2409,20 @@ FROM t WHERE rn = 1
 """,
         # Flink Window Join (inner): same tumbling window, same user
         "window_join_views_buys": """
+WITH l AS (SELECT user_id, epoch_us(ts) // 600000000 AS wslot,
+                  event_id AS l_event_id
+           FROM events WHERE event_type = 'view'),
+r AS (SELECT user_id, epoch_us(ts) // 600000000 AS wslot,
+             event_id AS r_event_id
+      FROM events WHERE event_type = 'purchase')
+SELECT strftime(make_timestamp((l.wslot + 1) * 600000000),
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       l.user_id AS user_id, l_event_id, r_event_id
+FROM l JOIN r ON l.user_id = r.user_id AND l.wslot = r.wslot
+""",
+        # streaming twin: the stream-stream window join replays the
+        # same data, so the batch window-join SQL is its oracle
+        "stream_window_join": """
 WITH l AS (SELECT user_id, epoch_us(ts) // 600000000 AS wslot,
                   event_id AS l_event_id
            FROM events WHERE event_type = 'view'),

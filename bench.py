@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     # cache-bypassing cold twin of the fuzzy edge build (ask #7) ----
     "fuzzy_supplier_edges_cold",
     "rfm_segments",
+    "global_value_quantiles",
     "window_dedup_first",
     "window_join_views_buys",
     "window_antijoin_views",

@@ -498,6 +498,83 @@ def rfm_segments(events: DataFrame, n_tiles: int = 5) -> DataFrame:
     )
 
 
+def global_quantiles(
+    events: DataFrame,
+    ps_ppm: tuple[int, ...] = (500_000, 900_000, 990_000),
+    value_col: str = "value",
+) -> DataFrame:
+    """EXACT global quantiles (type-1 / lower order statistic: the
+    value at rank ``ceil(p·n)``) over the whole table WITHOUT a
+    global sort — the order-statistic query that separates "works on
+    a laptop" from "works on 100 TB" (``percentile_cont`` and naive
+    ``ORDER BY + OFFSET`` both funnel every row through one task;
+    ``approx_percentile`` gives bounds, not the answer).
+
+    The sharded pair-table recipe (:func:`winsorized_stats`, global
+    flavor): distinct-value counts → value-range shards → bounded
+    ≤256-row shard-prefix → within-shard cumulation, then each
+    requested rank selects the unique pair whose rank range contains
+    it.  Raw rows cross exactly ONE aggregation; every window is
+    partitioned except the ≤256-row shard prefix.
+
+    Output: one row per requested ppm — (p_ppm, n, rank, value_e6),
+    all BIGINT (value micro-quantized), bit-stable cross-engine."""
+    base = events.select(
+        F.round(F.col(value_col) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("v_e6")
+    )
+    pairs0 = (
+        base.groupBy("v_e6")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    mm = pairs0.agg(
+        F.min("v_e6").alias("_mn"), F.max("v_e6").alias("_mx")
+    )
+    pairs = pairs0.crossJoin(F.broadcast(mm)).withColumn(
+        "_s1", F.expr("(v_e6 - _mn) * 256 div (_mx - _mn + 1)")
+    )
+    shard = pairs.groupBy("_s1").agg(F.sum("cnt").alias("sc"))
+    w_sh = Window.orderBy("_s1").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    shard = shard.withColumn(
+        "soff", F.coalesce(F.sum("sc").over(w_sh), F.lit(0))
+    )
+    total = shard.agg(F.sum("sc").cast("bigint").alias("n"))
+    w_in = Window.partitionBy("_s1").orderBy("v_e6").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = (
+        pairs.withColumn(
+            "icum", F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+        )
+        .join(F.broadcast(shard.select("_s1", "soff")), "_s1")
+        .crossJoin(F.broadcast(total))
+        .withColumn("cb", F.col("soff") + F.col("icum"))
+    )
+    ps = F.explode(
+        F.array(*[F.lit(int(p)) for p in ps_ppm])
+    ).alias("p_ppm")
+    want = cum.select("v_e6", "cnt", "cb", "n", ps).withColumn(
+        "rank",
+        F.expr("greatest(1, (n * p_ppm + 999999) div 1000000)"),
+    )
+    return (
+        want.filter(
+            (F.col("cb") < F.col("rank"))
+            & (F.col("rank") <= F.col("cb") + F.col("cnt"))
+        )
+        .select(
+            F.col("p_ppm").cast("bigint").alias("p_ppm"),
+            F.col("n"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("v_e6").alias("value_e6"),
+        )
+    )
+
+
 def conversion_latency(
     events: DataFrame,
     from_type: str = "view",

@@ -51,3 +51,50 @@ def view_purchase_interval_join(
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
     )
+
+
+def window_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    size_sec: int = 600,
+    watermark: str = "0 seconds",
+    streaming: bool = True,
+) -> DataFrame:
+    """Stream-stream WINDOW join (Flink SQL's windowing-TVF join, the
+    streaming twin of ``operators/windows.window_join``): rows of the
+    two streams that fall in the SAME tumbling window with the same
+    user join; Spark recognizes the tumble-window EQUALITY as a
+    state-cleanup condition (both sides' state for a window is
+    dropped once both watermarks pass window end), so state is
+    bounded without an explicit time-range predicate.
+
+    Output: (window_end, user_id, l_event_id, r_event_id) — the same
+    shape as the batch operator; tests assert stream == batch."""
+    l = left.select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = right.select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    if streaming:
+        l = l.withWatermark("l_ts", watermark)
+        r = r.withWatermark("r_ts", watermark)
+    lw = l.withColumn("lw", F.window("l_ts", f"{size_sec} seconds"))
+    rw = r.withColumn("rw", F.window("r_ts", f"{size_sec} seconds"))
+    j = lw.join(
+        rw,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("lw") == F.col("rw")),
+    )
+    return j.select(
+        F.date_format(F.col("lw.end"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_end"
+        ),
+        F.col("l_user").alias("user_id"),
+        "l_event_id",
+        "r_event_id",
+    )

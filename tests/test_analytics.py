@@ -359,3 +359,37 @@ def test_path_regex_match_hand_vector(spark):
         for r_ in path_regex_match(df).collect()
     }
     assert got == {1: (5, 1, 2), 2: (2, 0, 0), 3: (3, 0, 0)}
+
+
+def test_global_quantiles_hand_values(spark):
+    # ten rows 1..10: p50 -> rank 5 -> 5.0; p90 -> rank 9; p99 -> rank 10
+    rows = [
+        (i, _ts("2024-01-01 00:00:00"), 1, "view", float(i))
+        for i in range(1, 11)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+    got = {
+        r.p_ppm: (r.n, r.rank, r.value_e6)
+        for r in AN.global_quantiles(df).collect()
+    }
+    assert got[500_000] == (10, 5, 5_000_000)
+    assert got[900_000] == (10, 9, 9_000_000)
+    assert got[990_000] == (10, 10, 10_000_000)
+    # duplicates: rank falls inside a run of equal values
+    rows2 = [
+        (i, _ts("2024-01-01 00:00:00"), 1, "view", v)
+        for i, v in enumerate([1.0, 2.0, 2.0, 2.0, 9.0])
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+    got2 = {
+        r.p_ppm: r.value_e6
+        for r in AN.global_quantiles(df2, (400_000, 800_000)).collect()
+    }
+    assert got2[400_000] == 2_000_000  # rank ceil(2.0)=2 -> the dup run
+    assert got2[800_000] == 2_000_000  # rank ceil(4.0)=4 -> still in run

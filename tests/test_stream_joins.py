@@ -71,3 +71,76 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     }
     assert len(expect) > 0  # the fixture must actually exercise the join
     assert got == expect
+
+
+def test_stream_window_join_matches_batch(spark, sf_dir, tmp_path):
+    """Flink-style window join as a STREAM-STREAM join: tumble-window
+    equality + key equality, watermark-bounded state; result must
+    equal both the streaming op in batch mode AND the batch
+    windows.window_join operator."""
+    from flink_window_dgim_traffic_spark.operators.windows import (
+        window_join,
+    )
+    from flink_window_dgim_traffic_spark.streaming.joins import (
+        window_join_stream,
+    )
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+        .filter(F.col("event_type").isin("view", "purchase"))
+    )
+    pdf = ev.orderBy("ts").toPandas()
+    src = tmp_path / "ev_wj_chunks"
+    os.makedirs(src)
+    n = len(pdf)
+    for i in range(3):
+        chunk = pdf.iloc[i * n // 3 : (i + 1) * n // 3]
+        chunk.to_parquet(
+            str(src / f"chunk_{i:02d}.parquet"),
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        os.utime(
+            str(src / f"chunk_{i:02d}.parquet"),
+            (1_700_000_000 + i, 1_700_000_000 + i),
+        )
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        window_join_stream(
+            stream.filter(F.col("event_type") == "view"),
+            stream.filter(F.col("event_type") == "purchase"),
+            600,
+        )
+        .writeStream.format("memory")
+        .queryName("t_swj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["window_end"], r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT * FROM t_swj").collect()
+    )
+    views = ev.filter(F.col("event_type") == "view")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    want_stream_batch = sorted(
+        (r["window_end"], r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in window_join_stream(
+            views, buys, 600, streaming=False
+        ).collect()
+    )
+    want_batch_op = sorted(
+        (r["window_end"], r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in window_join(views, buys, 600).collect()
+    )
+    assert got == want_stream_batch == want_batch_op
+    assert len(got) > 0
