@@ -1270,6 +1270,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             how="left_anti",
         ),
         "stream_window_join": _stream_window_join,
+        # distributed subsequence similarity search (sliding window
+        # as GROUP BY, exact integer distances)
+        "ts_pattern_topk": lambda s, d: AN.ts_pattern_topk(
+            _events(s, d)
+        ),
+        # Flink-verbatim SQL statements for the new window ops
+        # (plan twins of window_dedup_first / window_join_views_buys)
+        "sql_window_dedup": lambda s, d: Q.sql_window_dedup(s, d),
+        "sql_window_join": lambda s, d: Q.sql_window_join(s, d),
         # ---- round-6 additions ----
         "max_concurrent_users": lambda s, d: W.max_concurrency(
             _user_day_intervals(s, d), bucket_sec=600
@@ -2378,6 +2387,27 @@ FROM supplier a JOIN supplier b
   ON a.s_suppkey < b.s_suppkey
  AND levenshtein(a.s_name, b.s_name) <= 1
 """,
+        # subsequence similarity: same n·m contribution expansion,
+        # same integer distances, rank-before-limit == top-k+rank
+        "ts_pattern_topk": """
+WITH s AS (SELECT user_id AS u,
+                  CAST(round(value*1000000.0) AS BIGINT) AS v,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS idx
+           FROM events),
+p AS (SELECT * FROM (VALUES (0, 10000000), (1, 20000000),
+                            (2, 40000000), (3, 80000000)) AS t(j, q)),
+c AS (SELECT u, idx - j AS start, (v - q) * (v - q) AS d2
+      FROM s, p WHERE idx - j >= 1),
+d AS (SELECT u, start, CAST(sum(d2) AS BIGINT) AS dist_e12,
+             count(*) AS nm
+      FROM c GROUP BY 1, 2)
+SELECT u AS user_id, CAST(start AS BIGINT) AS start_idx, dist_e12,
+       CAST(row_number() OVER (ORDER BY dist_e12, u, start)
+            AS BIGINT) AS rnk
+FROM d WHERE nm = 4
+ORDER BY dist_e12, u, start LIMIT 20
+""",
         # exact type-1 global quantiles: value at rank ceil(p*n)
         # over micro-quantized values
         "global_value_quantiles": """
@@ -2409,6 +2439,31 @@ FROM t WHERE rn = 1
 """,
         # Flink Window Join (inner): same tumbling window, same user
         "window_join_views_buys": """
+WITH l AS (SELECT user_id, epoch_us(ts) // 600000000 AS wslot,
+                  event_id AS l_event_id
+           FROM events WHERE event_type = 'view'),
+r AS (SELECT user_id, epoch_us(ts) // 600000000 AS wslot,
+             event_id AS r_event_id
+      FROM events WHERE event_type = 'purchase')
+SELECT strftime(make_timestamp((l.wslot + 1) * 600000000),
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       l.user_id AS user_id, l_event_id, r_event_id
+FROM l JOIN r ON l.user_id = r.user_id AND l.wslot = r.wslot
+""",
+        # SQL-surface twins share the DataFrame ops' oracles
+        "sql_window_dedup": """
+WITH t AS (
+  SELECT *, epoch_us(ts) // 600000000 AS wslot,
+         row_number() OVER (
+           PARTITION BY epoch_us(ts) // 600000000, user_id
+           ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events)
+SELECT strftime(make_timestamp((wslot + 1) * 600000000),
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       user_id, event_id, event_type, value
+FROM t WHERE rn = 1
+""",
+        "sql_window_join": """
 WITH l AS (SELECT user_id, epoch_us(ts) // 600000000 AS wslot,
                   event_id AS l_event_id
            FROM events WHERE event_type = 'view'),

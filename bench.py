@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "fuzzy_supplier_edges_cold",
     "rfm_segments",
     "global_value_quantiles",
+    "ts_pattern_topk",
     "window_dedup_first",
     "window_join_views_buys",
     "window_antijoin_views",

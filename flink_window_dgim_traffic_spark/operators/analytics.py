@@ -575,6 +575,83 @@ def global_quantiles(
     )
 
 
+def ts_pattern_topk(
+    events: DataFrame,
+    pattern_e6: tuple[int, ...] = (
+        10_000_000, 20_000_000, 40_000_000, 80_000_000,
+    ),
+    k: int = 20,
+    value_col: str = "value",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Distributed time-series SUBSEQUENCE similarity search (the
+    EDBT'19 streaming-similarity / UCR-suite query class): over each
+    user's value series ordered by (ts, event_id), find the top-``k``
+    length-m subsequences closest to a query ``pattern`` under exact
+    squared euclidean distance in 1e-6 units (integer — no float
+    accumulation, bit-stable cross-engine).
+
+    Output: (user_id, start_idx, dist_e12) ranked ascending with
+    (user, start) tie-break.
+
+    Scale shape: the sliding window is a GROUP BY, not a window
+    function — each series element explodes into m (start-offset,
+    pattern-slot) contribution rows (n·m total, map-side), and
+    per-(user, start) sums reduce them in one keyed aggregation;
+    subsequences crossing a series end are dropped by the count==m
+    guard.  The only per-user window is the idx ranking (partitioned
+    by user).  Top-k is ``orderBy().limit(k)`` =
+    TakeOrderedAndProject — per-partition heads, never a global
+    sort."""
+    m = len(pattern_e6)
+    v = F.round(F.col(value_col) * 1_000_000, 0).cast("bigint")
+    w = Window.partitionBy("u").orderBy("us", "i")
+    seq = events.select(
+        F.col(user_col).alias("u"),
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("i"),
+        v.alias("v"),
+    ).withColumn("idx", F.row_number().over(w))
+    pat = F.array(*[F.lit(int(p)) for p in pattern_e6])
+    contrib = (
+        seq.select(
+            "u",
+            "idx",
+            "v",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(m - 1))
+            ).alias("j"),
+        )
+        .withColumn("start", F.col("idx") - F.col("j"))
+        .filter(F.col("start") >= 1)
+        .withColumn("q", F.element_at(pat, F.col("j") + 1))
+        .withColumn(
+            "d2", (F.col("v") - F.col("q")) * (F.col("v") - F.col("q"))
+        )
+    )
+    dists = (
+        contrib.groupBy("u", "start")
+        .agg(
+            F.sum("d2").cast("bigint").alias("dist_e12"),
+            F.count(F.lit(1)).alias("nm"),
+        )
+        .filter(F.col("nm") == m)
+    )
+    order = [
+        F.col("dist_e12").asc(), F.col("u").asc(), F.col("start").asc()
+    ]
+    topk = dists.orderBy(*order).limit(k)
+    wr = Window.orderBy(*order)
+    return topk.withColumn(
+        "rnk", F.row_number().over(wr).cast("bigint")
+    ).select(
+        F.col("u").alias("user_id"),
+        F.col("start").cast("bigint").alias("start_idx"),
+        "dist_e12",
+        "rnk",
+    )
+
+
 def conversion_latency(
     events: DataFrame,
     from_type: str = "view",

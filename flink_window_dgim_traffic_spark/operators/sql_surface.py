@@ -237,3 +237,56 @@ def sql_seasonal_anomaly(
            OR cnt * n_windows * 3 < 2 * slot_total
         """
     )
+
+
+def sql_window_dedup(
+    spark: SparkSession, sf_dir: str, size_sec: int = 600
+) -> DataFrame:
+    """Flink SQL Window Deduplication, verbatim shape: ROW_NUMBER()
+    OVER (PARTITION BY window, key ORDER BY time) = 1 around a window
+    TVF — the statement class Flink documents for per-window
+    first-row picking, as one Spark SQL string.  Equal to the
+    DataFrame twin ``operators.windows.window_dedup`` (tested); note
+    the DataFrame twin compiles to an ARGMIN aggregation instead of
+    this rank window — same rows, better plan."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT window_end, user_id, event_id, event_type, value FROM (
+          SELECT date_format(window.end, 'yyyy-MM-dd HH:mm:ss')
+                   AS window_end,
+                 user_id, event_id, event_type, value,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY window, user_id
+                   ORDER BY ts ASC, event_id ASC) AS rn
+          FROM (SELECT *, window(ts, '{size_sec} seconds') AS window
+                FROM events)
+        ) WHERE rn = 1
+        """
+    )
+
+
+def sql_window_join(
+    spark: SparkSession, sf_dir: str, size_sec: int = 600
+) -> DataFrame:
+    """Flink SQL Window Join, verbatim shape: two windowed relations
+    joined on window equality + key equality (``L.window_start =
+    R.window_start AND L.user = R.user``), as one Spark SQL string.
+    Equal to ``operators.windows.window_join`` (tested)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT date_format(l.w.end, 'yyyy-MM-dd HH:mm:ss')
+                 AS window_end,
+               l.user_id AS user_id,
+               l.event_id AS l_event_id,
+               r.event_id AS r_event_id
+        FROM (SELECT user_id, event_id,
+                     window(ts, '{size_sec} seconds') AS w
+              FROM events WHERE event_type = 'view') l
+        JOIN (SELECT user_id, event_id,
+                     window(ts, '{size_sec} seconds') AS w
+              FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.w = r.w
+        """
+    )

@@ -393,3 +393,33 @@ def test_global_quantiles_hand_values(spark):
     }
     assert got2[400_000] == 2_000_000  # rank ceil(2.0)=2 -> the dup run
     assert got2[800_000] == 2_000_000  # rank ceil(4.0)=4 -> still in run
+
+
+def test_ts_pattern_topk_hand_values(spark):
+    # user 1: values 1,2,4,8,16 -> subsequence starting at idx 1
+    # matches pattern (10,20,40,80)e6 scaled by 0.1... use exact:
+    # pattern = (1,2,4,8)e6; series 1,2,4,8 at idx1 -> dist 0
+    rows = [
+        (i, _ts(f"2024-01-01 00:00:0{i}"), 1, "view", float(v))
+        for i, v in enumerate([1, 2, 4, 8, 16], start=1)
+    ]
+    # user 2: constant 3s — nonzero distance everywhere
+    rows += [
+        (10 + i, _ts(f"2024-01-01 00:00:0{i}"), 2, "view", 3.0)
+        for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+    pat = (1_000_000, 2_000_000, 4_000_000, 8_000_000)
+    got = AN.ts_pattern_topk(df, pat, k=3).collect()
+    assert (got[0].user_id, got[0].start_idx, got[0].dist_e12) == (
+        1, 1, 0
+    )
+    assert [r.rnk for r in got] == [1, 2, 3]
+    # user 2 const-3 dist: (2^2+1^2+1^2+5^2)e12 = 31e12
+    d2 = {(r.user_id, r.start_idx): r.dist_e12 for r in got}
+    assert d2[(2, 1)] == 31_000_000_000_000
+    # no subsequence crosses a series end: max start for user1 is 2
+    assert all(r.start_idx <= 2 for r in got if r.user_id == 1)

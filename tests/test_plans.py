@@ -576,3 +576,71 @@ def test_round7_join_hotspots_takeordered(t):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert not I.has_cartesian(df)
+
+
+def test_round7_new_op_plan_shapes(t):
+    """window_dedup is an aggregation (no Window operator at all);
+    window_join is a plain equi-join on (key, slot) with no
+    cartesian; ts_pattern_topk's top-k is TakeOrderedAndProject;
+    global_quantiles funnels at most the 1-row scalar."""
+    import pyspark.sql.functions as F
+
+    from flink_window_dgim_traffic_spark.operators.analytics import (
+        global_quantiles,
+        ts_pattern_topk,
+    )
+
+    ev = t("events")
+    df = W.window_dedup(ev, 600)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Exchange SinglePartition" not in plan
+
+    views = ev.filter(F.col("event_type") == "view")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    df = W.window_join(views, buys, 600)
+    assert not I.has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    # the pushed filter reaches both scans
+    assert "event_type" in I.pushed_filter_columns(df, "events")
+
+    df = ts_pattern_topk(ev)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    df = global_quantiles(ev)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # every SinglePartition is a bounded branch copy: the 1-row
+    # min/max scalar, the 1-row total, or the <=256-row shard prefix
+    # (re-printed per plan branch over the checkpointed pair table);
+    # none sees raw-row cardinality
+    assert plan.count("Exchange SinglePartition") <= 6
+    assert "row_number" not in plan
+
+
+def test_sql_window_dedup_join_twins_equal_dataframe(spark, sf_dir):
+    """The Flink-verbatim SQL statements for Window Dedup / Window
+    Join return exactly the DataFrame operators' rows."""
+    import pyspark.sql.functions as F
+
+    from flink_window_dgim_traffic_spark.operators import (
+        sql_surface as Q,
+    )
+    from flink_window_dgim_traffic_spark.session import table
+
+    ev = table(spark, sf_dir, "events")
+    assert sorted(
+        map(tuple, Q.sql_window_dedup(spark, sf_dir).collect())
+    ) == sorted(map(tuple, W.window_dedup(ev, 600).collect()))
+    assert sorted(
+        map(tuple, Q.sql_window_join(spark, sf_dir).collect())
+    ) == sorted(
+        map(
+            tuple,
+            W.window_join(
+                ev.filter(F.col("event_type") == "view"),
+                ev.filter(F.col("event_type") == "purchase"),
+                600,
+            ).collect(),
+        )
+    )

@@ -679,6 +679,25 @@ def main() -> None:
         # edges grow linearly): PassJoin → blocking → components →
         # canonical records
         "er_canonical": lambda docs, emb: _er_canonical_synth(docs),
+        # window-TVF family completions: argmin dedup + slot joins
+        "window_dedup": lambda docs, emb: W.window_dedup(
+            CTX["events_full"], 600
+        ),
+        "window_join": lambda docs, emb: W.window_join(
+            CTX["events_full"].filter(F.col("event_type") == "view"),
+            CTX["events_full"].filter(
+                F.col("event_type") == "purchase"
+            ),
+            600,
+        ),
+        # exact global order statistics (sharded pair-table recipe)
+        "global_quantiles": lambda docs, emb: AN.global_quantiles(
+            CTX["events_full"]
+        ),
+        # subsequence similarity: n·m contribution expansion
+        "ts_pattern_topk": lambda docs, emb: AN.ts_pattern_topk(
+            CTX["events_full"]
+        ),
         "dq_checks": lambda docs, emb: R.dq_checks(
             CTX["events_full"],
             not_null=["event_id", "ts", "user_id", "event_type"],
