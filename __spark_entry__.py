@@ -1136,6 +1136,75 @@ def _stream_window_join(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _stream_window_dedup(s: SparkSession, d: str) -> DataFrame:
+    """Flink Window Deduplication as a STREAMING job: the batch
+    argmin aggregation (``windows.window_dedup``) runs UNCHANGED on
+    the micro-batch replay in update mode — min_by state converges
+    to the global first-row winner per (window, key) across batches —
+    and each batch's updated winners append to the upsert log
+    (PK = window_end, user_id; last record per key wins, the
+    upsert-kafka compaction).  Final compacted state must equal the
+    batch operator — oracle = the ``window_dedup_first`` SQL."""
+    import os
+    import tempfile
+
+    from flink_window_dgim_traffic_spark.streaming import jobs as J
+
+    ev = _events(s, d).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_swd_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ck"
+    us = F.unix_micros(F.col("ts"))
+    lo, hi = ev.agg(F.min(us), F.max(us)).collect()[0]
+    span = (hi - lo) // 3 + 1
+    for i in range(3):
+        ev.filter(
+            (us >= lo + i * span) & (us < lo + (i + 1) * span)
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/c{i}")
+    files = sorted(
+        f"{src}/c{i}/{n}"
+        for i in range(3)
+        for n in os.listdir(f"{src}/c{i}")
+        if n.endswith(".parquet")
+    )
+    for i, p in enumerate(files):
+        os.utime(p, (1000000000 + i * 60,) * 2)
+    stream = (
+        s.readStream.schema(
+            "event_id long, user_id long, ts timestamp,"
+            " event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        W.window_dedup(stream, 600)
+        .writeStream.outputMode("update")
+        .foreachBatch(
+            J.upsert_foreach_batch_writer(
+                out, ["window_end", "user_id"]
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        J.read_upsert_state(s, out)
+        .select(
+            F.from_json(
+                "value",
+                "window_end string, user_id long, event_id long,"
+                " event_type string, value double",
+            ).alias("v")
+        )
+        .select("v.*")
+    )
+
+
 def _ivm_join_cdc(s: SparkSession, d: str) -> DataFrame:
     """Z-SET incremental join maintenance end to end (the DBSP
     multiplicity generalization — deletes as -1 deltas, no history
@@ -1270,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             how="left_anti",
         ),
         "stream_window_join": _stream_window_join,
+        "stream_window_dedup": _stream_window_dedup,
         # distributed subsequence similarity search (sliding window
         # as GROUP BY, exact integer distances)
         "ts_pattern_topk": lambda s, d: AN.ts_pattern_topk(
@@ -2474,6 +2544,20 @@ SELECT strftime(make_timestamp((l.wslot + 1) * 600000000),
                 '%Y-%m-%d %H:%M:%S') AS window_end,
        l.user_id AS user_id, l_event_id, r_event_id
 FROM l JOIN r ON l.user_id = r.user_id AND l.wslot = r.wslot
+""",
+        # streaming dedup twin: compacted upsert state == the batch
+        # window-dedup SQL
+        "stream_window_dedup": """
+WITH t AS (
+  SELECT *, epoch_us(ts) // 600000000 AS wslot,
+         row_number() OVER (
+           PARTITION BY epoch_us(ts) // 600000000, user_id
+           ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events)
+SELECT strftime(make_timestamp((wslot + 1) * 600000000),
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       user_id, event_id, event_type, value
+FROM t WHERE rn = 1
 """,
         # streaming twin: the stream-stream window join replays the
         # same data, so the batch window-join SQL is its oracle

@@ -423,3 +423,52 @@ def test_ts_pattern_topk_hand_values(spark):
     assert d2[(2, 1)] == 31_000_000_000_000
     # no subsequence crosses a series end: max start for user1 is 2
     assert all(r.start_idx <= 2 for r in got if r.user_id == 1)
+
+
+def test_dist_ntile_property_equals_ansi_ntile(spark):
+    """_dist_ntile must reproduce ANSI ntile EXACTLY on arbitrary
+    multisets — heavy ties, singletons, n < tiles, skewed ids —
+    against Spark's own global ntile as the reference."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_window_dgim_traffic_spark.operators.analytics import (
+        _dist_ntile,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-5, max_value=5),   # metric (ties!)
+                st.integers(min_value=0, max_value=10**6),  # sparse ids
+            ),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda t: t[1],
+        ),
+        st.integers(min_value=1, max_value=7),
+    )
+    def run(rows, t):
+        df = spark.createDataFrame(
+            [(m, u) for m, u in rows], "metric long, user_id long"
+        )
+        got = {
+            r["user_id"]: r["tile"]
+            for r in _dist_ntile(
+                df, "metric", t, "tile", n_buckets=4, id_buckets=3
+            ).collect()
+        }
+        w = Window.orderBy(F.desc("metric"), F.asc("user_id"))
+        want = {
+            r["user_id"]: r["tile"]
+            for r in df.select(
+                "user_id",
+                F.ntile(t).over(w).cast("bigint").alias("tile"),
+            ).collect()
+        }
+        assert got == want
+
+    run()

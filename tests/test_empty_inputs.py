@@ -283,3 +283,18 @@ def test_round6_ops_empty(empty, spark):
         right_cols=["rid"], direction="nearest",
     ).collect()
     assert len(out) == 1 and out[0].asof_rid is None
+
+
+def test_round7_ops_empty(empty):
+    from flink_window_dgim_traffic_spark.operators import (
+        analytics as AN,
+    )
+
+    ev = empty("events")
+    assert AN.rfm_segments(ev).count() == 0
+    assert AN.global_quantiles(ev).count() == 0
+    assert AN.ts_pattern_topk(ev).count() == 0
+    assert W.window_dedup(ev, 600).count() == 0
+    assert W.window_join(ev, ev, 600).count() == 0
+    assert W.window_join(ev, ev, 600, how="left_anti").count() == 0
+    assert R.join_hotspots(ev, ev, ["user_id"], 5).count() == 0

@@ -189,6 +189,27 @@ SHOWCASE = {
     "neardup_keep_best": "bucketed pair candidates → label "
     "propagation; the winner pick is one window rank over "
     "(cluster, quality) — no self-join",
+    # round-7 additions
+    "rfm_segments": "three sharded-rank tiling passes: value-range "
+    "shards + (value, id-bucket) pair offsets; the only ordered "
+    "single-partition windows see <=256 shard totals — no global "
+    "ntile sort anywhere",
+    "global_value_quantiles": "distinct-value pair table (one "
+    "raw-row aggregation) → bounded shard prefix → rank-range "
+    "selection; exact global quantiles with no global sort",
+    "window_dedup_first": "Window Deduplication compiled to a "
+    "min_by argmin aggregation: one partially-aggregated shuffle, "
+    "NO rank window",
+    "window_join_views_buys": "window join on a pure slot column: "
+    "one equi-join on (user, slot), event_type filters pushed to "
+    "both scans",
+    "ts_pattern_topk": "n·m contribution explode (map-side) + one "
+    "keyed aggregation; top-k is TakeOrderedAndProject",
+    "winsorized_value_stats": "order statistics from the distinct "
+    "(key, value) pair table: raw rows cross ONE aggregation, every "
+    "window partitioned",
+    "join_hotspots": "count-table join + TakeOrderedAndProject; the "
+    "rank window sees only the <=k survivors",
 }
 
 
