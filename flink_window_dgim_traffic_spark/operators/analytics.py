@@ -380,6 +380,14 @@ def _dist_ntile(
     branches over the same rows — without the pin each chained pass
     would re-derive its whole upstream per branch (3^passes scans of
     the base aggregate)."""
+    reserved = {"_nv", "_s1", "_ub", "_poff", "_soff", "_rnk",
+                "_mn", "_mx", "_umn", "_umx", "_n", "_pc", "_sc"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"_dist_ntile: input columns collide with internal"
+            f" helper names: {sorted(clash)}"
+        )
     t = df.localCheckpoint(eager=False).withColumn(
         "_nv", -F.col(metric)
     )

@@ -237,7 +237,10 @@ def read_join_view(spark, path: str) -> DataFrame:
 
 
 def ivm_refresh_batch_fn(
-    path: str, side: str = "left", run_id: str | None = None
+    path: str,
+    side: str = "left",
+    run_id: str | None = None,
+    compact_after: int | None = None,
 ):
     """foreachBatch wrapper for STREAMING maintenance of the join
     view: the micro-batch is the delta of ``side`` and the batch id
@@ -267,6 +270,7 @@ def ivm_refresh_batch_fn(
             delta_left=batch if side == "left" else None,
             delta_right=batch if side == "right" else None,
             tag=f"{prefix}batch-{batch_id}",
+            compact_after=compact_after,
         )
 
     return process

@@ -288,3 +288,21 @@ def test_ivm_auto_compaction_and_run_id_namespace(spark, tmp_path):
     fn_b(_mk(spark, [(1, "fromB")], L), 0)
     vals = {r[1] for r in _rows(ivm.read_join_view(spark, p2))}
     assert {"fromA", "fromB"} <= vals
+
+
+def test_ivm_batch_fn_compact_after(spark, tmp_path):
+    """The streaming batch fn forwards compact_after: many batches
+    keep visible fan-in bounded without the caller ever calling the
+    compactor."""
+    p = str(tmp_path / "jvc")
+    L = "k bigint, lv string"
+    R = "k bigint, rv string"
+    ivm.build_join_view(
+        _mk(spark, [(1, "a")], L), _mk(spark, [(1, "x")], R), p, ["k"]
+    )
+    fn = ivm.ivm_refresh_batch_fn(p, "left", compact_after=3)
+    for i in range(8):
+        fn(_mk(spark, [(1, f"v{i}")], L), i)
+    assert len(ivm._visible_tags(p)) <= 4
+    got = _rows(ivm.read_join_view(spark, p))
+    assert len(got) == 9
