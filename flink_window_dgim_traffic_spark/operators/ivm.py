@@ -301,7 +301,19 @@ def compact_join_view(
     present sources; after the marker the absorbed dirs are dead
     weight a rerun's leftover sweep removes.  Replay-skip of past
     refresh tags keeps working — absorbed tags stay in the committed
-    list.  Returns False (no-op) below ``min_tags`` visible dirs."""
+    list.  Returns False (no-op) below ``min_tags`` visible dirs.
+
+    Bounded residual cost: marker FILES are retained forever (the
+    replay-skip contract needs the full tag history), so
+    ``_committed``/``_visible_tags`` remain an O(#refreshes) readdir
+    + tiny-JSON scan — bytes-per-marker bounded, no Spark job, no
+    parquet listing; what compaction eliminates is the
+    data-proportional part (the O(#refreshes) parquet DIR listing
+    and the union of that many file sets in every read/refresh
+    plan).  If marker-scan time ever matters (millions of
+    refreshes), fold absorbed tags into the compact marker and
+    delete their files — the absorbs list already carries the
+    information."""
     import shutil
 
     from pyspark.sql import functions as F
