@@ -1332,6 +1332,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _events(s, d).filter(F.col("event_type") == "purchase"),
             600,
         ),
+        "window_hop_join_views_buys": lambda s, d: W.window_join(
+            _events(s, d).filter(F.col("event_type") == "view"),
+            _events(s, d).filter(F.col("event_type") == "purchase"),
+            600,
+            slide_sec=300,
+        ),
         "window_antijoin_views": lambda s, d: W.window_join(
             _events(s, d).filter(F.col("event_type") == "view"),
             _events(s, d).filter(F.col("event_type") == "purchase"),
@@ -2572,6 +2578,26 @@ SELECT strftime(make_timestamp((l.wslot + 1) * 600000000),
                 '%Y-%m-%d %H:%M:%S') AS window_end,
        l.user_id AS user_id, l_event_id, r_event_id
 FROM l JOIN r ON l.user_id = r.user_id AND l.wslot = r.wslot
+""",
+        # HOP-window join: constant per-row pane explode before the
+        # same (user, slot) equi-join
+        "window_hop_join_views_buys": """
+WITH l AS (SELECT user_id, epoch_us(ts) // 300000000 AS pane,
+                  event_id AS l_event_id
+           FROM events WHERE event_type = 'view'),
+le AS (SELECT user_id, l_event_id,
+              unnest(generate_series(pane - 1, pane)) AS wslot
+       FROM l),
+r AS (SELECT user_id, epoch_us(ts) // 300000000 AS pane,
+             event_id AS r_event_id
+      FROM events WHERE event_type = 'purchase'),
+re AS (SELECT user_id, r_event_id,
+              unnest(generate_series(pane - 1, pane)) AS wslot
+       FROM r)
+SELECT strftime(make_timestamp(wslot * 300000000 + 600000000),
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       user_id, l_event_id, r_event_id
+FROM le JOIN re USING (user_id, wslot)
 """,
         # Flink Window Join (anti): views with NO purchase partner in
         # their window — the abandoned-browse shape

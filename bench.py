@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "ts_pattern_topk",
     "window_dedup_first",
     "window_join_views_buys",
+    "window_hop_join_views_buys",
     "window_antijoin_views",
     "theta_distinct_600s",
     "theta_rollup_serve_10min",

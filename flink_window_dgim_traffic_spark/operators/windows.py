@@ -770,6 +770,7 @@ def window_join(
     size_sec: int = 60,
     key_cols: tuple[str, ...] = ("user_id",),
     how: str = "inner",
+    slide_sec: int | None = None,
 ) -> DataFrame:
     """Flink SQL "Window Join" (the last window-TVF companion op):
     join rows of two inputs that fall in the SAME tumbling window
@@ -788,24 +789,52 @@ def window_join(
     shuffle-partitioned on exactly the keys Flink's window join
     hashes on; AQE handles a skewed (key, window) pair.  No
     time-range inequality (that is :func:`relational.asof_join` /
-    interval join territory) — window alignment IS the equality."""
+    interval join territory) — window alignment IS the equality.
+
+    ``slide_sec`` switches to the HOP-window join (Flink window
+    joins span all window TVFs): each row explodes into its
+    ``size/slide`` covering slots first — constant per-row fan-out,
+    map-side, before the same equi-join; ``wslot`` then counts in
+    slide units."""
     if how not in ("inner", "left_semi", "left_anti"):
         raise ValueError(
             f"how must be inner/left_semi/left_anti, got {how!r}"
         )
-    step = int(size_sec) * 1_000_000
+    size_us = int(size_sec) * 1_000_000
+    if slide_sec is None:
+        step = size_us
+        n_panes = 1
+    else:
+        if int(size_sec) % int(slide_sec):
+            raise ValueError("size_sec must be a multiple of slide_sec")
+        step = int(slide_sec) * 1_000_000
+        n_panes = int(size_sec) // int(slide_sec)
 
     def prep(df: DataFrame, side: str) -> DataFrame:
-        return df.select(
+        base = df.select(
             *key_cols,
-            F.expr(f"unix_micros(ts) div {step}").alias("wslot"),
+            F.expr(f"unix_micros(ts) div {step}").alias("_pane"),
             F.col("event_id").alias(f"{side}_event_id"),
+        )
+        if n_panes == 1:
+            return base.withColumnRenamed("_pane", "wslot")
+        # hop explode: a row in pane p belongs to windows STARTING at
+        # panes p-(n_panes-1) .. p; wslot = the window's start pane
+        return base.select(
+            *key_cols,
+            f"{side}_event_id",
+            F.explode(
+                F.sequence(
+                    F.col("_pane") - F.lit(n_panes - 1), F.col("_pane")
+                )
+            ).alias("wslot"),
         )
 
     l = prep(left, "l")
     r = prep(right, "r")
     on = [*key_cols, "wslot"]
-    wend = F.timestamp_micros((F.col("wslot") + 1) * step)
+    # window end = start + size (start pane × step + size)
+    wend = F.timestamp_micros(F.col("wslot") * step + size_us)
     if how == "inner":
         j = l.join(r, on)
         return j.select(

@@ -671,3 +671,37 @@ def test_window_join_modes(spark):
         W.window_join(l, r, 60, how="full")
     with _pt.raises(ValueError):
         W.window_dedup(l, 60, keep="any")
+
+
+def test_window_join_hop_mode(spark):
+    # size 60, slide 30: l at t=70 covers windows starting 30 and 60;
+    # r at t=95 covers windows starting 60 and 90 -> one shared
+    # window [60,120) (end 00:02:00)
+    l = _ev(spark, [(1, 70, 1, "view")])
+    r = _ev(spark, [(10, 95, 1, "purchase")])
+    inner = sorted(
+        (x["window_end"], x["user_id"], x["l_event_id"], x["r_event_id"])
+        for x in W.window_join(l, r, 60, slide_sec=30).collect()
+    )
+    assert inner == [("1970-01-01 00:02:00", 1, 1, 10)]
+    # r2 at t=40 shares windows [30,90) AND... l covers starts {30,60},
+    # r2 covers starts {0,30} -> shared start 30 -> end 00:01:30
+    r2 = _ev(spark, [(11, 40, 1, "purchase")])
+    inner2 = sorted(
+        x["window_end"]
+        for x in W.window_join(l, r2, 60, slide_sec=30).collect()
+    )
+    assert inner2 == ["1970-01-01 00:01:30"]
+    # anti in hop mode: per-window absence
+    anti = sorted(
+        (x["window_end"], x["l_event_id"])
+        for x in W.window_join(
+            l, r, 60, slide_sec=30, how="left_anti"
+        ).collect()
+    )
+    assert anti == [("1970-01-01 00:01:30", 1)]
+    # tumble path unchanged: size must be a multiple of slide
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        W.window_join(l, r, 60, slide_sec=25)
