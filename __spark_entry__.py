@@ -2473,7 +2473,8 @@ WITH s AS (SELECT user_id AS u,
            FROM events),
 p AS (SELECT * FROM (VALUES (0, 10000000), (1, 20000000),
                             (2, 40000000), (3, 80000000)) AS t(j, q)),
-c AS (SELECT u, idx - j AS start, (v - q) * (v - q) AS d2
+c AS (SELECT u, idx - j AS start,
+             CAST(v - q AS HUGEINT) * (v - q) AS d2
       FROM s, p WHERE idx - j >= 1),
 d AS (SELECT u, start, CAST(sum(d2) AS BIGINT) AS dist_e12,
              count(*) AS nm

@@ -303,6 +303,15 @@ def compact_join_view(
     refresh tags keeps working — absorbed tags stay in the committed
     list.  Returns False (no-op) below ``min_tags`` visible dirs.
 
+    Concurrency contract: SINGLE WRITER, no concurrent readers at
+    ``clean=True``.  A reader (``read_join_view`` / a refresh) that
+    captured the pre-compaction visible tag set will fail mid-scan
+    when ``clean=True`` removes the absorbed dirs under it.  With
+    readers that overlap compactions, call with ``clean=False`` —
+    deletion of absorbed dirs is then DEFERRED to the leftover sweep
+    at the START of the next compaction (the ``stale`` sweep below),
+    giving in-flight readers one full compaction interval to drain.
+
     Bounded residual cost: marker FILES are retained forever (the
     replay-skip contract needs the full tag history), so
     ``_committed``/``_visible_tags`` remain an O(#refreshes) readdir

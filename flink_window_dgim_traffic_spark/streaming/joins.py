@@ -57,7 +57,7 @@ def window_join_stream(
     left: DataFrame,
     right: DataFrame,
     size_sec: int = 600,
-    watermark: str = "0 seconds",
+    watermark: str = "600 seconds",
     streaming: bool = True,
 ) -> DataFrame:
     """Stream-stream WINDOW join (Flink SQL's windowing-TVF join, the
@@ -67,6 +67,15 @@ def window_join_stream(
     state-cleanup condition (both sides' state for a window is
     dropped once both watermarks pass window end), so state is
     bounded without an explicit time-range predicate.
+
+    ``watermark`` trades state size against late-data tolerance: an
+    event older than (max seen ts - watermark) is dropped from the
+    join INPUT, so ``'0 seconds'`` silently loses any row that
+    arrives one micro-batch after a later-timestamped row.  The
+    default tolerates one window of disorder; pass ``'0 seconds'``
+    only for strictly time-ordered replays.  (Inner-join OUTPUT
+    rows emit on match regardless of the watermark — it bounds
+    state and input lateness, not result timing.)
 
     Output: (window_end, user_id, l_event_id, r_event_id) — the same
     shape as the batch operator; tests assert stream == batch."""

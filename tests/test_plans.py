@@ -544,12 +544,13 @@ def test_asof_nearest_single_exchange(t):
 
 
 def test_round7_rfm_no_global_ntile(t):
-    """rfm_segments (VERDICT r6 #1): the three global single-task
-    ntile sorts are gone — tiling runs through _dist_ntile's sharded
-    rank.  Pin: no ntile in the plan, the rank windows are hash-
-    partitioned on the _s1 shard, and the only ordered-unpartitioned
-    windows are the bounded <=256-row shard-total prefixes (one per
-    metric pass)."""
+    """rfm_segments (VERDICT r6 #1, r8 single-pass form): the three
+    global single-task ntile sorts are gone — tiling runs through ONE
+    grouped _dist_ntile pass over the unpivoted (user, metric, value)
+    table.  Pin: no ntile in the plan, the rank windows are hash-
+    partitioned on (metric name, _s1 shard), and NO SinglePartition
+    exchange exists at all — with part_cols even the min/max and
+    shard-prefix windows are per-metric-partitioned."""
     from flink_window_dgim_traffic_spark.operators.analytics import (
         rfm_segments,
     )
@@ -557,13 +558,10 @@ def test_round7_rfm_no_global_ntile(t):
     df = rfm_segments(t("events"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ntile" not in plan
-    # the data-proportional rank windows are partitioned on the shard
-    assert "hashpartitioning(_s1" in plan
-    # every SinglePartition exchange is bounded: per metric pass one
-    # 1-row min/max aggregate + one <=256-row shard-total prefix
-    # (the final pass's plan shows its own pair; earlier passes hide
-    # behind the checkpoint pins) — never a data-proportional funnel
-    assert plan.count("Exchange SinglePartition") <= 4
+    # the data-proportional rank windows are partitioned on
+    # (metric, shard)
+    assert "hashpartitioning(_m" in plan
+    assert "Exchange SinglePartition" not in plan
 
 
 def test_round7_join_hotspots_takeordered(t):
