@@ -1,26 +1,42 @@
-"""Frequent-itemset mining over document token baskets — the
-A-Priori algorithm (Agrawal & Srikant 1994; the market-basket
-chapter of the same MMDS literature the DGIM sketch comes from):
-level-wise candidate generation where every k-itemset candidate must
-have ALL its (k-1)-subsets frequent, so each level's join runs over
-the (much smaller) frequent lattice, never the raw basket
-cross-product.
+"""Frequent-itemset mining over document token baskets — A-Priori
+(Agrawal & Srikant 1994) with a PCY hashed-pair prefilter (Park,
+Chen & Yu 1995; the market-basket chapter of the same MMDS
+literature the DGIM sketch comes from): level-wise candidate
+generation where every k-itemset candidate must have ALL its (k-1)-
+subsets frequent, so each level's join runs over the (much smaller)
+frequent lattice, never the raw basket cross-product.
 
 Scale shape: baskets reduce to DISTINCT (basket, item) pairs first
-(one keyed aggregation — collapses repeated tokens); L1 is a keyed
-count + filter; the L2 candidate join is a self equi-join ON THE
-BASKET KEY restricted to L1 items (per-basket fan-out is
-|L1 ∩ basket|², bounded by the frequent-item count, not vocabulary);
-L3 candidates come from joining L2 WITH ITSELF on the shared prefix
-plus the (b,c)-subset membership check — a lattice-sized join that
-never touches baskets — and only the surviving candidates are
-counted against baskets.  min_support is given in ppm of the basket
-count so the operator is scale-free; all arithmetic integer."""
+(one keyed aggregation — collapses repeated tokens) and are PINNED
+once (localCheckpoint — the L2 bucket pass, the L2 count and the L3
+count are four plan branches over the same rows; unpinned, each
+branch re-runs the distinct + semi-join).  L1 is a keyed count +
+filter; the PCY pass hashes every candidate pair to one of 2^16
+buckets and counts BUCKETS (map-side combine collapses the shuffle
+to ≤ 2^16 rows per task regardless of pair volume), and only pairs
+whose bucket is frequent enter the L2 candidate shuffle — bucket
+count ≥ pair count, so the filter is a conservative superset and
+results are EXACTLY A-Priori's.  The L2 candidate join is a self
+equi-join ON THE BASKET KEY restricted to L1 items (per-basket
+fan-out is |L1 ∩ basket|², bounded by the frequent-item count, not
+vocabulary); L3 candidates come from joining L2 WITH ITSELF on the
+shared prefix plus the (b,c)-subset membership check — a
+lattice-sized join that never touches baskets — and only the
+surviving candidates are counted against baskets.  min_support is
+given in ppm of the basket count so the operator is scale-free; all
+arithmetic integer.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# PCY hash-bucket count: 2^16 buckets keeps the bucket-count shuffle
+# bounded (map-side combine emits at most this many rows per task)
+# while making mass-infrequent-pair buckets overwhelmingly likely to
+# stay below threshold at any realistic support level.
+_PCY_BUCKETS = 1 << 16
 
 
 def frequent_itemsets(
@@ -47,16 +63,39 @@ def frequent_itemsets(
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
         .filter(F.col("support") >= s)
     )
-    items1 = items.join(
-        F.broadcast(l1.select("w")), "w", "left_semi"
-    ).select("b", "w")
-    pair_counts = (
+    # pinned: consumed by the PCY bucket pass, the L2 count, and the
+    # three L3 probes — one materialization instead of five re-derives
+    items1 = (
+        items.join(F.broadcast(l1.select("w")), "w", "left_semi")
+        .select("b", "w")
+        .localCheckpoint(eager=False)
+    )
+    pair_gen = (
         items1.alias("a")
         .join(items1.alias("c"), "b")
         .filter(F.col("a.w") < F.col("c.w"))
-        .groupBy(
-            F.col("a.w").alias("w1"), F.col("c.w").alias("w2")
+        .select(
+            F.col("a.w").alias("w1"),
+            F.col("c.w").alias("w2"),
         )
+        .withColumn(
+            "bk", F.pmod(F.xxhash64("w1", "w2"), F.lit(_PCY_BUCKETS))
+        )
+    )
+    # PCY pass: count pair-hash BUCKETS (bounded-cardinality groupBy
+    # — the shuffle carries ≤ _PCY_BUCKETS rows per task after the
+    # partial aggregate, never the pair volume), keep frequent ones
+    freq_buckets = (
+        pair_gen.groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .filter(F.col("bc") >= s)
+        .select("bk")
+    )
+    # only bucket-frequent pairs enter the candidate-count shuffle;
+    # support(pair) ≤ count(bucket(pair)), so no frequent pair is lost
+    pair_counts = (
+        pair_gen.join(F.broadcast(freq_buckets), "bk", "left_semi")
+        .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
     )
     l2 = pair_counts.filter(F.col("support") >= s)
