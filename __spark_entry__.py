@@ -1308,6 +1308,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``approx_distinct_users`` is bound-checked against
     ``distinct_users``."""
     return {
+        # ---- round-8 additions: window-join TVF completion
+        # (cumulate mode + semi + Flink-verbatim SQL semi/anti) ----
+        "window_cumulate_join_views_buys": lambda s, d: W.window_join(
+            _events(s, d).filter(F.col("event_type") == "view"),
+            _events(s, d).filter(F.col("event_type") == "purchase"),
+            600,
+            cumulate_step_sec=300,
+        ),
+        "window_semijoin_views": lambda s, d: W.window_join(
+            _events(s, d).filter(F.col("event_type") == "view"),
+            _events(s, d).filter(F.col("event_type") == "purchase"),
+            600,
+            how="left_semi",
+        ),
+        "sql_window_semijoin": lambda s, d: Q.sql_window_semijoin(s, d),
+        "sql_window_antijoin": lambda s, d: Q.sql_window_antijoin(s, d),
         # ---- round-7 additions / changed-this-round (window
         # discipline: new + changed ops enter ahead of green
         # entries; the three green unchanged tail entries slide
@@ -1355,6 +1371,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (plan twins of window_dedup_first / window_join_views_buys)
         "sql_window_dedup": lambda s, d: Q.sql_window_dedup(s, d),
         "sql_window_join": lambda s, d: Q.sql_window_join(s, d),
+        # changed this round (PCY hashed-pair prefilter) — stays in
+        # the driver window
+        "frequent_itemsets": lambda s, d: IT.frequent_itemsets(
+            _documents(s, d), 500_000
+        ),
+        # ---- r8 VERDICT ask #1: the 18 never-driver-verified
+        # rows-only entries, rotated INTO the first-50 window this
+        # round (the driver validates rows+schema for them; their
+        # correctness anchors stay in pytest — see each origin
+        # comment in the rows-only section below) ----
+        "embedding_neardup_lsh": lambda s, d: S.embedding_neardup_lsh(
+            _embeddings(s, d), threshold=0.4
+        ),
+        "semantic_dedup_lsh": lambda s, d: S.semantic_dedup(
+            _embeddings(s, d), use_lsh=True
+        ),
+        "neardup_incremental_lsh": lambda s, d: _neardup_incremental(s, d),
+        "compression_ratio": lambda s, d: QL.compression_ratio(
+            _documents(s, d)
+        ),
+        "kll_rollup_quantiles_1h": _kll_rollup_quantiles_1h,
+        "mmr_diverse_topk": lambda s, d: S.mmr_diverse_topk(
+            _embeddings(s, d)
+        ),
+        "pca_project": lambda s, d: S.pca_project(_embeddings(s, d)),
+        "zorder_layout_stats": _zorder_layout_stats,
+        "lang_id": lambda s, d: T.lang_id(_documents(s, d)),
+        "bpe_token_count": lambda s, d: BP.bpe_token_count(_documents(s, d)),
+        "bpe_vocab": lambda s, d: BP.bpe_vocab(_documents(s, d)),
+        "heavy_hitters_ngrams": lambda s, d: HH.heavy_hitters_ngrams(
+            _documents(s, d)
+        ),
+        "simsearch_ann_lsh": lambda s, d: S.simsearch_ann_lsh(_embeddings(s, d)),
+        "simsearch_ann_ivf": lambda s, d: S.simsearch_ann_ivf(_embeddings(s, d)),
+        "simsearch_ann_ivfpq": lambda s, d: S.simsearch_ann_ivfpq(
+            _embeddings(s, d)
+        ),
+        "table_profile_events_approx": lambda s, d: R.table_profile(
+            _events(s, d), exact=False
+        ),
+        "windowed_distinct_users_approx": lambda s, d: (
+            W.windowed_distinct_users_approx(_events(s, d), 60)
+        ),
+        "cumulate_dgim": lambda s, d: W.cumulate_dgim(_events(s, d), 60, 10),
+        # ---- end never-verified rotation block ----
         # ---- round-6 additions ----
         "max_concurrent_users": lambda s, d: W.max_concurrency(
             _user_day_intervals(s, d), bucket_sec=600
@@ -1414,9 +1475,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "pagerank_cowindow": _pagerank_cowindow,
         "stream_seasonal_anomaly": _stream_seasonal_anomaly,
-        "frequent_itemsets": lambda s, d: IT.frequent_itemsets(
-            _documents(s, d), 500_000
-        ),
         "triangles_fuzzy_suppliers": _triangles_fuzzy_suppliers,
         "components_fuzzy_suppliers": _components_fuzzy_suppliers,
         "bfs_suppliers": _bfs_suppliers,
@@ -1825,72 +1883,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": lambda s, d: T.doc_fingerprint(_documents(s, d)),
         "tumble_exact_1h": lambda s, d: W.tumble_exact(_events(s, d), 3600),
         # ---- pytest-anchored (sketch/hash-seeded) ----
-        # LSH scale path (precision 1 by construction, recall vs the
-        # oracle-green exact twin measured in tests)
-        "embedding_neardup_lsh": lambda s, d: S.embedding_neardup_lsh(
-            _embeddings(s, d), threshold=0.4
-        ),
-        "semantic_dedup_lsh": lambda s, d: S.semantic_dedup(
-            _embeddings(s, d), use_lsh=True
-        ),
-        # sketch/hash-seeded (exact twins above are oracle-green)
-        # crawl-over-crawl NEAR-dup (round 4): build the MinHash index
-        # on the even-doc_id half, probe the odd half against it —
-        # the persisted-index deployment shape end to end.  xxhash64
-        # signatures have no DuckDB twin -> rows-only; estimator
-        # agreement + exact-copy behavior pinned in pytest.
-        "neardup_incremental_lsh": lambda s, d: _neardup_incremental(s, d),
-        # zlib-deflate redundancy signal (round 4): no SQL deflate
-        # exists -> rows-only; exact permille pinned in pytest.
-        "compression_ratio": lambda s, d: QL.compression_ratio(
-            _documents(s, d)
-        ),
-        # merged-minute KLL quantiles (round 5): approximate by design
-        # -> rows-only; rank-error bound pinned in test_sketches.py.
-        "kll_rollup_quantiles_1h": _kll_rollup_quantiles_1h,
-        # MMR greedy has no SQL twin -> rows-only; numpy-reference
-        # parity pinned in tests/test_analytics_vectors.py.
-        "mmr_diverse_topk": lambda s, d: S.mmr_diverse_topk(
-            _embeddings(s, d)
-        ),
-        # eigendecomposition has no SQL twin -> rows-only; numpy
-        # parity + variance ordering pinned in tests.
-        "pca_project": lambda s, d: S.pca_project(_embeddings(s, d)),
-        # layout quality surface (per-file min-max + prune decision)
-        # -> rows-only; pruning win + soundness in tests/test_layout.py
-        "zorder_layout_stats": _zorder_layout_stats,
+        # rows-only correctness anchors for the 18 entries rotated
+        # into the driver window this round (kept here for the
+        # record): embedding_neardup_lsh / semantic_dedup_lsh — LSH
+        # scale paths, recall vs the oracle-green exact twins
+        # measured in tests; neardup_incremental_lsh — persisted
+        # MinHash index probe, estimator agreement pinned in pytest;
+        # compression_ratio — zlib deflate, exact permille pinned;
+        # kll_rollup_quantiles_1h — rank-error bound in
+        # test_sketches.py; mmr_diverse_topk / pca_project — numpy
+        # parity in tests; zorder_layout_stats — pruning win +
+        # soundness in test_layout.py; lang_id — hand vectors;
+        # bpe_* — hand-computed vectors + invariants in test_bpe.py;
+        # heavy_hitters_ngrams — SpaceSaving bounds in
+        # test_heavy_hitters.py; simsearch_ann_* — recall-vs-exact
+        # pinned; *_approx — HLL++ within-3·rsd bounds;
+        # cumulate_dgim — DGIM bound + degeneration tests.
         "minhash_lsh_pairs": lambda s, d: D.minhash_lsh_pairs(
             _documents(s, d), threshold=0.8
         ),
         "simhash_pairs": lambda s, d: D.simhash_pairs(_documents(s, d)),
-        "lang_id": lambda s, d: T.lang_id(_documents(s, d)),
-        # BPE tokenizer: train-on-bounded-sample + map-only encode;
-        # vocab and counts are deterministic (doc_id-ordered sample,
-        # lexicographic tie-breaks) but not ANSI-SQL-expressible —
-        # hand-computed vectors + invariants in tests/test_bpe.py
-        "bpe_token_count": lambda s, d: BP.bpe_token_count(_documents(s, d)),
-        "bpe_vocab": lambda s, d: BP.bpe_vocab(_documents(s, d)),
-        # SpaceSaving sketch twin of top_ngrams: bounded state per
-        # partition + one sketch-sized merge; bounds vs the exact
-        # counts asserted in tests/test_heavy_hitters.py (rows-only —
-        # output depends on partitioning only within proven bounds)
-        "heavy_hitters_ngrams": lambda s, d: HH.heavy_hitters_ngrams(
-            _documents(s, d)
-        ),
-        "simsearch_ann_lsh": lambda s, d: S.simsearch_ann_lsh(_embeddings(s, d)),
-        "simsearch_ann_ivf": lambda s, d: S.simsearch_ann_ivf(_embeddings(s, d)),
-        "simsearch_ann_ivfpq": lambda s, d: S.simsearch_ann_ivfpq(
-            _embeddings(s, d)
-        ),
         "approx_distinct_users": lambda s, d: R.approx_distinct_users(_events(s, d)),
-        # HLL++ scale switch of table_profile: sketch estimates ->
-        # rows-only; within-3·rsd bound pinned in test_relational.py.
-        "table_profile_events_approx": lambda s, d: R.table_profile(
-            _events(s, d), exact=False
-        ),
-        "windowed_distinct_users_approx": lambda s, d: (
-            W.windowed_distinct_users_approx(_events(s, d), 60)
-        ),
         # DGIM variants: estimate values anchored transitively via
         # tumble_dgim_bound (oracle-green closed form) + equality/
         # bound tests in tests/test_dgim.py, tests/test_windows.py
@@ -1900,7 +1913,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _events(s, d), 60, mode="pyflink"
         ),
         "tumble_dgim_collect": lambda s, d: W.tumble_dgim_collect(_events(s, d), 60),
-        "cumulate_dgim": lambda s, d: W.cumulate_dgim(_events(s, d), 60, 10),
         "tumble_dgim_two_phase": lambda s, d: W.tumble_dgim_two_phase(
             _events(s, d), 60
         ),
@@ -2603,6 +2615,69 @@ FROM le JOIN re USING (user_id, wslot)
         # Flink Window Join (anti): views with NO purchase partner in
         # their window — the abandoned-browse shape
         "window_antijoin_views": """
+WITH l AS (SELECT user_id, epoch_us(ts) // 600000000 AS wslot,
+                  event_id AS l_event_id
+           FROM events WHERE event_type = 'view'),
+r AS (SELECT user_id, epoch_us(ts) // 600000000 AS wslot
+      FROM events WHERE event_type = 'purchase')
+SELECT strftime(make_timestamp((l.wslot + 1) * 600000000),
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       user_id, l_event_id
+FROM l ANTI JOIN r USING (user_id, wslot)
+""",
+        # CUMULATE-window join: each row explodes into the ENDS of
+        # every cumulative window of its 600s span that covers it
+        # (step 300s); the end is the join slot
+        "window_cumulate_join_views_buys": """
+WITH l0 AS (SELECT user_id, event_id AS l_event_id,
+                   epoch_us(ts) AS us,
+                   epoch_us(ts) // 600000000 * 600000000 AS ws
+            FROM events WHERE event_type = 'view'),
+le AS (SELECT user_id, l_event_id,
+              unnest(generate_series(
+                ws + ((us - ws) // 300000000 + 1) * 300000000,
+                ws + 600000000, 300000000)) AS wslot
+       FROM l0),
+r0 AS (SELECT user_id, event_id AS r_event_id,
+              epoch_us(ts) AS us,
+              epoch_us(ts) // 600000000 * 600000000 AS ws
+       FROM events WHERE event_type = 'purchase'),
+re AS (SELECT user_id, r_event_id,
+              unnest(generate_series(
+                ws + ((us - ws) // 300000000 + 1) * 300000000,
+                ws + 600000000, 300000000)) AS wslot
+       FROM r0)
+SELECT strftime(make_timestamp(wslot),
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       user_id, l_event_id, r_event_id
+FROM le JOIN re USING (user_id, wslot)
+""",
+        # Flink Window Join (semi): views WITH a purchase partner in
+        # their window
+        "window_semijoin_views": """
+WITH l AS (SELECT user_id, epoch_us(ts) // 600000000 AS wslot,
+                  event_id AS l_event_id
+           FROM events WHERE event_type = 'view'),
+r AS (SELECT user_id, epoch_us(ts) // 600000000 AS wslot
+      FROM events WHERE event_type = 'purchase')
+SELECT strftime(make_timestamp((l.wslot + 1) * 600000000),
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       user_id, l_event_id
+FROM l SEMI JOIN r USING (user_id, wslot)
+""",
+        # SQL-surface semi/anti twins share the DataFrame oracles
+        "sql_window_semijoin": """
+WITH l AS (SELECT user_id, epoch_us(ts) // 600000000 AS wslot,
+                  event_id AS l_event_id
+           FROM events WHERE event_type = 'view'),
+r AS (SELECT user_id, epoch_us(ts) // 600000000 AS wslot
+      FROM events WHERE event_type = 'purchase')
+SELECT strftime(make_timestamp((l.wslot + 1) * 600000000),
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       user_id, l_event_id
+FROM l SEMI JOIN r USING (user_id, wslot)
+""",
+        "sql_window_antijoin": """
 WITH l AS (SELECT user_id, epoch_us(ts) // 600000000 AS wslot,
                   event_id AS l_event_id
            FROM events WHERE event_type = 'view'),

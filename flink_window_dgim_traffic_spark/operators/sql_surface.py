@@ -290,3 +290,60 @@ def sql_window_join(
           ON l.user_id = r.user_id AND l.w = r.w
         """
     )
+
+def sql_window_semijoin(
+    spark: SparkSession, sf_dir: str, size_sec: int = 600
+) -> DataFrame:
+    """Flink SQL Window SEMI join, verbatim shape (the Flink docs'
+    ``WHERE EXISTS (SELECT * FROM R WHERE L.window_start =
+    R.window_start AND ...)`` form around window TVFs): left rows
+    that HAD a right partner in the same window, as one Spark SQL
+    string.  Equal to ``operators.windows.window_join(...,
+    how='left_semi')`` (tested) — Catalyst rewrites the EXISTS to
+    the same existential semi join the DataFrame twin plans."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT date_format(l.w.end, 'yyyy-MM-dd HH:mm:ss')
+                 AS window_end,
+               l.user_id AS user_id,
+               l.event_id AS l_event_id
+        FROM (SELECT user_id, event_id,
+                     window(ts, '{size_sec} seconds') AS w
+              FROM events WHERE event_type = 'view') l
+        WHERE EXISTS (
+          SELECT * FROM (SELECT user_id,
+                                window(ts, '{size_sec} seconds') AS w
+                         FROM events
+                         WHERE event_type = 'purchase') r
+          WHERE l.user_id = r.user_id AND l.w = r.w)
+        """
+    )
+
+
+def sql_window_antijoin(
+    spark: SparkSession, sf_dir: str, size_sec: int = 600
+) -> DataFrame:
+    """Flink SQL Window ANTI join, verbatim shape (``WHERE NOT
+    EXISTS`` around window TVFs — the abandoned-browse query): left
+    rows with NO right partner in their window, as one Spark SQL
+    string.  Equal to ``operators.windows.window_join(...,
+    how='left_anti')`` (tested)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT date_format(l.w.end, 'yyyy-MM-dd HH:mm:ss')
+                 AS window_end,
+               l.user_id AS user_id,
+               l.event_id AS l_event_id
+        FROM (SELECT user_id, event_id,
+                     window(ts, '{size_sec} seconds') AS w
+              FROM events WHERE event_type = 'view') l
+        WHERE NOT EXISTS (
+          SELECT * FROM (SELECT user_id,
+                                window(ts, '{size_sec} seconds') AS w
+                         FROM events
+                         WHERE event_type = 'purchase') r
+          WHERE l.user_id = r.user_id AND l.w = r.w)
+        """
+    )

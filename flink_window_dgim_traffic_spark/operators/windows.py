@@ -771,6 +771,7 @@ def window_join(
     key_cols: tuple[str, ...] = ("user_id",),
     how: str = "inner",
     slide_sec: int | None = None,
+    cumulate_step_sec: int | None = None,
 ) -> DataFrame:
     """Flink SQL "Window Join" (the last window-TVF companion op):
     join rows of two inputs that fall in the SAME tumbling window
@@ -795,46 +796,98 @@ def window_join(
     joins span all window TVFs): each row explodes into its
     ``size/slide`` covering slots first — constant per-row fan-out,
     map-side, before the same equi-join; ``wslot`` then counts in
-    slide units."""
+    slide units.
+
+    ``cumulate_step_sec`` switches to the CUMULATE-window join
+    (completing the TVF coverage: tumble, hop, cumulate —
+    :func:`cumulate_exact` defines the window set): ``size_sec``
+    becomes the span and each row explodes into the ends of every
+    cumulative window of its span that covers it (≤ span/step
+    slots, map-side like hop); the window END is the join slot —
+    it identifies the (span, end) pair uniquely because the span
+    start is derivable from the end."""
     if how not in ("inner", "left_semi", "left_anti"):
         raise ValueError(
             f"how must be inner/left_semi/left_anti, got {how!r}"
         )
+    if slide_sec is not None and cumulate_step_sec is not None:
+        raise ValueError(
+            "slide_sec and cumulate_step_sec are mutually exclusive"
+        )
     size_us = int(size_sec) * 1_000_000
-    if slide_sec is None:
-        step = size_us
-        n_panes = 1
-    else:
-        if int(size_sec) % int(slide_sec):
-            raise ValueError("size_sec must be a multiple of slide_sec")
-        step = int(slide_sec) * 1_000_000
-        n_panes = int(size_sec) // int(slide_sec)
+    if cumulate_step_sec is not None:
+        if int(size_sec) % int(cumulate_step_sec):
+            raise ValueError(
+                "size_sec must be a multiple of cumulate_step_sec"
+            )
+        step_us = int(cumulate_step_sec) * 1_000_000
 
-    def prep(df: DataFrame, side: str) -> DataFrame:
-        base = df.select(
-            *key_cols,
-            F.expr(f"unix_micros(ts) div {step}").alias("_pane"),
-            F.col("event_id").alias(f"{side}_event_id"),
-        )
-        if n_panes == 1:
-            return base.withColumnRenamed("_pane", "wslot")
-        # hop explode: a row in pane p belongs to windows STARTING at
-        # panes p-(n_panes-1) .. p; wslot = the window's start pane
-        return base.select(
-            *key_cols,
-            f"{side}_event_id",
-            F.explode(
-                F.sequence(
-                    F.col("_pane") - F.lit(n_panes - 1), F.col("_pane")
+        def prep(df: DataFrame, side: str) -> DataFrame:
+            base = df.select(
+                *key_cols,
+                F.col("event_id").alias(f"{side}_event_id"),
+                F.expr(
+                    f"unix_micros(ts) div {size_us} * {size_us}"
+                ).alias("_ws"),
+                F.expr("unix_micros(ts)").alias("_us"),
+            )
+            # ends of the covering cumulative windows: first end
+            # strictly past the row's time, stepping to span end
+            ends = F.sequence(
+                F.expr(
+                    f"_ws + ((_us - _ws) div {step_us} + 1)"
+                    f" * {step_us}"
+                ),
+                F.expr(f"_ws + {size_us}"),
+                F.lit(step_us).cast("bigint"),
+            )
+            return base.select(
+                *key_cols,
+                f"{side}_event_id",
+                F.explode(ends).alias("wslot"),
+            )
+
+        wend = F.timestamp_micros(F.col("wslot"))
+    else:
+        if slide_sec is None:
+            step = size_us
+            n_panes = 1
+        else:
+            if int(size_sec) % int(slide_sec):
+                raise ValueError(
+                    "size_sec must be a multiple of slide_sec"
                 )
-            ).alias("wslot"),
-        )
+            step = int(slide_sec) * 1_000_000
+            n_panes = int(size_sec) // int(slide_sec)
+
+        def prep(df: DataFrame, side: str) -> DataFrame:
+            base = df.select(
+                *key_cols,
+                F.expr(f"unix_micros(ts) div {step}").alias("_pane"),
+                F.col("event_id").alias(f"{side}_event_id"),
+            )
+            if n_panes == 1:
+                return base.withColumnRenamed("_pane", "wslot")
+            # hop explode: a row in pane p belongs to windows
+            # STARTING at panes p-(n_panes-1) .. p; wslot = the
+            # window's start pane
+            return base.select(
+                *key_cols,
+                f"{side}_event_id",
+                F.explode(
+                    F.sequence(
+                        F.col("_pane") - F.lit(n_panes - 1),
+                        F.col("_pane"),
+                    )
+                ).alias("wslot"),
+            )
+
+        # window end = start + size (start pane × step + size)
+        wend = F.timestamp_micros(F.col("wslot") * step + size_us)
 
     l = prep(left, "l")
     r = prep(right, "r")
     on = [*key_cols, "wslot"]
-    # window end = start + size (start pane × step + size)
-    wend = F.timestamp_micros(F.col("wslot") * step + size_us)
     if how == "inner":
         j = l.join(r, on)
         return j.select(

@@ -642,3 +642,36 @@ def test_sql_window_dedup_join_twins_equal_dataframe(spark, sf_dir):
             ).collect(),
         )
     )
+    # r8: the EXISTS / NOT EXISTS Flink-verbatim forms equal the
+    # DataFrame semi/anti modes (Catalyst rewrites the existential
+    # subquery to the same LeftSemi/LeftAnti join)
+    views = ev.filter(F.col("event_type") == "view")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    assert sorted(
+        map(tuple, Q.sql_window_semijoin(spark, sf_dir).collect())
+    ) == sorted(
+        map(
+            tuple,
+            W.window_join(views, buys, 600, how="left_semi").collect(),
+        )
+    )
+    assert sorted(
+        map(tuple, Q.sql_window_antijoin(spark, sf_dir).collect())
+    ) == sorted(
+        map(
+            tuple,
+            W.window_join(views, buys, 600, how="left_anti").collect(),
+        )
+    )
+    # plan shape: the EXISTS forms plan existential joins, not
+    # aggregates or cartesians
+    semi_plan = (
+        Q.sql_window_semijoin(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    anti_plan = (
+        Q.sql_window_antijoin(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in semi_plan
+    assert "LeftAnti" in anti_plan

@@ -705,3 +705,56 @@ def test_window_join_hop_mode(spark):
 
     with _pt.raises(ValueError):
         W.window_join(l, r, 60, slide_sec=25)
+
+
+def test_window_join_cumulate_mode(spark):
+    # span 60, step 30: a row joins in the END of every cumulative
+    # window of its span that covers it.  l at t=70 (span [60,120))
+    # is covered by ends {90, 120}; r at t=95 only by end {120};
+    # r3 at t=80 by ends {90, 120}.
+    l = _ev(spark, [(1, 70, 1, "view")])
+    r = _ev(spark, [(10, 95, 1, "purchase")])
+    inner = sorted(
+        (x["window_end"], x["user_id"], x["l_event_id"], x["r_event_id"])
+        for x in W.window_join(l, r, 60, cumulate_step_sec=30).collect()
+    )
+    assert inner == [("1970-01-01 00:02:00", 1, 1, 10)]
+    r3 = _ev(spark, [(12, 80, 1, "purchase")])
+    inner3 = sorted(
+        (x["window_end"], x["l_event_id"], x["r_event_id"])
+        for x in W.window_join(l, r3, 60, cumulate_step_sec=30).collect()
+    )
+    assert inner3 == [
+        ("1970-01-01 00:01:30", 1, 12),
+        ("1970-01-01 00:02:00", 1, 12),
+    ]
+    # different spans never join: r2 at t=40 lives in span [0,60)
+    r2 = _ev(spark, [(11, 40, 1, "purchase")])
+    assert (
+        W.window_join(l, r2, 60, cumulate_step_sec=30).count() == 0
+    )
+    # anti is per cumulative window: l's end 90 has no r partner
+    anti = sorted(
+        (x["window_end"], x["l_event_id"])
+        for x in W.window_join(
+            l, r, 60, cumulate_step_sec=30, how="left_anti"
+        ).collect()
+    )
+    assert anti == [("1970-01-01 00:01:30", 1)]
+    # step=size degenerates to the tumble join (one end per span)
+    tumble = sorted(
+        map(tuple, W.window_join(l, r, 60).collect())
+    )
+    degen = sorted(
+        map(
+            tuple,
+            W.window_join(l, r, 60, cumulate_step_sec=60).collect(),
+        )
+    )
+    assert degen == tumble
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        W.window_join(l, r, 60, cumulate_step_sec=25)
+    with _pt.raises(ValueError):
+        W.window_join(l, r, 60, slide_sec=30, cumulate_step_sec=30)
