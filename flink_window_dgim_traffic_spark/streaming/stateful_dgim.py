@@ -15,6 +15,7 @@ from datetime import timezone
 from typing import Iterator, Tuple
 
 import pandas as pd
+from pyspark.sql.streaming import StatefulProcessor
 
 from flink_window_dgim_traffic_spark.dgim import DGIM, MODE_JAVA
 
@@ -126,58 +127,72 @@ def tws_available() -> bool:
         return True
     except ImportError:
         return False
+class DGIMProcessor(StatefulProcessor):
+    """The ``transformWithStateInPandas`` StatefulProcessor for the
+    incremental tumbling DGIM (typed ValueState handle instead of
+    applyInPandasWithState's single state tuple).  Defined at module
+    level so tests can construct it and drive init/handleInputRows
+    directly with a fake state handle — the full state round-trip
+    (from_flat/to_flat, multi-batch accumulation, output frame) is
+    exercised even where the TWS protobuf runtime is absent (the
+    class itself imports protobuf-free; only the runtime's state
+    server needs it)."""
+
+    def __init__(self, size_sec: int, mode: str = MODE_JAVA) -> None:
+        self._size_sec = size_sec
+        self._mode = mode
+
+    def init(self, handle) -> None:
+        self._st = handle.getValueState(
+            "sketch", "flat array<bigint>, ones bigint, nrows bigint"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._st.exists():
+            flat, ones, nrows = self._st.get()
+            sk = DGIM.from_flat(self._size_sec, list(flat), mode=self._mode)
+        else:
+            sk, ones, nrows = DGIM(self._size_sec, mode=self._mode), 0, 0
+        for pdf in rows:
+            sub = pdf.sort_values("ts_sec", kind="mergesort")
+            for b, t in zip(
+                sub["bit"].to_numpy(), sub["ts_sec"].to_numpy()
+            ):
+                if b == 1:
+                    sk.add(int(t))
+                    ones += 1
+            nrows += len(sub)
+        self._st.update((sk.to_flat(), ones, nrows))
+        yield pd.DataFrame(
+            {
+                "window_end": [key[0].strftime("%Y-%m-%d %H:%M:%S")],
+                "count_estimate": [sk.estimate()],
+                "exact_count": [ones],
+                "n_rows": [nrows],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
 def tumble_dgim_stream_tws(parsed, size_sec: int = 60, mode: str = MODE_JAVA):
     """Same incremental tumbling DGIM as :func:`tumble_dgim_stream`,
-    on the current-generation ``transformWithStateInPandas`` API
-    (typed ValueState handle instead of the single state tuple).
+    on the current-generation ``transformWithStateInPandas`` API.
     Kept alongside the applyInPandasWithState path so both stateful
     APIs stay exercised; outputs are tested identical.
 
     NOTE: the TWS runtime needs ``google.protobuf`` (its state-server
-    protocol), which this container lacks — the test gates on
-    :func:`tws_available`; on a normal Spark 4.x install it runs.
+    protocol), which this container lacks — the end-to-end run gates
+    on :func:`tws_available`; on a normal Spark 4.x install it runs.
     Vendoring was ruled out after a system-wide search (no protobuf
     wheel, conda pkg, or site-packages copy exists anywhere on this
-    host, and package installation is banned), and reimplementing the
-    protobuf descriptor/wire runtime is out of scope — the
-    ``applyInPandasWithState`` twin above carries full test coverage
-    of the same semantics."""
+    host, and package installation is banned).  The processor ITSELF
+    (:class:`DGIMProcessor`) is runtime-independent and is driven
+    directly with a fake state handle in tests/test_streaming.py, so
+    the path is exercised — batch-replay equality asserted — with or
+    without protobuf."""
     from pyspark.sql import functions as F
-    from pyspark.sql.streaming import StatefulProcessor
-
-    class DGIMProcessor(StatefulProcessor):
-        def init(self, handle) -> None:
-            self._st = handle.getValueState(
-                "sketch", "flat array<bigint>, ones bigint, nrows bigint"
-            )
-
-        def handleInputRows(self, key, rows, timerValues):
-            if self._st.exists():
-                flat, ones, nrows = self._st.get()
-                sk = DGIM.from_flat(size_sec, list(flat), mode=mode)
-            else:
-                sk, ones, nrows = DGIM(size_sec, mode=mode), 0, 0
-            for pdf in rows:
-                sub = pdf.sort_values("ts_sec", kind="mergesort")
-                for b, t in zip(
-                    sub["bit"].to_numpy(), sub["ts_sec"].to_numpy()
-                ):
-                    if b == 1:
-                        sk.add(int(t))
-                        ones += 1
-                nrows += len(sub)
-            self._st.update((sk.to_flat(), ones, nrows))
-            yield pd.DataFrame(
-                {
-                    "window_end": [key[0].strftime("%Y-%m-%d %H:%M:%S")],
-                    "count_estimate": [sk.estimate()],
-                    "exact_count": [ones],
-                    "n_rows": [nrows],
-                }
-            )
-
-        def close(self) -> None:
-            pass
 
     keyed = parsed.select(
         F.window("ts", f"{size_sec} seconds").getItem("end").alias("we"),
@@ -185,7 +200,7 @@ def tumble_dgim_stream_tws(parsed, size_sec: int = 60, mode: str = MODE_JAVA):
         "ts_sec",
     )
     return keyed.groupBy("we").transformWithStateInPandas(
-        statefulProcessor=DGIMProcessor(),
+        statefulProcessor=DGIMProcessor(size_sec, mode),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",

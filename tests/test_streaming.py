@@ -267,34 +267,101 @@ def test_stateful_dgim_checkpoint_restart(spark, tmp_path, batch_parsed):
     assert final == expect
 
 
-def test_tws_dgim_matches_apply_in_pandas_with_state(
-    spark, fixture_dir, batch_parsed
-):
-    """The transformWithStateInPandas processor must produce the same
-    final per-window values as the applyInPandasWithState path (and
-    hence as batch replay).  Skipped where the TWS runtime's protobuf
-    dependency is absent (this container)."""
+class _FakeValueState:
+    """In-process stand-in for the TWS runtime's per-key ValueState
+    handle (same exists/get/update surface)."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeHandle:
+    def getValueState(self, name, schema):
+        return _FakeValueState()
+
+
+def test_tws_dgim_matches_batch_replay(spark, fixture_dir, batch_parsed):
+    """The transformWithStateInPandas DGIMProcessor must produce the
+    same final per-window values as batch replay.  The TWS runtime's
+    state server needs google.protobuf (absent in this container and
+    not installable), but the processor itself is runtime-independent:
+    drive init/handleInputRows directly, one fake ValueState per
+    grouping key, feeding each key's rows in THREE micro-batch slices
+    so the state round-trip (to_flat -> from_flat) is exercised across
+    invocations exactly as the runtime would.  Where protobuf IS
+    present, additionally run the real streaming query end-to-end."""
     from flink_window_dgim_traffic_spark.streaming.stateful_dgim import (
+        DGIMProcessor,
         tumble_dgim_stream_tws,
         tws_available,
     )
 
-    if not tws_available():
-        pytest.skip("transformWithStateInPandas needs google.protobuf")
-
-    stream = J.parse_traffic(J.file_traffic_stream(spark, fixture_dir))
-    J.run_stream_to_memory(
-        tumble_dgim_stream_tws(stream, 60), "t_dgim_tws", "update"
-    )
-    final = {}
-    for r in spark.sql("SELECT * FROM t_dgim_tws").collect():
-        final[r["window_end"]] = (r["count_estimate"], r["exact_count"])
     ev = batch_parsed.withColumn("event_id", F.col("bit").cast("bigint"))
     expect = {
         r["window_end"]: (r["count_estimate"], r["exact_count"])
         for r in W.tumble_dgim(ev, 60).collect()
     }
+
+    pdf = (
+        batch_parsed.select(
+            F.window("ts", "60 seconds").getItem("end").alias("we"),
+            "bit",
+            "ts_sec",
+        )
+        .toPandas()
+        .sort_values("ts_sec", kind="mergesort")
+    )
+    final = {}
+    for we, grp in pdf.groupby("we"):
+        proc = DGIMProcessor(60)
+        proc.init(_FakeHandle())
+        # the runtime hands the key as a tuple of naive (session-tz
+        # = UTC) datetimes; replicate, and slice the key's rows into
+        # three micro-batches to force state reload between calls
+        key = (we.to_pydatetime(),)
+        n = len(grp)
+        cuts = [0, max(1, n // 3), max(2, 2 * n // 3), n]
+        out = None
+        for lo, hi in zip(cuts, cuts[1:]):
+            if hi <= lo:
+                continue
+            batch = grp.iloc[lo:hi][["bit", "ts_sec"]]
+            for out_pdf in proc.handleInputRows(key, iter([batch]), None):
+                out = out_pdf
+        proc.close()
+        assert out is not None and list(out.columns) == [
+            "window_end",
+            "count_estimate",
+            "exact_count",
+            "n_rows",
+        ]
+        # n_rows must equal the key's total row count across batches
+        assert int(out["n_rows"].iloc[0]) == n
+        final[out["window_end"].iloc[0]] = (
+            int(out["count_estimate"].iloc[0]),
+            int(out["exact_count"].iloc[0]),
+        )
     assert final == expect
+
+    if tws_available():
+        stream = J.parse_traffic(J.file_traffic_stream(spark, fixture_dir))
+        J.run_stream_to_memory(
+            tumble_dgim_stream_tws(stream, 60), "t_dgim_tws", "update"
+        )
+        e2e = {
+            r["window_end"]: (r["count_estimate"], r["exact_count"])
+            for r in spark.sql("SELECT * FROM t_dgim_tws").collect()
+        }
+        assert e2e == expect
 
 
 def test_stateful_hop_dgim_eviction(spark, fixture_dir, batch_parsed):
