@@ -1308,7 +1308,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``approx_distinct_users`` is bound-checked against
     ``distinct_users``."""
     return {
-        # ---- round-8 additions: window-join TVF completion
+        # ---- round-8 additions ----
+        # pixel-level media stats through the REAL netpbm decoder
+        # (P6/P5 header parse + pixel bytes); pixels are a pure
+        # integer function of (doc_id, index) so the oracle is
+        # closed-form — no decoder needed DuckDB-side
+        "media_pixel_stats": lambda s, d: M.media_pixel_stats(
+            _documents(s, d)
+        ),
+        # window-join TVF completion
         # (cumulate mode + semi + Flink-verbatim SQL semi/anti) ----
         "window_cumulate_join_views_buys": lambda s, d: W.window_join(
             _events(s, d).filter(F.col("event_type") == "view"),
@@ -2624,6 +2632,24 @@ SELECT strftime(make_timestamp((l.wslot + 1) * 600000000),
                 '%Y-%m-%d %H:%M:%S') AS window_end,
        user_id, l_event_id
 FROM l ANTI JOIN r USING (user_id, wslot)
+""",
+        # pixel stats replayed from the closed-form pixel formula
+        # v(doc_id, i) = (doc_id*7 + i*13) % 256 over the flat byte
+        # index — the Spark side genuinely decodes netpbm payloads
+        "media_pixel_stats": """
+WITH d AS (SELECT doc_id,
+                  (doc_id % 13) + 2 AS w,
+                  (doc_id % 11) + 2 AS h,
+                  CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+           FROM documents),
+px AS (SELECT doc_id, (doc_id * 7 + u.i * 13) % 256 AS v
+       FROM d, unnest(generate_series(0, w * h * ch - 1)) AS u(i))
+SELECT doc_id,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS BIGINT) AS px_min,
+       CAST(max(v) AS BIGINT) AS px_max,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM px GROUP BY doc_id
 """,
         # CUMULATE-window join: each row explodes into the ENDS of
         # every cumulative window of its 600s span that covers it

@@ -30,6 +30,13 @@ from flink_window_dgim_traffic_spark.session import get_spark, table  # noqa: E4
 # BASELINE.md §"Bench exclusions" (plan-identical twins and deliberate
 # anti-pattern parity demos).
 BENCH_QUERIES = [
+    # ---- round-8: pixel-level decode path + window-join TVF
+    # completion (cumulate mode, semi, SQL semi/anti twins) ----
+    "media_pixel_stats",
+    "window_cumulate_join_views_buys",
+    "window_semijoin_views",
+    "sql_window_semijoin",
+    "sql_window_antijoin",
     # ---- round-7: previously un-benched batch entries enter the
     # cross-round ratio discipline (VERDICT r6 ask #5), plus the
     # cache-bypassing cold twin of the fuzzy edge build (ask #7) ----

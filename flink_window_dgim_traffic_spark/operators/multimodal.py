@@ -36,13 +36,147 @@ def with_media_blob(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, mime: str):  # pragma: no cover - stub
-    """REAL decode would go here (PIL/av/librosa).  Those codecs are
-    not in this container — stubbed per the build contract."""
-    raise NotImplementedError(
-        "media decode requires image/audio codecs not present in this "
-        "environment; use extract_byte_features for the deterministic "
-        "byte-level path"
+#: mimes decode_media can decode without external codecs
+PPM_MIME = "image/x-portable-pixmap"   # netpbm P6, binary RGB
+PGM_MIME = "image/x-portable-graymap"  # netpbm P5, binary gray
+
+
+def _pnm_header_tokens(payload: bytes, n_tokens: int):
+    """Parse the first ``n_tokens`` whitespace-separated header tokens
+    of a binary netpbm payload (comments ``#..\\n`` allowed per spec)
+    and return (tokens, offset_of_pixel_data).  The pixel data starts
+    exactly one whitespace byte after the last header token."""
+    toks, i, n = [], 0, len(payload)
+    while len(toks) < n_tokens:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if i < n and payload[i : i + 1] == b"#":
+            while i < n and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated netpbm header")
+        toks.append(payload[i:j])
+        i = j
+    return toks, i + 1  # single whitespace after maxval
+
+
+def decode_media(payload: bytes, mime: str):
+    """Pure-Python media decode for the deterministic formats the
+    fixtures carry: binary netpbm P6 (RGB, ``PPM_MIME``) and P5
+    (grayscale, ``PGM_MIME``), maxval 255.  Returns
+    ``(width, height, channels, pixels: bytes)`` with ``pixels``
+    in row-major (y, x, channel) order — exactly what a PIL-backed
+    decoder would hand back for these formats.
+
+    Other mimes still raise NotImplementedError: real JPEG/PNG/audio
+    codecs are not in this container (reference has no media at all;
+    this surface is north-star scope)."""
+    if mime not in (PPM_MIME, PGM_MIME):
+        raise NotImplementedError(
+            f"no codec for {mime!r} in this environment; supported: "
+            f"{PPM_MIME} (P6), {PGM_MIME} (P5)"
+        )
+    (magic, w_b, h_b, maxval), off = _pnm_header_tokens(payload, 4)
+    channels = 3 if magic == b"P6" else 1
+    if (magic, mime) not in ((b"P6", PPM_MIME), (b"P5", PGM_MIME)):
+        raise ValueError(f"magic {magic!r} does not match mime {mime!r}")
+    if int(maxval) != 255:
+        raise ValueError("only maxval 255 supported")
+    w, h = int(w_b), int(h_b)
+    need = w * h * channels
+    pixels = payload[off : off + need]
+    if len(pixels) != need:
+        raise ValueError(
+            f"truncated pixel data: want {need}, got {len(pixels)}"
+        )
+    return w, h, channels, pixels
+
+
+def with_pnm_blob(documents: DataFrame) -> DataFrame:
+    """Attach a REAL encoded image payload: binary netpbm — P6 RGB for
+    even doc_ids, P5 grayscale for odd — with deterministic pixels
+    ``v(doc_id, i) = (doc_id*7 + i*13) % 256`` over the flat byte
+    index, so pixel aggregates are closed-form integer functions of
+    doc_id and the DuckDB oracle never needs a decoder.  Dimensions
+    vary per doc (w = doc_id%13+2, h = doc_id%11+2) to exercise the
+    header parser.  Map-only (mapInPandas, no shuffle)."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mimes, ws, hs = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 13 + 2, d % 11 + 2
+                ch = 3 if d % 2 == 0 else 1
+                n = w * h * ch
+                body = bytes((d * 7 + i * 13) % 256 for i in range(n))
+                magic = b"P6" if ch == 3 else b"P5"
+                payloads.append(
+                    magic + b"\n# synthetic\n%d %d\n255\n" % (w, h) + body
+                )
+                mimes.append(PPM_MIME if ch == 3 else PGM_MIME)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": mimes,
+                    "width": ws,
+                    "height": hs,
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        encode,
+        "doc_id bigint, payload binary, mime string, "
+        "width int, height int",
+    )
+
+
+def media_pixel_stats(documents: DataFrame) -> DataFrame:
+    """Pixel-level media statistics through the REAL decode path:
+    encode netpbm → :func:`decode_media` parses header + pixel bytes →
+    per-doc integer aggregates (sum / min / max / count over decoded
+    pixel values).  Aggregation happens INSIDE the decode map (one
+    output row per doc) — map-only end to end, nothing but doc-sized
+    rows ever shuffle.  Oracle: pixels are a pure integer function of
+    (doc_id, flat index), so DuckDB replays the same formula over
+    generate_series without any decoder."""
+    blobs = with_pnm_blob(documents)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sums, mins, maxs, cnts = [], [], [], [], []
+            for doc_id, payload, mime, w0, h0 in zip(
+                pdf["doc_id"], pdf["payload"], pdf["mime"],
+                pdf["width"], pdf["height"],
+            ):
+                w, h, ch, px = decode_media(bytes(payload), mime)
+                assert (w, h) == (int(w0), int(h0))
+                ids.append(doc_id)
+                sums.append(sum(px))
+                mins.append(min(px))
+                maxs.append(max(px))
+                cnts.append(len(px))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "px_sum": pd.Series(sums, dtype="int64"),
+                    "px_min": pd.Series(mins, dtype="int64"),
+                    "px_max": pd.Series(maxs, dtype="int64"),
+                    "n_px": pd.Series(cnts, dtype="int64"),
+                }
+            )
+
+    return blobs.mapInPandas(
+        stats,
+        "doc_id bigint, px_sum bigint, px_min bigint, "
+        "px_max bigint, n_px bigint",
     )
 
 

@@ -396,3 +396,40 @@ def test_bigram_surprisal_python_reference(spark, sf_dir):
         for r in bigram_surprisal(docs).collect()
     }
     assert got == want
+
+
+def test_decode_media_pnm_hand_vectors():
+    """decode_media parses binary P6/P5 headers (with comments) and
+    returns exact pixel bytes; non-netpbm mimes still raise."""
+    # 2x2 RGB P6 with a header comment
+    body6 = bytes(range(12))
+    p6 = b"P6\n# c\n2 2\n255\n" + body6
+    assert M.decode_media(p6, M.PPM_MIME) == (2, 2, 3, body6)
+    # 3x1 gray P5, multi-space separators
+    body5 = bytes([7, 8, 9])
+    p5 = b"P5  3\t1\n255\n" + body5
+    assert M.decode_media(p5, M.PGM_MIME) == (3, 1, 1, body5)
+    with pytest.raises(NotImplementedError):
+        M.decode_media(b"\x89PNG", "image/png")
+    with pytest.raises(ValueError):
+        M.decode_media(b"P6\n2 2\n255\n" + body6[:5], M.PPM_MIME)
+    with pytest.raises(ValueError):
+        M.decode_media(b"P5\n2 2\n255\n" + body6, M.PPM_MIME)
+
+
+def test_media_pixel_stats_roundtrip(spark, sf_dir):
+    """Encode -> decode_media -> aggregate equals the closed-form
+    pixel formula, for both P6 (even doc_id) and P5 (odd)."""
+    docs = table(spark, sf_dir, "documents").limit(24)
+    got = {
+        r["doc_id"]: (r["px_sum"], r["px_min"], r["px_max"], r["n_px"])
+        for r in M.media_pixel_stats(docs).collect()
+    }
+    for doc_id in (d["doc_id"] for d in docs.select("doc_id").collect()):
+        d = int(doc_id)
+        w, h = d % 13 + 2, d % 11 + 2
+        ch = 3 if d % 2 == 0 else 1
+        vals = [(d * 7 + i * 13) % 256 for i in range(w * h * ch)]
+        assert got[doc_id] == (
+            sum(vals), min(vals), max(vals), len(vals)
+        )
