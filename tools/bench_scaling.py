@@ -51,6 +51,9 @@ from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
     matching as MT,
 )
 from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
+    multimodal as MM,
+)
+from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
     relational as R,
 )
 from flink_window_dgim_traffic_spark.operators import (  # noqa: E402
@@ -689,6 +692,20 @@ def main() -> None:
                 F.col("event_type") == "purchase"
             ),
             600,
+        ),
+        # ---- round-8 additions ----
+        # cumulate-mode join: constant ≤ span/step per-row explode
+        "window_cumulate_join": lambda docs, emb: W.window_join(
+            CTX["events_full"].filter(F.col("event_type") == "view"),
+            CTX["events_full"].filter(
+                F.col("event_type") == "purchase"
+            ),
+            600,
+            cumulate_step_sec=300,
+        ),
+        # netpbm encode -> decode -> aggregate, all map-side
+        "media_pixel_stats": lambda docs, emb: MM.media_pixel_stats(
+            docs
         ),
         # exact global order statistics (sharded pair-table recipe)
         "global_quantiles": lambda docs, emb: AN.global_quantiles(
