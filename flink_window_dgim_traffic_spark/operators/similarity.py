@@ -43,6 +43,10 @@ from flink_window_dgim_traffic_spark.functions.vectors import (
 
 N_QUERY = 10  # vec_id < N_QUERY are the query vectors
 TOP_K = 10
+# interactive IVF probes collect the query batch driver-side; cap it
+# so a bulk query set can't silently become a corpus collect (use the
+# distributed simsearch_ann_ivf for those)
+_MAX_DRIVER_QUERY_BATCH = 4096
 
 # Model objects (codebooks, ADC lookup tables) below this pickled size
 # ship inside the UDF closure — one driver-side pickle, negligible per-
@@ -1100,8 +1104,21 @@ def simsearch_ivf_indexed(
     so only the probed cluster DIRECTORIES are read — the candidate
     fraction is enforced by the storage layout, before any executor
     sees a row.  Rescoring uses the exact sequential-fold cosine, so
-    results equal :func:`simsearch_ann_ivf` bit for bit."""
+    results equal :func:`simsearch_ann_ivf` bit for bit.
+
+    The query-batch collect is O(n_query · dim) DRIVER memory — the
+    interactive-probe shape, hard-capped at
+    ``_MAX_DRIVER_QUERY_BATCH`` (≈64 MB at dim 1024).  For bulk
+    query sets (joining every corpus vector against the index) use
+    :func:`simsearch_ann_ivf`, which keeps queries distributed."""
     import numpy as np
+
+    if n_query > _MAX_DRIVER_QUERY_BATCH:
+        raise ValueError(
+            f"n_query={n_query} exceeds the driver-side probe cap "
+            f"{_MAX_DRIVER_QUERY_BATCH}; use simsearch_ann_ivf for "
+            f"bulk (distributed) query sets"
+        )
 
     C = np.array(
         [
