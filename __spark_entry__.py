@@ -1316,6 +1316,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pixel_stats": lambda s, d: M.media_pixel_stats(
             _documents(s, d)
         ),
+        # true decoded-pixel nearest-neighbor resize (channel-aware)
+        # then integer aggregates; oracle replays the resize index
+        # math over the closed-form pixels
+        "media_pixel_resize_stats": lambda s, d: (
+            M.media_pixel_resize_stats(_documents(s, d))
+        ),
+        # perceptual near-dup on decoded pixels (aHash + pigeonhole)
+        "media_ahash_pairs": lambda s, d: M.media_ahash_pairs(
+            _documents(s, d)
+        ),
         # window-join TVF completion
         # (cumulate mode + semi + Flink-verbatim SQL semi/anti) ----
         "window_cumulate_join_views_buys": lambda s, d: W.window_join(
@@ -2650,6 +2660,87 @@ SELECT doc_id,
        CAST(max(v) AS BIGINT) AS px_max,
        CAST(count(*) AS BIGINT) AS n_px
 FROM px GROUP BY doc_id
+""",
+        # nearest-neighbor resize to 8x8 (channels kept): resized
+        # pixel (ty,tx,c) = source pixel (ty*h//8, tx*w//8, c), source
+        # pixels closed-form — the oracle replays the index math
+        "media_pixel_resize_stats": """
+WITH d AS (SELECT doc_id,
+                  (doc_id % 13) + 2 AS w,
+                  (doc_id % 11) + 2 AS h,
+                  CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+           FROM documents),
+px AS (SELECT doc_id,
+              (doc_id * 7 +
+               ((((ty.i * h) // 8) * w + ((tx.i * w) // 8)) * ch
+                + c.i) * 13) % 256 AS v
+       FROM d,
+            unnest(generate_series(0, 7)) AS ty(i),
+            unnest(generate_series(0, 7)) AS tx(i),
+            unnest(generate_series(0, ch - 1)) AS c(i))
+SELECT doc_id,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS BIGINT) AS px_min,
+       CAST(max(v) AS BIGINT) AS px_max,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM px GROUP BY doc_id
+""",
+        # perceptual near-dup over DECODED pixels: aHash (8x8 gray
+        # downsample, bit = pixel > mean) recomputed from the
+        # closed-form pixel formula, then the same 4x16-bit
+        # pigeonhole join and hamming filter
+        "media_ahash_pairs": """
+WITH dim AS (SELECT doc_id, doc_id // 10 AS g,
+                    ((doc_id // 10) % 13) + 2 AS w,
+                    ((doc_id // 10) % 11) + 2 AS h,
+                    CASE WHEN (doc_id // 10) % 2 = 0 THEN 3 ELSE 1
+                    END AS ch
+             FROM documents),
+cell AS (SELECT doc_id, g, w, h, ch, ty.i AS ty, tx.i AS tx,
+                ((ty.i * h) // 8) AS sy, ((tx.i * w) // 8) AS sx
+         FROM dim,
+              unnest(generate_series(0, 7)) AS ty(i),
+              unnest(generate_series(0, 7)) AS tx(i)),
+gray AS (SELECT doc_id, ty, tx,
+                sum(CASE WHEN (sy * w + sx) * ch + c.i
+                              = doc_id % (w * h * ch)
+                         THEN ((g * 7 + ((sy * w + sx) * ch + c.i)
+                                * 13) % 256 + 128) % 256
+                         ELSE (g * 7 + ((sy * w + sx) * ch + c.i)
+                               * 13) % 256
+                    END) // max(ch) AS gv
+         FROM cell, unnest(generate_series(0, ch - 1)) AS c(i)
+         GROUP BY doc_id, ty, tx),
+m AS (SELECT doc_id, sum(gv) // 64 AS mean FROM gray GROUP BY doc_id),
+bits AS (SELECT gray.doc_id, ty * 8 + tx AS j,
+                CASE WHEN gv > mean THEN 1 ELSE 0 END AS b
+         FROM gray JOIN m ON gray.doc_id = m.doc_id),
+hsh AS (SELECT doc_id,
+               CAST(sum(CASE WHEN j < 32
+                             THEN b * (CAST(1 AS BIGINT) << j)
+                             ELSE 0 END) AS BIGINT) AS hash_lo,
+               CAST(sum(CASE WHEN j >= 32
+                             THEN b * (CAST(1 AS BIGINT) << (j - 32))
+                             ELSE 0 END) AS BIGINT) AS hash_hi
+        FROM bits GROUP BY doc_id),
+chunks AS (SELECT doc_id, hash_lo, hash_hi, cn.i AS chunk_no,
+                  CASE cn.i WHEN 0 THEN hash_lo % 65536
+                            WHEN 1 THEN hash_lo // 65536
+                            WHEN 2 THEN hash_hi % 65536
+                            ELSE hash_hi // 65536
+                  END AS chunk
+           FROM hsh, unnest(generate_series(0, 3)) AS cn(i)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.hash_lo AS alo, a.hash_hi AS ahi,
+                b.hash_lo AS blo, b.hash_hi AS bhi
+         FROM chunks a JOIN chunks b
+           ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk
+          AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(alo, blo))
+            + bit_count(xor(ahi, bhi)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 3
 """,
         # CUMULATE-window join: each row explodes into the ENDS of
         # every cumulative window of its 600s span that covers it

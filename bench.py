@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     # ---- round-8: pixel-level decode path + window-join TVF
     # completion (cumulate mode, semi, SQL semi/anti twins) ----
     "media_pixel_stats",
+    "media_pixel_resize_stats",
+    "media_ahash_pairs",
     "window_cumulate_join_views_buys",
     "window_semijoin_views",
     "sql_window_semijoin",

@@ -180,6 +180,60 @@ def media_pixel_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def media_pixel_resize_stats(
+    documents: DataFrame, target_w: int = 8, target_h: int = 8
+) -> DataFrame:
+    """TRUE decoded-pixel resize (the upgrade over
+    :func:`resize_media`'s byte-raster plumbing): decode the netpbm
+    payload, nearest-neighbor-sample the DECODED (y, x, channel)
+    raster to ``target_w × target_h`` keeping channels, then per-doc
+    integer aggregates over the resized pixels.  Decode + resize +
+    aggregate all inside one mapInPandas — map-only, no shuffle, the
+    shape a PIL `Image.resize(..., NEAREST)` pipeline would have.
+
+    Oracle: resized pixel (ty, tx, c) is source pixel
+    (ty·h div target_h, tx·w div target_w, c), and source pixels are
+    the closed-form ``(doc_id*7 + flat_idx*13) % 256`` — DuckDB
+    replays the index math over generate_series, no decoder."""
+    blobs = with_pnm_blob(documents)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, sums, mins, maxs, cnts = [], [], [], [], []
+            for doc_id, payload, mime in zip(
+                pdf["doc_id"], pdf["payload"], pdf["mime"]
+            ):
+                w, h, ch, px = decode_media(bytes(payload), mime)
+                raster = np.frombuffer(px, dtype=np.uint8).reshape(
+                    h, w, ch
+                )
+                yi = (np.arange(target_h) * h) // target_h
+                xi = (np.arange(target_w) * w) // target_w
+                small = raster[np.ix_(yi, xi)]
+                ids.append(doc_id)
+                sums.append(int(small.sum()))
+                mins.append(int(small.min()))
+                maxs.append(int(small.max()))
+                cnts.append(int(small.size))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "px_sum": pd.Series(sums, dtype="int64"),
+                    "px_min": pd.Series(mins, dtype="int64"),
+                    "px_max": pd.Series(maxs, dtype="int64"),
+                    "n_px": pd.Series(cnts, dtype="int64"),
+                }
+            )
+
+    return blobs.mapInPandas(
+        stats,
+        "doc_id bigint, px_sum bigint, px_min bigint, "
+        "px_max bigint, n_px bigint",
+    )
+
+
 def extract_byte_features(blobs: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads: byte
     length, byte-sum checksum, distinct byte count — the deterministic
@@ -314,6 +368,162 @@ def multimodal_frame_stats(documents: DataFrame) -> DataFrame:
     return frames.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_frames_kept"),
         F.sum(F.octet_length("frame")).cast("bigint").alias("bytes_kept"),
+    )
+
+
+def with_pnm_blob_grouped(
+    documents: DataFrame, group_size: int = 10
+) -> DataFrame:
+    """Group-structured netpbm payloads for perceptual-dedup tests:
+    docs in the same group (``doc_id div group_size`` — constant
+    group SIZE at every SF, so true near-dup pairs grow linearly
+    with the corpus) share one base image; each doc additionally
+    perturbs ONE pixel (+128 mod 256 at flat index
+    ``doc_id % n_bytes``) — the "same photo, one blemish" shape.
+    Dimensions/channels are group-determined (same-group images are
+    comparable); pixels stay closed-form integer functions of
+    (doc_id, index) so the oracle replays them without a decoder."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mimes = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d // group_size
+                w, h = g % 13 + 2, g % 11 + 2
+                ch = 3 if g % 2 == 0 else 1
+                n = w * h * ch
+                p = d % n
+                body = bytearray(
+                    (g * 7 + i * 13) % 256 for i in range(n)
+                )
+                body[p] = (body[p] + 128) % 256
+                magic = b"P6" if ch == 3 else b"P5"
+                payloads.append(
+                    magic + b"\n%d %d\n255\n" % (w, h) + bytes(body)
+                )
+                mimes.append(PPM_MIME if ch == 3 else PGM_MIME)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": mimes,
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        encode, "doc_id bigint, payload binary, mime string"
+    )
+
+
+def media_ahash_fingerprints(blobs: DataFrame) -> DataFrame:
+    """Perceptual average-hash over DECODED pixels (the real pHash
+    family member, possible now that :func:`decode_media` is a real
+    decoder): decode → integer grayscale (channel sum div channels) →
+    8×8 nearest-neighbor downsample → bit j = (pixel_j > mean of the
+    64 samples) → 64-bit fingerprint, emitted as two unsigned 32-bit
+    halves (lo = bits 0-31 in raster order, hi = bits 32-63) so every
+    downstream compare is sign-free integer math in ANY engine.
+    Map-only mapInPandas; only (doc_id, hash_lo, hash_hi) ever leave
+    the decode stage."""
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, los, his = [], [], []
+            for doc_id, payload, mime in zip(
+                pdf["doc_id"], pdf["payload"], pdf["mime"]
+            ):
+                w, h, ch, px = decode_media(bytes(payload), mime)
+                raster = np.frombuffer(px, dtype=np.uint8).reshape(
+                    h, w, ch
+                )
+                gray = raster.sum(axis=2, dtype=np.int64) // ch
+                yi = (np.arange(8) * h) // 8
+                xi = (np.arange(8) * w) // 8
+                small = gray[np.ix_(yi, xi)].reshape(-1)
+                m = int(small.sum()) // 64
+                bits = (small > m).astype(np.uint64)
+                val = int((bits << np.arange(64, dtype=np.uint64)).sum())
+                ids.append(doc_id)
+                los.append(val & 0xFFFFFFFF)
+                his.append(val >> 32)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "hash_lo": pd.Series(los, dtype="int64"),
+                    "hash_hi": pd.Series(his, dtype="int64"),
+                }
+            )
+
+    return blobs.mapInPandas(
+        fp, "doc_id bigint, hash_lo bigint, hash_hi bigint"
+    )
+
+
+def media_ahash_pairs(
+    documents: DataFrame, max_hamming: int = 3, group_size: int = 10
+) -> DataFrame:
+    """Pixel-level perceptual NEAR-duplicate pairs: aHash fingerprints
+    from genuinely decoded pixels, then the 4×16-bit pigeonhole bucket
+    join (a pair within hamming 3 must agree exactly on ≥1 of the 4
+    chunks — same guarantee as ``dedup.simhash_pairs``).  Scale
+    shape: blobs never shuffle (decode emits 3 bigints per doc);
+    candidates come from a keyed equi-join on (chunk_no, chunk).
+
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b.  Fully
+    oracle-eligible: the hash is pure integer math over closed-form
+    pixels, so the DuckDB twin recomputes fingerprints from the
+    formula and replays the same pigeonhole join."""
+    fps = media_ahash_fingerprints(
+        with_pnm_blob_grouped(documents, group_size)
+    )
+    chunks = fps.select(
+        "doc_id",
+        "hash_lo",
+        "hash_hi",
+        F.posexplode(
+            F.array(
+                F.col("hash_lo").bitwiseAND(F.lit(0xFFFF)),
+                F.shiftrightunsigned(F.col("hash_lo"), 16).bitwiseAND(
+                    F.lit(0xFFFF)
+                ),
+                F.col("hash_hi").bitwiseAND(F.lit(0xFFFF)),
+                F.shiftrightunsigned(F.col("hash_hi"), 16).bitwiseAND(
+                    F.lit(0xFFFF)
+                ),
+            )
+        ).alias("chunk_no", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_no") == F.col("b.chunk_no"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.hash_lo").alias("alo"),
+            F.col("a.hash_hi").alias("ahi"),
+            F.col("b.hash_lo").alias("blo"),
+            F.col("b.hash_hi").alias("bhi"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            (
+                F.bit_count(F.col("alo").bitwiseXOR(F.col("blo")))
+                + F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi")))
+            ).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 

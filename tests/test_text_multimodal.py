@@ -433,3 +433,81 @@ def test_media_pixel_stats_roundtrip(spark, sf_dir):
         assert got[doc_id] == (
             sum(vals), min(vals), max(vals), len(vals)
         )
+
+
+def test_media_pixel_resize_stats_python_reference(spark, sf_dir):
+    """Decoded-pixel nearest-neighbor resize equals the pure-Python
+    index-math replay for both channel layouts."""
+    docs = table(spark, sf_dir, "documents").limit(24)
+    got = {
+        r["doc_id"]: (r["px_sum"], r["px_min"], r["px_max"], r["n_px"])
+        for r in M.media_pixel_resize_stats(docs).collect()
+    }
+    for doc_id in (d["doc_id"] for d in docs.select("doc_id").collect()):
+        d = int(doc_id)
+        w, h = d % 13 + 2, d % 11 + 2
+        ch = 3 if d % 2 == 0 else 1
+        vals = [
+            (d * 7 + (((ty * h // 8) * w + (tx * w // 8)) * ch + c) * 13)
+            % 256
+            for ty in range(8)
+            for tx in range(8)
+            for c in range(ch)
+        ]
+        assert got[doc_id] == (
+            sum(vals), min(vals), max(vals), len(vals)
+        ), f"doc {d}"
+
+
+def test_media_ahash_pairs_python_reference(spark, sf_dir):
+    """aHash fingerprints from decoded pixels equal the pure-Python
+    replay, and the pair set equals the all-pairs hamming<=3 filter
+    (the pigeonhole bucket join must lose nothing at this radius)."""
+    docs = table(spark, sf_dir, "documents").limit(40)
+    ids = [int(r["doc_id"]) for r in docs.select("doc_id").collect()]
+
+    def ahash(d):
+        g = d // 10
+        w, h = g % 13 + 2, g % 11 + 2
+        ch = 3 if g % 2 == 0 else 1
+        n = w * h * ch
+        body = [(g * 7 + i * 13) % 256 for i in range(n)]
+        body[d % n] = (body[d % n] + 128) % 256
+        gray = [
+            [sum(body[(y * w + x) * ch + c] for c in range(ch)) // ch
+             for x in range(w)]
+            for y in range(h)
+        ]
+        small = [
+            gray[(ty * h) // 8][(tx * w) // 8]
+            for ty in range(8)
+            for tx in range(8)
+        ]
+        m = sum(small) // 64
+        return sum((1 << j) for j, v in enumerate(small) if v > m)
+
+    fps = {d: ahash(d) for d in ids}
+    # Spark fingerprints equal the replay
+    got_fp = {
+        r["doc_id"]: (r["hash_lo"], r["hash_hi"])
+        for r in M.media_ahash_fingerprints(
+            M.with_pnm_blob_grouped(docs)
+        ).collect()
+    }
+    for d in ids:
+        assert got_fp[d] == (fps[d] & 0xFFFFFFFF, fps[d] >> 32), d
+    # pair set == brute-force hamming filter
+    expect = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            lo, hi = (a, b) if a < b else (b, a)
+            ham = bin(fps[lo] ^ fps[hi]).count("1")
+            if ham <= 3:
+                expect.add((lo, hi, ham))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in M.media_ahash_pairs(docs).collect()
+    }
+    assert got == expect
+    # the group structure must actually produce near-dups
+    assert any(a // 10 == b // 10 for a, b, _ in expect)

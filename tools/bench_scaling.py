@@ -707,6 +707,11 @@ def main() -> None:
         "media_pixel_stats": lambda docs, emb: MM.media_pixel_stats(
             docs
         ),
+        # decoded-pixel aHash near-dup: constant group size => true
+        # pairs linear in corpus; only 3 bigints/doc leave decode
+        "media_ahash_pairs": lambda docs, emb: MM.media_ahash_pairs(
+            docs
+        ),
         # exact global order statistics (sharded pair-table recipe)
         "global_quantiles": lambda docs, emb: AN.global_quantiles(
             CTX["events_full"]
