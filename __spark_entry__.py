@@ -1074,13 +1074,21 @@ def _stream_ivm_join(s: SparkSession, d: str) -> DataFrame:
     )
 
 
-def _stream_window_join(s: SparkSession, d: str) -> DataFrame:
+def _stream_window_join(
+    s: SparkSession, d: str, name: str = "t_swj_drv", **mode_kw
+) -> DataFrame:
     """Flink's windowing-TVF JOIN as a true STREAM-STREAM join driven
     end to end: both sides replay as time-ordered micro-batches, the
     join condition is tumble-window EQUALITY + user equality (Spark
     uses the window equality to bound and evict join state), append
     mode emits matches as they form.  Oracle = the batch window-join
-    SQL (same as ``window_join_views_buys``)."""
+    SQL (same as ``window_join_views_buys``).
+
+    ``mode_kw`` selects the TVF: ``slide_sec`` (HOP) or
+    ``cumulate_step_sec`` (CUMULATE) — both reduce to a step-sized
+    tumble join over exploded slot ends inside
+    ``streaming/joins.window_join_stream``; oracles = the batch
+    hop/cumulate window-join SQL."""
     import os
     import tempfile
 
@@ -1122,17 +1130,18 @@ def _stream_window_join(s: SparkSession, d: str) -> DataFrame:
             stream.filter(F.col("event_type") == "view"),
             stream.filter(F.col("event_type") == "purchase"),
             600,
+            **mode_kw,
         )
         .writeStream.format("memory")
-        .queryName("t_swj_drv")
+        .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return s.sql(
-        "SELECT window_end, user_id, l_event_id, r_event_id"
-        " FROM t_swj_drv"
+        f"SELECT window_end, user_id, l_event_id, r_event_id"
+        f" FROM {name}"
     )
 
 
@@ -1325,6 +1334,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # perceptual near-dup on decoded pixels (aHash + pigeonhole)
         "media_ahash_pairs": lambda s, d: M.media_ahash_pairs(
             _documents(s, d)
+        ),
+        # stream-stream HOP / CUMULATE window joins (reduction to a
+        # step-sized tumble join over exploded slot ends); oracles =
+        # the batch hop/cumulate window-join SQL
+        "stream_window_hop_join": lambda s, d: _stream_window_join(
+            s, d, name="t_swj_hop_drv", slide_sec=300
+        ),
+        "stream_window_cumulate_join": lambda s, d: (
+            _stream_window_join(
+                s, d, name="t_swj_cum_drv", cumulate_step_sec=300
+            )
         ),
         # window-join TVF completion
         # (cumulate mode + semi + Flink-verbatim SQL semi/anti) ----
@@ -2746,6 +2766,50 @@ WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 3
         # every cumulative window of its 600s span that covers it
         # (step 300s); the end is the join slot
         "window_cumulate_join_views_buys": """
+WITH l0 AS (SELECT user_id, event_id AS l_event_id,
+                   epoch_us(ts) AS us,
+                   epoch_us(ts) // 600000000 * 600000000 AS ws
+            FROM events WHERE event_type = 'view'),
+le AS (SELECT user_id, l_event_id,
+              unnest(generate_series(
+                ws + ((us - ws) // 300000000 + 1) * 300000000,
+                ws + 600000000, 300000000)) AS wslot
+       FROM l0),
+r0 AS (SELECT user_id, event_id AS r_event_id,
+              epoch_us(ts) AS us,
+              epoch_us(ts) // 600000000 * 600000000 AS ws
+       FROM events WHERE event_type = 'purchase'),
+re AS (SELECT user_id, r_event_id,
+              unnest(generate_series(
+                ws + ((us - ws) // 300000000 + 1) * 300000000,
+                ws + 600000000, 300000000)) AS wslot
+       FROM r0)
+SELECT strftime(make_timestamp(wslot),
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       user_id, l_event_id, r_event_id
+FROM le JOIN re USING (user_id, wslot)
+""",
+        # streaming twins replay the same data, so the batch hop /
+        # cumulate window-join SQL is their oracle
+        "stream_window_hop_join": """
+WITH l AS (SELECT user_id, epoch_us(ts) // 300000000 AS pane,
+                  event_id AS l_event_id
+           FROM events WHERE event_type = 'view'),
+le AS (SELECT user_id, l_event_id,
+              unnest(generate_series(pane - 1, pane)) AS wslot
+       FROM l),
+r AS (SELECT user_id, epoch_us(ts) // 300000000 AS pane,
+             event_id AS r_event_id
+      FROM events WHERE event_type = 'purchase'),
+re AS (SELECT user_id, r_event_id,
+              unnest(generate_series(pane - 1, pane)) AS wslot
+       FROM r)
+SELECT strftime(make_timestamp(wslot * 300000000 + 600000000),
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       user_id, l_event_id, r_event_id
+FROM le JOIN re USING (user_id, wslot)
+""",
+        "stream_window_cumulate_join": """
 WITH l0 AS (SELECT user_id, event_id AS l_event_id,
                    epoch_us(ts) AS us,
                    epoch_us(ts) // 600000000 * 600000000 AS ws

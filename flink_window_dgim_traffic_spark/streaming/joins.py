@@ -59,14 +59,27 @@ def window_join_stream(
     size_sec: int = 600,
     watermark: str = "600 seconds",
     streaming: bool = True,
+    slide_sec: int | None = None,
+    cumulate_step_sec: int | None = None,
 ) -> DataFrame:
     """Stream-stream WINDOW join (Flink SQL's windowing-TVF join, the
     streaming twin of ``operators/windows.window_join``): rows of the
-    two streams that fall in the SAME tumbling window with the same
-    user join; Spark recognizes the tumble-window EQUALITY as a
-    state-cleanup condition (both sides' state for a window is
-    dropped once both watermarks pass window end), so state is
-    bounded without an explicit time-range predicate.
+    two streams that fall in the SAME window with the same user join;
+    Spark recognizes the tumble-window EQUALITY as a state-cleanup
+    condition (both sides' state for a window is dropped once both
+    watermarks pass window end), so state is bounded without an
+    explicit time-range predicate.
+
+    ``slide_sec`` (HOP) / ``cumulate_step_sec`` (CUMULATE) extend the
+    streaming twin to the full TVF family by REDUCTION TO TUMBLE:
+    each row first explodes map-side into the END timestamps of its
+    covering windows (the same slot math as the batch operator), the
+    watermark rides the derived slot time, and the join becomes a
+    step-sized tumble-window equality over slot ends — distinct ends
+    are ≥ step apart, so tumble-pane equality ⇔ slot equality, and
+    Spark's window-equality state cleanup applies unchanged.  The
+    slot time leads the event time by at most ``size``, so lateness
+    semantics shift by a constant only.
 
     ``watermark`` trades state size against late-data tolerance: an
     event older than (max seen ts - watermark) is dropped from the
@@ -79,28 +92,111 @@ def window_join_stream(
 
     Output: (window_end, user_id, l_event_id, r_event_id) — the same
     shape as the batch operator; tests assert stream == batch."""
-    l = left.select(
-        F.col("user_id").alias("l_user"),
-        F.col("event_id").alias("l_event_id"),
-        F.col("ts").alias("l_ts"),
+    if slide_sec is not None and cumulate_step_sec is not None:
+        raise ValueError(
+            "slide_sec and cumulate_step_sec are mutually exclusive"
+        )
+    size_us = int(size_sec) * 1_000_000
+
+    if slide_sec is None and cumulate_step_sec is None:
+        l = left.select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("l_event_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        r = right.select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        if streaming:
+            l = l.withWatermark("l_ts", watermark)
+            r = r.withWatermark("r_ts", watermark)
+        lw = l.withColumn("lw", F.window("l_ts", f"{size_sec} seconds"))
+        rw = r.withColumn("rw", F.window("r_ts", f"{size_sec} seconds"))
+        j = lw.join(
+            rw,
+            (F.col("l_user") == F.col("r_user"))
+            & (F.col("lw") == F.col("rw")),
+        )
+        return j.select(
+            F.date_format(F.col("lw.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_end"
+            ),
+            F.col("l_user").alias("user_id"),
+            "l_event_id",
+            "r_event_id",
+        )
+
+    if slide_sec is not None:
+        if int(size_sec) % int(slide_sec):
+            raise ValueError("size_sec must be a multiple of slide_sec")
+        step_us = int(slide_sec) * 1_000_000
+        # hop: pane p covers windows ending (p+1)*step .. p*step+size
+        ends = F.sequence(
+            F.expr(f"(_us div {step_us} + 1) * {step_us}"),
+            F.expr(f"_us div {step_us} * {step_us} + {size_us}"),
+            F.lit(step_us).cast("bigint"),
+        )
+    else:
+        if int(size_sec) % int(cumulate_step_sec):
+            raise ValueError(
+                "size_sec must be a multiple of cumulate_step_sec"
+            )
+        step_us = int(cumulate_step_sec) * 1_000_000
+        # cumulate: ends of the covering cumulative windows of the
+        # row's span (same math as the batch operator)
+        ends = F.sequence(
+            F.expr(
+                f"_ws + ((_us - _ws) div {step_us} + 1) * {step_us}"
+            ),
+            F.expr(f"_ws + {size_us}"),
+            F.lit(step_us).cast("bigint"),
+        )
+
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        base = df.select(
+            F.col("user_id").alias(f"{side}_user"),
+            F.col("event_id").alias(f"{side}_event_id"),
+            F.expr("unix_micros(ts)").alias("_us"),
+            F.expr(
+                f"unix_micros(ts) div {size_us} * {size_us}"
+            ).alias("_ws"),
+        )
+        out = base.select(
+            f"{side}_user",
+            f"{side}_event_id",
+            F.explode(ends).alias("_slot_us"),
+        ).select(
+            f"{side}_user",
+            f"{side}_event_id",
+            F.timestamp_micros(F.col("_slot_us")).alias(f"{side}_slot"),
+        )
+        if streaming:
+            out = out.withWatermark(f"{side}_slot", watermark)
+        return out
+
+    # project the raw slot AWAY after deriving its tumble pane —
+    # keeping both would give the stream two event-time columns.
+    # Slot ends are exact multiples of step, so slot == pane start.
+    step_sec = step_us // 1_000_000
+    l = prep(left, "l").select(
+        "l_user",
+        "l_event_id",
+        F.window("l_slot", f"{step_sec} seconds").alias("lw"),
     )
-    r = right.select(
-        F.col("user_id").alias("r_user"),
-        F.col("event_id").alias("r_event_id"),
-        F.col("ts").alias("r_ts"),
+    r = prep(right, "r").select(
+        "r_user",
+        "r_event_id",
+        F.window("r_slot", f"{step_sec} seconds").alias("rw"),
     )
-    if streaming:
-        l = l.withWatermark("l_ts", watermark)
-        r = r.withWatermark("r_ts", watermark)
-    lw = l.withColumn("lw", F.window("l_ts", f"{size_sec} seconds"))
-    rw = r.withColumn("rw", F.window("r_ts", f"{size_sec} seconds"))
-    j = lw.join(
-        rw,
+    j = l.join(
+        r,
         (F.col("l_user") == F.col("r_user"))
         & (F.col("lw") == F.col("rw")),
     )
     return j.select(
-        F.date_format(F.col("lw.end"), "yyyy-MM-dd HH:mm:ss").alias(
+        F.date_format(F.col("lw.start"), "yyyy-MM-dd HH:mm:ss").alias(
             "window_end"
         ),
         F.col("l_user").alias("user_id"),
