@@ -675,3 +675,58 @@ def test_sql_window_dedup_join_twins_equal_dataframe(spark, sf_dir):
     )
     assert "LeftSemi" in semi_plan
     assert "LeftAnti" in anti_plan
+
+
+def test_round8_media_pixel_ops_map_only(t):
+    """The decode-path media ops are MAP-ONLY end to end: encode,
+    decode, and aggregation all happen inside one mapInPandas — the
+    plan contains NO exchange of any kind (at 100 TB nothing but
+    doc-sized stat rows would ever move, and they move nowhere)."""
+    from flink_window_dgim_traffic_spark.operators import (
+        multimodal as MM,
+    )
+
+    docs = t("documents")
+    for op in (MM.media_pixel_stats, MM.media_pixel_resize_stats):
+        plan = (
+            op(docs)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, op.__name__
+        assert "MapInPandas" in plan, op.__name__
+
+
+def test_round8_media_ahash_blobs_never_shuffle(t):
+    """media_ahash_pairs: every exchange in the plan sits ABOVE the
+    decode stage — only (doc_id, hash_lo, hash_hi) rows shuffle; the
+    binary payloads stay in the map stage.  No cartesian products."""
+    from flink_window_dgim_traffic_spark.operators import (
+        multimodal as MM,
+    )
+
+    plan = (
+        MM.media_ahash_pairs(t("documents"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # plan text is top-down: everything BELOW the MapInPandas node is
+    # the encode/scan stage — no exchange may appear there
+    below_decode = plan[plan.rindex("MapInPandas"):]
+    assert "Exchange" not in below_decode
+
+
+def test_round8_cumulate_join_no_cartesian(t):
+    """Cumulate-mode window join: constant per-row explode then one
+    (key, slot) equi-join — never a cartesian/nested-loop plan."""
+    import pyspark.sql.functions as F
+
+    ev = t("events")
+    views = ev.filter(F.col("event_type") == "view")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    plan = (
+        W.window_join(views, buys, 600, cumulate_step_sec=300)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan
