@@ -566,22 +566,28 @@ def media_simhash_fingerprints(blobs: DataFrame) -> DataFrame:
 
     @pandas_udf("long")
     def _fp(payloads: pd.Series) -> pd.Series:
-        gram_bits: dict = {}
+        # per-batch cache: uint32 gram key -> ±1 bit-vote row.  Grams
+        # repeat heavily (bounded vocabulary), so most docs only pay
+        # a np.unique + one cached-matrix multiply — the r8 rewrite
+        # of the per-position list-of-arrays loop (same blake2b
+        # fingerprints bit for bit, ~an order of magnitude less
+        # allocation)
+        gram_votes: dict = {}
         shifts = np.arange(64, dtype=np.uint64)
 
-        def bits_of(gram: bytes):
-            v = gram_bits.get(gram)
+        def votes_of(u: int):
+            v = gram_votes.get(u)
             if v is None:
                 h = np.uint64(
                     int.from_bytes(
                         hashlib.blake2b(
-                            gram, digest_size=8
+                            int(u).to_bytes(4, "big"), digest_size=8
                         ).digest(),
                         "big",
                     )
                 )
-                v = gram_bits[gram] = (
-                    ((h >> shifts) & np.uint64(1)).astype(np.int32)
+                v = gram_votes[u] = (
+                    ((h >> shifts) & np.uint64(1)).astype(np.int64)
                     * 2 - 1
                 )
             return v
@@ -590,10 +596,16 @@ def media_simhash_fingerprints(blobs: DataFrame) -> DataFrame:
             b = bytes(p or b"")
             if len(b) < 4:
                 return 0
-            votes = np.sum(
-                [bits_of(b[i:i + 4]) for i in range(len(b) - 3)],
-                axis=0,
+            a = np.frombuffer(b, dtype=np.uint8)
+            g = (
+                (a[:-3].astype(np.uint32) << 24)
+                | (a[1:-2].astype(np.uint32) << 16)
+                | (a[2:-1].astype(np.uint32) << 8)
+                | a[3:].astype(np.uint32)
             )
+            uniq, counts = np.unique(g, return_counts=True)
+            M = np.stack([votes_of(int(u)) for u in uniq])
+            votes = (M * counts[:, None]).sum(axis=0)
             fp = int(
                 np.bitwise_or.reduce(
                     (votes > 0).astype(np.uint64) << shifts
