@@ -19,12 +19,13 @@ count ≥ pair count, so the filter is a conservative superset and
 results are EXACTLY A-Priori's.  The L2 candidate join is a self
 equi-join ON THE BASKET KEY restricted to L1 items (per-basket
 fan-out is |L1 ∩ basket|², bounded by the frequent-item count, not
-vocabulary); L3 candidates come from joining L2 WITH ITSELF on the
-shared prefix plus the (b,c)-subset membership check — a
-lattice-sized join that never touches baskets — and only the
-surviving candidates are counted against baskets.  min_support is
-given in ppm of the basket count so the operator is scale-free; all
-arithmetic integer.
+vocabulary); L3 counts come from ONE self-join of the L2-surviving
+per-basket pair table on (basket, first item) — a basket contains
+{a,b,c} iff its pair set has (a,b) and (a,c) — with the (b,c)
+lattice prune as a broadcast semi-join; both sides share the pinned
+basket partitioning so the self-join plans no new exchange.
+min_support is given in ppm of the basket count so the operator is
+scale-free; all arithmetic integer.
 """
 
 from __future__ import annotations
@@ -64,23 +65,37 @@ def frequent_itemsets(
         .filter(F.col("support") >= s)
     )
     # pinned: consumed by the PCY bucket pass, the L2 count, and the
-    # three L3 probes — one materialization instead of five re-derives
+    # three L3 probes — one materialization instead of five re-derives.
+    # The explicit basket-keyed repartition (user repartitions are
+    # exempt from AQE coalescing) matters: the (b, w) table is only a
+    # few MB, so AQE would coalesce it to ONE partition — and the
+    # basket self-join's |L1∩basket|² fan-out would then run on one
+    # task (measured 7.6 s -> 1.5 s at sf0.1).  Both join sides share
+    # the pinned HashPartitioning(b), so the self-join adds no
+    # exchange.
+    par = documents.sparkSession.sparkContext.defaultParallelism
     items1 = (
         items.join(F.broadcast(l1.select("w")), "w", "left_semi")
         .select("b", "w")
+        .repartition(par, "b")
         .localCheckpoint(eager=False)
     )
+    # pinned: the basket self-join's pair fan-out feeds the PCY
+    # bucket pass, the L2 count, AND the L3 self-join below — one
+    # materialization.  Keeps items1's HashPartitioning(b).
     pair_gen = (
         items1.alias("a")
         .join(items1.alias("c"), "b")
         .filter(F.col("a.w") < F.col("c.w"))
         .select(
+            "b",
             F.col("a.w").alias("w1"),
             F.col("c.w").alias("w2"),
         )
         .withColumn(
             "bk", F.pmod(F.xxhash64("w1", "w2"), F.lit(_PCY_BUCKETS))
         )
+        .localCheckpoint(eager=False)
     )
     # PCY pass: count pair-hash BUCKETS (bounded-cardinality groupBy
     # — the shuffle carries ≤ _PCY_BUCKETS rows per task after the
@@ -99,40 +114,37 @@ def frequent_itemsets(
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
     )
     l2 = pair_counts.filter(F.col("support") >= s)
-    # candidate triples: (a,b) ⋈ (a,c) with b<c, AND (b,c) frequent
     l2k = l2.select("w1", "w2")
-    cand3 = (
-        l2k.alias("p")
+    # L3 from the PAIR table, not three basket joins: a basket
+    # contains {w1,w2,w3} iff its pair set has (w1,w2) AND (w1,w3) —
+    # so one self-join of the L2-surviving per-basket pairs on
+    # (b, w1) counts triples directly.  Both sides carry the pinned
+    # HashPartitioning(b) (b is a subset of the join keys), so the
+    # self-join plans NO new exchange; the (w2,w3)-frequent lattice
+    # prune rides a broadcast semi-join.  This replaced the r7 chain
+    # of three shuffle joins against items1 (the 11M-row w1 fan-out).
+    bp = pair_gen.join(F.broadcast(l2k), ["w1", "w2"], "left_semi")
+    triple_counts = (
+        bp.alias("x")
         .join(
-            l2k.alias("q"),
-            (F.col("p.w1") == F.col("q.w1"))
-            & (F.col("p.w2") < F.col("q.w2")),
+            bp.alias("y"),
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.w1") == F.col("y.w1"))
+            & (F.col("x.w2") < F.col("y.w2")),
         )
         .select(
-            F.col("p.w1").alias("w1"),
-            F.col("p.w2").alias("w2"),
-            F.col("q.w2").alias("w3"),
+            F.col("x.w1").alias("w1"),
+            F.col("x.w2").alias("w2"),
+            F.col("y.w2").alias("w3"),
         )
         .join(
-            l2k.select(
-                F.col("w1").alias("w2"), F.col("w2").alias("w3")
+            F.broadcast(
+                l2k.select(
+                    F.col("w1").alias("w2"), F.col("w2").alias("w3")
+                )
             ),
             ["w2", "w3"],
             "left_semi",
-        )
-    )
-    triple_counts = (
-        items1.select("b", F.col("w").alias("w1"))
-        .join(F.broadcast(cand3), "w1")
-        .join(
-            items1.select(F.col("b").alias("b"),
-                          F.col("w").alias("w2")),
-            ["b", "w2"],
-        )
-        .join(
-            items1.select(F.col("b").alias("b"),
-                          F.col("w").alias("w3")),
-            ["b", "w3"],
         )
         .groupBy("w1", "w2", "w3")
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
