@@ -479,22 +479,29 @@ def media_ahash_pairs(
     fps = media_ahash_fingerprints(
         with_pnm_blob_grouped(documents, group_size)
     )
-    chunks = fps.select(
-        "doc_id",
-        "hash_lo",
-        "hash_hi",
-        F.posexplode(
-            F.array(
-                F.col("hash_lo").bitwiseAND(F.lit(0xFFFF)),
-                F.shiftrightunsigned(F.col("hash_lo"), 16).bitwiseAND(
-                    F.lit(0xFFFF)
-                ),
-                F.col("hash_hi").bitwiseAND(F.lit(0xFFFF)),
-                F.shiftrightunsigned(F.col("hash_hi"), 16).bitwiseAND(
-                    F.lit(0xFFFF)
-                ),
-            )
-        ).alias("chunk_no", "chunk"),
+    # pin + spread (see media_neardup): one decode pass, parallel
+    # candidate join, no exchange between the co-partitioned aliases
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    chunks = (
+        fps.select(
+            "doc_id",
+            "hash_lo",
+            "hash_hi",
+            F.posexplode(
+                F.array(
+                    F.col("hash_lo").bitwiseAND(F.lit(0xFFFF)),
+                    F.shiftrightunsigned(
+                        F.col("hash_lo"), 16
+                    ).bitwiseAND(F.lit(0xFFFF)),
+                    F.col("hash_hi").bitwiseAND(F.lit(0xFFFF)),
+                    F.shiftrightunsigned(
+                        F.col("hash_hi"), 16
+                    ).bitwiseAND(F.lit(0xFFFF)),
+                )
+            ).alias("chunk_no", "chunk"),
+        )
+        .repartition(par, "chunk_no", "chunk")
+        .localCheckpoint(eager=False)
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
@@ -632,19 +639,30 @@ def media_neardup(
 
     Output: ``doc_a, doc_b, hamming`` (doc_a < doc_b)."""
     fps = media_simhash_fingerprints(with_media_blob(documents))
-    chunks = fps.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(
-                        F.col("simhash"), 16 * i
-                    ).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
-                ]
-            )
-        ).alias("chunk_no", "chunk"),
+    # pin + spread: without the pin BOTH join aliases re-run the
+    # decode/fingerprint UDF; without the explicit repartition (AQE-
+    # coalesce-exempt) the few-MB chunk table collapses to one
+    # partition and the candidate join runs on one task.  Both
+    # aliases share the pinned HashPartitioning(chunk_no, chunk), so
+    # the self-join plans no exchange.
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    chunks = (
+        fps.select(
+            "doc_id",
+            "simhash",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(
+                            F.col("simhash"), 16 * i
+                        ).bitwiseAND(F.lit(0xFFFF))
+                        for i in range(4)
+                    ]
+                )
+            ).alias("chunk_no", "chunk"),
+        )
+        .repartition(par, "chunk_no", "chunk")
+        .localCheckpoint(eager=False)
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
