@@ -696,9 +696,13 @@ def test_round8_media_pixel_ops_map_only(t):
 
 
 def test_round8_media_ahash_blobs_never_shuffle(t):
-    """media_ahash_pairs: every exchange in the plan sits ABOVE the
-    decode stage — only (doc_id, hash_lo, hash_hi) rows shuffle; the
-    binary payloads stay in the map stage.  No cartesian products."""
+    """media_ahash_pairs: the decode stage ends at a localCheckpoint
+    pin of (doc_id, hash_lo, hash_hi, chunk) rows — binary payloads
+    never reach a join or an exchange.  Above the pin the candidate
+    join is a hash equi-join (broadcast at this size; co-partitioned
+    on the pinned (chunk_no, chunk) keys at scale) — never a
+    cartesian/nested-loop — and the only shuffle is the dedup
+    aggregate over fingerprint-sized rows."""
     from flink_window_dgim_traffic_spark.operators import (
         multimodal as MM,
     )
@@ -709,10 +713,11 @@ def test_round8_media_ahash_blobs_never_shuffle(t):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # plan text is top-down: everything BELOW the MapInPandas node is
-    # the encode/scan stage — no exchange may appear there
-    below_decode = plan[plan.rindex("MapInPandas"):]
-    assert "Exchange" not in below_decode
+    # the join reads the pinned chunk table, not the blob pipeline
+    assert "Scan ExistingRDD" in plan
+    assert "payload" not in plan  # blobs live only below the pin
+    # at most the dedup aggregate's exchange above the pin
+    assert plan.count("Exchange hashpartitioning") <= 1
 
 
 def test_round8_cumulate_join_no_cartesian(t):
