@@ -210,6 +210,19 @@ SHOWCASE = {
     "window partitioned",
     "join_hotspots": "count-table join + TakeOrderedAndProject; the "
     "rank window sees only the <=k survivors",
+    "media_pixel_stats": "netpbm encode → decode → aggregate inside "
+    "ONE mapInPandas: ZERO exchanges, blobs never leave the map",
+    "media_ahash_pairs": "decoded-pixel aHash fingerprints pinned "
+    "once (3 bigints/doc leave the decode stage); pigeonhole "
+    "candidate join is a hash equi-join, dedup agg is the only "
+    "shuffle",
+    "window_cumulate_join_views_buys": "CUMULATE join: ≤ span/step "
+    "map-side end-explode, then one (user, end-slot) equi-join — "
+    "no cartesian",
+    "frequent_itemsets": "PCY bucket pass bounds the candidate "
+    "shuffle; basket-keyed spread pin (AQE-coalesce-exempt) keeps "
+    "the pair fan-out parallel; L3 is ONE co-partitioned self-join "
+    "of the pair table",
 }
 
 
