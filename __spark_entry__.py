@@ -1139,10 +1139,10 @@ def _stream_window_join(
         .start()
     )
     q.awaitTermination()
-    return s.sql(
-        f"SELECT window_end, user_id, l_event_id, r_event_id"
-        f" FROM {name}"
-    )
+    cols = "window_end, user_id, l_event_id"
+    if mode_kw.get("how", "inner") == "inner":
+        cols += ", r_event_id"
+    return s.sql(f"SELECT {cols} FROM {name}")
 
 
 def _stream_window_dedup(s: SparkSession, d: str) -> DataFrame:
@@ -1345,6 +1345,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _stream_window_join(
                 s, d, name="t_swj_cum_drv", cumulate_step_sec=300
             )
+        ),
+        # left-semi stream-stream window join (a view emits once iff
+        # a same-window purchase exists); oracle = batch semi SQL
+        "stream_window_semijoin": lambda s, d: _stream_window_join(
+            s, d, name="t_swj_semi_drv", how="left_semi"
         ),
         # window-join TVF completion
         # (cumulate mode + semi + Flink-verbatim SQL semi/anti) ----
@@ -2836,6 +2841,18 @@ FROM le JOIN re USING (user_id, wslot)
         # Flink Window Join (semi): views WITH a purchase partner in
         # their window
         "window_semijoin_views": """
+WITH l AS (SELECT user_id, epoch_us(ts) // 600000000 AS wslot,
+                  event_id AS l_event_id
+           FROM events WHERE event_type = 'view'),
+r AS (SELECT user_id, epoch_us(ts) // 600000000 AS wslot
+      FROM events WHERE event_type = 'purchase')
+SELECT strftime(make_timestamp((l.wslot + 1) * 600000000),
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       user_id, l_event_id
+FROM l SEMI JOIN r USING (user_id, wslot)
+""",
+        # streaming left-semi twin replays the same data
+        "stream_window_semijoin": """
 WITH l AS (SELECT user_id, epoch_us(ts) // 600000000 AS wslot,
                   event_id AS l_event_id
            FROM events WHERE event_type = 'view'),

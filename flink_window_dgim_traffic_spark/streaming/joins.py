@@ -61,6 +61,7 @@ def window_join_stream(
     streaming: bool = True,
     slide_sec: int | None = None,
     cumulate_step_sec: int | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream WINDOW join (Flink SQL's windowing-TVF join, the
     streaming twin of ``operators/windows.window_join``): rows of the
@@ -90,11 +91,26 @@ def window_join_stream(
     rows emit on match regardless of the watermark — it bounds
     state and input lateness, not result timing.)
 
-    Output: (window_end, user_id, l_event_id, r_event_id) — the same
-    shape as the batch operator; tests assert stream == batch."""
+    ``how``: ``inner`` or ``left_semi`` — Spark supports left-semi
+    stream-stream joins under the same watermark/window-equality
+    state contract (a left row emits once on its first right match;
+    its state is held until both watermarks pass the window).
+    ``left_anti`` is intentionally NOT offered in streaming: absence
+    is only decidable at watermark expiry, which Spark surfaces as a
+    left-OUTER join with null right side — the batch/SQL anti twins
+    cover that semantics deterministically.
+
+    Output: (window_end, user_id, l_event_id[, r_event_id]) — the
+    same shape as the batch operator; tests assert stream == batch."""
     if slide_sec is not None and cumulate_step_sec is not None:
         raise ValueError(
             "slide_sec and cumulate_step_sec are mutually exclusive"
+        )
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"how must be inner or left_semi in streaming mode, got"
+            f" {how!r} (anti = left-outer-at-watermark; use the batch"
+            f" operator)"
         )
     size_us = int(size_sec) * 1_000_000
 
@@ -114,19 +130,21 @@ def window_join_stream(
             r = r.withWatermark("r_ts", watermark)
         lw = l.withColumn("lw", F.window("l_ts", f"{size_sec} seconds"))
         rw = r.withColumn("rw", F.window("r_ts", f"{size_sec} seconds"))
-        j = lw.join(
-            rw,
-            (F.col("l_user") == F.col("r_user"))
-            & (F.col("lw") == F.col("rw")),
+        cond = (F.col("l_user") == F.col("r_user")) & (
+            F.col("lw") == F.col("rw")
         )
-        return j.select(
+        head = [
             F.date_format(F.col("lw.end"), "yyyy-MM-dd HH:mm:ss").alias(
                 "window_end"
             ),
             F.col("l_user").alias("user_id"),
             "l_event_id",
-            "r_event_id",
-        )
+        ]
+        if how == "left_semi":
+            return lw.join(
+                rw.select("r_user", "rw"), cond, "left_semi"
+            ).select(*head)
+        return lw.join(rw, cond).select(*head, "r_event_id")
 
     if slide_sec is not None:
         if int(size_sec) % int(slide_sec):
@@ -190,16 +208,18 @@ def window_join_stream(
         "r_event_id",
         F.window("r_slot", f"{step_sec} seconds").alias("rw"),
     )
-    j = l.join(
-        r,
-        (F.col("l_user") == F.col("r_user"))
-        & (F.col("lw") == F.col("rw")),
+    cond = (F.col("l_user") == F.col("r_user")) & (
+        F.col("lw") == F.col("rw")
     )
-    return j.select(
+    head = [
         F.date_format(F.col("lw.start"), "yyyy-MM-dd HH:mm:ss").alias(
             "window_end"
         ),
         F.col("l_user").alias("user_id"),
         "l_event_id",
-        "r_event_id",
-    )
+    ]
+    if how == "left_semi":
+        return l.join(
+            r.select("r_user", "rw"), cond, "left_semi"
+        ).select(*head)
+    return l.join(r, cond).select(*head, "r_event_id")

@@ -226,3 +226,75 @@ def test_stream_window_join_hop_cumulate_matches_batch(
         window_join_stream(
             views, buys, 600, slide_sec=300, cumulate_step_sec=300
         )
+
+
+def test_stream_window_semijoin_matches_batch(spark, sf_dir, tmp_path):
+    """Left-semi stream-stream window join (a view emits once iff a
+    same-window purchase exists) must equal the batch semi mode;
+    anti mode must be refused in streaming (absence is only
+    decidable at watermark expiry)."""
+    from flink_window_dgim_traffic_spark.operators.windows import (
+        window_join,
+    )
+    from flink_window_dgim_traffic_spark.streaming.joins import (
+        window_join_stream,
+    )
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+        .filter(F.col("event_type").isin("view", "purchase"))
+    )
+    pdf = ev.orderBy("ts").toPandas()
+    src = tmp_path / "ev_semi_chunks"
+    os.makedirs(src)
+    n = len(pdf)
+    for i in range(3):
+        chunk = pdf.iloc[i * n // 3 : (i + 1) * n // 3]
+        chunk.to_parquet(
+            str(src / f"chunk_{i:02d}.parquet"),
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        os.utime(
+            str(src / f"chunk_{i:02d}.parquet"),
+            (1_700_000_000 + i, 1_700_000_000 + i),
+        )
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        window_join_stream(
+            stream.filter(F.col("event_type") == "view"),
+            stream.filter(F.col("event_type") == "purchase"),
+            600,
+            how="left_semi",
+        )
+        .writeStream.format("memory")
+        .queryName("t_swj_semi")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["window_end"], r["user_id"], r["l_event_id"])
+        for r in spark.sql("SELECT * FROM t_swj_semi").collect()
+    )
+    views = ev.filter(F.col("event_type") == "view")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    want = sorted(
+        (r["window_end"], r["user_id"], r["l_event_id"])
+        for r in window_join(views, buys, 600, how="left_semi").collect()
+    )
+    assert got == want
+    assert len(got) > 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        window_join_stream(views, buys, 600, how="left_anti")

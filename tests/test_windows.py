@@ -758,3 +758,100 @@ def test_window_join_cumulate_mode(spark):
         W.window_join(l, r, 60, cumulate_step_sec=25)
     with _pt.raises(ValueError):
         W.window_join(l, r, 60, slide_sec=30, cumulate_step_sec=30)
+
+
+def test_window_join_property_equals_bruteforce(spark):
+    """All window_join modes (tumble / hop / cumulate × inner / semi /
+    anti) must equal a pure-Python brute force over arbitrary event
+    sets — ties, empty sides, multi-window spans, shared users."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    SIZE, STEP = 60, 30
+
+    def covering_ends(t, mode):
+        if mode == "tumble":
+            return [(t // SIZE) * SIZE + SIZE]
+        if mode == "hop":
+            p = t // STEP
+            return [
+                s * STEP + SIZE for s in range(p - 1, p + 1)
+            ]
+        ws = (t // SIZE) * SIZE
+        first = ws + ((t - ws) // STEP + 1) * STEP
+        return list(range(first, ws + SIZE + 1, STEP))
+
+    def brute(lrows, rrows, mode, how):
+        lmap = [
+            (e, u, end)
+            for (e, t, u) in lrows
+            for end in covering_ends(t, mode)
+        ]
+        rset = {
+            (u, end)
+            for (_, t, u) in rrows
+            for end in covering_ends(t, mode)
+        }
+        rmap = [
+            (e, u, end)
+            for (e, t, u) in rrows
+            for end in covering_ends(t, mode)
+        ]
+        fmt = lambda end: (
+            f"1970-01-01 00:{end // 60:02d}:{end % 60:02d}"
+        )
+        if how == "inner":
+            return sorted(
+                (fmt(le_end), u, le, re)
+                for (le, u, le_end) in lmap
+                for (re, ru, re_end) in rmap
+                if u == ru and le_end == re_end
+            )
+        if how == "left_semi":
+            return sorted(
+                (fmt(end), u, e)
+                for (e, u, end) in lmap
+                if (u, end) in rset
+            )
+        return sorted(
+            (fmt(end), u, e)
+            for (e, u, end) in lmap
+            if (u, end) not in rset
+        )
+
+    ev_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),   # event_id suffix
+            st.integers(min_value=0, max_value=179),  # ts seconds
+            st.integers(min_value=1, max_value=3),    # user
+        ),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda x: x[0],
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(ev_strategy, ev_strategy)
+    def run(lrows, rrows):
+        # distinct event ids across sides
+        lrows = [(e, t, u) for (e, t, u) in lrows]
+        rrows = [(e + 100, t, u) for (e, t, u) in rrows]
+        l = _ev(spark, [(e, t, u, "view") for e, t, u in lrows])
+        r = _ev(spark, [(e, t, u, "purchase") for e, t, u in rrows])
+        for mode, kw in (
+            ("tumble", {}),
+            ("hop", {"slide_sec": STEP}),
+            ("cumulate", {"cumulate_step_sec": STEP}),
+        ):
+            for how in ("inner", "left_semi", "left_anti"):
+                got = sorted(
+                    tuple(x)
+                    for x in W.window_join(
+                        l, r, SIZE, how=how, **kw
+                    ).collect()
+                )
+                assert got == brute(lrows, rrows, mode, how), (
+                    mode, how,
+                )
+
+    run()
