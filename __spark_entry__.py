@@ -1367,6 +1367,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "sql_window_semijoin": lambda s, d: Q.sql_window_semijoin(s, d),
         "sql_window_antijoin": lambda s, d: Q.sql_window_antijoin(s, d),
+        # one-statement HOP / CUMULATE window-join SQL (Spark lacks
+        # the TVFs; the statements plan the same map-side slot
+        # explode the DataFrame operator does — twin-equality pinned)
+        "sql_window_hop_join": lambda s, d: Q.sql_window_hop_join(s, d),
+        "sql_window_cumulate_join": lambda s, d: (
+            Q.sql_window_cumulate_join(s, d)
+        ),
+        # changed this round (division-form shards) — keep well
+        # inside the driver window
+        "winsorized_value_stats": lambda s, d: AN.winsorized_stats(
+            _events(s, d), lo_ppm=50_000, hi_ppm=950_000
+        ),
         # ---- round-7 additions / changed-this-round (window
         # discipline: new + changed ops enter ahead of green
         # entries; the three green unchanged tail entries slide
@@ -1467,9 +1479,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_source_cap": _stream_source_cap,
         "kcore_users_60s": _kcore_users,
         "cdc_user_snapshot": _cdc_user_snapshot,
-        "winsorized_value_stats": lambda s, d: AN.winsorized_stats(
-            _events(s, d), lo_ppm=50_000, hi_ppm=950_000
-        ),
         "ivm_join_orders": _ivm_join_orders,
         "bigram_surprisal": lambda s, d: T.bigram_surprisal(
             _documents(s, d)
@@ -2862,6 +2871,49 @@ SELECT strftime(make_timestamp((l.wslot + 1) * 600000000),
                 '%Y-%m-%d %H:%M:%S') AS window_end,
        user_id, l_event_id
 FROM l SEMI JOIN r USING (user_id, wslot)
+""",
+        # SQL-surface hop/cumulate twins share the DataFrame oracles
+        "sql_window_hop_join": """
+WITH l AS (SELECT user_id, epoch_us(ts) // 300000000 AS pane,
+                  event_id AS l_event_id
+           FROM events WHERE event_type = 'view'),
+le AS (SELECT user_id, l_event_id,
+              unnest(generate_series(pane - 1, pane)) AS wslot
+       FROM l),
+r AS (SELECT user_id, epoch_us(ts) // 300000000 AS pane,
+             event_id AS r_event_id
+      FROM events WHERE event_type = 'purchase'),
+re AS (SELECT user_id, r_event_id,
+              unnest(generate_series(pane - 1, pane)) AS wslot
+       FROM r)
+SELECT strftime(make_timestamp(wslot * 300000000 + 600000000),
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       user_id, l_event_id, r_event_id
+FROM le JOIN re USING (user_id, wslot)
+""",
+        "sql_window_cumulate_join": """
+WITH l0 AS (SELECT user_id, event_id AS l_event_id,
+                   epoch_us(ts) AS us,
+                   epoch_us(ts) // 600000000 * 600000000 AS ws
+            FROM events WHERE event_type = 'view'),
+le AS (SELECT user_id, l_event_id,
+              unnest(generate_series(
+                ws + ((us - ws) // 300000000 + 1) * 300000000,
+                ws + 600000000, 300000000)) AS wslot
+       FROM l0),
+r0 AS (SELECT user_id, event_id AS r_event_id,
+              epoch_us(ts) AS us,
+              epoch_us(ts) // 600000000 * 600000000 AS ws
+       FROM events WHERE event_type = 'purchase'),
+re AS (SELECT user_id, r_event_id,
+              unnest(generate_series(
+                ws + ((us - ws) // 300000000 + 1) * 300000000,
+                ws + 600000000, 300000000)) AS wslot
+       FROM r0)
+SELECT strftime(make_timestamp(wslot),
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       user_id, l_event_id, r_event_id
+FROM le JOIN re USING (user_id, wslot)
 """,
         # SQL-surface semi/anti twins share the DataFrame oracles
         "sql_window_semijoin": """

@@ -347,3 +347,90 @@ def sql_window_antijoin(
           WHERE l.user_id = r.user_id AND l.w = r.w)
         """
     )
+
+
+def sql_window_hop_join(
+    spark: SparkSession,
+    sf_dir: str,
+    size_sec: int = 600,
+    slide_sec: int = 300,
+) -> DataFrame:
+    """Flink SQL window join over HOP TVFs as one Spark SQL string:
+    Spark has no HOP TVF, so the statement performs the same
+    constant per-row pane explode the DataFrame operator plans
+    (``explode(sequence(...))`` is map-side) before the (user, slot)
+    equi-join.  Equal to ``windows.window_join(..., slide_sec=N)``
+    (tested)."""
+    register_views(spark, sf_dir)
+    step_us = slide_sec * 1_000_000
+    size_us = size_sec * 1_000_000
+    n = size_sec // slide_sec
+    return spark.sql(
+        f"""
+        WITH l AS (
+          SELECT user_id, event_id AS l_event_id,
+                 explode(sequence(
+                   unix_micros(ts) div {step_us} - {n - 1},
+                   unix_micros(ts) div {step_us})) AS wslot
+          FROM events WHERE event_type = 'view'),
+        r AS (
+          SELECT user_id, event_id AS r_event_id,
+                 explode(sequence(
+                   unix_micros(ts) div {step_us} - {n - 1},
+                   unix_micros(ts) div {step_us})) AS wslot
+          FROM events WHERE event_type = 'purchase')
+        SELECT date_format(
+                 timestamp_micros(l.wslot * {step_us} + {size_us}),
+                 'yyyy-MM-dd HH:mm:ss') AS window_end,
+               l.user_id AS user_id, l_event_id, r_event_id
+        FROM l JOIN r
+          ON l.user_id = r.user_id AND l.wslot = r.wslot
+        """
+    )
+
+
+def sql_window_cumulate_join(
+    spark: SparkSession,
+    sf_dir: str,
+    size_sec: int = 600,
+    step_sec: int = 300,
+) -> DataFrame:
+    """Flink SQL window join over CUMULATE TVFs as one Spark SQL
+    string: each row explodes into the ENDS of the cumulative
+    windows of its span that cover it, then the (user, end) equi-
+    join.  Equal to ``windows.window_join(...,
+    cumulate_step_sec=N)`` (tested)."""
+    register_views(spark, sf_dir)
+    step_us = step_sec * 1_000_000
+    size_us = size_sec * 1_000_000
+    return spark.sql(
+        f"""
+        WITH l0 AS (
+          SELECT user_id, event_id AS l_event_id,
+                 unix_micros(ts) AS us,
+                 unix_micros(ts) div {size_us} * {size_us} AS ws
+          FROM events WHERE event_type = 'view'),
+        l AS (
+          SELECT user_id, l_event_id,
+                 explode(sequence(
+                   ws + ((us - ws) div {step_us} + 1) * {step_us},
+                   ws + {size_us}, {step_us})) AS wslot
+          FROM l0),
+        r0 AS (
+          SELECT user_id, event_id AS r_event_id,
+                 unix_micros(ts) AS us,
+                 unix_micros(ts) div {size_us} * {size_us} AS ws
+          FROM events WHERE event_type = 'purchase'),
+        r AS (
+          SELECT user_id, r_event_id,
+                 explode(sequence(
+                   ws + ((us - ws) div {step_us} + 1) * {step_us},
+                   ws + {size_us}, {step_us})) AS wslot
+          FROM r0)
+        SELECT date_format(timestamp_micros(l.wslot),
+                           'yyyy-MM-dd HH:mm:ss') AS window_end,
+               l.user_id AS user_id, l_event_id, r_event_id
+        FROM l JOIN r
+          ON l.user_id = r.user_id AND l.wslot = r.wslot
+        """
+    )

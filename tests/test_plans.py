@@ -675,6 +675,26 @@ def test_sql_window_dedup_join_twins_equal_dataframe(spark, sf_dir):
     )
     assert "LeftSemi" in semi_plan
     assert "LeftAnti" in anti_plan
+    # r8: the one-statement HOP / CUMULATE join SQL equals the
+    # DataFrame modes (the explode is the same map-side slot math)
+    assert sorted(
+        map(tuple, Q.sql_window_hop_join(spark, sf_dir).collect())
+    ) == sorted(
+        map(
+            tuple,
+            W.window_join(views, buys, 600, slide_sec=300).collect(),
+        )
+    )
+    assert sorted(
+        map(tuple, Q.sql_window_cumulate_join(spark, sf_dir).collect())
+    ) == sorted(
+        map(
+            tuple,
+            W.window_join(
+                views, buys, 600, cumulate_step_sec=300
+            ).collect(),
+        )
+    )
 
 
 def test_round8_media_pixel_ops_map_only(t):
