@@ -252,6 +252,66 @@ def make_hop_dgim_update_fn(
     return update
 
 
+def cumulate_dgim_stream(
+    parsed,
+    max_size_sec: int = 60,
+    step_sec: int = 10,
+    mode: str = MODE_JAVA,
+    watermark: str | None = None,
+):
+    """Update-mode streaming DGIM per CUMULATE window — completes the
+    streaming DGIM family (tumble / hop / cumulate).  Spark has no
+    CUMULATE TVF, so each record explodes map-side into the
+    (span_start, end) pairs of the cumulative windows that cover it
+    (≤ span/step slots — the same end math as the batch operator and
+    the cumulate window join), and the state is keyed by that pair
+    with the SAME update function as the hop job: one DGIM sketch per
+    open cumulative window, O(log² N) state per key.  With
+    ``watermark`` set, a window's state evicts once the watermark
+    passes its end."""
+    from pyspark.sql import functions as F
+
+    evict = watermark is not None
+    src = parsed.withWatermark("ts", watermark) if evict else parsed
+    extra = ("ts",) if evict else ()
+    size_us = int(max_size_sec) * 1_000_000
+    step_us = int(step_sec) * 1_000_000
+    base = src.select(
+        F.expr(f"unix_micros(ts) div {size_us} * {size_us}").alias(
+            "_ws_us"
+        ),
+        F.expr("unix_micros(ts)").alias("_us"),
+        "bit",
+        "ts_sec",
+        *extra,
+    )
+    ends = F.sequence(
+        F.expr(f"_ws_us + ((_us - _ws_us) div {step_us} + 1) * {step_us}"),
+        F.expr(f"_ws_us + {size_us}"),
+        F.lit(step_us).cast("bigint"),
+    )
+    keyed = base.select(
+        "_ws_us",
+        F.explode(ends).alias("_we_us"),
+        "bit",
+        "ts_sec",
+        *extra,
+    ).select(
+        F.timestamp_micros(F.col("_ws_us")).alias("ws"),
+        F.timestamp_micros(F.col("_we_us")).alias("we"),
+        "bit",
+        "ts_sec",
+        *extra,
+    )
+    return keyed.groupBy("ws", "we").applyInPandasWithState(
+        make_hop_dgim_update_fn(max_size_sec, mode, evict=evict),
+        outputStructType=HOP_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA + ", ones bigint, nrows bigint",
+        outputMode="update",
+        timeoutConf="EventTimeTimeout" if evict else "NoTimeout",
+    )
+
+
 def hop_dgim_stream(
     parsed,
     size_sec: int = 60,

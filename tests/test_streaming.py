@@ -679,3 +679,35 @@ def test_kafka_stream_seams_end_to_end(
         )
         lq.awaitTermination()
         assert spark.sql("SELECT * FROM t_kafka_live").count() >= 0
+
+
+def test_stateful_cumulate_dgim_matches_batch_replay(
+    spark, fixture_dir, batch_parsed
+):
+    """Streaming CUMULATE DGIM (the third and last window kind for
+    the incremental sketch): final update per (window_start,
+    window_end) must equal the batch cumulate_dgim replay."""
+    from flink_window_dgim_traffic_spark.streaming.stateful_dgim import (
+        cumulate_dgim_stream,
+    )
+
+    stream = J.parse_traffic(J.file_traffic_stream(spark, fixture_dir))
+    J.run_stream_to_memory(
+        cumulate_dgim_stream(stream, 60, 10), "t_cum_dgim", "update"
+    )
+    final = {}
+    for r in spark.sql("SELECT * FROM t_cum_dgim").collect():
+        final[(r["window_start"], r["window_end"])] = (
+            r["count_estimate"],
+            r["exact_count"],
+        )
+    ev = batch_parsed.withColumn("event_id", F.col("bit").cast("bigint"))
+    expect = {
+        (r["window_start"], r["window_end"]): (
+            r["count_estimate"],
+            r["exact_count"],
+        )
+        for r in W.cumulate_dgim(ev, 60, 10).collect()
+    }
+    assert final == expect
+    assert len(final) > 0
