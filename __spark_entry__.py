@@ -161,6 +161,47 @@ def _kll_rollup_quantiles_1h(s: SparkSession, d: str) -> DataFrame:
     return SK.kll_rollup_quantiles(s, _sketch_rollup_path(s, d), 3600)
 
 
+def _streamed_sketch_store(s: SparkSession, d: str) -> str:
+    """Replay the events table through Structured Streaming into the
+    sketch-rollup refresh (foreachBatch, snapshot-staged exactly-once)
+    and return the store path — the shared harness behind the
+    streaming theta and KLL serving entries."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="spark_graft_streamsk_")
+    src, path, ckpt = f"{base}/src", f"{base}/agg", f"{base}/ck"
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    ev = _events(s, d).select("event_id", "ts", "user_id", "value")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    SK.build_sketch_rollup(s.createDataFrame([], schema), path)
+    stream = (
+        s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            SK.sketch_rollup_refresh_batch_fn(path)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return path
+
+
+def _stream_kll_quantiles_60s(s: SparkSession, d: str) -> DataFrame:
+    """Streaming VALUE-QUANTILE continuous aggregate: the same
+    streamed sketch store serves per-minute p50/p95 from KLL blobs
+    merged across micro-batches — approximate by design (rows-only);
+    the streamed store's rank-error bound vs exact percentiles is
+    asserted in tests/test_sketches.py."""
+    return SK.kll_rollup_quantiles(
+        s, _streamed_sketch_store(s, d), 60
+    )
+
+
 def _stream_theta_rollup_60s(s: SparkSession, d: str) -> DataFrame:
     """Streaming distinct-count continuous aggregate end to end: the
     events table replayed through Structured Streaming into the
@@ -1379,6 +1420,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_value_stats": lambda s, d: AN.winsorized_stats(
             _events(s, d), lo_ppm=50_000, hi_ppm=950_000
         ),
+        # streaming KLL quantile serving from the streamed sketch
+        # store (rows-only — KLL is approximate by design; rank-error
+        # bound pinned in tests/test_sketches.py)
+        "stream_kll_quantiles_60s": _stream_kll_quantiles_60s,
         # ---- round-7 additions / changed-this-round (window
         # discipline: new + changed ops enter ahead of green
         # entries; the three green unchanged tail entries slide

@@ -262,3 +262,53 @@ def test_sketch_realtime_tail_scan_is_pruned(spark, events, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # the raw events scan must carry the ts >= T0 pushed filter
     assert "PushedFilters" in plan or "GreaterThanOrEqual(ts" in plan
+
+
+def test_streamed_store_kll_quantiles_within_rank_bound(
+    spark, events, tmp_path
+):
+    """KLL quantiles served from a STREAMED sketch store (micro-batch
+    foreachBatch refreshes) must satisfy the same rank-error bound as
+    the batch-built store — the merge path across micro-batches is
+    the one the streaming driver entry exercises."""
+    import datetime
+
+    path = str(tmp_path / "skroll_stream")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    SK.build_sketch_rollup(
+        spark.createDataFrame([], schema), path
+    )
+    fn = SK.sketch_rollup_refresh_batch_fn(path)
+    rows = events.select(
+        "event_id", "ts", "user_id", "value"
+    ).orderBy("ts").collect()
+    n = len(rows)
+    for i in range(3):
+        batch = spark.createDataFrame(
+            rows[i * n // 3 : (i + 1) * n // 3], schema
+        )
+        fn(batch, i)
+    got = {
+        r.window_end: (r.p50, r.p95, r.n_rows)
+        for r in SK.kll_rollup_quantiles(spark, path, 3600).collect()
+    }
+    vals = {}
+    for r in events.select(
+        (((F.floor(F.unix_timestamp("ts") / 3600) + 1) * 3600)
+         .cast("bigint")).alias("we"),
+        "value",
+    ).collect():
+        vals.setdefault(r.we, []).append(r.value)
+    assert len(got) == len(vals)
+    for we, vs in vals.items():
+        key = datetime.datetime.utcfromtimestamp(we).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+        vs.sort()
+        nn = len(vs)
+        p50, p95, n_rows = got[key]
+        assert n_rows == nn
+        for est, q in zip((p50, p95), (0.5, 0.95)):
+            lo = bisect.bisect_left(vs, est) / nn
+            hi = bisect.bisect_right(vs, est) / nn
+            assert lo - 0.05 <= q <= hi + 0.05, (key, q, est)
