@@ -191,6 +191,55 @@ def _streamed_sketch_store(s: SparkSession, d: str) -> str:
     return path
 
 
+def _stream_media_pixel_stats(s: SparkSession, d: str) -> DataFrame:
+    """STREAMING multimodal decode: the encode → netpbm-decode →
+    aggregate pipeline is a stateless map-only mapInPandas, so the
+    identical operator runs unchanged on a micro-batch stream
+    (append mode, no state, no watermark needed) — the multimodal
+    ingest shape of a continuously arriving media crawl.  Oracle =
+    the batch closed-form pixel SQL (same as ``media_pixel_stats``)."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="spark_graft_media_stream_")
+    src = f"{base}/src"
+    docs = _documents(s, d).select("doc_id")
+    n = docs.count()
+    third = (n + 2) // 3
+    for i in range(3):
+        docs.filter(
+            (F.col("doc_id") >= i * third)
+            & (F.col("doc_id") < (i + 1) * third)
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/c{i}")
+    files = sorted(
+        f"{src}/c{i}/{nm}"
+        for i in range(3)
+        for nm in os.listdir(f"{src}/c{i}")
+        if nm.endswith(".parquet")
+    )
+    for i, p in enumerate(files):
+        os.utime(p, (1000000000 + i * 60,) * 2)
+    stream = (
+        s.readStream.schema("doc_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        M.media_pixel_stats(stream)
+        .writeStream.format("memory")
+        .queryName("t_media_px_drv")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return s.sql(
+        "SELECT doc_id, px_sum, px_min, px_max, n_px"
+        " FROM t_media_px_drv"
+    )
+
+
 def _stream_kll_quantiles_60s(s: SparkSession, d: str) -> DataFrame:
     """Streaming VALUE-QUANTILE continuous aggregate: the same
     streamed sketch store serves per-minute p50/p95 from KLL blobs
@@ -1420,6 +1469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_value_stats": lambda s, d: AN.winsorized_stats(
             _events(s, d), lo_ppm=50_000, hi_ppm=950_000
         ),
+        # streaming multimodal decode twin (stateless map-only op,
+        # unchanged on micro-batches); oracle = the batch pixel SQL
+        "stream_media_pixel_stats": _stream_media_pixel_stats,
         # streaming KLL quantile serving from the streamed sketch
         # store (rows-only — KLL is approximate by design; rank-error
         # bound pinned in tests/test_sketches.py)
@@ -2726,6 +2778,22 @@ FROM l ANTI JOIN r USING (user_id, wslot)
         # v(doc_id, i) = (doc_id*7 + i*13) % 256 over the flat byte
         # index — the Spark side genuinely decodes netpbm payloads
         "media_pixel_stats": """
+WITH d AS (SELECT doc_id,
+                  (doc_id % 13) + 2 AS w,
+                  (doc_id % 11) + 2 AS h,
+                  CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+           FROM documents),
+px AS (SELECT doc_id, (doc_id * 7 + u.i * 13) % 256 AS v
+       FROM d, unnest(generate_series(0, w * h * ch - 1)) AS u(i))
+SELECT doc_id,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS BIGINT) AS px_min,
+       CAST(max(v) AS BIGINT) AS px_max,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM px GROUP BY doc_id
+""",
+        # streaming twin replays the same docs — same pixel oracle
+        "stream_media_pixel_stats": """
 WITH d AS (SELECT doc_id,
                   (doc_id % 13) + 2 AS w,
                   (doc_id % 11) + 2 AS h,
