@@ -55,6 +55,25 @@ def entry(spark: SparkSession) -> DataFrame:
     return W.tumble_dgim_two_phase(events, size_sec=60)
 
 
+def _mkdtemp(prefix: str) -> str:
+    """``tempfile.mkdtemp`` registered for interpreter-exit cleanup.
+
+    ADVICE r8: the streaming/index harness helpers each stage a
+    parquet copy of a testdata table under /tmp and never removed it,
+    so repeated driver / bench invocations accumulated unbounded /tmp
+    usage.  Every scratch dir in this module now routes through here;
+    ``atexit`` (not try/finally) because the returned DataFrames are
+    lazy — the driver collects them AFTER the query callable returns,
+    so the staged files must outlive the call but not the process."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def _t(name: str):
     """Table loader bound late so each callable is self-contained."""
 
@@ -81,10 +100,9 @@ def _neardup_incremental(s: SparkSession, d: str) -> DataFrame:
     """Persisted-MinHash-index deployment shape: index the even-doc_id
     half of the corpus on disk, probe the odd half (both halves from
     the same crawl here, so true near-dups exist across them)."""
-    import tempfile
 
     docs = _documents(s, d)
-    idx = tempfile.mkdtemp(prefix="spark_graft_ndidx_")
+    idx = _mkdtemp(prefix="spark_graft_ndidx_")
     D.build_neardup_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
     return D.neardup_incremental_lsh(
         docs.filter(F.col("doc_id") % 2 == 1), idx, threshold=0.5
@@ -97,11 +115,10 @@ def _rollup_serve_10min(s: SparkSession, d: str) -> DataFrame:
     10-minute granularity routed from the 1-minute level.  The oracle
     is the direct 600 s tumble over raw events — hash equality proves
     the re-aggregation path exact."""
-    import tempfile
 
     from flink_window_dgim_traffic_spark.operators import rollup as RU
 
-    path = tempfile.mkdtemp(prefix="spark_graft_rollup_")
+    path = _mkdtemp(prefix="spark_graft_rollup_")
     RU.build_rollup_hierarchy(_events(s, d), path)
     return RU.rollup_serve(s, path, 600)
 
@@ -113,7 +130,6 @@ def _rollup_serve_realtime(s: SparkSession, d: str) -> DataFrame:
     windows below the high-water mark with a direct, scan-pruned
     aggregation of the raw tail.  The oracle is the direct 60 s tumble
     over ALL events — hash equality proves the stitched result exact."""
-    import tempfile
 
     from flink_window_dgim_traffic_spark.operators import rollup as RU
 
@@ -122,7 +138,7 @@ def _rollup_serve_realtime(s: SparkSession, d: str) -> DataFrame:
         F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
     ).collect()[0]
     cut = lo + (hi - lo) * 4 // 5
-    path = tempfile.mkdtemp(prefix="spark_graft_rollup_rt_")
+    path = _mkdtemp(prefix="spark_graft_rollup_rt_")
     RU.build_rollup_hierarchy(
         ev.filter(F.unix_micros("ts") <= F.lit(cut)), path
     )
@@ -133,11 +149,10 @@ def _sketch_rollup_path(s: SparkSession, d: str) -> str:
     """Build (once per process per sf_dir) the theta/KLL sketch
     hierarchy for the events table in a tempdir and return its path —
     shared by the serve and quantile queries below."""
-    import tempfile
 
     cache = getattr(_sketch_rollup_path, "_cache", {})
     if d not in cache:
-        path = tempfile.mkdtemp(prefix="spark_graft_skroll_")
+        path = _mkdtemp(prefix="spark_graft_skroll_")
         SK.build_sketch_rollup(_events(s, d), path)
         cache[d] = path
         _sketch_rollup_path._cache = cache
@@ -166,9 +181,8 @@ def _streamed_sketch_store(s: SparkSession, d: str) -> str:
     sketch-rollup refresh (foreachBatch, snapshot-staged exactly-once)
     and return the store path — the shared harness behind the
     streaming theta and KLL serving entries."""
-    import tempfile
 
-    base = tempfile.mkdtemp(prefix="spark_graft_streamsk_")
+    base = _mkdtemp(prefix="spark_graft_streamsk_")
     src, path, ckpt = f"{base}/src", f"{base}/agg", f"{base}/ck"
     schema = "event_id long, ts timestamp, user_id long, value double"
     ev = _events(s, d).select("event_id", "ts", "user_id", "value")
@@ -199,9 +213,8 @@ def _stream_media_pixel_stats(s: SparkSession, d: str) -> DataFrame:
     ingest shape of a continuously arriving media crawl.  Oracle =
     the batch closed-form pixel SQL (same as ``media_pixel_stats``)."""
     import os
-    import tempfile
 
-    base = tempfile.mkdtemp(prefix="spark_graft_media_stream_")
+    base = _mkdtemp(prefix="spark_graft_media_stream_")
     src = f"{base}/src"
     docs = _documents(s, d).select("doc_id")
     n = docs.count()
@@ -259,9 +272,8 @@ def _stream_theta_rollup_60s(s: SparkSession, d: str) -> DataFrame:
     oracle-checked against the direct exact COUNT(DISTINCT) — the
     stream-merged sketch state must reproduce it (exact below sketch
     capacity)."""
-    import tempfile
 
-    base = tempfile.mkdtemp(prefix="spark_graft_streamsk_")
+    base = _mkdtemp(prefix="spark_graft_streamsk_")
     src, path, ckpt = f"{base}/src", f"{base}/agg", f"{base}/ck"
     schema = "event_id long, ts timestamp, user_id long, value double"
     ev = _events(s, d).select("event_id", "ts", "user_id", "value")
@@ -291,14 +303,13 @@ def _theta_rollup_realtime(s: SparkSession, d: str) -> DataFrame:
     mark with sketches built from only the ts-pruned raw tail.  The
     oracle is the direct exact per-minute distinct count over ALL
     events."""
-    import tempfile
 
     ev = _events(s, d)
     lo, hi = ev.agg(
         F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
     ).collect()[0]
     cut = lo + (hi - lo) * 4 // 5
-    path = tempfile.mkdtemp(prefix="spark_graft_skroll_rt_")
+    path = _mkdtemp(prefix="spark_graft_skroll_rt_")
     SK.build_sketch_rollup(
         ev.filter(F.unix_micros("ts") <= F.lit(cut)), path
     )
@@ -310,11 +321,10 @@ def _zorder_layout_stats(s: SparkSession, d: str) -> DataFrame:
     per-file min-max footprint + prune decision for a box probe —
     the measurable layout-quality artifact (tests pin that the
     z-layout beats a single-column sort on cross-column probes)."""
-    import tempfile
 
     from flink_window_dgim_traffic_spark.operators import layout as L
 
-    path = tempfile.mkdtemp(prefix="spark_graft_zorder_") + "/events"
+    path = _mkdtemp(prefix="spark_graft_zorder_") + "/events"
     L.write_zordered(
         _events(s, d).select("user_id", "value", "ts"),
         path,
@@ -334,11 +344,10 @@ def _stream_late_audit(s: SparkSession, d: str) -> DataFrame:
     the committed audit must hash-match the one-shot batch SQL."""
     import glob
     import os as _os
-    import tempfile
 
     from flink_window_dgim_traffic_spark.streaming import alerts as SA
 
-    base = tempfile.mkdtemp(prefix="spark_graft_streamlate_")
+    base = _mkdtemp(prefix="spark_graft_streamlate_")
     src, st, ck = f"{base}/src", f"{base}/state", f"{base}/ck"
     ev = _events(s, d).select(
         "event_id",
@@ -514,11 +523,10 @@ def _stream_seasonal_anomaly(s: SparkSession, d: str) -> DataFrame:
     staged counts merge, flags derived from the committed snapshot
     via the SAME seasonal_flags code as the batch operator — the
     oracle is the batch seasonal_anomaly SQL."""
-    import tempfile
 
     from flink_window_dgim_traffic_spark.streaming import alerts as SA
 
-    base = tempfile.mkdtemp(prefix="spark_graft_streamseas_")
+    base = _mkdtemp(prefix="spark_graft_streamseas_")
     src, st, ck = f"{base}/src", f"{base}/state", f"{base}/ck"
     ev = _events(s, d).select("event_id", "ts", "event_type")
     ev.repartition(4).write.mode("overwrite").parquet(src)
@@ -569,11 +577,10 @@ def _stream_rollup_60s(s: SparkSession, d: str) -> DataFrame:
     SERVED 60 s windows are returned.  The oracle is the direct 60 s
     tumble over the same events — the stream-produced state must
     hash-match the batch aggregation."""
-    import tempfile
 
     from flink_window_dgim_traffic_spark.operators import rollup as RU
 
-    base = tempfile.mkdtemp(prefix="spark_graft_streamroll_")
+    base = _mkdtemp(prefix="spark_graft_streamroll_")
     src, path, ckpt = f"{base}/src", f"{base}/agg", f"{base}/ck"
     ev = _events(s, d).select("event_id", "ts")
     ev.repartition(4).write.mode("overwrite").parquet(src)
@@ -653,11 +660,10 @@ def _stream_scd2_user_state(s: SparkSession, d: str) -> DataFrame:
     (exactly-once staged snapshots); the reconstructed dimension must
     hash-match the batch scd2_build oracle."""
     import os
-    import tempfile
 
     from flink_window_dgim_traffic_spark.streaming import scd2 as SC
 
-    base = tempfile.mkdtemp(prefix="spark_graft_scd2s_")
+    base = _mkdtemp(prefix="spark_graft_scd2s_")
     src, root, ckpt = f"{base}/src", f"{base}/dim", f"{base}/ck"
     ev = _events(s, d).select("user_id", "ts", "event_type", "event_id")
     lo, hi = ev.agg(
@@ -711,14 +717,13 @@ def _stream_event_funnel(s: SparkSession, d: str) -> DataFrame:
     SAME (stage_idx, stage, n_users) shape as the batch operator —
     the oracle is the batch event_funnel SQL."""
     import os
-    import tempfile
 
     from flink_window_dgim_traffic_spark.streaming import jobs as J
     from flink_window_dgim_traffic_spark.streaming.funnel import (
         funnel_stream,
     )
 
-    base = tempfile.mkdtemp(prefix="spark_graft_funnels_")
+    base = _mkdtemp(prefix="spark_graft_funnels_")
     src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ck"
     os.makedirs(src)
     ev = _events(s, d).select("event_id", "user_id", "ts", "event_type")
@@ -799,14 +804,13 @@ def _stream_source_cap(s: SparkSession, d: str) -> DataFrame:
     replay admits exactly the batch operator's survivors, so the
     oracle is the cap-smallest-doc_ids ROW_NUMBER SQL."""
     import os
-    import tempfile
 
     from flink_window_dgim_traffic_spark.streaming import jobs as J
     from flink_window_dgim_traffic_spark.streaming.caps import (
         source_cap_stream,
     )
 
-    base = tempfile.mkdtemp(prefix="spark_graft_srccaps_")
+    base = _mkdtemp(prefix="spark_graft_srccaps_")
     src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ck"
     docs = _documents(s, d).select("doc_id", "source")
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
@@ -1029,11 +1033,10 @@ def _stream_cdc_user_snapshot(s: SparkSession, d: str) -> DataFrame:
     batch ``cdc_apply`` over all events — the oracle is the batch
     snapshot SQL."""
     import os
-    import tempfile
 
     from flink_window_dgim_traffic_spark.streaming import jobs as J
 
-    base = tempfile.mkdtemp(prefix="spark_graft_cdcsnap_")
+    base = _mkdtemp(prefix="spark_graft_cdcsnap_")
     src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ck"
     log = _events(s, d).select(
         "user_id",
@@ -1108,11 +1111,10 @@ def _stream_ivm_join(s: SparkSession, d: str) -> DataFrame:
     materialized view's digest must equal the one-shot join — same
     oracle as ``ivm_join_orders``."""
     import os
-    import tempfile
 
     from flink_window_dgim_traffic_spark.operators import ivm as IV
 
-    base = tempfile.mkdtemp(prefix="spark_graft_sivm_")
+    base = _mkdtemp(prefix="spark_graft_sivm_")
     src, ckpt, jv = f"{base}/src", f"{base}/ck", f"{base}/jv"
     o = _orders(s, d).select("o_orderkey", "o_orderstatus")
     li = _lineitem(s, d).select(
@@ -1180,7 +1182,6 @@ def _stream_window_join(
     ``streaming/joins.window_join_stream``; oracles = the batch
     hop/cumulate window-join SQL."""
     import os
-    import tempfile
 
     from flink_window_dgim_traffic_spark.streaming.joins import (
         window_join_stream,
@@ -1189,7 +1190,7 @@ def _stream_window_join(
     ev = _events(s, d).select(
         "event_id", "user_id", "ts", "event_type"
     ).filter(F.col("event_type").isin("view", "purchase"))
-    base = tempfile.mkdtemp(prefix="spark_graft_swj_")
+    base = _mkdtemp(prefix="spark_graft_swj_")
     src = f"{base}/src"
     us = F.unix_micros(F.col("ts"))
     lo, hi = ev.agg(F.min(us), F.max(us)).collect()[0]
@@ -1245,14 +1246,13 @@ def _stream_window_dedup(s: SparkSession, d: str) -> DataFrame:
     upsert-kafka compaction).  Final compacted state must equal the
     batch operator — oracle = the ``window_dedup_first`` SQL."""
     import os
-    import tempfile
 
     from flink_window_dgim_traffic_spark.streaming import jobs as J
 
     ev = _events(s, d).select(
         "event_id", "user_id", "ts", "event_type", "value"
     )
-    base = tempfile.mkdtemp(prefix="spark_graft_swd_")
+    base = _mkdtemp(prefix="spark_graft_swd_")
     src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ck"
     us = F.unix_micros(F.col("ts"))
     lo, hi = ev.agg(F.min(us), F.max(us)).collect()[0]
@@ -1313,11 +1313,10 @@ def _ivm_join_cdc(s: SparkSession, d: str) -> DataFrame:
     one-shot join over exactly the surviving orders: incremental
     retraction must be indistinguishable from never having ingested
     the deleted rows."""
-    import tempfile
 
     from flink_window_dgim_traffic_spark.operators import ivm as IV
 
-    base = tempfile.mkdtemp(prefix="spark_graft_ivmz_")
+    base = _mkdtemp(prefix="spark_graft_ivmz_")
     o = _orders(s, d).select("o_orderkey", "o_orderstatus")
     li = _lineitem(s, d).select(
         F.col("l_orderkey").alias("o_orderkey"),
@@ -1357,11 +1356,10 @@ def _ivm_join_orders(s: SparkSession, d: str) -> DataFrame:
     final materialized view is aggregated to a digest.  Oracle = the
     same digest over a plain one-shot join: multi-batch maintenance
     must be indistinguishable from never having been incremental."""
-    import tempfile
 
     from flink_window_dgim_traffic_spark.operators import ivm as IV
 
-    base = tempfile.mkdtemp(prefix="spark_graft_ivm_")
+    base = _mkdtemp(prefix="spark_graft_ivm_")
     o = _orders(s, d).select("o_orderkey", "o_orderstatus")
     li = _lineitem(s, d).select(
         F.col("l_orderkey").alias("o_orderkey"),

@@ -1350,8 +1350,12 @@ def pca_project(
     Only vectors of the corpus-MODAL dimensionality participate (the
     repo's ragged policy).  Sign convention: each component's largest-
     magnitude coordinate is made positive, so the output is unique.
-    Rows-only for the driver (eigendecomposition has no SQL twin);
-    numpy parity and invariance tests in
+    Output schema is FLAT — ``vec_id bigint, pc1 double, …, pck
+    double`` — so downstream pandas canonicalization (sort / hash over
+    every column) works on atomic values; an ``array<double>`` column
+    here crashed the round-8 correctness harness with ``unhashable
+    type: 'list'``.  Rows-only for the driver (eigendecomposition has
+    no SQL twin); numpy parity and invariance tests in
     tests/test_analytics_vectors.py."""
     import numpy as np
 
@@ -1387,7 +1391,11 @@ def pca_project(
     n = sum(p["n"] for p in parts)
     if n == 0:
         return base.sparkSession.createDataFrame(
-            [], "vec_id bigint, pc array<double>"
+            [],
+            "vec_id bigint, "
+            + ", ".join(
+                f"pc{j + 1} double" for j in range(min(k, modal))
+            ),
         )
     s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
     xtx = np.sum(
@@ -1416,7 +1424,14 @@ def pca_project(
         P = np.round((X - mean_) @ W_, 6)
         return pd.Series(list(P))
 
-    return base.select("vec_id", _proj("v").alias("pc"))
+    projected = base.select("vec_id", _proj("v").alias("pc"))
+    return projected.select(
+        "vec_id",
+        *[
+            F.col("pc")[j].alias(f"pc{j + 1}")
+            for j in range(min(k, modal))
+        ],
+    )
 
 
 def hard_negatives(

@@ -172,6 +172,27 @@ def window_join_stream(
             F.lit(step_us).cast("bigint"),
         )
 
+    # The watermark rides the exploded SLOT column, and one event's
+    # slots span (size - step) — e.g. 300 s at hop defaults — so a
+    # watermark of W on slots tolerates only W - (size - step) of
+    # real event-time disorder.  Widen the slot watermark by that
+    # intra-event spread so the USER-visible tolerance stays W, the
+    # same contract as tumble mode.  State cost: each pane is held
+    # (size - step) longer, a constant per-pane factor.
+    spread_us = size_us - step_us
+    slot_watermark = watermark
+    if spread_us > 0:
+        if "microsecond" in watermark:
+            raise ValueError(
+                "express the watermark without a microseconds unit in"
+                " hop/cumulate mode (the slot-spread correction"
+                " appends one)"
+            )
+        # Spark's CalendarInterval parser accepts multi-unit strings
+        # in descending unit order; microseconds is the smallest, so
+        # appending it composes with any coarser user interval.
+        slot_watermark = f"{watermark} {spread_us} microseconds"
+
     def prep(df: DataFrame, side: str) -> DataFrame:
         base = df.select(
             F.col("user_id").alias(f"{side}_user"),
@@ -191,7 +212,7 @@ def window_join_stream(
             F.timestamp_micros(F.col("_slot_us")).alias(f"{side}_slot"),
         )
         if streaming:
-            out = out.withWatermark(f"{side}_slot", watermark)
+            out = out.withWatermark(f"{side}_slot", slot_watermark)
         return out
 
     # project the raw slot AWAY after deriving its tumble pane —

@@ -237,8 +237,12 @@ def make_hop_dgim_update_fn(
                     ones += 1
             nrows += len(sub)
         state.update((sk.to_flat(), ones, nrows))
+        # Same naive-as-UTC reading as the tumble twin above:
+        # `.timestamp()` on the naive key would apply the HOST
+        # timezone and shift eviction by the UTC offset.
+        we_utc = key[1].replace(tzinfo=timezone.utc)
         if evict:
-            state.setTimeoutTimestamp(int(key[1].timestamp() * 1000))
+            state.setTimeoutTimestamp(int(we_utc.timestamp() * 1000))
         yield pd.DataFrame(
             {
                 "window_start": [key[0].strftime("%Y-%m-%d %H:%M:%S")],

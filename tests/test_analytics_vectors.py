@@ -78,7 +78,7 @@ def test_mmr_matches_numpy_reference(emb):
 
 def test_pca_matches_numpy(emb):
     got = {
-        r.vec_id: np.asarray(r.pc)
+        r.vec_id: np.array([r.pc1, r.pc2])
         for r in S.pca_project(emb, k=2).collect()
     }
     rows = emb.filter(F.size("embedding") == 64).collect()
@@ -110,7 +110,7 @@ def test_pca_matches_numpy(emb):
 
 def test_pca_variance_ordering(emb):
     pcs = np.array(
-        [r.pc for r in S.pca_project(emb, k=2).collect()]
+        [[r.pc1, r.pc2] for r in S.pca_project(emb, k=2).collect()]
     )
     v1, v2 = pcs[:, 0].var(), pcs[:, 1].var()
     assert v1 >= v2 > 0
