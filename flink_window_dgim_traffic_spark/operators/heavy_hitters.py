@@ -23,9 +23,14 @@ honest in the output columns):
   ``upper = Σ_{i: x∈S_i} est_i + Σ_{i: x∉S_i} min_i`` bracket the true
   global count, and every item with true count > Σ_i min_i is present.
 
-Not ANSI-SQL-expressible (stateful streaming fold) — anchored in
-tests against the exact ``top_ngrams`` counts: bounds must bracket the
-truth and the completeness threshold must hold for any partitioning.
+The stateful fold is not ANSI-SQL-expressible in general, but BELOW
+capacity SpaceSaving never evicts (err = 0, min_count = 0), so the
+bounds collapse to the exact counts — the driver oracle runs the
+entry query at capacity 4096 (≫ the corpus' ~931 distinct bigrams)
+and hash-checks it against the exact top-k SQL, while tests pin the
+eviction/bound behavior at the production capacity against
+``top_ngrams``: bounds must bracket the truth and the completeness
+threshold must hold for any partitioning.
 """
 
 from __future__ import annotations

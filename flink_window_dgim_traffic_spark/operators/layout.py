@@ -87,6 +87,50 @@ def write_zordered(
     )
 
 
+def write_zordered_bucketed(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    n_files: int = 16,
+) -> None:
+    """Z-order clustered write with DETERMINISTIC fixed-grid file
+    boundaries: file ``k`` holds exactly the rows whose Morton value
+    falls in ``[k·2³²/n, (k+1)·2³²/n)`` — pure integer math on the
+    interleave, no sampled range bounds.  This trades
+    :func:`write_zordered`'s skew-adaptive quantile cuts (equal ROWS
+    per file) for reproducibility (equal KEY-SPACE per file), which
+    is what makes the resulting per-file min-max footprint an
+    oracle-checkable function of the data: an independent engine can
+    recompute every file's bounding box from the same bit math
+    (VERDICT r8 ask #3).  Layout quality is the same box-per-file
+    property; uniform keys give near-equal files, heavily skewed keys
+    should prefer the sampled variant.
+
+    Files land as hive dirs ``zb=k/`` (one parquet file per bucket:
+    the explicit hash repartition on ``zb`` puts each bucket in
+    exactly one task before ``partitionBy`` splits dirs)."""
+    a, b = (F.col(c) for c in cols)
+    r = df.agg(
+        F.min(a), F.max(a), F.min(b.cast("double")), F.max(b.cast("double"))
+    ).collect()[0]
+    alo, ahi, blo, bhi = (float(x) for x in r)
+    z = _morton2(
+        _norm16(a, alo, ahi), _norm16(b.cast("double"), blo, bhi)
+    )
+    # bucket = floor(z * n / 2^32): exact bigint math (z < 2^32)
+    zb = F.shiftright(z * F.lit(int(n_files)), 32)
+    (
+        df.withColumn("zb", zb)
+        .withColumn("_z", z)
+        .repartition(n_files, "zb")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.partitionBy("zb")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_linear(
     df: DataFrame, path: str, col: str, n_files: int = 16
 ) -> None:
@@ -162,6 +206,73 @@ def layout_scan_stats(
                 _to_f(maxs[cb]),
                 must_scan,
             )
+        )
+    return spark.createDataFrame(
+        rows,
+        f"file string, min_{ca} double, max_{ca} double,"
+        f" min_{cb} double, max_{cb} double, must_scan boolean",
+    )
+
+
+def layout_scan_stats_hive(
+    spark,
+    path: str,
+    cols: tuple[str, str],
+    probe: dict[str, tuple[float, float]] | None = None,
+) -> DataFrame:
+    """:func:`layout_scan_stats` for the hive-partitioned layout that
+    :func:`write_zordered_bucketed` produces: one row per ``zb=k``
+    bucket dir (its parquet footers merged), labelled by the BUCKET
+    (``zb=k``) instead of the non-deterministic part-file name — the
+    canonical identity an oracle can reproduce, since bucket
+    membership is pure integer math on the data."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    def _to_f(x):
+        if x is None:
+            return None
+        if isinstance(x, datetime.datetime):
+            return x.timestamp()
+        return float(x)
+
+    ca, cb = cols
+    rows = []
+    for dname in sorted(os.listdir(path)):
+        if not dname.startswith("zb="):
+            continue
+        mins: dict = {ca: None, cb: None}
+        maxs: dict = {ca: None, cb: None}
+        dpath = os.path.join(path, dname)
+        for name in sorted(os.listdir(dpath)):
+            if not name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(dpath, name)).metadata
+            schema_names = md.schema.to_arrow_schema().names
+            for col in (ca, cb):
+                idx = schema_names.index(col)
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo, hi = _to_f(st.min), _to_f(st.max)
+                    if mins[col] is None or lo < mins[col]:
+                        mins[col] = lo
+                    if maxs[col] is None or hi > maxs[col]:
+                        maxs[col] = hi
+        must_scan = None
+        if probe is not None:
+            must_scan = True
+            for col in probe:
+                lo, hi = probe[col]
+                if mins[col] is None:
+                    continue
+                if maxs[col] < lo or mins[col] > hi:
+                    must_scan = False
+                    break
+        rows.append(
+            (dname, mins[ca], maxs[ca], mins[cb], maxs[cb], must_scan)
         )
     return spark.createDataFrame(
         rows,

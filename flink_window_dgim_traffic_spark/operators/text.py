@@ -100,8 +100,9 @@ def text_normalize(documents: DataFrame) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
-# language ID — n-gram profile heuristic (rows-only; not expressible in
-# ANSI SQL, verified by unit tests on constructed samples)
+# language ID — marker-word + charset heuristic.  Deterministic, so
+# it IS oracle-checkable: the DuckDB twin (entry _lang_id_sql) replays
+# the same membership tests; unit tests add constructed samples.
 # ----------------------------------------------------------------------
 _LANG_MARKERS = {
     "en": ("the", "and", "of", "is", "in"),

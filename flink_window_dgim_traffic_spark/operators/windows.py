@@ -631,6 +631,119 @@ def cumulate_dgim(
     )
 
 
+def hop_dgim_bound(
+    events: DataFrame,
+    size_sec: int = 60,
+    slide_sec: int = 10,
+    mode: str = MODE_JAVA,
+) -> DataFrame:
+    """DGIM error-bound surface over HOPPING windows — the
+    :func:`tumble_dgim_bound` anchor extended to the second window
+    kind the reference runs the sketch over
+    (``SlidingWindowStreamingJob.java:42-116``).  Within one full hop
+    window nothing expires (max element age < size), so the replayed
+    estimate equals the closed form ``g(sum(bit))`` and the DuckDB
+    oracle can recompute the VALUE independently — this converts the
+    hop-DGIM estimate from rows-only to hash-anchored.  Same
+    ``rel_err`` no-rounding discipline as the tumble twin."""
+    est = _count_est_udf(mode)(F.col("exact_count"))
+    return (
+        with_bit(events)
+        .groupBy(
+            F.window(
+                "ts", f"{size_sec} seconds", f"{slide_sec} seconds"
+            ).alias("w")
+        )
+        .agg(F.sum("bit").cast("bigint").alias("exact_count"))
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT_SPARK).alias(
+                "window_start"
+            ),
+            F.date_format(F.col("w.end"), TS_FMT_SPARK).alias(
+                "window_end"
+            ),
+            est.alias("count_estimate"),
+            "exact_count",
+        )
+        .withColumn(
+            "abs_err",
+            F.abs(F.col("count_estimate") - F.col("exact_count")).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "rel_err",
+            F.col("abs_err").cast("double")
+            / F.greatest(F.col("exact_count"), F.lit(1)).cast("double"),
+        )
+        .withColumn(
+            "within_bound", F.col("abs_err") * 2 <= F.col("exact_count")
+        )
+    )
+
+
+def cumulate_dgim_bound(
+    events: DataFrame,
+    max_size_sec: int = 60,
+    step_sec: int = 10,
+    mode: str = MODE_JAVA,
+) -> DataFrame:
+    """DGIM error-bound surface over CUMULATE windows (VERDICT r8 ask
+    #3): per cumulative window ``[ws, we)`` the estimate, the exact
+    ones count, and the ``C/2 ≤ E ≤ 3C/2`` bound check.  A cumulative
+    window spans at most ``max_size_sec`` — the sketch horizon — so no
+    bucket expires inside one window and the replayed estimate of
+    :func:`cumulate_dgim` equals the closed form ``g(sum(bit))``
+    (asserted window-by-window in tests/test_dgim.py); the DuckDB
+    oracle recomputes ``g`` from the exact count, hash-anchoring the
+    cumulate estimate VALUES exactly like ``tumble_dgim_bound`` does
+    for tumble."""
+    e = with_bit(events).select(
+        "bit", F.unix_timestamp("ts").alias("ts_sec")
+    )
+    ws = (
+        F.floor(F.col("ts_sec") / max_size_sec) * max_size_sec
+    ).cast("bigint")
+    first_end = (
+        ws + (F.floor((F.col("ts_sec") - ws) / step_sec) + 1) * step_sec
+    ).cast("bigint")
+    ends = F.sequence(
+        first_end,
+        (ws + F.lit(max_size_sec)).cast("bigint"),
+        F.lit(step_sec).cast("bigint"),
+    )
+    est = _count_est_udf(mode)(F.col("exact_count"))
+    return (
+        e.select("bit", ws.alias("ws"), F.explode(ends).alias("we"))
+        .groupBy("ws", "we")
+        .agg(F.sum("bit").cast("bigint").alias("exact_count"))
+        .select(
+            F.date_format(
+                F.timestamp_seconds(F.col("ws")), TS_FMT_SPARK
+            ).alias("window_start"),
+            F.date_format(
+                F.timestamp_seconds(F.col("we")), TS_FMT_SPARK
+            ).alias("window_end"),
+            est.alias("count_estimate"),
+            "exact_count",
+        )
+        .withColumn(
+            "abs_err",
+            F.abs(F.col("count_estimate") - F.col("exact_count")).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "rel_err",
+            F.col("abs_err").cast("double")
+            / F.greatest(F.col("exact_count"), F.lit(1)).cast("double"),
+        )
+        .withColumn(
+            "within_bound", F.col("abs_err") * 2 <= F.col("exact_count")
+        )
+    )
+
+
 def window_anomalies(
     events: DataFrame, size_sec: int = 60, k: int = 3
 ) -> DataFrame:

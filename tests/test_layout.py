@@ -81,3 +81,78 @@ def test_morton_interleave_locality(spark):
     rows = sorted(r.z for r in df.collect())
     got = [r.z for r in df.orderBy("a").collect()]
     assert got == rows  # diagonal points are z-monotone
+
+
+@pytest.fixture(scope="module")
+def bucketed_layout(spark, grid, tmp_path_factory):
+    bp = str(tmp_path_factory.mktemp("lay") / "zbuck")
+    L.write_zordered_bucketed(grid, bp, ("x", "y"), n_files=16)
+    return bp
+
+
+def test_bucketed_zorder_one_file_per_bucket(spark, grid, bucketed_layout):
+    """Deterministic fixed-grid layout: hive dirs zb=0..15, exactly
+    one parquet file each (the explicit hash repartition puts each
+    bucket in one task), and all rows survive the round trip."""
+    import glob
+    import os
+
+    dirs = sorted(
+        d for d in os.listdir(bucketed_layout) if d.startswith("zb=")
+    )
+    assert len(dirs) > 1
+    for d in dirs:
+        files = glob.glob(f"{bucketed_layout}/{d}/*.parquet")
+        assert len(files) == 1, (d, files)
+    assert spark.read.parquet(bucketed_layout).count() == grid.count()
+
+
+def test_bucketed_stats_match_row_groups(spark, grid, bucketed_layout):
+    """The hive footer walk must reproduce the exact per-bucket
+    min/max a direct group-by over the same bucket math computes —
+    the invariant the DuckDB oracle relies on."""
+    stats = {
+        r.file: r
+        for r in L.layout_scan_stats_hive(
+            spark, bucketed_layout, ("x", "y"), probe=PROBE
+        ).collect()
+    }
+    r = grid.agg(
+        F.min("x"), F.max("x"), F.min("y"), F.max("y")
+    ).collect()[0]
+    alo, ahi, blo, bhi = (float(v) for v in r)
+    z = L._morton2(
+        L._norm16(F.col("x"), alo, ahi), L._norm16(F.col("y"), blo, bhi)
+    )
+    direct = {
+        f"zb={row.zb}": row
+        for row in grid.withColumn(
+            "zb", F.shiftright(z * F.lit(16), 32)
+        )
+        .groupBy("zb")
+        .agg(
+            F.min("x").alias("mnx"),
+            F.max("x").alias("mxx"),
+            F.min("y").alias("mny"),
+            F.max("y").alias("mxy"),
+        )
+        .collect()
+    }
+    assert set(stats) == set(direct)
+    for k, s in stats.items():
+        d = direct[k]
+        assert (s.min_x, s.max_x, s.min_y, s.max_y) == (
+            d.mnx,
+            d.mxx,
+            d.mny,
+            d.mxy,
+        )
+        lo, hi = PROBE["y"]
+        assert s.must_scan == (not (s.max_y < lo or s.min_y > hi))
+
+
+def test_bucketed_zorder_prunes_on_either_column(spark, bucketed_layout):
+    zs = L.layout_scan_stats_hive(
+        spark, bucketed_layout, ("x", "y"), probe=PROBE
+    )
+    assert 0 < zs.filter("must_scan").count() <= zs.count() // 2

@@ -276,6 +276,51 @@ def test_cumulate_dgim_bound_and_degeneration(events):
     assert cum == tum
 
 
+def test_hop_dgim_bound_closed_form_equals_replay(events):
+    """The bound query's closed-form g(exact) must equal the replayed
+    sketch estimate window-by-window — the anchor that lets the DuckDB
+    oracle hash-check hop-DGIM estimate VALUES."""
+    bound = {
+        (r["window_start"], r["window_end"]): (
+            r["count_estimate"],
+            r["exact_count"],
+        )
+        for r in W.hop_dgim_bound(events, 60, 10).collect()
+    }
+    replay = {
+        (r["window_start"], r["window_end"]): (
+            r["count_estimate"],
+            r["exact_count"],
+        )
+        for r in W.hop_dgim(events, 60, 10).collect()
+    }
+    assert bound == replay
+    for r in W.hop_dgim_bound(events, 60, 10).collect():
+        assert r["abs_err"] == abs(r["count_estimate"] - r["exact_count"])
+        assert r["within_bound"] == (r["abs_err"] * 2 <= r["exact_count"])
+
+
+def test_cumulate_dgim_bound_closed_form_equals_replay(events):
+    """Same anchor for CUMULATE: no bucket expires inside a window
+    (span ≤ horizon), so replay == g(exact) for every cumulative
+    window."""
+    bound = {
+        (r["window_start"], r["window_end"]): (
+            r["count_estimate"],
+            r["exact_count"],
+        )
+        for r in W.cumulate_dgim_bound(events, 60, 10).collect()
+    }
+    replay = {
+        (r["window_start"], r["window_end"]): (
+            r["count_estimate"],
+            r["exact_count"],
+        )
+        for r in W.cumulate_dgim(events, 60, 10).collect()
+    }
+    assert bound == replay
+
+
 def test_window_anomalies_flags_extreme_window(spark):
     """A hand corpus where one window has 10x the typical count:
     exactly that window is flagged; near-median windows are not."""
