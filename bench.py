@@ -30,6 +30,9 @@ from flink_window_dgim_traffic_spark.session import get_spark, table  # noqa: E4
 # BASELINE.md §"Bench exclusions" (plan-identical twins and deliberate
 # anti-pattern parity demos).
 BENCH_QUERIES = [
+    # ---- round-9: DGIM bound anchors for hop/cumulate ----
+    "hop_dgim_bound",
+    "cumulate_dgim_bound",
     # ---- round-8: pixel-level decode path + window-join TVF
     # completion (cumulate mode, semi, SQL semi/anti twins) ----
     "media_pixel_stats",
@@ -312,6 +315,31 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Persist the FULL per-query dict as a repo artifact (VERDICT r8
+    # ask #7): the driver's 2000-char stdout tail truncates the
+    # queries dict, which loses most per-query timings for
+    # cross-round comparison.  Round number = 1 + the highest
+    # committed BENCH_r<N>.json (this run's tail becomes that file).
+    try:
+        import re as _re
+
+        ns = [
+            int(m.group(1))
+            for f in os.listdir(REPO)
+            if (m := _re.match(r"BENCH_r(\d+)\.json$", f))
+        ]
+        art = os.path.join(
+            REPO, f"bench_per_query_r{max(ns, default=0) + 1:02d}.json"
+        )
+        with open(art, "w") as fh:
+            json.dump(
+                {"sf": sf_val, "total_sec": total, "queries": timings},
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+    except OSError:
+        pass  # read-only checkout: the stdout lines still carry the data
     # Two lines, full dict FIRST: the driver's capture keeps only the
     # LAST ~2000 chars, which clipped the head of the single long JSON
     # line every round (BENCH_r{1,2,3}.json all parsed: null).  The

@@ -712,6 +712,10 @@ def main() -> None:
         "media_ahash_pairs": lambda docs, emb: MM.media_ahash_pairs(
             docs
         ),
+        # decode + nearest-neighbor resize + aggregate (map-only)
+        "media_pixel_resize_stats": lambda docs, emb: (
+            MM.media_pixel_resize_stats(docs)
+        ),
         # exact global order statistics (sharded pair-table recipe)
         "global_quantiles": lambda docs, emb: AN.global_quantiles(
             CTX["events_full"]
