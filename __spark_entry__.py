@@ -1430,6 +1430,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # array<double> is unhashable in pandas canonicalization);
         # rows-only (eigendecomposition), numpy parity in tests
         "pca_project": lambda s, d: S.pca_project(_embeddings(s, d)),
+        # SECOND real decode format: RIFF/WAVE PCM-16 via pure struct
+        # parsing (stdlib `wave` round-trip pinned in tests); samples
+        # are closed-form in (doc_id, index) so the oracle needs no
+        # decoder — the audio twin of the r8 netpbm pixel family
+        "media_audio_stats": lambda s, d: M.media_audio_stats(
+            _documents(s, d)
+        ),
+        "media_audio_resample_stats": lambda s, d: (
+            M.media_audio_resample_stats(_documents(s, d))
+        ),
         # rows-only → oracled conversions (VERDICT r8 ask #3):
         # zorder via deterministic fixed-grid buckets (bitwise Morton
         # SQL oracle over the same integer math), lang_id via DuckDB
@@ -4992,6 +5002,46 @@ SELECT strftime(make_timestamp(ws*1000000), '%Y-%m-%d %H:%M:%S') AS window_start
        CAST(abs(est - n) AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE) AS rel_err,
        (abs(est - n) * 2 <= n) AS within_bound
 FROM g
+""",
+        # WAV PCM-16 twins: the interleaved int16 samples are
+        # ((doc_id*31 + i*17) % 65536) - 32768 over the flat index
+        # (with_wav_blob), frames = doc_id%50+20, channels = 1+doc_id%2,
+        # rate = 8000+4000*(doc_id%3) — replayed over generate_series,
+        # no decoder needed DuckDB-side
+        "media_audio_stats": """
+WITH p AS (SELECT doc_id,
+            8000 + 4000 * (doc_id % 3) AS sample_rate,
+            1 + doc_id % 2 AS channels,
+            doc_id % 50 + 20 AS n_frames
+           FROM documents),
+x AS (SELECT doc_id, sample_rate, channels,
+       unnest(generate_series(0, n_frames * channels - 1)) AS i FROM p),
+v AS (SELECT doc_id, sample_rate, channels,
+       ((doc_id * 31 + i * 17) % 65536) - 32768 AS v FROM x)
+SELECT doc_id,
+ CAST(min(sample_rate) AS BIGINT) AS sample_rate,
+ CAST(min(channels) AS BIGINT) AS channels,
+ CAST(sum(v) AS BIGINT) AS amp_sum,
+ CAST(min(v) AS BIGINT) AS amp_min,
+ CAST(max(v) AS BIGINT) AS amp_max,
+ CAST(sum(v * v) AS BIGINT) AS sq_sum,
+ count(*) AS n_samples
+FROM v GROUP BY doc_id
+""",
+        "media_audio_resample_stats": """
+WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+                  doc_id % 50 + 20 AS nf FROM documents),
+t AS (SELECT doc_id, ch, nf,
+       unnest(generate_series(0, 15)) AS t FROM p),
+tc AS (SELECT doc_id, ch, nf, t,
+        unnest(generate_series(0, ch - 1)) AS c FROM t),
+v AS (SELECT doc_id,
+       ((doc_id * 31 + (((t * nf) // 16) * ch + c) * 17) % 65536)
+         - 32768 AS v FROM tc)
+SELECT doc_id, CAST(sum(v) AS BIGINT) AS rs_sum,
+       CAST(min(v) AS BIGINT) AS rs_min,
+       CAST(max(v) AS BIGINT) AS rs_max, count(*) AS n_rs
+FROM v GROUP BY doc_id
 """,
         # deterministic fixed-grid z-order: the footer boxes are a
         # pure integer function of the rows (see _zorder_layout_sql)

@@ -30,9 +30,11 @@ from flink_window_dgim_traffic_spark.session import get_spark, table  # noqa: E4
 # BASELINE.md §"Bench exclusions" (plan-identical twins and deliberate
 # anti-pattern parity demos).
 BENCH_QUERIES = [
-    # ---- round-9: DGIM bound anchors for hop/cumulate ----
+    # ---- round-9: DGIM bound anchors for hop/cumulate, WAV decode ----
     "hop_dgim_bound",
     "cumulate_dgim_bound",
+    "media_audio_stats",
+    "media_audio_resample_stats",
     # ---- round-8: pixel-level decode path + window-join TVF
     # completion (cumulate mode, semi, SQL semi/anti twins) ----
     "media_pixel_stats",

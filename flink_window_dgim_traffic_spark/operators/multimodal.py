@@ -690,3 +690,237 @@ def media_neardup(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ----------------------------------------------------------------------
+# WAV / PCM-16 audio: the SECOND real decode format (after netpbm).
+# RIFF/WAVE with 16-bit PCM needs no codec — pure struct parsing — so
+# the decode step is REAL here too, and the synthesized payloads are
+# byte-exact standard WAV files (stdlib `wave` reads them back; tests
+# pin that round trip).  Sample values are a closed-form integer
+# function of (doc_id, flat sample index), so every aggregate has a
+# decoder-free DuckDB oracle, exactly like the netpbm pixel family.
+# ----------------------------------------------------------------------
+
+WAV_MIME = "audio/x-wav"  # RIFF/WAVE, PCM (format 1), 16-bit LE
+
+
+def decode_audio(payload: bytes, mime: str):
+    """Pure-Python WAV decode: walk the RIFF chunk list (tolerating
+    extra chunks like LIST/fact before ``data``), require PCM
+    (wFormatTag=1) at 16 bits, and return
+    ``(sample_rate, channels, samples)`` with ``samples`` the
+    interleaved int16 frames as a list — what a soundfile-backed
+    reader would hand back for this format.  Other mimes raise
+    NotImplementedError (no codecs in this container; the reference
+    has no media at all — north-star scope)."""
+    import struct
+
+    if mime != WAV_MIME:
+        raise NotImplementedError(
+            f"no codec for {mime!r} in this environment; supported: "
+            f"{WAV_MIME} (RIFF/WAVE PCM16)"
+        )
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt = None
+    while pos + 8 <= n:
+        cid, size = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            tag, ch, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if tag != 1 or bits != 16:
+                raise ValueError(
+                    f"only PCM16 supported (tag={tag}, bits={bits})"
+                )
+            fmt = (rate, ch)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt chunk")
+            if len(body) != size:
+                raise ValueError(
+                    f"truncated data chunk: want {size}, got {len(body)}"
+                )
+            rate, ch = fmt
+            samples = list(
+                struct.unpack(f"<{size // 2}h", body[: size // 2 * 2])
+            )
+            return rate, ch, samples
+        # chunks are word-aligned: odd sizes carry a pad byte
+        pos += 8 + size + (size & 1)
+    raise ValueError("no data chunk found")
+
+
+def _wav_params(d: int) -> tuple[int, int, int]:
+    """(sample_rate, channels, n_frames) for doc_id ``d`` — varied so
+    the header parser sees mono AND stereo at several rates."""
+    return 8000 + 4000 * (d % 3), 1 + d % 2, d % 50 + 20
+
+
+def with_wav_blob(documents: DataFrame) -> DataFrame:
+    """Attach a REAL RIFF/WAVE PCM-16 payload per doc with
+    deterministic interleaved samples
+    ``s(doc_id, i) = ((doc_id*31 + i*17) % 65536) - 32768`` over the
+    flat (frame-major, channel-interleaved) index — closed-form, so
+    audio aggregates need no decoder DuckDB-side.  Mono for even
+    doc_ids, stereo for odd; rate cycles 8/12/16 kHz.  Map-only."""
+    import struct
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, rates, chs, nfs = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate, ch, n_frames = _wav_params(d)
+                n_samp = n_frames * ch
+                body = struct.pack(
+                    f"<{n_samp}h",
+                    *(
+                        ((d * 31 + i * 17) % 65536) - 32768
+                        for i in range(n_samp)
+                    ),
+                )
+                block = ch * 2
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(body))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack(
+                        "<IHHIIHH",
+                        16, 1, ch, rate, rate * block, block, 16,
+                    )
+                    + b"data"
+                    + struct.pack("<I", len(body))
+                )
+                payloads.append(hdr + body)
+                rates.append(rate)
+                chs.append(ch)
+                nfs.append(n_frames)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": [WAV_MIME] * len(payloads),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "channels": pd.Series(chs, dtype="int32"),
+                    "n_frames": pd.Series(nfs, dtype="int64"),
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        encode,
+        "doc_id bigint, payload binary, mime string, "
+        "sample_rate int, channels int, n_frames bigint",
+    )
+
+
+def media_audio_stats(documents: DataFrame) -> DataFrame:
+    """Sample-level audio statistics through the REAL decode path:
+    encode WAV → :func:`decode_audio` parses RIFF chunks + PCM frames
+    → per-doc integer aggregates (sum / min / max / sum-of-squares /
+    count over int16 samples, plus the parsed header fields).
+    Aggregation happens INSIDE the decode map — map-only end to end,
+    one output row per doc, nothing but doc-sized rows ever shuffle
+    (the 100 TB audio-crawl ingest shape).  Oracle: samples are the
+    closed form of :func:`with_wav_blob`, replayed in DuckDB over
+    generate_series without a decoder."""
+    blobs = with_wav_blob(documents)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, rates, chs, sums, mins, maxs, sqs, cnts = (
+                [], [], [], [], [], [], [], [],
+            )
+            for doc_id, payload, mime, r0, c0, nf0 in zip(
+                pdf["doc_id"], pdf["payload"], pdf["mime"],
+                pdf["sample_rate"], pdf["channels"], pdf["n_frames"],
+            ):
+                rate, ch, samples = decode_audio(bytes(payload), mime)
+                assert (rate, ch) == (int(r0), int(c0))
+                s = np.asarray(samples, dtype=np.int64)
+                assert len(s) == int(nf0) * ch
+                ids.append(doc_id)
+                rates.append(rate)
+                chs.append(ch)
+                sums.append(int(s.sum()))
+                mins.append(int(s.min()))
+                maxs.append(int(s.max()))
+                sqs.append(int((s * s).sum()))
+                cnts.append(len(s))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sample_rate": pd.Series(rates, dtype="int64"),
+                    "channels": pd.Series(chs, dtype="int64"),
+                    "amp_sum": pd.Series(sums, dtype="int64"),
+                    "amp_min": pd.Series(mins, dtype="int64"),
+                    "amp_max": pd.Series(maxs, dtype="int64"),
+                    "sq_sum": pd.Series(sqs, dtype="int64"),
+                    "n_samples": pd.Series(cnts, dtype="int64"),
+                }
+            )
+
+    return blobs.mapInPandas(
+        stats,
+        "doc_id bigint, sample_rate bigint, channels bigint, "
+        "amp_sum bigint, amp_min bigint, amp_max bigint, "
+        "sq_sum bigint, n_samples bigint",
+    )
+
+
+def media_audio_resample_stats(
+    documents: DataFrame, target_frames: int = 16
+) -> DataFrame:
+    """TRUE decoded-sample resample (the audio twin of
+    :func:`media_pixel_resize_stats`): decode the WAV payload,
+    nearest-neighbor-sample the frame axis to ``target_frames``
+    keeping channel interleave — resampled frame ``t`` is source
+    frame ``t·n_frames div target_frames`` — then per-doc integer
+    aggregates over the resampled samples.  Decode + resample +
+    aggregate inside one mapInPandas, map-only.  Oracle replays the
+    frame-index math over the closed-form samples."""
+    blobs = with_wav_blob(documents)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, sums, mins, maxs, cnts = [], [], [], [], []
+            for doc_id, payload, mime in zip(
+                pdf["doc_id"], pdf["payload"], pdf["mime"]
+            ):
+                rate, ch, samples = decode_audio(bytes(payload), mime)
+                frames = np.asarray(samples, dtype=np.int64).reshape(
+                    -1, ch
+                )
+                n_frames = frames.shape[0]
+                fi = (np.arange(target_frames) * n_frames) // target_frames
+                small = frames[fi]
+                ids.append(doc_id)
+                sums.append(int(small.sum()))
+                mins.append(int(small.min()))
+                maxs.append(int(small.max()))
+                cnts.append(int(small.size))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "rs_sum": pd.Series(sums, dtype="int64"),
+                    "rs_min": pd.Series(mins, dtype="int64"),
+                    "rs_max": pd.Series(maxs, dtype="int64"),
+                    "n_rs": pd.Series(cnts, dtype="int64"),
+                }
+            )
+
+    return blobs.mapInPandas(
+        stats,
+        "doc_id bigint, rs_sum bigint, rs_min bigint, "
+        "rs_max bigint, n_rs bigint",
+    )
