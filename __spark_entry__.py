@@ -1440,6 +1440,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_resample_stats": lambda s, d: (
             M.media_audio_resample_stats(_documents(s, d))
         ),
+        # the replay-based DGIM family, oracled DIRECTLY this round:
+        # replay == g(ones) within horizon (property-tested), so the
+        # estimate VALUES hash-check against DuckDB's closed form —
+        # never driver-hash-verified before, hence in the window.
+        # (two-phase variants stay rows-only: commutative merge order
+        # deviates from the sequential sketch by design, bound-tested)
+        "tumble_dgim": lambda s, d: W.tumble_dgim(_events(s, d), 60),
+        "tumble_dgim_fast": lambda s, d: W.tumble_dgim_fast(
+            _events(s, d), 60
+        ),
+        "sql_tumble_dgim": lambda s, d: Q.sql_tumble_dgim(s, d, 60),
+        "tumble_dgim_pyflink": lambda s, d: W.tumble_dgim(
+            _events(s, d), 60, mode="pyflink"
+        ),
+        "tumble_dgim_collect": lambda s, d: W.tumble_dgim_collect(
+            _events(s, d), 60
+        ),
+        "tumble_dgim_by_user": lambda s, d: W.tumble_dgim_by_user_fast(
+            _events(s, d), 60
+        ),
+        "hop_dgim": lambda s, d: W.hop_dgim(_events(s, d), 60, 10),
+        "hop_dgim_fast": lambda s, d: W.hop_dgim_fast(
+            _events(s, d), 60, 10
+        ),
+        "cumulate_dgim": lambda s, d: W.cumulate_dgim(
+            _events(s, d), 60, 10
+        ),
+        # MMR greedy re-ranking, oracled via the r9 integer-objective
+        # rewrite: the k greedy rounds unroll as SQL CTEs (kcore
+        # precedent) because selection is exact int64 arithmetic now
+        "mmr_diverse_topk": lambda s, d: S.mmr_diverse_topk(
+            _embeddings(s, d)
+        ),
         # rows-only → oracled conversions (VERDICT r8 ask #3):
         # zorder via deterministic fixed-grid buckets (bitwise Morton
         # SQL oracle over the same integer math), lang_id via DuckDB
@@ -1590,9 +1623,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _documents(s, d)
         ),
         "kll_rollup_quantiles_1h": _kll_rollup_quantiles_1h,
-        "mmr_diverse_topk": lambda s, d: S.mmr_diverse_topk(
-            _embeddings(s, d)
-        ),
         "bpe_token_count": lambda s, d: BP.bpe_token_count(_documents(s, d)),
         "bpe_vocab": lambda s, d: BP.bpe_vocab(_documents(s, d)),
         "simsearch_ann_lsh": lambda s, d: S.simsearch_ann_lsh(_embeddings(s, d)),
@@ -1606,7 +1636,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_distinct_users_approx": lambda s, d: (
             W.windowed_distinct_users_approx(_events(s, d), 60)
         ),
-        "cumulate_dgim": lambda s, d: W.cumulate_dgim(_events(s, d), 60, 10),
         # ---- end never-verified rotation block ----
         # ---- round-6 additions ----
         "max_concurrent_users": lambda s, d: W.max_concurrency(
@@ -2096,21 +2125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DGIM variants: estimate values anchored transitively via
         # tumble_dgim_bound (oracle-green closed form) + equality/
         # bound tests in tests/test_dgim.py, tests/test_windows.py
-        "sql_tumble_dgim": lambda s, d: Q.sql_tumble_dgim(s, d, 60),
-        "tumble_dgim": lambda s, d: W.tumble_dgim(_events(s, d), 60),
-        "tumble_dgim_pyflink": lambda s, d: W.tumble_dgim(
-            _events(s, d), 60, mode="pyflink"
-        ),
-        "tumble_dgim_collect": lambda s, d: W.tumble_dgim_collect(_events(s, d), 60),
         "tumble_dgim_two_phase": lambda s, d: W.tumble_dgim_two_phase(
             _events(s, d), 60
         ),
-        "tumble_dgim_fast": lambda s, d: W.tumble_dgim_fast(_events(s, d), 60),
-        "tumble_dgim_by_user": lambda s, d: W.tumble_dgim_by_user_fast(
-            _events(s, d), 60
-        ),
-        "hop_dgim": lambda s, d: W.hop_dgim(_events(s, d), 60, 10),
-        "hop_dgim_fast": lambda s, d: W.hop_dgim_fast(_events(s, d), 60, 10),
         "hop_dgim_two_phase": lambda s, d: W.hop_dgim_two_phase(
             _events(s, d), 60, 10
         ),
@@ -2285,6 +2302,153 @@ SELECT printf('zb=%d', zb) AS file,
        NOT (max(value) < 100.0 OR min(value) > 150.0) AS must_scan
 FROM b GROUP BY zb
 """
+
+
+def _dgim_g_sql(n: str, mode: str = "java") -> str:
+    """``g(n)`` — the DGIM estimate after ``n`` in-horizon 1-bit
+    inserts (dgim.count_estimate_closed) as a DuckDB expression.
+    Valid whenever the window span ≤ the sketch horizon (every
+    windowed query here), where replay == closed form is
+    property-tested in tests/test_dgim.py."""
+    pw = f"(CAST(1 AS BIGINT) << (length(bin({n} + 1)) - 2))"
+    if mode == "java":
+        return (
+            f"CASE WHEN {n} <= 1 THEN {n}"
+            f" ELSE {n} - {pw} + ({pw} + 1) // 2 END"
+        )
+    # pyflink mode: floor halving, even for the single-bucket case
+    return f"CASE WHEN {n} <= 0 THEN 0 ELSE {n} - {pw} + {pw} // 2 END"
+
+
+def _tumble_dgim_sql(
+    mode: str = "java", n_rows: bool = False, exact: bool = True
+) -> str:
+    """60 s tumble DGIM oracle: per window, estimate = g(ones)."""
+    cols = [f"{_dgim_g_sql('n', mode)} AS count_estimate"]
+    if exact:
+        cols.append("n AS exact_count")
+    if n_rows:
+        cols.append("r AS n_rows")
+    return f"""
+WITH e AS (SELECT CAST(event_id % 2 AS INT) AS bit, ts FROM events),
+w AS (SELECT bit, (CAST(floor(epoch(ts)/60) AS BIGINT)*60 + 60) AS we FROM e),
+c AS (SELECT we, CAST(sum(bit) AS BIGINT) AS n, count(*) AS r FROM w GROUP BY we)
+SELECT strftime(make_timestamp(we*1000000), '%Y-%m-%d %H:%M:%S') AS window_end,
+       {", ".join(cols)}
+FROM c
+"""
+
+
+_HOP_DGIM_SQL = f"""
+WITH e AS (SELECT CAST(event_id % 2 AS INT) AS bit, epoch(ts) AS es FROM events),
+x AS (SELECT bit, unnest(generate_series(
+        (CAST(floor((es - 60)/10) AS BIGINT) + 1) * 10,
+        CAST(floor(es/10) AS BIGINT) * 10, 10)) AS ws FROM e),
+c AS (SELECT ws, CAST(sum(bit) AS BIGINT) AS n FROM x GROUP BY ws)
+SELECT strftime(make_timestamp(ws*1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(make_timestamp((ws+60)*1000000), '%Y-%m-%d %H:%M:%S') AS window_end,
+       {_dgim_g_sql('n')} AS count_estimate, n AS exact_count
+FROM c
+"""
+
+_CUMULATE_DGIM_SQL = f"""
+WITH e AS (SELECT CAST(event_id % 2 AS INT) AS bit, epoch(ts) AS es FROM events),
+b AS (SELECT bit, es, CAST(floor(es/60) AS BIGINT)*60 AS ws FROM e),
+x AS (SELECT bit, ws, unnest(generate_series(
+        ws + (CAST(floor((es - ws)/10) AS BIGINT) + 1) * 10,
+        ws + 60, 10)) AS we FROM b),
+c AS (SELECT ws, we, CAST(sum(bit) AS BIGINT) AS n FROM x GROUP BY ws, we)
+SELECT strftime(make_timestamp(ws*1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(make_timestamp(we*1000000), '%Y-%m-%d %H:%M:%S') AS window_end,
+       {_dgim_g_sql('n')} AS count_estimate, n AS exact_count
+FROM c
+"""
+
+_TUMBLE_DGIM_BY_USER_SQL = f"""
+WITH e AS (SELECT CAST(event_id % 2 AS INT) AS bit, user_id, ts FROM events),
+w AS (SELECT bit, user_id,
+      (CAST(floor(epoch(ts)/60) AS BIGINT)*60 + 60) AS we FROM e),
+c AS (SELECT we, user_id, CAST(sum(bit) AS BIGINT) AS n
+      FROM w GROUP BY we, user_id)
+SELECT strftime(make_timestamp(we*1000000), '%Y-%m-%d %H:%M:%S') AS window_end,
+       user_id, {_dgim_g_sql('n')} AS count_estimate, n AS exact_count
+FROM c
+"""
+
+
+def _mmr_sql(n_query: int = 10, pool: int = 50, k: int = 10) -> str:
+    """DuckDB twin of similarity.mmr_diverse_topk: the k greedy
+    rounds UNROLLED as CTEs (the kcore fixed-round precedent).
+    Tractable because the r9 rewrite made the selection loop exact
+    integer arithmetic — relevance / pairwise sims enter as
+    rint(round6·1e6) micro-units and the objective is
+    ``500000·rel_e6 − 500000·div_e6`` (lam = 0.5), so there is no
+    float rounding an engine could disagree on; the only float step
+    is the round-6 cosine itself, shared with the green
+    simsearch_topk oracle."""
+    dot_ab = _DOT.format(a="va", b="vb")
+    parts = [
+        f"""
+WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt({_SQN.format(a='embedding::DOUBLE[]')}) AS nrm FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e
+      WHERE vec_id < {n_query}),
+scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+  round({_DOT.format(a='qv', b='v')} / (qnrm * nrm), 6) AS score
+  FROM q JOIN e ON e.vec_id <> q.query_id),
+cand AS MATERIALIZED (SELECT query_id, neighbor_id, score,
+         CAST(round(score * 1e6) AS BIGINT) AS rel_e6
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY score DESC, neighbor_id) AS rnk FROM scored)
+  WHERE rnk <= {pool} AND score IS NOT NULL),
+sim AS MATERIALIZED (SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb,
+        CAST(round(round({dot_ab} / (ea.nrm * eb.nrm), 6) * 1e6)
+             AS BIGINT) AS sim_e6
+  FROM cand a
+  JOIN cand b ON a.query_id = b.query_id
+             AND a.neighbor_id <> b.neighbor_id
+  JOIN (SELECT vec_id, v AS va, nrm FROM e) ea
+       ON ea.vec_id = a.neighbor_id
+  JOIN (SELECT vec_id, v AS vb, nrm FROM e) eb
+       ON eb.vec_id = b.neighbor_id),
+p1 AS (SELECT query_id, neighbor_id, score, rel_e6,
+       CAST(1 AS BIGINT) AS mmr_rank,
+       500000 * rel_e6 AS mmr_e12
+  FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY rel_e6 DESC, neighbor_id) = 1),
+picked1 AS MATERIALIZED (SELECT * FROM p1)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f""",
+a{r} AS (SELECT c.* FROM cand c LEFT JOIN picked{r - 1} p
+        ON p.query_id = c.query_id AND p.neighbor_id = c.neighbor_id
+        WHERE p.neighbor_id IS NULL),
+d{r} AS (SELECT a.query_id, a.neighbor_id, a.score, a.rel_e6,
+        max(s.sim_e6) AS div_e6
+  FROM a{r} a
+  JOIN picked{r - 1} p ON p.query_id = a.query_id
+  JOIN sim s ON s.query_id = a.query_id
+            AND s.na = a.neighbor_id AND s.nb = p.neighbor_id
+  GROUP BY a.query_id, a.neighbor_id, a.score, a.rel_e6),
+p{r} AS (SELECT query_id, neighbor_id, score, rel_e6,
+        CAST({r} AS BIGINT) AS mmr_rank,
+        500000 * rel_e6 - 500000 * div_e6 AS mmr_e12
+  FROM d{r}
+  QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY 500000 * rel_e6 - 500000 * div_e6 DESC,
+                   neighbor_id) = 1),
+picked{r} AS MATERIALIZED (SELECT * FROM picked{r - 1} UNION ALL SELECT * FROM p{r})"""
+        )
+    parts.append(
+        f"""
+SELECT query_id, neighbor_id, score, mmr_rank,
+       mmr_e12 AS mmr_score_e12
+FROM picked{k}
+"""
+    )
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5043,6 +5207,8 @@ SELECT doc_id, CAST(sum(v) AS BIGINT) AS rs_sum,
        CAST(max(v) AS BIGINT) AS rs_max, count(*) AS n_rs
 FROM v GROUP BY doc_id
 """,
+        # k greedy MMR rounds unrolled (see _mmr_sql)
+        "mmr_diverse_topk": _mmr_sql(),
         # deterministic fixed-grid z-order: the footer boxes are a
         # pure integer function of the rows (see _zorder_layout_sql)
         "zorder_layout_stats": _zorder_layout_sql(),
@@ -5062,6 +5228,20 @@ c AS (SELECT ngram, count(*) AS n FROM g GROUP BY ngram)
 SELECT ngram, n AS est_lower, n AS est_upper
 FROM c ORDER BY n DESC, ngram LIMIT 20
 """,
+        # r9: the replay-based DGIM family oracled DIRECTLY with the
+        # same closed form (replay == g(ones) within horizon; the
+        # two-phase variants stay rows-only — their commutative merge
+        # order deviates from the sequential sketch by design and is
+        # bound-tested instead)
+        "tumble_dgim": _tumble_dgim_sql(),
+        "tumble_dgim_fast": _tumble_dgim_sql(),
+        "sql_tumble_dgim": _tumble_dgim_sql(n_rows=True),
+        "tumble_dgim_pyflink": _tumble_dgim_sql(mode="pyflink"),
+        "tumble_dgim_collect": _tumble_dgim_sql(exact=False),
+        "tumble_dgim_by_user": _TUMBLE_DGIM_BY_USER_SQL,
+        "hop_dgim": _HOP_DGIM_SQL,
+        "hop_dgim_fast": _HOP_DGIM_SQL,
+        "cumulate_dgim": _CUMULATE_DGIM_SQL,
         "tumble_dgim_bound": """
 WITH e AS (SELECT CAST(event_id % 2 AS INT) AS bit, ts FROM events),
 w AS (SELECT bit, (CAST(floor(epoch(ts)/60) AS BIGINT)*60 + 60) AS we FROM e),

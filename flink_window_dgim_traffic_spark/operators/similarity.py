@@ -1271,10 +1271,20 @@ def mmr_diverse_topk(
     distributed brute-force/ANN ranking; the inherently-sequential
     greedy step runs inside ``applyInPandas`` per QUERY group — each
     group is a bounded ``pool``-row problem, and queries parallelize
-    across tasks.  Deterministic: scores rounded to 1e-6,
-    ties broken by neighbor_id.  Rows-only for the driver (the greedy
-    argmax is not SQL-expressible); exact small-case parity vs a
-    numpy reference is pinned in tests/test_analytics_vectors.py."""
+    across tasks.
+
+    Determinism contract (r9): relevance and pairwise similarities
+    enter the greedy step as EXACT INTEGER micro-units
+    (``rint(round6 · 1e6)``), and the MMR objective is the exact
+    integer ``mmr_e12 = lam_e6·rel_e6 − (1e6−lam_e6)·div_e6`` — no
+    float rounding inside the selection loop, so ties cannot flip
+    between engines (numpy's half-even vs SQL's half-away bit exactly
+    here when the objective was ``np.round(lam·rel−(1−lam)·div, 6)``:
+    with round-6 inputs the scaled value lands ON the .5 boundary for
+    half of all (rel−div) parities).  That makes the whole greedy
+    unrollable as a k-round SQL oracle — the driver hash-checks the
+    picks AND the integer scores; small-case parity vs a numpy
+    reference stays pinned in tests/test_analytics_vectors.py."""
     import numpy as np
 
     cands = simsearch_topk(embeddings, n_query=n_query, k=pool)
@@ -1294,45 +1304,50 @@ def mmr_diverse_topk(
             ["score", "neighbor_id"], ascending=[False, True]
         ).reset_index(drop=True)
         if len(pdf) == 0:
-            return pdf.assign(mmr_rank=[], mmr_score=[])[
+            return pdf.assign(mmr_rank=[], mmr_score_e12=[])[
                 ["query_id", "neighbor_id", "score", "mmr_rank",
-                 "mmr_score"]
+                 "mmr_score_e12"]
             ]
         X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
         nrm = pdf["nrm"].to_numpy(dtype=np.float64)
-        rel = pdf["score"].to_numpy(dtype=np.float64)
         n = len(pdf)
-        sim = (X @ X.T) / np.outer(nrm, nrm)
-        sim = np.round(sim, 6)
+        sim = np.round((X @ X.T) / np.outer(nrm, nrm), 6)
+        # exact integer micro-units: inputs are round-6 doubles, so
+        # rint recovers the integers exactly
+        sim_e6 = np.rint(sim * 1e6).astype(np.int64)
+        rel_e6 = np.rint(
+            pdf["score"].to_numpy(dtype=np.float64) * 1e6
+        ).astype(np.int64)
+        lam_e6 = int(round(lam * 1e6))
         picked: list[int] = []
-        mmr_scores: list[float] = []
+        mmr_scores: list[int] = []
         avail = np.ones(n, dtype=bool)
+        ids = pdf["neighbor_id"].to_numpy()
         for _ in range(min(k, n)):
             if picked:
-                div = sim[:, picked].max(axis=1)
+                div_e6 = sim_e6[:, picked].max(axis=1)
             else:
-                div = np.zeros(n)
-            mmr = np.round(lam * rel - (1.0 - lam) * div, 6)
-            mmr[~avail] = -np.inf
+                div_e6 = np.zeros(n, dtype=np.int64)
+            mmr = lam_e6 * rel_e6 - (1_000_000 - lam_e6) * div_e6
+            mmr[~avail] = np.iinfo(np.int64).min
             # argmax with neighbor_id tie-break: candidates are sorted
             # by (score desc, id asc); np.argmax takes the FIRST max,
             # which under that ordering is not id-deterministic when
             # mmr ties cross score levels — resolve explicitly
             best = np.flatnonzero(mmr == mmr[avail].max())
-            ids = pdf["neighbor_id"].to_numpy()
             best = best[np.argmin(ids[best])]
             picked.append(int(best))
-            mmr_scores.append(float(mmr[best]))
+            mmr_scores.append(int(mmr[best]))
             avail[best] = False
         out = pdf.iloc[picked][["query_id", "neighbor_id", "score"]].copy()
         out["mmr_rank"] = np.arange(1, len(picked) + 1, dtype="int64")
-        out["mmr_score"] = np.array(mmr_scores)
+        out["mmr_score_e12"] = np.array(mmr_scores, dtype="int64")
         return out
 
     return joined.groupBy("query_id").applyInPandas(
         _greedy,
         "query_id bigint, neighbor_id bigint, score double,"
-        " mmr_rank bigint, mmr_score double",
+        " mmr_rank bigint, mmr_score_e12 bigint",
     )
 
 

@@ -33,8 +33,8 @@ def test_mmr_first_pick_is_top1_and_diversifies(spark):
         .collect()
     )
     assert [r.neighbor_id for r in got] == [10, 12]
-    # rank-1 mmr score is lam * relevance (no diversity penalty yet)
-    assert got[0].mmr_score == round(0.5 * got[0].score, 6)
+    # rank-1 mmr score is lam_e6 * rel_e6 (no diversity penalty yet)
+    assert got[0].mmr_score_e12 == 500_000 * round(got[0].score * 1e6)
 
 
 def test_mmr_matches_numpy_reference(emb):
@@ -60,14 +60,19 @@ def test_mmr_matches_numpy_reference(emb):
             ((cos(q, v), -v) for v in V if v != q), reverse=True
         )[:pool]
         cands = [(-nv, s) for s, nv in cands]
+        lam_e6 = int(round(lam * 1e6))
         picked = []
         for rank in range(1, k + 1):
             best = None
             for vid, rel in cands:
                 if vid in picked:
                     continue
-                div = max((cos(vid, p) for p in picked), default=0.0)
-                score = round(lam * rel - (1 - lam) * div, 6)
+                div_e6 = max(
+                    (int(round(cos(vid, p) * 1e6)) for p in picked),
+                    default=0,
+                )
+                rel_e6 = int(round(rel * 1e6))
+                score = lam_e6 * rel_e6 - (1_000_000 - lam_e6) * div_e6
                 if best is None or score > best[0] or (
                     score == best[0] and vid < best[1]
                 ):
