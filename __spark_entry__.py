@@ -253,6 +253,54 @@ def _stream_media_pixel_stats(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _stream_media_audio_stats(s: SparkSession, d: str) -> DataFrame:
+    """STREAMING audio decode (the WAV sibling of
+    ``_stream_media_pixel_stats``): encode → RIFF/PCM16 decode →
+    aggregate is stateless map-only, so the identical operator runs
+    unchanged on a micro-batch stream in append mode — the
+    continuously-arriving audio-crawl ingest shape.  Oracle = the
+    batch closed-form sample SQL (same as ``media_audio_stats``)."""
+    import os
+
+    base = _mkdtemp(prefix="spark_graft_audio_stream_")
+    src = f"{base}/src"
+    docs = _documents(s, d).select("doc_id")
+    n = docs.count()
+    third = (n + 2) // 3
+    for i in range(3):
+        docs.filter(
+            (F.col("doc_id") >= i * third)
+            & (F.col("doc_id") < (i + 1) * third)
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/c{i}")
+    files = sorted(
+        f"{src}/c{i}/{nm}"
+        for i in range(3)
+        for nm in os.listdir(f"{src}/c{i}")
+        if nm.endswith(".parquet")
+    )
+    for i, p in enumerate(files):
+        os.utime(p, (1000000000 + i * 60,) * 2)
+    stream = (
+        s.readStream.schema("doc_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        M.media_audio_stats(stream)
+        .writeStream.format("memory")
+        .queryName("t_media_au_drv")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return s.sql(
+        "SELECT doc_id, sample_rate, channels, amp_sum, amp_min,"
+        " amp_max, sq_sum, n_samples FROM t_media_au_drv"
+    )
+
+
 def _stream_kll_quantiles_60s(s: SparkSession, d: str) -> DataFrame:
     """Streaming VALUE-QUANTILE continuous aggregate: the same
     streamed sketch store serves per-minute p50/p95 from KLL blobs
@@ -1440,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_resample_stats": lambda s, d: (
             M.media_audio_resample_stats(_documents(s, d))
         ),
+        "stream_media_audio_stats": _stream_media_audio_stats,
         # the replay-based DGIM family, oracled DIRECTLY this round:
         # replay == g(ones) within horizon (property-tested), so the
         # estimate VALUES hash-check against DuckDB's closed form —
@@ -5173,6 +5222,27 @@ FROM g
         # rate = 8000+4000*(doc_id%3) — replayed over generate_series,
         # no decoder needed DuckDB-side
         "media_audio_stats": """
+WITH p AS (SELECT doc_id,
+            8000 + 4000 * (doc_id % 3) AS sample_rate,
+            1 + doc_id % 2 AS channels,
+            doc_id % 50 + 20 AS n_frames
+           FROM documents),
+x AS (SELECT doc_id, sample_rate, channels,
+       unnest(generate_series(0, n_frames * channels - 1)) AS i FROM p),
+v AS (SELECT doc_id, sample_rate, channels,
+       ((doc_id * 31 + i * 17) % 65536) - 32768 AS v FROM x)
+SELECT doc_id,
+ CAST(min(sample_rate) AS BIGINT) AS sample_rate,
+ CAST(min(channels) AS BIGINT) AS channels,
+ CAST(sum(v) AS BIGINT) AS amp_sum,
+ CAST(min(v) AS BIGINT) AS amp_min,
+ CAST(max(v) AS BIGINT) AS amp_max,
+ CAST(sum(v * v) AS BIGINT) AS sq_sum,
+ count(*) AS n_samples
+FROM v GROUP BY doc_id
+""",
+        # streaming twin replays the same docs — same sample oracle
+        "stream_media_audio_stats": """
 WITH p AS (SELECT doc_id,
             8000 + 4000 * (doc_id % 3) AS sample_rate,
             1 + doc_id % 2 AS channels,

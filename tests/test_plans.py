@@ -755,3 +755,31 @@ def test_round8_cumulate_join_no_cartesian(t):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate explode" in plan
+
+
+def test_media_audio_stats_map_only(t):
+    """The audio decode pipeline must plan ZERO exchanges — encode,
+    decode, and per-doc aggregation all happen inside map-side
+    mapInPandas stages (the 100 TB media-ingest shape: blobs never
+    shuffle)."""
+    from flink_window_dgim_traffic_spark.operators import (
+        multimodal as M,
+    )
+
+    df = M.media_audio_stats(t("documents"))
+    assert I.exchange_count(df) == 0
+    assert I.read_columns(df, "documents") == {"doc_id"}
+    df2 = M.media_audio_resample_stats(t("documents"))
+    assert I.exchange_count(df2) == 0
+
+
+def test_dgim_bound_single_shuffle(t):
+    """hop/cumulate bound queries: one aggregation shuffle each (the
+    window fan-out is a map-side explode, never an extra exchange),
+    and only (event_id, ts) read."""
+    for df in (
+        W.hop_dgim_bound(t("events"), 60, 10),
+        W.cumulate_dgim_bound(t("events"), 60, 10),
+    ):
+        assert I.exchange_count(df) == 1
+        assert I.read_columns(df, "events") == {"event_id", "ts"}
