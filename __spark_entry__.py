@@ -541,6 +541,19 @@ def _components_fuzzy_suppliers(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _components_star_fuzzy_suppliers(s: SparkSession, d: str) -> DataFrame:
+    """Same component problem via LARGE-STAR/SMALL-STAR contraction
+    (Kiveris et al. SoCC'14) — the O(log n)-round scale path next to
+    the O(diameter) label-propagation twin; identical output, same
+    recursive-CTE closure oracle (a 1024-node-path round-count pin
+    lives in tests/test_graph.py)."""
+    from flink_window_dgim_traffic_spark.operators import graph as G
+
+    return G.connected_components_star(
+        _fuzzy_supplier_edges(s, d), "id_lo", "id_hi"
+    )
+
+
 def _bfs_suppliers(s: SparkSession, d: str) -> DataFrame:
     """Bounded-depth BFS distances from supplier 0 over the
     name-similarity graph; oracle = depth-guarded recursive CTE."""
@@ -1489,6 +1502,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             M.media_audio_resample_stats(_documents(s, d))
         ),
         "stream_media_audio_stats": _stream_media_audio_stats,
+        # O(log n)-round star-contraction CC next to the O(diameter)
+        # label-prop twin; same closure oracle
+        "components_star_fuzzy_suppliers": (
+            _components_star_fuzzy_suppliers
+        ),
         # the replay-based DGIM family, oracled DIRECTLY this round:
         # replay == g(ones) within horizon (property-tested), so the
         # estimate VALUES hash-check against DuckDB's closed form —
@@ -3662,6 +3680,24 @@ r AS (SELECT *, row_number() OVER
         (ORDER BY fanout DESC, user_id ASC) AS rnk FROM j)
 SELECT user_id, n_left, n_right, fanout, CAST(rnk AS BIGINT) AS rnk
 FROM r WHERE rnk <= 20
+""",
+        # star-contraction CC: identical output to the label-prop
+        # twin, same reachability-closure oracle
+        "components_star_fuzzy_suppliers": """
+WITH RECURSIVE
+jp AS (SELECT a.s_suppkey AS a, b.s_suppkey AS b
+       FROM supplier a JOIN supplier b
+         ON a.s_suppkey < b.s_suppkey
+        AND levenshtein(a.s_name, b.s_name) <= 1),
+e AS (SELECT a, b FROM jp UNION SELECT b, a FROM jp),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
+)
+SELECT node, CAST(min(r) AS BIGINT) AS component_id
+FROM reach GROUP BY node
 """,
         # recursive-CTE reachability closure; component id = min
         # reachable node, matching the min-label propagation

@@ -494,3 +494,104 @@ def ppr_fixed(
             )
         )
     return ranks
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the O(log n)-round alternative to
+    :func:`connected_components`' min-label propagation, whose round
+    count is O(component diameter).  On a near-dup CHAIN (doc A ~ B ~
+    C ~ …, the transitive-overlap shape real crawls produce) label
+    propagation pays diameter/2 joins while star-contraction pays
+    ~log₂(n): at 100 TB the round count IS the job time, so the
+    log-round algorithm is the scale path (tests pin a 1024-node path
+    converging in ≤ 14 rounds).
+
+    Each round is two keyed aggregations + joins over the edge list —
+    no driver-side graph, state is only the (a, b) edge DataFrame,
+    checkpointed per round to keep lineage flat:
+
+    - large-star: every node u connects its STRICTLY LARGER
+      neighbors to ``m(u) = min(Γ(u) ∪ {u})``
+    - small-star: every node u connects its ≤-neighbors and itself
+      to that minimum
+
+    Both preserve connectivity and monotonically contract components
+    onto their minimum id (the paper's potential argument); the fixed
+    point is a star forest rooted at each component's min.
+
+    Output: ``node, component_id`` (BIGINT, BIGINT) — identical to
+    :func:`connected_components` (equality asserted in tests)."""
+    e = (
+        edges.select(
+            F.col(src).cast("bigint").alias("x"),
+            F.col(dst).cast("bigint").alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"),
+            F.greatest("x", "y").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _star(cur: DataFrame, large: bool) -> DataFrame:
+        nbrs = cur.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).union(cur.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        if large:
+            # min over ALL neighbors and self; attach v > u to it
+            mins = nbrs.groupBy("u").agg(
+                F.least(F.min("v"), F.first("u")).alias("m")
+            )
+            out = (
+                nbrs.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            )
+        else:
+            # neighbors ≤ u (parents) and self; attach all of them
+            le = nbrs.filter(F.col("v") <= F.col("u"))
+            mins = le.groupBy("u").agg(F.min("v").alias("m"))
+            out = (
+                le.join(mins, "u")
+                .select("m", F.col("v").alias("t"))
+                .union(mins.select("m", F.col("u").alias("t")))
+                .filter(F.col("m") != F.col("t"))
+                .select(F.col("m").alias("a"), F.col("t").alias("b"))
+            )
+        return out.distinct()
+
+    for _ in range(max_iters):
+        new = _star(_star(e, large=True), large=False).localCheckpoint(
+            eager=True
+        )
+        # fixed point: canonical distinct edge sets equal (cheap —
+        # both sides are checkpointed, component-count-sized tables)
+        if (
+            new.count() == e.count()
+            and new.exceptAll(e).isEmpty()
+        ):
+            e = new
+            break
+        e = new
+    parent = e.select(
+        F.col("b").alias("node"), F.col("a").alias("component_id")
+    )
+    return nodes.join(parent, "node", "left").select(
+        "node",
+        F.coalesce("component_id", "node").alias("component_id"),
+    )

@@ -335,3 +335,63 @@ def test_kcore_fixed_converged_on_testdata(spark, sf_dir):
             for r in kcore_fixed(edges, k=k, rounds=6).collect()
         }
         assert got == want, f"k={k}"
+
+
+def test_star_cc_matches_label_prop_on_random_graphs(spark):
+    from flink_window_dgim_traffic_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+        ]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+        lp = {
+            r.node: r.component_id
+            for r in connected_components(df).collect()
+        }
+        st = {
+            r.node: r.component_id
+            for r in connected_components_star(df).collect()
+        }
+        assert st == lp, trial
+
+
+def test_star_cc_path_graph_log_rounds(spark):
+    """The scale claim: a 1024-node PATH (diameter 1023 — the
+    transitive near-dup chain shape) must converge within the
+    O(log n) star bound.  max_iters=14 would make label propagation
+    fail outright here; star contraction finishes with root 0."""
+    from flink_window_dgim_traffic_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n = 1024
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src: bigint, dst: bigint"
+    )
+    out = connected_components_star(df, max_iters=14).collect()
+    assert len(out) == n
+    assert all(r.component_id == 0 for r in out)
+
+
+def test_star_cc_self_loops_and_singleton_components(spark):
+    from flink_window_dgim_traffic_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [(9, 9), (3, 4), (4, 3), (7, 8)], "src: bigint, dst: bigint"
+    )
+    out = {
+        r.node: r.component_id
+        for r in connected_components_star(df).collect()
+    }
+    # self-loop-only node 9 contributes no edges => absent (same
+    # contract as connected_components over pair lists)
+    assert out == {3: 3, 4: 3, 7: 7, 8: 7}
