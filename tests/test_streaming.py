@@ -711,3 +711,57 @@ def test_stateful_cumulate_dgim_matches_batch_replay(
     }
     assert final == expect
     assert len(final) > 0
+
+
+def test_hop_dgim_eviction_timeout_is_host_tz_independent():
+    """ADVICE r8: the hop/cumulate update fn must read the NAIVE
+    window-end key as UTC when computing the state-eviction timeout.
+    Pure-Python pin: run the update fn under a non-UTC host TZ and
+    assert the timeout epoch equals the UTC reading (a naive
+    ``.timestamp()`` would shift it by the host offset)."""
+    import datetime as _dt
+    import os
+    import time as _time
+
+    import pandas as _pd
+
+    from flink_window_dgim_traffic_spark.streaming.stateful_dgim import (
+        make_hop_dgim_update_fn,
+    )
+
+    class _CaptureState:
+        exists = False
+        hasTimedOut = False
+
+        def __init__(self):
+            self.timeout_ms = None
+
+        def update(self, v):
+            pass
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+    we = _dt.datetime(2024, 1, 1, 0, 1, 0)  # naive, session-tz=UTC
+    expect_ms = int(
+        we.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000
+    )
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"  # UTC-5: a naive read is 5h off
+    _time.tzset()
+    try:
+        fn = make_hop_dgim_update_fn(60, evict=True)
+        st = _CaptureState()
+        batch = _pd.DataFrame({"bit": [1], "ts_sec": [1704067200]})
+        list(fn((_dt.datetime(2024, 1, 1, 0, 0, 0), we), iter([batch]), st))
+        assert st.timeout_ms == expect_ms, (
+            st.timeout_ms,
+            expect_ms,
+            "eviction timestamp shifted by the host TZ offset",
+        )
+    finally:
+        if old_tz is None:
+            del os.environ["TZ"]
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()
