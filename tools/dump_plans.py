@@ -223,6 +223,21 @@ SHOWCASE = {
     "shuffle; basket-keyed spread pin (AQE-coalesce-exempt) keeps "
     "the pair fan-out parallel; L3 is ONE co-partitioned self-join "
     "of the pair table",
+    # ---- round-9 additions ----
+    "media_audio_stats": "WAV encode → RIFF/PCM16 decode → aggregate "
+    "inside one mapInPandas: ZERO exchanges, only doc_id read — "
+    "audio blobs never shuffle",
+    "hop_dgim_bound": "bound surface = native hop window() generator "
+    "+ ONE partial-aggregated shuffle; estimate is a JVM-side "
+    "closed-form column, no replay",
+    "cumulate_dgim_bound": "cumulate fan-out is a map-side "
+    "explode(sequence(...)); one shuffle on (ws, we)",
+    "mmr_diverse_topk": "pool build broadcasts queries; the greedy "
+    "step is per-query applyInPandas over 50-row groups — integer "
+    "objective, one shuffle on query_id",
+    "zorder_layout_stats": "deterministic Morton buckets: one "
+    "repartition on the bucket id, hive partitionBy write, footer "
+    "walk driver-side (the metadata scan a table format would do)",
 }
 
 
