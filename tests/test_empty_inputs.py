@@ -298,3 +298,17 @@ def test_round7_ops_empty(empty):
     assert W.window_join(ev, ev, 600).count() == 0
     assert W.window_join(ev, ev, 600, how="left_anti").count() == 0
     assert R.join_hotspots(ev, ev, ["user_id"], 5).count() == 0
+
+
+def test_round9_ops_empty(empty, spark):
+    ev, docs = empty("events"), empty("documents")
+    assert W.hop_dgim_bound(ev).count() == 0
+    assert W.cumulate_dgim_bound(ev).count() == 0
+    assert M.media_audio_stats(docs).count() == 0
+    assert M.media_audio_resample_stats(docs).count() == 0
+    from flink_window_dgim_traffic_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    e = spark.createDataFrame([], "src bigint, dst bigint")
+    assert connected_components_star(e).count() == 0
