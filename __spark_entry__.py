@@ -1502,6 +1502,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             M.media_audio_resample_stats(_documents(s, d))
         ),
         "stream_media_audio_stats": _stream_media_audio_stats,
+        # audio perceptual near-dup (decoded-sample aHash +
+        # pigeonhole), completing the audio stats/resample/near-dup
+        # triangle; oracle replays the integer hash
+        "media_audio_ahash_pairs": lambda s, d: (
+            M.media_audio_ahash_pairs(_documents(s, d))
+        ),
         # O(log n)-round star-contraction CC next to the O(diameter)
         # label-prop twin; same closure oracle
         "components_star_fuzzy_suppliers": (
@@ -3212,6 +3218,58 @@ hsh AS (SELECT doc_id,
                              ELSE 0 END) AS BIGINT) AS hash_lo,
                CAST(sum(CASE WHEN j >= 32
                              THEN b * (CAST(1 AS BIGINT) << (j - 32))
+                             ELSE 0 END) AS BIGINT) AS hash_hi
+        FROM bits GROUP BY doc_id),
+chunks AS (SELECT doc_id, hash_lo, hash_hi, cn.i AS chunk_no,
+                  CASE cn.i WHEN 0 THEN hash_lo % 65536
+                            WHEN 1 THEN hash_lo // 65536
+                            WHEN 2 THEN hash_hi % 65536
+                            ELSE hash_hi // 65536
+                  END AS chunk
+           FROM hsh, unnest(generate_series(0, 3)) AS cn(i)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.hash_lo AS alo, a.hash_hi AS ahi,
+                b.hash_lo AS blo, b.hash_hi AS bhi
+         FROM chunks a JOIN chunks b
+           ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk
+          AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(alo, blo))
+            + bit_count(xor(ahi, bhi)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 3
+""",
+        # audio perceptual near-dup: decoded-sample aHash over the
+        # grouped WAV fixture (group = doc_id // 10 shares one base
+        # clip, one perturbed sample per doc); the threshold compare
+        # is 64·v > Σv (integer multiply — floor-vs-truncate division
+        # on negative audio sums would diverge between engines)
+        "media_audio_ahash_pairs": """
+WITH dim AS (SELECT doc_id, doc_id // 10 AS g,
+                    1 + (doc_id // 10) % 2 AS ch,
+                    (doc_id // 10) % 50 + 20 AS nf
+             FROM documents),
+fr AS (SELECT doc_id, g, ch, nf,
+              doc_id % (nf * ch) AS pp, t.i AS t,
+              ((t.i * nf) // 64) AS fi
+       FROM dim, unnest(generate_series(0, 63)) AS t(i)),
+sv AS (SELECT doc_id, t,
+              sum(((((g * 2654435761 + 1) % 65536)
+                      * ((fi * ch + c.i) * 17 + 1)
+                    + CASE WHEN fi * ch + c.i = pp THEN 16384
+                           ELSE 0 END) % 65536) - 32768) AS v
+       FROM fr, unnest(generate_series(0, ch - 1)) AS c(i)
+       GROUP BY doc_id, t),
+tot AS (SELECT doc_id, sum(v) AS total FROM sv GROUP BY doc_id),
+bits AS (SELECT sv.doc_id, t,
+                CASE WHEN 64 * v > total THEN 1 ELSE 0 END AS b
+         FROM sv JOIN tot ON sv.doc_id = tot.doc_id),
+hsh AS (SELECT doc_id,
+               CAST(sum(CASE WHEN t < 32
+                             THEN b * (CAST(1 AS BIGINT) << t)
+                             ELSE 0 END) AS BIGINT) AS hash_lo,
+               CAST(sum(CASE WHEN t >= 32
+                             THEN b * (CAST(1 AS BIGINT) << (t - 32))
                              ELSE 0 END) AS BIGINT) AS hash_hi
         FROM bits GROUP BY doc_id),
 chunks AS (SELECT doc_id, hash_lo, hash_hi, cn.i AS chunk_no,

@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "cumulate_dgim_bound",
     "media_audio_stats",
     "media_audio_resample_stats",
+    "media_audio_ahash_pairs",
     # ---- round-8: pixel-level decode path + window-join TVF
     # completion (cumulate mode, semi, SQL semi/anti twins) ----
     "media_pixel_stats",
@@ -92,6 +93,7 @@ BENCH_QUERIES = [
     "pagerank_cowindow",
     "triangles_fuzzy_suppliers",
     "components_fuzzy_suppliers",
+    "components_star_fuzzy_suppliers",
     "bfs_suppliers",
     "hop_topn",
     "percentile_rank",

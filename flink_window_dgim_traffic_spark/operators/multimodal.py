@@ -924,3 +924,175 @@ def media_audio_resample_stats(
         "doc_id bigint, rs_sum bigint, rs_min bigint, "
         "rs_max bigint, n_rs bigint",
     )
+
+
+def with_wav_blob_grouped(
+    documents: DataFrame, group_size: int = 10
+) -> DataFrame:
+    """Group-structured WAV payloads for perceptual audio-dedup
+    tests (the audio sibling of :func:`with_pnm_blob_grouped`): docs
+    in the same group (``doc_id div group_size`` — constant group
+    SIZE at every SF, so true near-dup pairs grow linearly with the
+    corpus) share one base clip; each doc additionally perturbs ONE
+    sample (+16384 mod 65536 at flat index ``doc_id % n_samples``) —
+    the "same recording, one click" shape.  Rate/channels/length are
+    group-determined; samples stay closed-form integer functions of
+    (doc_id, index) so the oracle replays them without a decoder."""
+    import struct
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d // group_size
+                rate, ch, n_frames = _wav_params(g)
+                n_samp = n_frames * ch
+                p = d % n_samp
+                # the group term must enter MULTIPLICATIVELY:
+                # the aHash bit rule 64*v_t > sum(v) is invariant to
+                # any constant added to every sample, so an additive
+                # g-base makes equal-length groups hash IDENTICALLY
+                # (922k quadratic cross-group pairs at sf0.1).  A
+                # well-mixed multiplier gives each group its own
+                # wraparound pattern; near-dup pairs stay within
+                # groups and grow linearly with the corpus
+                m = (g * 2654435761 + 1) % 65536
+                vals = [
+                    ((m * (i * 17 + 1)
+                      + (16384 if i == p else 0)) % 65536) - 32768
+                    for i in range(n_samp)
+                ]
+                body = struct.pack(f"<{n_samp}h", *vals)
+                block = ch * 2
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+                    + b"fmt " + struct.pack(
+                        "<IHHIIHH", 16, 1, ch, rate, rate * block,
+                        block, 16,
+                    )
+                    + b"data" + struct.pack("<I", len(body)) + body
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": [WAV_MIME] * len(payloads),
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        encode, "doc_id bigint, payload binary, mime string"
+    )
+
+
+def media_audio_fingerprints(blobs: DataFrame) -> DataFrame:
+    """Perceptual average-hash over DECODED audio: decode → per-frame
+    channel sum (integer mono mix) → nearest-neighbor resample of the
+    time axis to 64 frames → bit t = (64·v_t > Σv) — the threshold
+    compare stays a pure integer multiply (no division: Python/numpy
+    floor-divide and SQL truncate-divide disagree on NEGATIVE sums,
+    and audio sums go negative).  64-bit fingerprint emitted as two
+    unsigned 32-bit halves like :func:`media_ahash_fingerprints`.
+    Map-only; only (doc_id, hash_lo, hash_hi) leave the decode."""
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, los, his = [], [], []
+            for doc_id, payload, mime in zip(
+                pdf["doc_id"], pdf["payload"], pdf["mime"]
+            ):
+                rate, ch, samples = decode_audio(bytes(payload), mime)
+                frames = np.asarray(samples, dtype=np.int64).reshape(
+                    -1, ch
+                )
+                mono = frames.sum(axis=1)
+                nf = mono.shape[0]
+                fi = (np.arange(64) * nf) // 64
+                small = mono[fi]
+                total = int(small.sum())
+                bits = (small * 64 > total).astype(np.uint64)
+                val = int((bits << np.arange(64, dtype=np.uint64)).sum())
+                ids.append(doc_id)
+                los.append(val & 0xFFFFFFFF)
+                his.append(val >> 32)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "hash_lo": pd.Series(los, dtype="int64"),
+                    "hash_hi": pd.Series(his, dtype="int64"),
+                }
+            )
+
+    return blobs.mapInPandas(
+        fp, "doc_id bigint, hash_lo bigint, hash_hi bigint"
+    )
+
+
+def media_audio_ahash_pairs(
+    documents: DataFrame, max_hamming: int = 3, group_size: int = 10
+) -> DataFrame:
+    """Audio perceptual NEAR-duplicate pairs: decoded-sample aHash
+    fingerprints + the 4×16-bit pigeonhole bucket join (hamming ≤ 3
+    ⇒ ≥ 1 exact chunk match) — completing the audio family to the
+    same stats / resample / near-dup triangle the pixel path has.
+    Blobs never shuffle; candidates come from a keyed equi-join.
+
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b.  Oracle-eligible:
+    fingerprints are pure integer math over closed-form samples."""
+    fps = media_audio_fingerprints(
+        with_wav_blob_grouped(documents, group_size)
+    )
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    chunks = (
+        fps.select(
+            "doc_id",
+            "hash_lo",
+            "hash_hi",
+            F.posexplode(
+                F.array(
+                    F.col("hash_lo").bitwiseAND(F.lit(0xFFFF)),
+                    F.shiftrightunsigned(
+                        F.col("hash_lo"), 16
+                    ).bitwiseAND(F.lit(0xFFFF)),
+                    F.col("hash_hi").bitwiseAND(F.lit(0xFFFF)),
+                    F.shiftrightunsigned(
+                        F.col("hash_hi"), 16
+                    ).bitwiseAND(F.lit(0xFFFF)),
+                )
+            ).alias("chunk_no", "chunk"),
+        )
+        .repartition(par, "chunk_no", "chunk")
+        .localCheckpoint(eager=False)
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_no") == F.col("b.chunk_no"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.hash_lo").alias("alo"),
+            F.col("a.hash_hi").alias("ahi"),
+            F.col("b.hash_lo").alias("blo"),
+            F.col("b.hash_hi").alias("bhi"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            (
+                F.bit_count(F.col("alo").bitwiseXOR(F.col("blo")))
+                + F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi")))
+            ).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

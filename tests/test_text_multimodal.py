@@ -621,3 +621,61 @@ def test_media_audio_resample_stats_python_reference(spark, sf_dir):
             for c in range(ch)
         ]
         assert got[doc_id] == (sum(vals), min(vals), max(vals), len(vals))
+
+
+def test_media_audio_ahash_pairs_brute_force(spark, sf_dir):
+    """Pigeonhole candidates + hamming filter must equal the brute
+    force over all fingerprint pairs (the pigeonhole guarantee:
+    hamming ≤ 3 ⇒ ≥ 1 exact 16-bit chunk match), and same-group docs
+    (one perturbed sample apart) must dominate the pairs."""
+    docs = table(spark, sf_dir, "documents").limit(60)
+    fps = {
+        r.doc_id: (r.hash_lo, r.hash_hi)
+        for r in M.media_audio_fingerprints(
+            M.with_wav_blob_grouped(docs)
+        ).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in M.media_audio_ahash_pairs(docs).collect()
+    }
+    expect = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin(
+                (fps[a][0] ^ fps[b][0]) | ((fps[a][1] ^ fps[b][1]) << 32)
+            ).count("1")
+            if ham <= 3:
+                expect[(a, b)] = ham
+    assert got == expect and len(got) > 0
+    within = sum(1 for (a, b) in got if a // 10 == b // 10)
+    assert within / len(got) > 0.8
+
+
+def test_media_audio_fingerprint_additive_invariance_guard():
+    """The aHash bit rule is invariant to adding a constant to every
+    sample — pin that the GROUPED fixture's group term is therefore
+    multiplicative: two groups with equal (ch, n_frames) params must
+    still produce different fingerprints."""
+    import struct
+
+    import numpy as np
+
+    def fp_of(g):
+        rate, ch, nf = M._wav_params(g)
+        m = (g * 2654435761 + 1) % 65536
+        vals = [
+            ((m * (i * 17 + 1)) % 65536) - 32768
+            for i in range(nf * ch)
+        ]
+        frames = np.asarray(vals, dtype=np.int64).reshape(-1, ch)
+        mono = frames.sum(axis=1)
+        fi = (np.arange(64) * nf) // 64
+        small = mono[fi]
+        bits = (small * 64 > int(small.sum())).astype(np.uint64)
+        return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+    # groups 0 and 100 share (ch, n_frames) (params cycle mod 100)
+    assert M._wav_params(0)[1:] == M._wav_params(100)[1:]
+    assert fp_of(0) != fp_of(100)

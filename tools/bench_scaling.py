@@ -716,6 +716,23 @@ def main() -> None:
         "media_pixel_resize_stats": lambda docs, emb: (
             MM.media_pixel_resize_stats(docs)
         ),
+        # ---- round-9 additions ----
+        # WAV encode -> RIFF/PCM16 decode -> aggregate, map-only
+        "media_audio_stats": lambda docs, emb: MM.media_audio_stats(
+            docs
+        ),
+        "media_audio_resample_stats": lambda docs, emb: (
+            MM.media_audio_resample_stats(docs)
+        ),
+        # star-contraction CC over the scaled co-window user graph:
+        # round count must stay ~log, not grow with corpus size
+        "connected_components_star": lambda docs, emb: (
+            G.connected_components_star(
+                G.cowindow_user_edges(CTX["events_full"], 60),
+                "src",
+                "dst",
+            )
+        ),
         # exact global order statistics (sharded pair-table recipe)
         "global_quantiles": lambda docs, emb: AN.global_quantiles(
             CTX["events_full"]
