@@ -554,6 +554,54 @@ def _components_star_fuzzy_suppliers(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _stream_components_suppliers(s: SparkSession, d: str) -> DataFrame:
+    """INCREMENTAL connected components end to end (graph IVM): the
+    supplier near-dup edges replay in three micro-batches through the
+    star-forest store (foreachBatch, snapshot-staged exactly-once),
+    and the final assignment must hash-match the one-shot closure
+    over ALL edges — folding increments into standing clusters must
+    be indistinguishable from re-clustering history.  State is one
+    edge per node regardless of replayed pair volume."""
+    import os
+
+    from flink_window_dgim_traffic_spark.streaming.components import (
+        build_components_store,
+        components_refresh_batch_fn,
+        read_components,
+    )
+
+    base = _mkdtemp(prefix="spark_graft_ccstream_")
+    src, store = f"{base}/src", f"{base}/store"
+    edges = _fuzzy_supplier_edges(s, d).select(
+        F.col("id_lo").alias("src"), F.col("id_hi").alias("dst")
+    )
+    for i in range(3):
+        edges.filter(
+            F.pmod(F.col("src") + F.col("dst"), F.lit(3)) == i
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/c{i}")
+    files = sorted(
+        f"{src}/c{i}/{nm}"
+        for i in range(3)
+        for nm in os.listdir(f"{src}/c{i}")
+        if nm.endswith(".parquet")
+    )
+    for i, p in enumerate(files):
+        os.utime(p, (1000000000 + i * 60,) * 2)
+    build_components_store(s, store)
+    q = (
+        s.readStream.schema("src bigint, dst bigint")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .writeStream.foreachBatch(components_refresh_batch_fn(store))
+        .option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_components(s, store)
+
+
 def _bfs_suppliers(s: SparkSession, d: str) -> DataFrame:
     """Bounded-depth BFS distances from supplier 0 over the
     name-similarity graph; oracle = depth-guarded recursive CTE."""
@@ -1513,6 +1561,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_star_fuzzy_suppliers": (
             _components_star_fuzzy_suppliers
         ),
+        # graph IVM: incremental star-forest maintenance over edge
+        # micro-batches == one-shot closure over the full history
+        "stream_components_suppliers": _stream_components_suppliers,
         # the replay-based DGIM family, oracled DIRECTLY this round:
         # replay == g(ones) within horizon (property-tested), so the
         # estimate VALUES hash-check against DuckDB's closed form —
@@ -3742,6 +3793,24 @@ FROM r WHERE rnk <= 20
         # star-contraction CC: identical output to the label-prop
         # twin, same reachability-closure oracle
         "components_star_fuzzy_suppliers": """
+WITH RECURSIVE
+jp AS (SELECT a.s_suppkey AS a, b.s_suppkey AS b
+       FROM supplier a JOIN supplier b
+         ON a.s_suppkey < b.s_suppkey
+        AND levenshtein(a.s_name, b.s_name) <= 1),
+e AS (SELECT a, b FROM jp UNION SELECT b, a FROM jp),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
+)
+SELECT node, CAST(min(r) AS BIGINT) AS component_id
+FROM reach GROUP BY node
+""",
+        # incremental twin: same closure oracle — folding the edge
+        # increments must equal re-clustering the full history
+        "stream_components_suppliers": """
 WITH RECURSIVE
 jp AS (SELECT a.s_suppkey AS a, b.s_suppkey AS b
        FROM supplier a JOIN supplier b

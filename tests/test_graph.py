@@ -395,3 +395,79 @@ def test_star_cc_self_loops_and_singleton_components(spark):
     # self-loop-only node 9 contributes no edges => absent (same
     # contract as connected_components over pair lists)
     assert out == {3: 3, 4: 3, 7: 7, 8: 7}
+
+
+def test_incremental_components_matches_batch(spark, tmp_path):
+    """Graph IVM: folding edge batches through the star-forest store
+    must equal batch CC over the full edge history — including a
+    batch whose edge MERGES two existing components — and a replayed
+    committed tag must be a no-op (exactly-once)."""
+    from flink_window_dgim_traffic_spark.operators.graph import (
+        connected_components,
+    )
+    from flink_window_dgim_traffic_spark.streaming.components import (
+        build_components_store,
+        read_components,
+        refresh_components,
+    )
+
+    path = str(tmp_path / "ccstore")
+    build_components_store(spark, path)
+    batches = [
+        [(1, 2), (3, 4)],          # two components
+        [(5, 6), (6, 7)],          # a third
+        [(2, 3)],                  # MERGES {1,2} and {3,4}
+        [(8, 1)],                  # attaches a new node to the merge
+    ]
+    seen = []
+    for i, edges in enumerate(batches):
+        seen += edges
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        assert refresh_components(spark, path, df, tag=f"b{i}") is True
+        got = {
+            (r.node, r.component_id)
+            for r in read_components(spark, path).collect()
+        }
+        full = spark.createDataFrame(seen, "src bigint, dst bigint")
+        expect = {
+            (r.node, r.component_id)
+            for r in connected_components(full).collect()
+        }
+        assert got == expect, (i, got, expect)
+    # crash-replay: re-delivering a committed batch changes nothing
+    df = spark.createDataFrame(batches[-1], "src bigint, dst bigint")
+    assert refresh_components(spark, path, df, tag="b3") is False
+    got2 = {
+        (r.node, r.component_id)
+        for r in read_components(spark, path).collect()
+    }
+    assert got2 == got
+
+
+def test_incremental_components_state_is_one_edge_per_node(spark, tmp_path):
+    """The maintained state must stay O(nodes) however many raw pairs
+    arrive: 200 random edges over 20 nodes collapse to ≤ 20 star rows."""
+    import random as _r
+
+    from flink_window_dgim_traffic_spark.streaming.components import (
+        build_components_store,
+        read_components,
+        refresh_components,
+    )
+
+    rng = _r.Random(5)
+    path = str(tmp_path / "ccstore2")
+    build_components_store(spark, path)
+    for i in range(4):
+        edges = [
+            (rng.randrange(20), rng.randrange(20)) for _ in range(50)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        refresh_components(
+            spark,
+            path,
+            spark.createDataFrame(edges, "src bigint, dst bigint"),
+            tag=f"b{i}",
+        )
+    rows = read_components(spark, path).collect()
+    assert len(rows) <= 20
