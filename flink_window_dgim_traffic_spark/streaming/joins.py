@@ -173,12 +173,17 @@ def window_join_stream(
         )
 
     # The watermark rides the exploded SLOT column, and one event's
-    # slots span (size - step) — e.g. 300 s at hop defaults — so a
-    # watermark of W on slots tolerates only W - (size - step) of
-    # real event-time disorder.  Widen the slot watermark by that
-    # intra-event spread so the USER-visible tolerance stays W, the
-    # same contract as tumble mode.  State cost: each pane is held
-    # (size - step) longer, a constant per-pane factor.
+    # slots span (size - step) — e.g. 300 s at hop defaults.  Measured
+    # semantics (tests/test_stream_joins.py disorder pin): Spark does
+    # NOT input-drop late stream-join rows; pairs are lost only when
+    # the other side's pane STATE is evicted, which fires at pane end
+    # (slot + step) against wm = max_slot − delay.  Since max_slot
+    # leads the driving event by the spread, an unwidened delay W
+    # starts losing pairs right AT disorder ≈ W — zero margin on the
+    # documented tolerance.  Adding the intra-event spread to the
+    # slot delay moves the loss boundary to ≈ W + spread, giving the
+    # contract real slack; state cost is each pane held (size - step)
+    # longer, a constant per-pane factor.
     spread_us = size_us - step_us
     slot_watermark = watermark
     if spread_us > 0:

@@ -298,3 +298,114 @@ def test_stream_window_semijoin_matches_batch(spark, sf_dir, tmp_path):
 
     with _pt.raises(ValueError):
         window_join_stream(views, buys, 600, how="left_anti")
+
+
+def test_stream_hop_join_disorder_within_documented_tolerance(
+    spark, tmp_path
+):
+    """Disorder-tolerance CONTRACT pin for the hop stream join: a
+    purchase arriving 450 s behind the watermark-driving events
+    (inside the documented 600 s tolerance) must still produce every
+    batch join pair.  Investigating the r8 advice here established
+    the actual mechanics: Spark does NOT input-drop late stream-join
+    rows — pairs are lost only when the OTHER side's pane state is
+    evicted, and eviction fires at pane END (slot + step) against
+    wm = max_slot − delay, so losses start at disorder ≈ delay even
+    before the slot-spread widening; the widening (delay + spread on
+    the slot column) moves that to ≈ delay + spread, giving the
+    documented tolerance real margin.  This test pins the contract
+    boundary the docstring promises."""
+    import pandas as pd
+
+    from flink_window_dgim_traffic_spark.operators.windows import (
+        window_join,
+    )
+    from flink_window_dgim_traffic_spark.streaming.joins import (
+        window_join_stream,
+    )
+
+    base = 1_700_000_000  # any epoch anchor; offsets are what matter
+    rows_b1 = [  # batch 1: view A + watermark drivers on BOTH sides
+        # (the global watermark is the MIN across watermarked
+        # streams, so an idle purchase side would hold it at zero
+        # and mask the regression)
+        (1, 7, base + 9500, "view"),      # A: slots {9600, 9900}
+        (2, 8, base + 9900, "view"),      # C: max slot 10500
+        (4, 9, base + 9900, "purchase"),  # D: max slot 10500
+    ]
+    rows_b2 = [  # batch 2: purchase 450 s behind C/D
+        (3, 7, base + 9450, "purchase"),  # B: slots {9600, 9900}
+    ]
+    src = tmp_path / "wj_disorder"
+    os.makedirs(src)
+    for i, rows in enumerate((rows_b1, rows_b2)):
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "user_id": [r[1] for r in rows],
+                "ts": pd.to_datetime(
+                    [r[2] for r in rows], unit="s", utc=True
+                ).tz_localize(None),
+                "event_type": [r[3] for r in rows],
+            }
+        ).to_parquet(
+            str(src / f"chunk_{i:02d}.parquet"),
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        os.utime(
+            str(src / f"chunk_{i:02d}.parquet"),
+            (1_600_000_000 + i, 1_600_000_000 + i),
+        )
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, ts timestamp,"
+            " event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        window_join_stream(
+            stream.filter(F.col("event_type") == "view"),
+            stream.filter(F.col("event_type") == "purchase"),
+            600,
+            watermark="600 seconds",
+            slide_sec=300,
+        )
+        .writeStream.format("memory")
+        .queryName("t_swj_disorder")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["window_end"], r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT * FROM t_swj_disorder").collect()
+    )
+    all_rows = spark.createDataFrame(
+        [
+            (r[0], r[1], r[2], r[3])
+            for r in rows_b1 + rows_b2
+        ],
+        "event_id bigint, user_id bigint, ts_sec bigint, event_type string",
+    ).select(
+        "event_id",
+        "user_id",
+        F.timestamp_seconds("ts_sec").alias("ts"),
+        "event_type",
+    )
+    want = sorted(
+        (r["window_end"], r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in window_join(
+            all_rows.filter(F.col("event_type") == "view"),
+            all_rows.filter(F.col("event_type") == "purchase"),
+            600,
+            slide_sec=300,
+        ).collect()
+    )
+    # the batch truth has BOTH slot pairs (9600 and 9900)
+    assert len(want) == 2
+    assert got == want
