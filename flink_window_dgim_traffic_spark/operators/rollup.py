@@ -382,3 +382,30 @@ def rollup_refresh_batch_fn(path: str,
         )
 
     return process
+
+
+def gc_snapshots(path: str, keep: int = 2) -> int:
+    """Retention GC for any snapshot-staged store under ``path``
+    (rollup levels, sketch levels, component star forests — anything
+    laid out as ``<group>/snap-<tag>``): delete snapshot data not
+    among the last ``keep`` committed tags, return how many dirs were
+    removed.  A long-running refresh stream otherwise accumulates one
+    snapshot per micro-batch.  Markers stay — they are the replay-skip
+    record; readers only ever resolve the LATEST committed tag, so
+    removing superseded snapshots cannot race a current-state read."""
+    import shutil
+
+    committed = _committed(path)
+    live = {t for _, t in committed[-keep:]}
+    removed = 0
+    for group in os.listdir(path):
+        gdir = os.path.join(path, group)
+        if group == "_commits" or not os.path.isdir(gdir):
+            continue
+        for name in os.listdir(gdir):
+            if not name.startswith("snap-"):
+                continue
+            if name[len("snap-"):] not in live:
+                shutil.rmtree(os.path.join(gdir, name))
+                removed += 1
+    return removed

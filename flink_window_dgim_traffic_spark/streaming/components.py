@@ -106,3 +106,19 @@ def components_refresh_batch_fn(path: str):
         )
 
     return process
+
+
+def gc_components_store(path: str, keep: int = 2) -> int:
+    """Retention GC: delete star snapshots older than the last
+    ``keep`` committed ones and return how many were removed.  A
+    long-running refresh stream otherwise accumulates one snapshot
+    per micro-batch (the 10k-batch listing problem the IVM store's
+    compaction solved for deltas).  Markers are kept — they are the
+    replay-skip record — only the superseded parquet data goes;
+    readers only ever resolve the LATEST committed tag, so removing
+    older snapshots cannot race a reader of current state."""
+    from flink_window_dgim_traffic_spark.operators.rollup import (
+        gc_snapshots,
+    )
+
+    return gc_snapshots(path, keep=keep)

@@ -362,3 +362,29 @@ def test_refresh_retract_roundtrip(spark, tmp_path):
     # replay-skip still holds for retractions
     assert not refresh_rollup(spark, path, batch, tag="undo",
                               retract=True)
+
+
+def test_rollup_gc_snapshots(spark, sf_dir, tmp_path):
+    """Generic snapshot GC over the rollup store: superseded level
+    snapshots go, the latest stays serveable, replayed committed
+    tags still skip."""
+    import os
+
+    from flink_window_dgim_traffic_spark.operators import rollup as RU
+    from flink_window_dgim_traffic_spark.session import table
+
+    path = str(tmp_path / "rugc")
+    ev = table(spark, sf_dir, "events").limit(2000)
+    RU.build_rollup_hierarchy(ev, path)
+    for i in range(3):
+        assert RU.refresh_rollup(
+            spark, path, ev.limit(100), tag=f"g{i}"
+        ) is True
+    removed = RU.gc_snapshots(path, keep=1)
+    assert removed > 0
+    # still serves from the latest snapshot
+    assert RU.rollup_serve(spark, path, 600).count() > 0
+    # replay-skip intact
+    assert RU.refresh_rollup(
+        spark, path, ev.limit(100), tag="g2"
+    ) is False
