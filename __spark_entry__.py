@@ -2355,6 +2355,27 @@ FROM s GROUP BY user_id, sess
 """
 
 
+# one closure truth for all three component surfaces (label-prop,
+# star-contraction, incremental store): reachability closure over the
+# fuzzy supplier graph, component id = min reachable node
+_SUPPLIER_COMPONENTS_SQL = """
+WITH RECURSIVE
+jp AS (SELECT a.s_suppkey AS a, b.s_suppkey AS b
+       FROM supplier a JOIN supplier b
+         ON a.s_suppkey < b.s_suppkey
+        AND levenshtein(a.s_name, b.s_name) <= 1),
+e AS (SELECT a, b FROM jp UNION SELECT b, a FROM jp),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
+)
+SELECT node, CAST(min(r) AS BIGINT) AS component_id
+FROM reach GROUP BY node
+"""
+
+
 def _morton2_sql(a: str, b: str) -> str:
     """The 16-bit Morton interleave of layout._morton2 as DuckDB
     bitwise SQL — bit-for-bit the same integer function, so the
@@ -3792,58 +3813,13 @@ FROM r WHERE rnk <= 20
 """,
         # star-contraction CC: identical output to the label-prop
         # twin, same reachability-closure oracle
-        "components_star_fuzzy_suppliers": """
-WITH RECURSIVE
-jp AS (SELECT a.s_suppkey AS a, b.s_suppkey AS b
-       FROM supplier a JOIN supplier b
-         ON a.s_suppkey < b.s_suppkey
-        AND levenshtein(a.s_name, b.s_name) <= 1),
-e AS (SELECT a, b FROM jp UNION SELECT b, a FROM jp),
-nodes AS (SELECT DISTINCT a AS node FROM e),
-reach AS (
-  SELECT node, node AS r FROM nodes
-  UNION
-  SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
-)
-SELECT node, CAST(min(r) AS BIGINT) AS component_id
-FROM reach GROUP BY node
-""",
+        "components_star_fuzzy_suppliers": _SUPPLIER_COMPONENTS_SQL,
         # incremental twin: same closure oracle — folding the edge
         # increments must equal re-clustering the full history
-        "stream_components_suppliers": """
-WITH RECURSIVE
-jp AS (SELECT a.s_suppkey AS a, b.s_suppkey AS b
-       FROM supplier a JOIN supplier b
-         ON a.s_suppkey < b.s_suppkey
-        AND levenshtein(a.s_name, b.s_name) <= 1),
-e AS (SELECT a, b FROM jp UNION SELECT b, a FROM jp),
-nodes AS (SELECT DISTINCT a AS node FROM e),
-reach AS (
-  SELECT node, node AS r FROM nodes
-  UNION
-  SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
-)
-SELECT node, CAST(min(r) AS BIGINT) AS component_id
-FROM reach GROUP BY node
-""",
+        "stream_components_suppliers": _SUPPLIER_COMPONENTS_SQL,
         # recursive-CTE reachability closure; component id = min
         # reachable node, matching the min-label propagation
-        "components_fuzzy_suppliers": """
-WITH RECURSIVE
-jp AS (SELECT a.s_suppkey AS a, b.s_suppkey AS b
-       FROM supplier a JOIN supplier b
-         ON a.s_suppkey < b.s_suppkey
-        AND levenshtein(a.s_name, b.s_name) <= 1),
-e AS (SELECT a, b FROM jp UNION SELECT b, a FROM jp),
-nodes AS (SELECT DISTINCT a AS node FROM e),
-reach AS (
-  SELECT node, node AS r FROM nodes
-  UNION
-  SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
-)
-SELECT node, CAST(min(r) AS BIGINT) AS component_id
-FROM reach GROUP BY node
-""",
+        "components_fuzzy_suppliers": _SUPPLIER_COMPONENTS_SQL,
         # depth-guarded recursive expansion; dist = min over the
         # bounded walk set, matching the fixed-round BFS
         "bfs_suppliers": """
