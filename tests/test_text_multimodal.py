@@ -679,3 +679,56 @@ def test_media_audio_fingerprint_additive_invariance_guard():
     # groups 0 and 100 share (ch, n_frames) (params cycle mod 100)
     assert M._wav_params(0)[1:] == M._wav_params(100)[1:]
     assert fp_of(0) != fp_of(100)
+
+
+def test_decode_audio_hypothesis_roundtrip():
+    """Property: for ANY PCM16 WAV (arbitrary rate/channels/samples,
+    with or without an extra metadata chunk), decode_audio ==
+    stdlib wave; truncated data chunks always raise, never return
+    wrong samples silently."""
+    import io
+    import struct
+    import wave
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        rate=st.integers(8000, 48000),
+        ch=st.integers(1, 2),
+        samples=st.lists(
+            st.integers(-32768, 32767), min_size=0, max_size=80
+        ),
+        extra_chunk=st.booleans(),
+        truncate=st.integers(0, 3),
+    )
+    def check(rate, ch, samples, extra_chunk, truncate):
+        if ch == 2 and len(samples) % 2:
+            samples = samples[:-1]
+        body = struct.pack(f"<{len(samples)}h", *samples)
+        block = ch * 2
+        chunks = b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, ch, rate, rate * block, block, 16
+        )
+        if extra_chunk:
+            chunks += b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+        chunks += b"data" + struct.pack("<I", len(body)) + body
+        payload = (
+            b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+            + chunks
+        )
+        if truncate and len(body) >= truncate:
+            bad = payload[: len(payload) - truncate]
+            if truncate <= len(body):
+                with pytest.raises(ValueError):
+                    M.decode_audio(bad, M.WAV_MIME)
+        got = M.decode_audio(payload, M.WAV_MIME)
+        assert got[0] == rate and got[1] == ch
+        assert got[2] == samples
+        with wave.open(io.BytesIO(payload)) as w:
+            assert (w.getframerate(), w.getnchannels()) == (rate, ch)
+            ref = w.readframes(w.getnframes())
+        assert struct.pack(f"<{len(samples)}h", *got[2]) == ref
+
+    check()
