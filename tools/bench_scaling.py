@@ -424,6 +424,33 @@ def _rollup_refresh(spark) -> None:
     RU.refresh_rollup(spark, path, batch)
 
 
+def _components_refresh(spark) -> None:
+    """One refresh of a FIXED 1x edge batch into a component store
+    whose star forest already contracted scale-x edge history: graph
+    IVM's contract is that refresh cost tracks (increment + nodes),
+    never the accumulated pair history — this row measures exactly
+    that."""
+    from flink_window_dgim_traffic_spark.operators import graph as G
+    from flink_window_dgim_traffic_spark.streaming.components import (
+        build_components_store,
+        refresh_components,
+    )
+
+    path = f"{OUT}/ccstore_x{CTX['scale']}"
+    if not os.path.isdir(f"{path}/_commits"):
+        build_components_store(spark, path)
+        # seed with the scale-x co-window edge history in one fold
+        hist = G.cowindow_user_edges(CTX["events_full"], 60)
+        refresh_components(spark, path, hist, tag="seed")
+    batch = G.cowindow_user_edges(
+        spark.read.parquet(f"{OUT}/events_full_x1.parquet"), 60
+    )
+    CTX["cc_seq"] = CTX.get("cc_seq", 0) + 1
+    refresh_components(
+        spark, path, batch, tag=f"b{CTX['scale']}_{CTX['cc_seq']}"
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="bench_scaling")
     os.makedirs(OUT, exist_ok=True)
@@ -759,6 +786,7 @@ def main() -> None:
         "rollup_refresh": _rollup_refresh,
         "sketch_rollup_refresh": _sketch_rollup_refresh,
         "ivm_refresh": _ivm_refresh,
+        "components_refresh": _components_refresh,
         "ivm_zset_retract": _ivm_zset_retract,
         "ivm_read_32tags": _ivm_read_32tags,
         "ivm_read_compacted": _ivm_read_compacted,
