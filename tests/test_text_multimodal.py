@@ -732,3 +732,44 @@ def test_decode_audio_hypothesis_roundtrip():
         assert struct.pack(f"<{len(samples)}h", *got[2]) == ref
 
     check()
+
+
+def test_decode_media_netpbm_hypothesis_roundtrip():
+    """Property: for ANY dimensions/channel layout and any header
+    comment/whitespace shape the spec allows, decode_media recovers
+    the exact pixel bytes; short pixel payloads always raise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 30),
+        rgb=st.booleans(),
+        comment=st.booleans(),
+        sep=st.sampled_from([b"\n", b" ", b"\t", b"  \n"]),
+        data=st.data(),
+        short=st.integers(0, 2),
+    )
+    def check(w, h, rgb, comment, sep, data, short):
+        ch = 3 if rgb else 1
+        n = w * h * ch
+        body = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=n, max_size=n
+                )
+            )
+        )
+        magic = b"P6" if rgb else b"P5"
+        hdr = magic + sep
+        if comment:
+            hdr += b"# synthetic comment\n"
+        hdr += b"%d" % w + sep + b"%d" % h + sep + b"255\n"
+        mime = M.PPM_MIME if rgb else M.PGM_MIME
+        assert M.decode_media(hdr + body, mime) == (w, h, ch, body)
+        if short and short <= n:
+            with pytest.raises(ValueError):
+                M.decode_media(hdr + body[:-short], mime)
+
+    check()
