@@ -96,6 +96,22 @@ _documents = _t("documents")
 _embeddings = _t("embeddings")
 
 
+def _simsearch_ivf_incremental(s: SparkSession, d: str) -> DataFrame:
+    """Persisted-IVF-index deployment shape for ANN: index the even
+    vec_ids, fold the odd half in as a committed delta snapshot with
+    the FROZEN codebook (refresh_ivf_index — FAISS's add-after-train
+    pattern), probe over base ∪ delta.  Rows-only (seeded centroids);
+    base∪delta == monolithic-store probes and per-scan partition
+    pruning are pinned in tests/test_dedup_similarity.py."""
+    emb = _embeddings(s, d)
+    idx = _mkdtemp(prefix="spark_graft_ivfinc_")
+    S.build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), idx)
+    S.refresh_ivf_index(
+        s, idx, emb.filter(F.col("vec_id") % 2 == 1), tag="crawl-2"
+    )
+    return S.simsearch_ivf_indexed(s, idx)
+
+
 def _neardup_incremental(s: SparkSession, d: str) -> DataFrame:
     """Persisted-MinHash-index deployment shape: index the even-doc_id
     half of the corpus on disk, probe the odd half (both halves from
@@ -1564,6 +1580,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph IVM: incremental star-forest maintenance over edge
         # micro-batches == one-shot closure over the full history
         "stream_components_suppliers": _stream_components_suppliers,
+        # ANN index refresh (rows-only: seeded centroids): frozen
+        # codebook + committed delta snapshots == monolithic store,
+        # pinned in tests
+        "simsearch_ann_ivf_incremental": _simsearch_ivf_incremental,
         # the replay-based DGIM family, oracled DIRECTLY this round:
         # replay == g(ones) within horizon (property-tested), so the
         # estimate VALUES hash-check against DuckDB's closed form —

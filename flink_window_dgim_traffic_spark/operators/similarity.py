@@ -1089,6 +1089,84 @@ def build_ivf_index(
     return len(C)
 
 
+def refresh_ivf_index(
+    spark, path: str, new_embeddings: DataFrame, tag: str | None = None
+) -> bool:
+    """Fold a NEW embedding batch into a :func:`build_ivf_index`
+    store without retraining or rewriting it — the production ANN
+    deployment pattern (train the codebook once, keep appending
+    postings as the crawl grows; FAISS's ``add`` after ``train``).
+    New vectors are assigned with the FROZEN centroids and land as a
+    cluster-partitioned DELTA snapshot next to the base
+    (``vectors-delta/snap-<tag>/cluster=K/``), promoted by the same
+    atomically-replaced commit marker the rollup/component stores use
+    — so a ``foreachBatch`` stream can crash-replay any batch without
+    double-adding, and probes over (base ∪ committed deltas) equal a
+    monolithic index assigned with the same codebook (pinned in
+    tests).  Partition pruning is preserved: every delta is itself
+    ``cluster=``-partitioned, so a probe still reads only the probed
+    cluster directories of each snapshot.  Returns False on a
+    replayed committed tag."""
+    import numpy as np
+
+    from flink_window_dgim_traffic_spark.operators.rollup import (
+        _committed,
+        _write_marker,
+    )
+
+    committed = _committed(path)
+    base_seq = committed[-1][0] if committed else 0
+    if tag is None:
+        tag = f"refresh-{base_seq + 1}"
+    if any(t == tag for _, t in committed):
+        return False
+    C = np.array(
+        [
+            r["centroid"]
+            for r in spark.read.parquet(f"{path}/centroids")
+            .orderBy("cluster")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+
+    @pandas_udf("int")
+    def nearest_centroid(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        V = np.array(list(vecs), dtype=np.float64)
+        V = V / np.maximum(
+            np.linalg.norm(V, axis=1, keepdims=True), 1e-300
+        )
+        return pd.Series(np.argmax(V @ C.T, axis=1).astype("int32"))
+
+    new_embeddings.withColumn(
+        "cluster", nearest_centroid(as_double(F.col("embedding")))
+    ).select("vec_id", "embedding", "cluster").write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(
+        f"{path}/vectors-delta/snap-{tag}"
+    )
+    _write_marker(path, base_seq + 1, tag, {})
+    return True
+
+
+def _ivf_vectors(spark, path: str) -> DataFrame:
+    """The index's vector set: base postings ∪ committed delta
+    snapshots (each cluster-partitioned, so an ``isin`` on the
+    partition column prunes directories in every member scan)."""
+    from flink_window_dgim_traffic_spark.operators.rollup import (
+        _committed,
+    )
+
+    df = spark.read.parquet(f"{path}/vectors")
+    for _, tag in _committed(path):
+        df = df.unionByName(
+            spark.read.parquet(f"{path}/vectors-delta/snap-{tag}")
+        )
+    return df
+
+
 def simsearch_ivf_indexed(
     spark,
     path: str,
@@ -1130,7 +1208,7 @@ def simsearch_ivf_indexed(
         dtype=np.float64,
     )
     nprobe = min(nprobe, len(C))
-    vectors = spark.read.parquet(f"{path}/vectors")
+    vectors = _ivf_vectors(spark, path)
     q_rows = (
         vectors.filter(F.col("vec_id") < n_query)
         .select("vec_id", as_double(F.col("embedding")).alias("v"))

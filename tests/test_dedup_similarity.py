@@ -1033,3 +1033,67 @@ def test_kmeans_quantized_matches_python(spark, sf_dir):
     assert got == want
     # every cluster label in range, deterministic rerun
     assert {c for c, _ in got.values()} <= set(range(k))
+
+
+def test_ivf_index_incremental_refresh_matches_monolithic(
+    spark, sf_dir, tmp_path
+):
+    """ANN deployment refresh: index HALF the corpus, fold the other
+    half in as a committed delta snapshot (frozen codebook), and
+    probes over base+delta must equal a monolithic index whose
+    vectors were assigned with the SAME codebook.  Replayed committed
+    tags are no-ops, and partition pruning survives the delta union
+    (every member scan keeps its cluster PartitionFilter)."""
+    from flink_window_dgim_traffic_spark.operators.similarity import (
+        build_ivf_index,
+        refresh_ivf_index,
+        simsearch_ivf_indexed,
+    )
+    from flink_window_dgim_traffic_spark.session import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    inc = str(tmp_path / "ivf_inc")
+    build_ivf_index(half_a, inc)
+    assert refresh_ivf_index(spark, inc, half_b, tag="b1") is True
+    assert refresh_ivf_index(spark, inc, half_b, tag="b1") is False
+
+    # TRULY monolithic twin: same codebook, every vector (base +
+    # delta assignments, which used the frozen centroids) rewritten
+    # into one single-snapshot store with no deltas — probing it goes
+    # through the plain base-only path
+    mono = str(tmp_path / "ivf_mono")
+    spark.read.parquet(f"{inc}/centroids").coalesce(1).write.parquet(
+        f"{mono}/centroids"
+    )
+    spark.read.parquet(f"{inc}/vectors").unionByName(
+        spark.read.parquet(f"{inc}/vectors-delta/snap-b1")
+    ).write.partitionBy("cluster").parquet(f"{mono}/vectors")
+
+    got = sorted(
+        map(
+            tuple,
+            simsearch_ivf_indexed(spark, inc, nprobe=4).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            simsearch_ivf_indexed(spark, mono, nprobe=4).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+    # pruning survives the union: every parquet scan in the plan
+    # carries the cluster IN partition filter
+    plan = (
+        simsearch_ivf_indexed(spark, inc, nprobe=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert len(pf) >= 2  # base scan + delta scan
+    assert all("cluster" in ln and "IN" in ln for ln in pf), pf
