@@ -2261,10 +2261,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # simsearch_ann_* — recall-vs-exact
         # pinned; *_approx — HLL++ within-3·rsd bounds;
         # cumulate_dgim — DGIM bound + degeneration tests.
+        # r10: flipped from rows-only to oracle-hash-checked by
+        # switching the hash family to md5 (exists in BOTH Spark and
+        # DuckDB with identical output — verdict r9 ask #1); the
+        # xxhash64/blake2b throughput defaults stay pinned in pytest
         "minhash_lsh_pairs": lambda s, d: D.minhash_lsh_pairs(
-            _documents(s, d), threshold=0.8
+            _documents(s, d), threshold=0.8, hash_family="md5"
         ),
-        "simhash_pairs": lambda s, d: D.simhash_pairs(_documents(s, d)),
+        "simhash_pairs": lambda s, d: D.simhash_pairs(
+            _documents(s, d), hash_family="md5"
+        ),
         "approx_distinct_users": lambda s, d: R.approx_distinct_users(_events(s, d)),
         # DGIM variants: estimate values anchored transitively via
         # tumble_dgim_bound (oracle-green closed form) + equality/
@@ -2429,7 +2435,9 @@ def _lang_id_sql() -> str:
         f"WHEN h_{lg} = {mx} THEN '{lg}'" for lg in langs[:-1]
     )
     return f"""
-WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+WITH w AS (SELECT doc_id, text,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '') AS ws
            FROM documents),
 h AS (SELECT doc_id, text, {", ".join(hit_cols)} FROM w)
 SELECT doc_id,
@@ -2541,16 +2549,20 @@ FROM c
 """
 
 
-def _mmr_sql(n_query: int = 10, pool: int = 50, k: int = 10) -> str:
+def _mmr_sql(n_query: int = 10, pool: int = 50, k: int = 10,
+             lam: float = 0.5) -> str:
     """DuckDB twin of similarity.mmr_diverse_topk: the k greedy
     rounds UNROLLED as CTEs (the kcore fixed-round precedent).
     Tractable because the r9 rewrite made the selection loop exact
     integer arithmetic — relevance / pairwise sims enter as
     rint(round6·1e6) micro-units and the objective is
-    ``500000·rel_e6 − 500000·div_e6`` (lam = 0.5), so there is no
-    float rounding an engine could disagree on; the only float step
-    is the round-6 cosine itself, shared with the green
+    ``lam_e6·rel_e6 − (1e6−lam_e6)·div_e6`` (lam_e6 derived from the
+    same ``lam`` the query passes — keep them threaded together), so
+    there is no float rounding an engine could disagree on; the only
+    float step is the round-6 cosine itself, shared with the green
     simsearch_topk oracle."""
+    lam_e6 = int(round(lam * 1e6))
+    lam_inv = 1_000_000 - lam_e6
     dot_ab = _DOT.format(a="va", b="vb")
     parts = [
         f"""
@@ -2578,7 +2590,7 @@ sim AS MATERIALIZED (SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb
        ON eb.vec_id = b.neighbor_id),
 p1 AS (SELECT query_id, neighbor_id, score, rel_e6,
        CAST(1 AS BIGINT) AS mmr_rank,
-       500000 * rel_e6 AS mmr_e12
+       {lam_e6} * rel_e6 AS mmr_e12
   FROM cand
   QUALIFY row_number() OVER (PARTITION BY query_id
           ORDER BY rel_e6 DESC, neighbor_id) = 1),
@@ -2599,10 +2611,10 @@ d{r} AS (SELECT a.query_id, a.neighbor_id, a.score, a.rel_e6,
   GROUP BY a.query_id, a.neighbor_id, a.score, a.rel_e6),
 p{r} AS (SELECT query_id, neighbor_id, score, rel_e6,
         CAST({r} AS BIGINT) AS mmr_rank,
-        500000 * rel_e6 - 500000 * div_e6 AS mmr_e12
+        {lam_e6} * rel_e6 - {lam_inv} * div_e6 AS mmr_e12
   FROM d{r}
   QUALIFY row_number() OVER (PARTITION BY query_id
-          ORDER BY 500000 * rel_e6 - 500000 * div_e6 DESC,
+          ORDER BY {lam_e6} * rel_e6 - {lam_inv} * div_e6 DESC,
                    neighbor_id) = 1),
 picked{r} AS MATERIALIZED (SELECT * FROM picked{r - 1} UNION ALL SELECT * FROM p{r})"""
         )
@@ -2614,6 +2626,100 @@ FROM picked{k}
 """
     )
     return "".join(parts)
+
+
+def _md5_60_sql(expr: str, start: int = 1) -> str:
+    """DuckDB twin of dedup._md5_60: 60-bit int from 15 hex chars of
+    md5 — bit-equal to Spark's ``conv(substr(md5(x),{start},15),16,10)``
+    (verified both ways in tests/test_dedup_similarity.py)."""
+    return f"CAST(('0x' || substr(md5({expr}), {start}, 15)) AS BIGINT)"
+
+
+def _minhash_lsh_sql(
+    threshold: float = 0.8, num_perm: int = 64, bands: int = 16
+) -> str:
+    """DuckDB twin of dedup.minhash_lsh_pairs(hash_family='md5'):
+    shingle → 64 md5-lane min-hashes → 16 banded keys → bucket-join
+    candidates → exact Jaccard verify.  Replays the EXACT band
+    structure (seed ``i//2``, hex lane ``i%2``, band key = md5 of the
+    colon-joined decimal signature), so the candidate set — not just
+    the verified output — is engine-independent."""
+    rows_per_band = num_perm // bands
+    mins = ",\n    ".join(
+        "min({h}) AS h{i}".format(
+            i=i,
+            h=_md5_60_sql(f"s || ':{i // 2}'", 1 if i % 2 == 0 else 16),
+        )
+        for i in range(num_perm)
+    )
+    band_keys = ",\n    ".join(
+        _md5_60_sql(
+            " || ':' || ".join(
+                f"CAST(h{b * rows_per_band + j} AS VARCHAR)"
+                for j in range(rows_per_band)
+            )
+        )
+        for b in range(bands)
+    )
+    jac = (
+        "round(CAST(overlap AS DOUBLE) /"
+        " CAST(na.c + nb.c - overlap AS DOUBLE), 6)"
+    )
+    return f"""
+WITH {_SHINGLE_BASE},
+mh AS (SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id),
+bk AS (SELECT doc_id, i AS band, keys[i] AS band_key
+       FROM (SELECT doc_id, [{band_keys}] AS keys FROM mh),
+            unnest(generate_series(1, {bands})) AS t(i)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bk a JOIN bk b
+         ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, {jac} AS jaccard
+FROM cand
+JOIN inter USING (doc_a, doc_b)
+JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+WHERE {jac} >= {threshold}
+"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 3, bits: int = 60) -> str:
+    """DuckDB twin of dedup.simhash_pairs(hash_family='md5'): token →
+    60-bit md5 hash → per-bit ±1 vote sums → fingerprint → 4×15-bit
+    pigeonhole chunk join → hamming filter.  Bag-of-tokens semantics
+    (every occurrence votes) and the single-space/drop-empties
+    tokenization both mirror simhash_fingerprints_md5 exactly."""
+    votes = ",\n    ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT)"
+        f" ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tk AS (SELECT doc_id, unnest(ws) AS tok FROM t),
+h AS (SELECT doc_id, {_md5_60_sql('tok')} AS h FROM tk WHERE tok <> ''),
+v AS (SELECT doc_id,
+    {votes}
+  FROM h GROUP BY doc_id),
+f0 AS (SELECT doc_id, {fp} AS simhash FROM v),
+fp AS (SELECT d.doc_id, COALESCE(f0.simhash, 0) AS simhash
+       FROM documents d LEFT JOIN f0 USING (doc_id)),
+ch AS (SELECT doc_id, simhash, i AS chunk_no,
+              (simhash >> ((i - 1) * 15)) & 32767 AS chunk
+       FROM fp, unnest(generate_series(1, 4)) AS t(i)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.simhash AS ha, b.simhash AS hb
+         FROM ch a JOIN ch b
+         ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk
+            AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5448,11 +5554,14 @@ FROM v GROUP BY doc_id
         # → SpaceSaving never evicts (err=0, min_count=0), so
         # est_lower = est_upper = the exact count and the merged
         # top-k equals the exact top_ngrams ordering
+        # pair filter ws[i]<>'' AND ws[i+1]<>'' mirrors the Spark
+        # side's "[^ ]+ [^ ]+" lookahead exactly: adjacency means ONE
+        # literal space, so doubled/leading spaces yield no bigram
         "heavy_hitters_ngrams": """
 WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
-g AS (SELECT unnest(list_transform(range(1, len(ws)),
-                                   i -> ws[i] || ' ' || ws[i+1])) AS ngram
-      FROM t),
+g AS (SELECT ws[i] || ' ' || ws[i+1] AS ngram
+      FROM t, unnest(range(1, len(ws))) AS r(i)
+      WHERE ws[i] <> '' AND ws[i+1] <> ''),
 c AS (SELECT ngram, count(*) AS n FROM g GROUP BY ngram)
 SELECT ngram, n AS est_lower, n AS est_upper
 FROM c ORDER BY n DESC, ngram LIMIT 20
@@ -5892,6 +6001,11 @@ SELECT doc_a, doc_b, {jac} AS jaccard
 FROM inter JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
 WHERE {jac} >= 0.5
 """,
+        # r10: md5 hash family (shared by Spark and DuckDB) makes the
+        # full LSH band structure engine-independent — these two flip
+        # from rows-only to hash-checked (VERDICT r9 ask #1)
+        "minhash_lsh_pairs": _minhash_lsh_sql(),
+        "simhash_pairs": _simhash_pairs_sql(),
         # connected components of the jaccard>=0.8 pair graph via
         # recursive transitive closure (components are small dup
         # groups, so the closure stays tiny)
@@ -5939,11 +6053,13 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
 FROM c
 WHERE round(least(n, 50) / 50 * 0.5 + (1 - stop_cnt / n) * 0.5, 6) >= 0.5
 """,
+        # same single-space adjacency twin as heavy_hitters_ngrams:
+        # empty-token pairs (doubled/leading spaces) yield no bigram
         "top_ngrams": """
 WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
-g AS (SELECT unnest(list_transform(range(1, len(ws)),
-                                   i -> ws[i] || ' ' || ws[i+1])) AS ngram
-      FROM t WHERE len(ws) >= 2)
+g AS (SELECT ws[i] || ' ' || ws[i+1] AS ngram
+      FROM t, unnest(range(1, len(ws))) AS r(i)
+      WHERE ws[i] <> '' AND ws[i+1] <> '')
 SELECT ngram, count(*) AS n_occurrences FROM g GROUP BY ngram
 ORDER BY n_occurrences DESC, ngram LIMIT 20
 """,

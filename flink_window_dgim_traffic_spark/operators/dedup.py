@@ -285,17 +285,43 @@ NUM_PERM = 64
 LSH_BANDS = 16  # 16 bands × 4 rows: P(candidate) ≈ 1-(1-j^4)^16
 
 
+def _md5_60(col, start: int = 1):
+    """60-bit integer from 15 hex chars of md5 — the hash family that
+    EXISTS IN BOTH Spark and DuckDB with identical output, making
+    every operator built on it oracle-hash-checkable (r9 verdict ask
+    #1; xxhash64/blake2b have no DuckDB twin).  Spark's
+    ``conv(substr(md5(x),1,15),16,10)`` ≡ DuckDB's
+    ``('0x'||substr(md5(x),1,15))::BIGINT`` — verified bit-equal.
+    ``start`` picks the hex lane (1 or 16): one digest yields two
+    independent 60-bit values."""
+    return F.conv(F.substring(col, start, 15), 16, 10).cast("bigint")
+
+
+def _perm_hash(col, i: int, hash_family: str):
+    """Per-permutation shingle hash.  xxhash64 is the throughput
+    default (one 64-bit JVM hash per perm); md5 derives TWO 60-bit
+    perms per digest (seed ``i//2``, hex lane ``i%2``), halving the
+    digest count while staying DuckDB-reproducible."""
+    if hash_family == "xxhash64":
+        return F.xxhash64(col, F.lit(i))
+    if hash_family != "md5":
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    digest = F.md5(F.concat(col, F.lit(f":{i // 2}")))
+    return _md5_60(digest, start=1 if i % 2 == 0 else 16)
+
+
 def _minhash_wide(
     documents: DataFrame,
     num_perm: int = NUM_PERM,
     sh: DataFrame | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """One row per doc with ``num_perm`` min-hash columns ``h0..h{n-1}``."""
     if sh is None:
         sh = shingles(documents)
     return sh.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+            F.min(_perm_hash(F.col("s"), i, hash_family)).alias(f"h{i}")
             for i in range(num_perm)
         ]
     )
@@ -325,6 +351,7 @@ def minhash_lsh_pairs(
     num_perm: int = NUM_PERM,
     bands: int = LSH_BANDS,
     max_bucket: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate pairs from LSH band buckets, verified with exact
     shingle Jaccard ≥ threshold.  Output ≡ ngram_jaccard_pairs minus
@@ -343,7 +370,13 @@ def minhash_lsh_pairs(
     buckets are genuine near-miss groups and the cap only trims
     pathological residue (`training_corpus` in operators/pipeline.py
     composes exactly this order).  Default ``None`` preserves the
-    uncapped exact-candidate semantics the oracle tests pin."""
+    uncapped exact-candidate semantics the oracle tests pin.
+
+    ``hash_family='md5'`` swaps the permutation + band hashes for
+    md5-derived 60-bit integers (``_md5_60``): identical LSH
+    structure, but every hash is reproducible in DuckDB, so the full
+    candidate→verify output is oracle-HASH-checked by the driver
+    (entry ``minhash_lsh_pairs``) instead of rows-only."""
     rows_per_band = num_perm // bands
     # ONE regex pass feeds both the signature aggregate and the
     # exact-Jaccard verification below
@@ -352,11 +385,13 @@ def minhash_lsh_pairs(
     # band key = hash of the band's r signature columns, computed on
     # the one-row-per-doc wide aggregate (no per-perm rows, no
     # collect_list shuffle)
-    band_keys = _minhash_wide(documents, num_perm, sh=sh).select(
+    band_keys = _minhash_wide(
+        documents, num_perm, sh=sh, hash_family=hash_family
+    ).select(
         "doc_id",
-        F.posexplode(_band_key_array(num_perm, bands)).alias(
-            "band", "band_key"
-        ),
+        F.posexplode(
+            _band_key_array(num_perm, bands, hash_family=hash_family)
+        ).alias("band", "band_key"),
     )
     if max_bucket is not None:
         ok = (
@@ -467,6 +502,52 @@ def neardup_clusters(
 # ----------------------------------------------------------------------
 # SimHash (64-bit) near-dup
 # ----------------------------------------------------------------------
+SIMHASH_MD5_BITS = 60  # _md5_60 lanes are 60-bit
+
+
+def simhash_fingerprints_md5(documents: DataFrame) -> DataFrame:
+    """60-bit SimHash per doc with md5 token hashes — NO Python in
+    the plan: explode tokens, one md5 per token row, then the bit
+    votes are 60 map-side-combined ``sum`` aggregates and the
+    fingerprint reassembles as a codegen'd projection.  Same
+    algorithm as :func:`simhash_fingerprints` (bag-of-tokens ±1 bit
+    votes, bit set when votes > 0), different hash family and width —
+    chosen because md5 is reproducible in DuckDB, so this variant's
+    full near-dup pair set is oracle-hash-checked (r9 verdict ask #1).
+
+    Tokenization contract: single-space split, empty tokens dropped
+    (the corpus contract; mirrors the DuckDB twin's ``string_split``
+    + empty filter exactly).  Docs with no tokens get fingerprint 0,
+    like the blake2b variant."""
+    toks = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    hashed = toks.select("doc_id", _md5_60(F.md5("tok")).alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_MD5_BITS)
+        ]
+    )
+    fp_col = None
+    for j in range(SIMHASH_MD5_BITS):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp_col = bit if fp_col is None else fp_col + bit
+    fps = votes.select("doc_id", fp_col.cast("long").alias("simhash"))
+    # empty/whitespace-only docs produce no token rows — restore them
+    # with the 0 fingerprint for parity with the UDF variant
+    return (
+        documents.select("doc_id")
+        .join(fps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"),
+        )
+    )
+
+
 def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     """64-bit SimHash per doc from token hashes (stable blake2b, NOT
     Python's randomized hash()).  Vectorized Pandas UDF — the bit-vote
@@ -513,20 +594,32 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", _simhash(F.col("text")).alias("simhash"))
 
 
-def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    hash_family: str = "blake2b",
+) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, found via
-    the 4×16-bit chunk pigeonhole trick (a pair within distance 3 must
-    agree exactly on ≥1 of 4 chunks) — bucket join, not O(n²)."""
-    fps = simhash_fingerprints(documents)
+    the 4-chunk pigeonhole trick (a pair within distance 3 must agree
+    exactly on ≥1 of 4 chunks) — bucket join, not O(n²).  Chunks are
+    16-bit for the 64-bit blake2b family, 15-bit for the 60-bit
+    DuckDB-reproducible md5 family (:func:`simhash_fingerprints_md5`);
+    the pigeonhole argument is width-independent."""
+    if hash_family == "md5":
+        fps = simhash_fingerprints_md5(documents)
+        chunk_bits, chunk_mask = 15, 0x7FFF
+    else:
+        fps = simhash_fingerprints(documents)
+        chunk_bits, chunk_mask = 16, 0xFFFF
     chunks = fps.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(
-                        F.lit(0xFFFF)
-                    )
+                    F.shiftrightunsigned(
+                        F.col("simhash"), chunk_bits * i
+                    ).bitwiseAND(F.lit(chunk_mask))
                     for i in range(4)
                 ]
             )
@@ -917,22 +1010,27 @@ def cdc_chunk_dedup(
 # ----------------------------------------------------------------------
 # Incremental NEAR-dup: persisted MinHash/LSH index, probed per crawl
 # ----------------------------------------------------------------------
-def _band_key_array(num_perm: int = NUM_PERM, bands: int = LSH_BANDS):
+def _band_key_array(num_perm: int = NUM_PERM, bands: int = LSH_BANDS,
+                    hash_family: str = "xxhash64"):
     """The banded signature hash as an array Column over the wide
     ``h0..h{n-1}`` aggregate — shared by the batch pair generator and
-    the persistent index so both sides bucket identically."""
+    the persistent index so both sides bucket identically.  The md5
+    family hashes the colon-joined decimal rendering of the band's
+    signature values (DuckDB-reproducible: both engines render int64
+    identically)."""
     rows_per_band = num_perm // bands
-    return F.array(
-        *[
-            F.xxhash64(
-                *[
-                    F.col(f"h{b * rows_per_band + j}")
-                    for j in range(rows_per_band)
-                ]
-            )
-            for b in range(bands)
+
+    def _one(b: int):
+        cols = [
+            F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)
         ]
-    )
+        if hash_family == "xxhash64":
+            return F.xxhash64(*cols)
+        return _md5_60(
+            F.md5(F.concat_ws(":", *[c.cast("string") for c in cols]))
+        )
+
+    return F.array(*[_one(b) for b in range(bands)])
 
 
 def build_neardup_index(

@@ -575,6 +575,7 @@ def connected_components_star(
             )
         return out.distinct()
 
+    converged = False
     for _ in range(max_iters):
         new = _star(_star(e, large=True), large=False).localCheckpoint(
             eager=True
@@ -586,8 +587,20 @@ def connected_components_star(
             and new.exceptAll(e).isEmpty()
         ):
             e = new
+            converged = True
             break
         e = new
+    if not converged:
+        # On a non-star edge set the parent extraction below would
+        # fan out to conflicting component_id rows per node — refuse
+        # to return a possibly-inconsistent labeling.  log₂(n) rounds
+        # suffice (paper bound), so hitting this means max_iters was
+        # set far too low for the graph, not a data problem.
+        raise RuntimeError(
+            f"connected_components_star did not reach its fixed point "
+            f"in max_iters={max_iters} rounds; raise max_iters "
+            f"(~log2(n) rounds are needed)"
+        )
     parent = e.select(
         F.col("b").alias("node"), F.col("a").alias("component_id")
     )

@@ -385,14 +385,23 @@ def rollup_refresh_batch_fn(path: str,
 
 
 def gc_snapshots(path: str, keep: int = 2) -> int:
-    """Retention GC for any snapshot-staged store under ``path``
-    (rollup levels, sketch levels, component star forests — anything
-    laid out as ``<group>/snap-<tag>``): delete snapshot data not
-    among the last ``keep`` committed tags, return how many dirs were
+    """Retention GC for LATEST-TAG-READER snapshot stores under
+    ``path`` (rollup levels, sketch levels, component star forests —
+    anything laid out as ``<group>/snap-<tag>`` whose readers resolve
+    only the latest committed tag): delete snapshot data not among
+    the last ``keep`` committed tags, return how many dirs were
     removed.  A long-running refresh stream otherwise accumulates one
-    snapshot per micro-batch.  Markers stay — they are the replay-skip
-    record; readers only ever resolve the LATEST committed tag, so
-    removing superseded snapshots cannot race a current-state read."""
+    snapshot per micro-batch.  Markers stay — they are the
+    replay-skip record; because readers of these stores only ever
+    resolve the LATEST committed tag, removing superseded snapshots
+    cannot race a current-state read.
+
+    NOT every snapshot-staged group is superseded-by-latest:
+    CUMULATIVE delta stores (the IVF ``vectors-delta`` group, where
+    the reader unions EVERY committed snapshot — see
+    ``similarity._ivf_vectors``) hold live data in every tag.  Those
+    groups use the ``-delta`` suffix convention and are skipped here;
+    deleting their old snapshots would drop live postings."""
     import shutil
 
     committed = _committed(path)
@@ -401,6 +410,10 @@ def gc_snapshots(path: str, keep: int = 2) -> int:
     for group in os.listdir(path):
         gdir = os.path.join(path, group)
         if group == "_commits" or not os.path.isdir(gdir):
+            continue
+        if group.endswith("-delta"):
+            # cumulative-delta store: every committed snapshot is
+            # live (readers union all of them) — never GC these
             continue
         for name in os.listdir(gdir):
             if not name.startswith("snap-"):

@@ -1097,3 +1097,172 @@ def test_ivf_index_incremental_refresh_matches_monolithic(
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert len(pf) >= 2  # base scan + delta scan
     assert all("cluster" in ln and "IN" in ln for ln in pf), pf
+
+
+def test_gc_snapshots_never_touches_ivf_delta_store(
+    spark, sf_dir, tmp_path
+):
+    """Retention GC is for latest-tag-reader stores; the IVF
+    ``vectors-delta`` group is CUMULATIVE (``_ivf_vectors`` unions
+    EVERY committed snapshot), so ``gc_snapshots(ivf_path, keep=1)``
+    must skip it entirely — r9 advisor flagged that without the
+    ``-delta`` guard this deleted live postings and broke
+    ``simsearch_ivf_indexed`` with a missing-path read."""
+    import os
+
+    from flink_window_dgim_traffic_spark.operators.rollup import (
+        gc_snapshots,
+    )
+    from flink_window_dgim_traffic_spark.operators.similarity import (
+        build_ivf_index,
+        refresh_ivf_index,
+        simsearch_ivf_indexed,
+    )
+    from flink_window_dgim_traffic_spark.session import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    inc = str(tmp_path / "ivf_gc")
+    build_ivf_index(emb.filter(F.col("vec_id") % 3 == 0), inc)
+    assert refresh_ivf_index(
+        spark, inc, emb.filter(F.col("vec_id") % 3 == 1), tag="d1"
+    )
+    assert refresh_ivf_index(
+        spark, inc, emb.filter(F.col("vec_id") % 3 == 2), tag="d2"
+    )
+    before = sorted(
+        map(tuple, simsearch_ivf_indexed(spark, inc, nprobe=4).collect())
+    )
+    # keep=1 would have deleted snap-d1 pre-guard
+    removed = gc_snapshots(inc, keep=1)
+    assert removed == 0
+    assert sorted(os.listdir(f"{inc}/vectors-delta")) == [
+        "snap-d1",
+        "snap-d2",
+    ]
+    after = sorted(
+        map(tuple, simsearch_ivf_indexed(spark, inc, nprobe=4).collect())
+    )
+    assert after == before
+
+
+def test_md5_60_bridge_bit_equal_spark_duckdb(spark):
+    """The cross-engine hash bridge everything md5-family rests on:
+    Spark conv(substr(md5(x),start,15),16,10) must equal DuckDB
+    ('0x'||substr(md5(x),start,15))::BIGINT for both hex lanes."""
+    import duckdb
+
+    from flink_window_dgim_traffic_spark.operators.dedup import _md5_60
+
+    samples = ["", "a", "abc:0", "three word shingle", "ünïcode tøkens"]
+    rows = spark.createDataFrame(
+        [(s,) for s in samples], "s string"
+    ).select(
+        "s",
+        _md5_60(F.md5("s"), 1).alias("lane0"),
+        _md5_60(F.md5("s"), 16).alias("lane1"),
+    ).collect()
+    con = duckdb.connect()
+    for r in rows:
+        lo = con.execute(
+            "SELECT CAST(('0x'||substr(md5(?),1,15)) AS BIGINT),"
+            "       CAST(('0x'||substr(md5(?),16,15)) AS BIGINT)",
+            [r.s, r.s],
+        ).fetchone()
+        assert (r.lane0, r.lane1) == lo, r.s
+
+
+def test_minhash_md5_family_same_shape_and_recall(spark):
+    """hash_family='md5' keeps the verified-pair CONTRACT: output ⊆
+    exact ngram_jaccard_pairs at the same threshold (LSH can only
+    lose candidates, never invent pairs), and true duplicates are
+    found by both families."""
+    from flink_window_dgim_traffic_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                      # exact dup of 1
+            (3, base + " extra"),           # near dup of 1/2
+            (4, "completely different words none shared at all here ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    for fam in ("xxhash64", "md5"):
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in minhash_lsh_pairs(
+                docs, threshold=0.8, hash_family=fam
+            ).collect()
+        }
+        assert got <= exact, fam
+        assert (1, 2) in got, fam  # identical signatures always collide
+
+
+def test_simhash_md5_jvm_matches_python_reference(spark):
+    """The JVM-side md5 SimHash equals a direct Python replay of the
+    same algorithm (60-bit md5 token hash, ±1 bag votes, bit on when
+    votes > 0) — including the empty-doc → 0 convention."""
+    import hashlib as _hl
+
+    from flink_window_dgim_traffic_spark.operators.dedup import (
+        simhash_fingerprints_md5,
+    )
+
+    def py_simhash(text):
+        toks = [t for t in (text or "").split(" ") if t]
+        votes = [0] * 60
+        for tok in toks:
+            h = int(_hl.md5(tok.encode()).hexdigest()[:15], 16)
+            for j in range(60):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        return sum(1 << j for j in range(60) if votes[j] > 0)
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, ""),
+        (4, "   "),
+        (5, "repeat repeat repeat distinct"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id bigint, text string")
+    got = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprints_md5(docs).collect()
+    }
+    assert got == {i: py_simhash(t) for i, t in texts}
+
+
+def test_simhash_pairs_md5_hamming_exact(spark):
+    """md5-family pairs: hamming values are exact popcount-of-xor,
+    and within the pigeonhole guarantee (distance ≤ 3 over 4 chunks)
+    near-identical docs are found.  Fixture distances precomputed
+    with the Python replay: base+'' = 0, base+' zz' = 3 (≤ 3, must be
+    found); base+' extraone' = 4 (outside the filter)."""
+    from flink_window_dgim_traffic_spark.operators.dedup import (
+        simhash_fingerprints_md5,
+        simhash_pairs,
+    )
+
+    base = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " zz"), (4, base + " extraone")],
+        "doc_id bigint, text string",
+    )
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints_md5(docs).collect()}
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_pairs(docs, max_hamming=3, hash_family="md5").collect()
+    }
+    for (a, b), ham in got.items():
+        assert ham == bin(fps[a] ^ fps[b]).count("1")
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 3 and got[(2, 3)] == 3
+    assert (1, 4) not in got  # distance 4 > max_hamming
