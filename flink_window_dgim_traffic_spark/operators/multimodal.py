@@ -72,13 +72,16 @@ def decode_media(payload: bytes, mime: str):
     in row-major (y, x, channel) order — exactly what a PIL-backed
     decoder would hand back for these formats.
 
-    Other mimes still raise NotImplementedError: real JPEG/PNG/audio
-    codecs are not in this container (reference has no media at all;
-    this surface is north-star scope)."""
+    ``image/png`` dispatches to the stdlib-zlib :func:`decode_png`
+    (r10).  Other mimes still raise NotImplementedError: real
+    JPEG/compressed-audio codecs are not in this container (reference
+    has no media at all; this surface is north-star scope)."""
+    if mime == PNG_MIME:
+        return decode_png(payload)
     if mime not in (PPM_MIME, PGM_MIME):
         raise NotImplementedError(
             f"no codec for {mime!r} in this environment; supported: "
-            f"{PPM_MIME} (P6), {PGM_MIME} (P5)"
+            f"{PPM_MIME} (P6), {PGM_MIME} (P5), {PNG_MIME}"
         )
     (magic, w_b, h_b, maxval), off = _pnm_header_tokens(payload, 4)
     channels = 3 if magic == b"P6" else 1
@@ -463,7 +466,10 @@ def media_ahash_fingerprints(blobs: DataFrame) -> DataFrame:
 
 
 def media_ahash_pairs(
-    documents: DataFrame, max_hamming: int = 3, group_size: int = 10
+    documents: DataFrame,
+    max_hamming: int = 3,
+    group_size: int = 10,
+    blob_fn=None,
 ) -> DataFrame:
     """Pixel-level perceptual NEAR-duplicate pairs: aHash fingerprints
     from genuinely decoded pixels, then the 4×16-bit pigeonhole bucket
@@ -476,9 +482,9 @@ def media_ahash_pairs(
     oracle-eligible: the hash is pure integer math over closed-form
     pixels, so the DuckDB twin recomputes fingerprints from the
     formula and replays the same pigeonhole join."""
-    fps = media_ahash_fingerprints(
-        with_pnm_blob_grouped(documents, group_size)
-    )
+    if blob_fn is None:
+        blob_fn = with_pnm_blob_grouped
+    fps = media_ahash_fingerprints(blob_fn(documents, group_size))
     # pin + spread (see media_neardup): one decode pass, parallel
     # candidate join, no exchange between the co-partitioned aliases
     par = documents.sparkSession.sparkContext.defaultParallelism
@@ -1095,4 +1101,322 @@ def media_audio_ahash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ----------------------------------------------------------------------
+# PNG — REAL compressed-image codec with stdlib zlib only (r9 verdict
+# ask #2): IHDR/IDAT/IEND chunk walk with CRC verification, inflate,
+# and all five scanline unfilters (None/Sub/Up/Average/Paeth).  The
+# format real training corpora actually carry; pixels in the synthetic
+# fixtures stay the SAME closed-form integer function of
+# (doc_id, flat index) as the netpbm family, so every aggregate reuses
+# the decoder-free DuckDB oracles verbatim.
+# ----------------------------------------------------------------------
+
+PNG_MIME = "image/png"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PaethPredictor from the PNG spec (RFC 2083 §6.6): pick the
+    neighbor (left a / above b / upper-left c) closest to a+b-c,
+    breaking ties left, above, upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    filters=None,
+    idat_chunk: int = 512,
+) -> bytes:
+    """Minimal PNG encoder (stdlib zlib only): 8-bit color type 2
+    (RGB) or 0 (grayscale), per-row filter types from ``filters``
+    (default all 0) with the spec's filter TRANSFORM applied — so a
+    decoder must genuinely unfilter, not just inflate.  IDAT is split
+    into ``idat_chunk``-byte chunks to exercise multi-IDAT joins.
+    Deterministic: same inputs → same bytes."""
+    import struct
+    import zlib
+
+    if channels not in (1, 2, 3, 4):
+        raise ValueError(
+            "channels must be 1 (gray), 2 (gray+alpha), 3 (RGB) or"
+            " 4 (RGBA)"
+        )
+    rowbytes = width * channels
+    if len(pixels) != rowbytes * height:
+        raise ValueError(
+            f"pixel buffer: want {rowbytes * height}, got {len(pixels)}"
+        )
+    if filters is None:
+        filters = [0] * height
+    bpp = channels  # bytes per pixel at bit depth 8
+    raw = bytearray()
+    prev = bytes(rowbytes)
+    for y in range(height):
+        f = filters[y]
+        row = pixels[y * rowbytes : (y + 1) * rowbytes]
+        raw.append(f)
+        for i, x in enumerate(row):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) // 2
+            elif f == 4:
+                pred = _paeth(left, up, ul)
+            else:
+                raise ValueError(f"filter type {f} out of range")
+            raw.append((x - pred) % 256)
+        prev = row
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    compressed = zlib.compress(bytes(raw), 6)
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    for off in range(0, len(compressed), idat_chunk):
+        out += chunk(b"IDAT", compressed[off : off + idat_chunk])
+    return out + chunk(b"IEND", b"")
+
+
+def decode_png(payload: bytes):
+    """Pure-Python PNG decode: signature check, chunk walk with CRC32
+    verification on EVERY chunk, IHDR validation (8-bit, color type
+    0/2, no interlace), multi-IDAT concatenation, zlib inflate, and
+    the five scanline unfilters.  Returns
+    ``(width, height, channels, pixels: bytes)`` in row-major
+    (y, x, channel) order — the same contract as
+    :func:`decode_media`'s netpbm path.  Raises ValueError on any
+    structural corruption (bad magic, CRC mismatch, truncation,
+    filter byte out of range, inflated size mismatch)."""
+    import struct
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, n = len(_PNG_SIG), len(payload)
+    ihdr = None
+    idat = bytearray()
+    seen_iend = False
+    while pos < n:
+        if pos + 8 > n:
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > n:
+            raise ValueError(f"truncated {ctype!r} chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + body) != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body
+            )
+            # color types: 0 gray, 2 RGB, 4 gray+alpha, 6 RGBA
+            # (3 = palette needs PLTE indirection — out of scope)
+            n_ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if depth != 8 or n_ch is None:
+                raise ValueError(
+                    f"only 8-bit gray/RGB/GA/RGBA supported "
+                    f"(depth={depth}, color={color})"
+                )
+            if comp != 0 or filt != 0 or inter != 0:
+                raise ValueError("unsupported compression/filter/interlace")
+            ihdr = (w, h, n_ch)
+        elif ctype == b"IDAT":
+            if ihdr is None:
+                raise ValueError("IDAT before IHDR")
+            idat += body
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + length
+    if ihdr is None or not seen_iend:
+        raise ValueError("missing IHDR or IEND")
+    w, h, channels = ihdr
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
+    rowbytes = w * channels
+    if len(raw) != (rowbytes + 1) * h:
+        raise ValueError(
+            f"inflated size mismatch: want {(rowbytes + 1) * h}, "
+            f"got {len(raw)}"
+        )
+    bpp = channels
+    out = bytearray()
+    prev = bytes(rowbytes)
+    for y in range(h):
+        f = raw[y * (rowbytes + 1)]
+        row = bytearray(
+            raw[y * (rowbytes + 1) + 1 : (y + 1) * (rowbytes + 1)]
+        )
+        if f == 1:
+            for i in range(bpp, rowbytes):
+                row[i] = (row[i] + row[i - bpp]) % 256
+        elif f == 2:
+            for i in range(rowbytes):
+                row[i] = (row[i] + prev[i]) % 256
+        elif f == 3:
+            for i in range(rowbytes):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) % 256
+        elif f == 4:
+            for i in range(rowbytes):
+                left = row[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _paeth(left, prev[i], ul)) % 256
+        elif f != 0:
+            raise ValueError(f"filter byte {f} out of range")
+        out += row
+        prev = bytes(row)
+    return w, h, channels, bytes(out)
+
+
+def with_png_blob(documents: DataFrame) -> DataFrame:
+    """Attach a REAL PNG payload per doc with the SAME deterministic
+    raster as :func:`with_pnm_blob` (pixel ``(doc_id*7 + i*13) % 256``,
+    w = doc_id%13+2, h = doc_id%11+2, RGB for even / gray for odd
+    doc_ids) — so the netpbm closed-form oracles apply unchanged.
+    The per-row filter type cycles ``(doc_id + y) % 5``, exercising
+    every unfilter path on every corpus.  Map-only."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mimes = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 13 + 2, d % 11 + 2
+                ch = 3 if d % 2 == 0 else 1
+                n = w * h * ch
+                body = bytes((d * 7 + i * 13) % 256 for i in range(n))
+                filters = [(d + y) % 5 for y in range(h)]
+                payloads.append(encode_png(w, h, ch, body, filters))
+                mimes.append(PNG_MIME)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": mimes,
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        encode, "doc_id bigint, payload binary, mime string"
+    )
+
+
+def with_png_blob_grouped(
+    documents: DataFrame, group_size: int = 10
+) -> DataFrame:
+    """PNG twin of :func:`with_pnm_blob_grouped`: same group-shared
+    base raster + one perturbed pixel per doc, PNG-encoded with
+    cycling row filters — so :func:`media_ahash_pairs` over these
+    blobs reuses the pnm pair oracle verbatim."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mimes = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d // group_size
+                w, h = g % 13 + 2, g % 11 + 2
+                ch = 3 if g % 2 == 0 else 1
+                n = w * h * ch
+                p = d % n
+                body = bytearray((g * 7 + i * 13) % 256 for i in range(n))
+                body[p] = (body[p] + 128) % 256
+                filters = [(d + y) % 5 for y in range(h)]
+                payloads.append(encode_png(w, h, ch, bytes(body), filters))
+                mimes.append(PNG_MIME)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": mimes,
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        encode, "doc_id bigint, payload binary, mime string"
+    )
+
+
+def media_png_stats(documents: DataFrame) -> DataFrame:
+    """Pixel aggregates through the REAL compressed decode path:
+    encode PNG (filtered + deflated) → :func:`decode_png` (CRC walk,
+    inflate, unfilter) → per-doc integer aggregates.  Same schema and
+    same closed-form oracle as :func:`media_pixel_stats` — the codec
+    is the only thing under test.  Map-only."""
+    blobs = with_png_blob(documents)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sums, mins, maxs, cnts = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, ch, px = decode_png(bytes(payload))
+                ids.append(doc_id)
+                sums.append(sum(px))
+                mins.append(min(px))
+                maxs.append(max(px))
+                cnts.append(len(px))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "px_sum": pd.Series(sums, dtype="int64"),
+                    "px_min": pd.Series(mins, dtype="int64"),
+                    "px_max": pd.Series(maxs, dtype="int64"),
+                    "n_px": pd.Series(cnts, dtype="int64"),
+                }
+            )
+
+    return blobs.mapInPandas(
+        stats,
+        "doc_id bigint, px_sum bigint, px_min bigint, "
+        "px_max bigint, n_px bigint",
+    )
+
+
+def media_png_ahash_pairs(
+    documents: DataFrame, max_hamming: int = 3, group_size: int = 10
+) -> DataFrame:
+    """Perceptual near-dup pairs over DECODED PNG pixels: identical
+    candidate/verify structure to :func:`media_ahash_pairs` (aHash →
+    4×16-bit pigeonhole bucket join → hamming), but the fingerprints
+    come through the full CRC-walk + inflate + unfilter decode.  The
+    group fixture rasters equal the pnm grouped fixture's, so the
+    SAME DuckDB pair oracle checks this end to end."""
+    return media_ahash_pairs(
+        documents,
+        max_hamming=max_hamming,
+        group_size=group_size,
+        blob_fn=with_png_blob_grouped,
     )
