@@ -70,6 +70,15 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # Before the JVM starts: put the TWS protobuf runtime + this
+    # package's parent on PYTHONPATH — the transformWithStateInPandas
+    # driver worker reads only the environment captured at JVM start
+    # (addPyFile does not reach it); harmless no-op everywhere else.
+    from flink_window_dgim_traffic_spark.streaming.stateful_dgim import (
+        enable_tws_runtime,
+    )
+
+    enable_tws_runtime()
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ship_package(spark)

@@ -11,6 +11,7 @@ exists for.
 
 from __future__ import annotations
 
+import os
 from datetime import timezone
 from typing import Iterator, Tuple
 
@@ -50,13 +51,20 @@ def make_dgim_update_fn(size_sec: int, mode: str = MODE_JAVA, evict: bool = Fals
             sk = DGIM.from_flat(size_sec, list(flat), mode=mode)
         else:
             sk, ones, nrows = DGIM(size_sec, mode=mode), 0, 0
-        for pdf in pdfs:
-            sub = pdf.sort_values("ts_sec", kind="mergesort")
-            for b, t in zip(sub["bit"].to_numpy(), sub["ts_sec"].to_numpy()):
-                if b == 1:
-                    sk.add(int(t))
-                    ones += 1
-            nrows += len(sub)
+        # sort ONCE across the whole group iterator: a key's batch
+        # rows can span multiple Arrow chunks, and per-chunk sorting
+        # would feed the (order-sensitive) sketch out of time order
+        frames = [pdf for pdf in pdfs]
+        sub = (
+            pd.concat(frames).sort_values("ts_sec", kind="mergesort")
+            if frames
+            else pd.DataFrame({"bit": [], "ts_sec": []})
+        )
+        for b, t in zip(sub["bit"].to_numpy(), sub["ts_sec"].to_numpy()):
+            if b == 1:
+                sk.add(int(t))
+                ones += 1
+        nrows += len(sub)
         state.update((sk.to_flat(), ones, nrows))
         # The grouping key arrives as a NAIVE datetime in the Spark
         # session timezone (UTC per session.py).  Derive BOTH the
@@ -118,15 +126,185 @@ def tumble_dgim_stream(
 # ----------------------------------------------------------------------
 # transformWithStateInPandas variant (Spark 4.x StatefulProcessor API)
 # ----------------------------------------------------------------------
-def tws_available() -> bool:
-    """True when the transformWithStateInPandas runtime can start
-    (requires protobuf for its state-server protocol)."""
+#: directories that may carry a pure-Python ``google.protobuf``
+#: package without being on sys.path — the google-cloud-sdk ships one
+#: for its appengine tooling.  Probed by :func:`enable_tws_runtime`;
+#: override/extend with $SPARK_GRAFT_PROTOBUF_PATH.
+_PROTOBUF_FALLBACK_DIRS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+
+_TWS_RUNTIME = {"dir": None, "zip": None, "shipped": set()}
+
+
+def _build_portable_protobuf(src_dir: str) -> tuple[str, str]:
+    """Copy the pure-Python ``google/protobuf`` tree from ``src_dir``
+    into a temp staging dir, append a no-op override of
+    ``ValidateProtobufRuntimeVersion`` to its ``runtime_version.py``
+    (the probed runtimes are one minor behind PySpark's gencode;
+    pure-Python descriptors are wire-compatible across that skew and
+    the batch==stream equality test is the real gate), and zip it —
+    the zip is what :func:`ship_tws_runtime` sends to workers via
+    ``addPyFile``.  Returns (staging_dir, zip_path)."""
+    import shutil
+    import tempfile
+    import zipfile
+
+    stage = tempfile.mkdtemp(prefix="spark_graft_tws_pb_")
+    dst = os.path.join(stage, "google", "protobuf")
+    shutil.copytree(os.path.join(src_dir, "google", "protobuf"), dst)
+    with open(os.path.join(dst, "runtime_version.py"), "a") as fh:
+        fh.write(
+            "\n\n# spark-graft portable copy: accept newer gencode on"
+            "\n# this older pure-Python runtime (wire-compatible;"
+            "\n# end-to-end equality is asserted in tests)"
+            "\ndef ValidateProtobufRuntimeVersion(*args, **kwargs):"
+            "  # noqa: F811\n  return\n"
+        )
+    zip_path = os.path.join(stage, "tws_protobuf.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(os.path.join(stage, "google")):
+            for name in files:
+                full = os.path.join(root, name)
+                zf.write(full, os.path.relpath(full, stage))
+    return stage, zip_path
+
+
+def enable_tws_runtime() -> bool:
+    """Make ``google.protobuf`` importable for the TWS state-server
+    protocol on the DRIVER, and stage it for workers.  Returns True
+    when the import works.
+
+    Resolution order: a real site-packages install wins (nothing to
+    do — workers share it).  Otherwise probe
+    ``$SPARK_GRAFT_PROTOBUF_PATH`` then ``_PROTOBUF_FALLBACK_DIRS``
+    for a pure-Python copy, build a PATCHED portable copy + zip
+    (:func:`_build_portable_protobuf` — no install step, the no-pip
+    constraint stands), put it on the driver's sys.path, and prepend
+    it to ``$PYTHONPATH`` so workers of any FUTURE session inherit it
+    through the JVM.  Workers of a session whose JVM already started
+    need :func:`ship_tws_runtime` (addPyFile) instead —
+    :func:`tumble_dgim_stream_tws` calls it automatically."""
+    import sys
+
+    if _TWS_RUNTIME["dir"] is None:
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+
+            return True  # real install; workers share it
+        except ImportError:
+            pass
+        cands = [os.environ.get("SPARK_GRAFT_PROTOBUF_PATH")]
+        cands += list(_PROTOBUF_FALLBACK_DIRS)
+        src = next(
+            (
+                p
+                for p in cands
+                if p and os.path.isdir(os.path.join(p, "google", "protobuf"))
+            ),
+            None,
+        )
+        if src is None:
+            return False
+        stage, zip_path = _build_portable_protobuf(src)
+        _TWS_RUNTIME["dir"], _TWS_RUNTIME["zip"] = stage, zip_path
+    stage = _TWS_RUNTIME["dir"]
+    if stage not in sys.path:
+        sys.path.insert(0, stage)
+    # The TWS *driver worker* (StreamingPythonRunner) does NOT apply
+    # addPyFile includes when unpickling the StatefulProcessor — it
+    # only sees PYTHONPATH captured at JVM start.  Prepend both the
+    # protobuf stage and this package's parent dir so a session
+    # created AFTER this call can run TWS from any cwd (observed:
+    # without this, STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE /
+    # ModuleNotFoundError from /tmp even though ship_package covered
+    # the regular workers).
+    pkg_parent = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    pp = os.environ.get("PYTHONPATH", "")
+    parts = pp.split(os.pathsep) if pp else []
+    for extra in (stage, pkg_parent):
+        if extra not in parts:
+            parts.insert(0, extra)
+    os.environ["PYTHONPATH"] = os.pathsep.join(parts)
     try:
         from google.protobuf import descriptor  # noqa: F401
 
         return True
     except ImportError:
         return False
+
+
+def ship_tws_runtime(spark) -> bool:
+    """Make the TWS protobuf runtime importable in the WORKERS of an
+    ALREADY-RUNNING session: when the driver is using the portable
+    copy (no site-packages install), ``addPyFile`` its zip so the
+    worker daemon — whose environment was frozen when the JVM
+    started — finds ``google.protobuf`` on the shipped path.
+    Idempotent per session.  Returns :func:`enable_tws_runtime`'s
+    verdict."""
+    ok = enable_tws_runtime()
+    if not ok or _TWS_RUNTIME["zip"] is None:
+        return ok  # real install (workers share it) or unavailable
+    sc = spark.sparkContext
+    key = sc.applicationId
+    if key not in _TWS_RUNTIME["shipped"]:
+        sc.addPyFile(_TWS_RUNTIME["zip"])
+        _TWS_RUNTIME["shipped"].add(key)
+    return True
+
+
+def tws_available() -> bool:
+    """True when the transformWithStateInPandas runtime can start:
+    :func:`enable_tws_runtime` made ``google.protobuf`` importable AND
+    PySpark's generated ``StateMessage_pb2`` actually loads under it
+    (the version-checked step)."""
+    if not enable_tws_runtime():
+        return False
+    try:
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+class tws_state_store_conf:
+    """Context manager pinning the RocksDB state store provider for a
+    TWS query: transformWithStateInPandas keeps each state variable in
+    its own column family, which the default HDFSBacked provider
+    rejects (StateStoreMultipleColumnFamiliesNotSupported).  The conf
+    is read at QUERY START, so scoping it to the ``start()`` call
+    leaves every other stateful query on the default provider."""
+
+    _KEY = "spark.sql.streaming.stateStore.providerClass"
+    _ROCKSDB = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+
+    def __init__(self, spark) -> None:
+        self._spark = spark
+        self._prev = None
+
+    def __enter__(self):
+        try:
+            self._prev = self._spark.conf.get(self._KEY)
+        except Exception:
+            self._prev = None
+        self._spark.conf.set(self._KEY, self._ROCKSDB)
+        return self
+
+    def __exit__(self, *exc):
+        if self._prev is None:
+            self._spark.conf.unset(self._KEY)
+        else:
+            self._spark.conf.set(self._KEY, self._prev)
+        return False
+
+
 class DGIMProcessor(StatefulProcessor):
     """The ``transformWithStateInPandas`` StatefulProcessor for the
     incremental tumbling DGIM (typed ValueState handle instead of
@@ -153,15 +331,18 @@ class DGIMProcessor(StatefulProcessor):
             sk = DGIM.from_flat(self._size_sec, list(flat), mode=self._mode)
         else:
             sk, ones, nrows = DGIM(self._size_sec, mode=self._mode), 0, 0
-        for pdf in rows:
-            sub = pdf.sort_values("ts_sec", kind="mergesort")
-            for b, t in zip(
-                sub["bit"].to_numpy(), sub["ts_sec"].to_numpy()
-            ):
-                if b == 1:
-                    sk.add(int(t))
-                    ones += 1
-            nrows += len(sub)
+        # same cross-chunk sort discipline as make_dgim_update_fn
+        frames = [pdf for pdf in rows]
+        sub = (
+            pd.concat(frames).sort_values("ts_sec", kind="mergesort")
+            if frames
+            else pd.DataFrame({"bit": [], "ts_sec": []})
+        )
+        for b, t in zip(sub["bit"].to_numpy(), sub["ts_sec"].to_numpy()):
+            if b == 1:
+                sk.add(int(t))
+                ones += 1
+        nrows += len(sub)
         self._st.update((sk.to_flat(), ones, nrows))
         yield pd.DataFrame(
             {
@@ -182,18 +363,22 @@ def tumble_dgim_stream_tws(parsed, size_sec: int = 60, mode: str = MODE_JAVA):
     Kept alongside the applyInPandasWithState path so both stateful
     APIs stay exercised; outputs are tested identical.
 
-    NOTE: the TWS runtime needs ``google.protobuf`` (its state-server
-    protocol), which this container lacks — the end-to-end run gates
-    on :func:`tws_available`; on a normal Spark 4.x install it runs.
-    Vendoring was ruled out after a system-wide search (no protobuf
-    wheel, conda pkg, or site-packages copy exists anywhere on this
-    host, and package installation is banned).  The processor ITSELF
-    (:class:`DGIMProcessor`) is runtime-independent and is driven
-    directly with a fake state handle in tests/test_streaming.py, so
-    the path is exercised — batch-replay equality asserted — with or
-    without protobuf."""
+    Runtime requirements (both satisfied in CI since r10, so the
+    end-to-end branch of tests/test_streaming.py actually executes):
+    ``google.protobuf`` for the state-server protocol — located by
+    :func:`enable_tws_runtime` (site-packages, or a pure-Python copy
+    on a probed path; no install step) — and the RocksDB state store
+    provider (TWS uses one column family per state variable, which
+    the default HDFSBacked provider rejects; scope it with
+    :class:`tws_state_store_conf`).  The processor ITSELF
+    (:class:`DGIMProcessor`) is runtime-independent and additionally
+    driven directly with a fake state handle in tests, so state
+    reload slicing stays covered even where the runtime is absent."""
     from pyspark.sql import functions as F
 
+    # workers of an already-running session need the portable
+    # protobuf shipped (no-op on a real install); see ship_tws_runtime
+    ship_tws_runtime(parsed.sparkSession)
     keyed = parsed.select(
         F.window("ts", f"{size_sec} seconds").getItem("end").alias("we"),
         "bit",
@@ -229,13 +414,20 @@ def make_hop_dgim_update_fn(
             sk = DGIM.from_flat(size_sec, list(flat), mode=mode)
         else:
             sk, ones, nrows = DGIM(size_sec, mode=mode), 0, 0
-        for pdf in pdfs:
-            sub = pdf.sort_values("ts_sec", kind="mergesort")
-            for b, t in zip(sub["bit"].to_numpy(), sub["ts_sec"].to_numpy()):
-                if b == 1:
-                    sk.add(int(t))
-                    ones += 1
-            nrows += len(sub)
+        # sort ONCE across the whole group iterator: a key's batch
+        # rows can span multiple Arrow chunks, and per-chunk sorting
+        # would feed the (order-sensitive) sketch out of time order
+        frames = [pdf for pdf in pdfs]
+        sub = (
+            pd.concat(frames).sort_values("ts_sec", kind="mergesort")
+            if frames
+            else pd.DataFrame({"bit": [], "ts_sec": []})
+        )
+        for b, t in zip(sub["bit"].to_numpy(), sub["ts_sec"].to_numpy()):
+            if b == 1:
+                sk.add(int(t))
+                ones += 1
+        nrows += len(sub)
         state.update((sk.to_flat(), ones, nrows))
         # Same naive-as-UTC reading as the tumble twin above:
         # `.timestamp()` on the naive key would apply the HOST

@@ -353,10 +353,15 @@ def test_tws_dgim_matches_batch_replay(spark, fixture_dir, batch_parsed):
     assert final == expect
 
     if tws_available():
-        stream = J.parse_traffic(J.file_traffic_stream(spark, fixture_dir))
-        J.run_stream_to_memory(
-            tumble_dgim_stream_tws(stream, 60), "t_dgim_tws", "update"
+        from flink_window_dgim_traffic_spark.streaming.stateful_dgim import (
+            tws_state_store_conf,
         )
+
+        stream = J.parse_traffic(J.file_traffic_stream(spark, fixture_dir))
+        with tws_state_store_conf(spark):
+            J.run_stream_to_memory(
+                tumble_dgim_stream_tws(stream, 60), "t_dgim_tws", "update"
+            )
         e2e = {
             r["window_end"]: (r["count_estimate"], r["exact_count"])
             for r in spark.sql("SELECT * FROM t_dgim_tws").collect()
