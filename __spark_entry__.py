@@ -123,6 +123,48 @@ def _simsearch_ivf_incremental(s: SparkSession, d: str) -> DataFrame:
     return S.simsearch_ivf_indexed(s, idx)
 
 
+def _stream_simsearch_ivf(s: SparkSession, d: str) -> DataFrame:
+    """STREAMING ANN index maintenance end to end (VERDICT r9 ask #7):
+    train/build on a third of the corpus, then replay the rest as
+    micro-batches through ``foreachBatch`` → ``refresh_ivf_index``
+    (frozen codebook, exactly-once commit markers — the
+    stream_components_suppliers contract), and probe the final
+    base ∪ deltas index.  Rows-only at the driver (seeded centroids);
+    the hash contract — final probes == a ONE-SHOT batch index built
+    from the same codebook over all vectors — is pinned in
+    tests/test_dedup_similarity.py::test_stream_ivf_refresh_matches_batch."""
+    import os
+
+    emb = _embeddings(s, d)
+    base = _mkdtemp(prefix="spark_graft_ivfstream_")
+    src, idx = f"{base}/src", f"{base}/idx"
+    S.build_ivf_index(emb.filter(F.col("vec_id") % 3 == 0), idx)
+    for i in (1, 2):
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/c{i}")
+    files = sorted(
+        f"{src}/c{i}/{nm}"
+        for i in (1, 2)
+        for nm in os.listdir(f"{src}/c{i}")
+        if nm.endswith(".parquet")
+    )
+    for i, p in enumerate(files):
+        os.utime(p, (1000000000 + i * 60,) * 2)
+    q = (
+        s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .writeStream.foreachBatch(S.ivf_refresh_batch_fn(idx))
+        .option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return S.simsearch_ivf_indexed(s, idx)
+
+
 def _neardup_incremental(s: SparkSession, d: str) -> DataFrame:
     """Persisted-MinHash-index deployment shape: index the even-doc_id
     half of the corpus on disk, probe the odd half (both halves from
@@ -1668,6 +1710,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # since r10 (VERDICT ask #3) — final TWS state == sequential
         # DGIM closed form
         "stream_tumble_dgim_tws": _stream_tumble_dgim_tws,
+        # streaming ANN index maintenance (VERDICT ask #7): foreachBatch
+        # replay into the frozen-codebook delta store; rows-only
+        # (seeded centroids), stream==batch hash pinned in pytest
+        "stream_simsearch_ivf": _stream_simsearch_ivf,
+        # bound anchors for two rows-only families (VERDICT ask #8,
+        # the tumble_dgim_bound pattern): every emitted column except
+        # the Spark-computed verdict is a closed form of the raw data,
+        # so DuckDB recomputes the row and the hash gate fails iff
+        # zlib leaves its compressBound envelope / the KLL sketch
+        # breaks its rank-error guarantee
+        "compression_ratio_bound": lambda s, d: QL.compression_ratio_bound(
+            _documents(s, d)
+        ),
+        "kll_rollup_quantile_bound_1h": lambda s, d: (
+            SK.kll_rollup_quantile_bound(
+                s, _sketch_rollup_path(s, d), _events(s, d), 3600
+            )
+        ),
         # ---- round-9 additions ----
         # DGIM bound anchors for the remaining two window kinds: the
         # estimate equals g(sum(bit)) because nothing expires within
@@ -5707,6 +5767,27 @@ FROM c ORDER BY n DESC, ngram LIMIT 20
         # r10: the REAL TWS runtime replays the same time-ordered
         # sequence, so the final state matches the closed form too
         "stream_tumble_dgim_tws": _tumble_dgim_sql(n_rows=True),
+        # r10 bound anchors (ask #8): all columns except the verdict
+        # are closed forms; the verdict must be uniformly TRUE
+        "compression_ratio_bound": """
+WITH d AS (SELECT doc_id,
+           octet_length(encode(coalesce(text, ''))) AS n FROM documents)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+       CAST(n + (n // 4096) + (n // 16384) + (n // 33554432) + 13
+            AS BIGINT) AS bound_bytes,
+       TRUE AS within_bound
+FROM d
+""",
+        "kll_rollup_quantile_bound_1h": """
+WITH w AS (SELECT (CAST(floor(epoch(ts)/3600) AS BIGINT)+1)*3600 AS we
+           FROM events),
+c AS (SELECT we, count(*) AS n FROM w GROUP BY we)
+SELECT strftime(make_timestamp(we*1000000), '%Y-%m-%d %H:%M:%S')
+         AS window_end,
+       CAST(p.phi_ppm AS BIGINT) AS phi_ppm,
+       CAST(n AS BIGINT) AS n_rows, TRUE AS within_bound
+FROM c, (SELECT unnest([500000, 950000]) AS phi_ppm) p
+""",
         "tumble_dgim_bound": """
 WITH e AS (SELECT CAST(event_id % 2 AS INT) AS bit, ts FROM events),
 w AS (SELECT bit, (CAST(floor(epoch(ts)/60) AS BIGINT)*60 + 60) AS we FROM e),

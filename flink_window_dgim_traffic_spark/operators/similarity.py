@@ -1151,6 +1151,26 @@ def refresh_ivf_index(
     return True
 
 
+def ivf_refresh_batch_fn(path: str):
+    """foreachBatch wrapper for :func:`refresh_ivf_index`: the batch
+    id IS the snapshot tag, so the commit-marker promotion gives
+    exactly-once under crash-replay (the rollup / component-store
+    contract) — a replayed committed batch returns immediately, a
+    replayed crashed batch re-stages against the same base.  This is
+    the streaming ANN deployment: the codebook stays frozen while the
+    crawl's new embeddings land as cluster-partitioned delta
+    snapshots, and probes over (base ∪ committed deltas) stay equal
+    to a monolithic index (pinned in tests + the
+    ``stream_simsearch_ivf`` driver entry)."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        refresh_ivf_index(
+            batch.sparkSession, path, batch, tag=f"batch-{batch_id}"
+        )
+
+    return process
+
+
 def _ivf_vectors(spark, path: str) -> DataFrame:
     """The index's vector set: base postings ∪ committed delta
     snapshots (each cluster-partitioned, so an ``isin`` on the

@@ -1266,3 +1266,79 @@ def test_simhash_pairs_md5_hamming_exact(spark):
     assert got[(1, 2)] == 0
     assert got[(1, 3)] == 3 and got[(2, 3)] == 3
     assert (1, 4) not in got  # distance 4 > max_hamming
+
+
+def test_stream_ivf_refresh_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming ANN maintenance contract (the windows/CC/rollup
+    batch==stream discipline, now for the similarity family): replay
+    two embedding micro-batches through foreachBatch →
+    refresh_ivf_index, and final probes over base ∪ committed deltas
+    must hash-equal a monolithic single-snapshot store whose vectors
+    were all assigned with the SAME frozen codebook.  Crash-replay:
+    re-running a committed batch tag is a no-op."""
+    import os
+
+    from flink_window_dgim_traffic_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_refresh_batch_fn,
+        refresh_ivf_index,
+        simsearch_ivf_indexed,
+    )
+    from flink_window_dgim_traffic_spark.session import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    base = str(tmp_path / "ivfstream")
+    src, idx = f"{base}/src", f"{base}/idx"
+    build_ivf_index(emb.filter(F.col("vec_id") % 3 == 0), idx)
+    for i in (1, 2):
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/c{i}"
+        )
+    files = sorted(
+        f"{src}/c{i}/{nm}"
+        for i in (1, 2)
+        for nm in os.listdir(f"{src}/c{i}")
+        if nm.endswith(".parquet")
+    )
+    for i, p in enumerate(files):
+        os.utime(p, (1000000000 + i * 60,) * 2)
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .writeStream.foreachBatch(ivf_refresh_batch_fn(idx))
+        .option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # two committed delta snapshots (one per micro-batch)
+    deltas = sorted(os.listdir(f"{idx}/vectors-delta"))
+    assert len(deltas) == 2, deltas
+    # replaying a committed tag is a no-op (exactly-once)
+    assert (
+        refresh_ivf_index(
+            spark, idx, emb.filter(F.col("vec_id") % 3 == 1),
+            tag=deltas[0][len("snap-"):],
+        )
+        is False
+    )
+    got = sorted(
+        map(tuple, simsearch_ivf_indexed(spark, idx, nprobe=4).collect())
+    )
+    # monolithic twin: same codebook, all vectors in one base store
+    mono = str(tmp_path / "ivfmono")
+    spark.read.parquet(f"{idx}/centroids").coalesce(1).write.parquet(
+        f"{mono}/centroids"
+    )
+    allv = spark.read.parquet(f"{idx}/vectors")
+    for dsnap in deltas:
+        allv = allv.unionByName(
+            spark.read.parquet(f"{idx}/vectors-delta/{dsnap}")
+        )
+    allv.write.partitionBy("cluster").parquet(f"{mono}/vectors")
+    want = sorted(
+        map(tuple, simsearch_ivf_indexed(spark, mono, nprobe=4).collect())
+    )
+    assert got == want and len(got) > 0

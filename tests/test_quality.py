@@ -207,3 +207,29 @@ def test_compression_ratio_signal_and_exact_values(spark):
     assert got[3] == (0, 0) and got[4] == (0, 0)
     # the signal: boilerplate compresses far better than junk
     assert got[1][1] < 100 < 500 < got[2][1]
+
+
+def test_compression_ratio_bound_envelope(spark):
+    """r10 bound anchor: verdict TRUE on real text (zlib stays inside
+    its own compressBound), bound_bytes equals the documented closed
+    form, and the empty/NULL contract rows are vacuous-true."""
+    from flink_window_dgim_traffic_spark.operators.quality import (
+        compression_ratio_bound,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world " * 100),
+            (2, "x"),
+            (3, ""),
+            (4, None),
+            (5, "".join(chr(65 + (i * 7) % 26) for i in range(5000))),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in compression_ratio_bound(docs).collect()}
+    assert all(r["within_bound"] for r in rows.values())
+    for d, r in rows.items():
+        n = r["n_bytes"]
+        assert r["bound_bytes"] == n + (n >> 12) + (n >> 14) + (n >> 25) + 13
+    assert rows[3]["n_bytes"] == 0 and rows[4]["n_bytes"] == 0

