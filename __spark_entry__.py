@@ -4,9 +4,13 @@
 ``queries()`` maps every implemented operator (SURVEY.md §2 + §7.6
 north-star extensions) to a (spark, sf_dir) → DataFrame callable.
 ``oracle_sql()`` gives the DuckDB twin for every SQL-expressible
-query; sketch-based / hash-seeded operators (DGIM, HLL, MinHash-LSH,
-SimHash, sign-LSH ANN, lang-id) are rows-only by design — each one
-has an exact twin or bound assertion in tests/.
+query; the remaining rows-only entries are seeded-sketch /
+partitioning-dependent by design (HLL, sign-LSH ANN, IVF centroids,
+BPE sample order) — each one has an exact twin, a *_bound hash
+anchor, or a bound assertion in tests/.  (r9-r10 graduated the
+once-rows-only DGIM estimates, lang-id, z-order, MinHash-LSH and
+SimHash to full hash checks via closed forms and the md5 hash
+family.)
 """
 
 from __future__ import annotations

@@ -30,6 +30,8 @@ semantics on ragged input rather than engine-dependent NULL shapes:
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -1171,16 +1173,96 @@ def ivf_refresh_batch_fn(path: str):
     return process
 
 
+def compact_ivf_index(spark, path: str, tag: str | None = None) -> bool:
+    """Fold base postings + every committed delta into ONE
+    cluster-partitioned snapshot, promoted with a ``{"compact": true}``
+    marker — after which :func:`_ivf_vectors` reads that snapshot plus
+    only LATER deltas, so probe cost resets to the single-snapshot
+    shape.  Why this exists (measured, BASELINE.md r10): probe wall
+    time grows ~linearly with committed snapshot count (~+0.08 s per
+    snapshot of per-member scan overhead at sf0.1), so a long-running
+    ``foreachBatch`` refresh stream compacts periodically — the same
+    LSM discipline as the IVM store's delta compaction.  Crash-safe by
+    the usual staging argument: data lands under ``snap-<tag>`` first,
+    the marker promotes atomically, and a replayed committed tag
+    returns False.  Run :func:`gc_ivf_deltas` afterwards to reclaim
+    the superseded snapshots."""
+    from flink_window_dgim_traffic_spark.operators.rollup import (
+        _committed,
+        _write_marker,
+    )
+
+    committed = _committed(path)
+    base_seq = committed[-1][0] if committed else 0
+    if tag is None:
+        tag = f"compact-{base_seq + 1}"
+    if any(t == tag for _, t in committed):
+        return False
+    _ivf_vectors(spark, path).write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(f"{path}/vectors-delta/snap-{tag}")
+    _write_marker(path, base_seq + 1, tag, {"compact": True})
+    return True
+
+
+def gc_ivf_deltas(path: str) -> int:
+    """Reclaim delta snapshots superseded by the LATEST compaction:
+    readers resolve the newest ``compact`` commit plus later deltas
+    only, so snapshots from strictly earlier commits hold no live
+    data.  Markers stay (replay-skip record).  The pre-compaction
+    ``vectors`` base dir is also superseded but kept — it is the
+    rebuild-from-scratch audit trail; remove it manually if storage
+    matters more.  Returns the number of snapshot dirs removed.
+    (This is the ONLY sanctioned GC for the ``-delta`` group —
+    ``rollup.gc_snapshots`` refuses it by design.)"""
+    import shutil
+
+    from flink_window_dgim_traffic_spark.operators.rollup import (
+        _committed,
+        _meta,
+    )
+
+    committed = _committed(path)
+    last_compact = None
+    for i, (seq, tag) in enumerate(committed):
+        if _meta(path, seq, tag).get("compact"):
+            last_compact = i
+    if last_compact is None:
+        return 0
+    removed = 0
+    for _seq, tag in committed[:last_compact]:
+        d = f"{path}/vectors-delta/snap-{tag}"
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            removed += 1
+    return removed
+
+
 def _ivf_vectors(spark, path: str) -> DataFrame:
     """The index's vector set: base postings ∪ committed delta
     snapshots (each cluster-partitioned, so an ``isin`` on the
-    partition column prunes directories in every member scan)."""
+    partition column prunes directories in every member scan).  When
+    a ``compact`` commit exists, the newest one REPLACES base + all
+    earlier deltas — only it and later snapshots are read."""
     from flink_window_dgim_traffic_spark.operators.rollup import (
         _committed,
+        _meta,
     )
 
-    df = spark.read.parquet(f"{path}/vectors")
-    for _, tag in _committed(path):
+    committed = _committed(path)
+    start = None
+    for i, (seq, tag) in enumerate(committed):
+        if _meta(path, seq, tag).get("compact"):
+            start = i
+    if start is None:
+        df = spark.read.parquet(f"{path}/vectors")
+        tail = committed
+    else:
+        df = spark.read.parquet(
+            f"{path}/vectors-delta/snap-{committed[start][1]}"
+        )
+        tail = committed[start + 1 :]
+    for _, tag in tail:
         df = df.unionByName(
             spark.read.parquet(f"{path}/vectors-delta/snap-{tag}")
         )

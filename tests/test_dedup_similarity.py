@@ -1342,3 +1342,66 @@ def test_stream_ivf_refresh_matches_batch(spark, sf_dir, tmp_path):
         map(tuple, simsearch_ivf_indexed(spark, mono, nprobe=4).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_compact_ivf_index_preserves_probes_and_gc_reclaims(
+    spark, sf_dir, tmp_path
+):
+    """LSM discipline for the streaming ANN store: compaction folds
+    base + all deltas into one snapshot WITHOUT changing any probe
+    result; gc_ivf_deltas then reclaims only superseded snapshots;
+    replayed compaction tags are no-ops; and a post-compaction
+    refresh still lands and is read."""
+    import os
+
+    from flink_window_dgim_traffic_spark.operators.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+        gc_ivf_deltas,
+        refresh_ivf_index,
+        simsearch_ivf_indexed,
+    )
+    from flink_window_dgim_traffic_spark.session import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfc")
+    build_ivf_index(emb.filter(F.col("vec_id") % 4 == 0), idx)
+    for i in (1, 2, 3):
+        assert refresh_ivf_index(
+            spark, idx, emb.filter(F.col("vec_id") % 4 == i), tag=f"d{i}"
+        )
+    before = sorted(
+        map(tuple, simsearch_ivf_indexed(spark, idx, nprobe=4).collect())
+    )
+    assert compact_ivf_index(spark, idx, tag="c1") is True
+    assert compact_ivf_index(spark, idx, tag="c1") is False  # replay
+    after = sorted(
+        map(tuple, simsearch_ivf_indexed(spark, idx, nprobe=4).collect())
+    )
+    assert after == before
+    # gc removes exactly the three superseded deltas, keeps compact
+    assert gc_ivf_deltas(idx) == 3
+    assert sorted(os.listdir(f"{idx}/vectors-delta")) == ["snap-c1"]
+    assert (
+        sorted(
+            map(
+                tuple,
+                simsearch_ivf_indexed(spark, idx, nprobe=4).collect(),
+            )
+        )
+        == before
+    )
+    # the general snapshot GC still refuses the delta group
+    from flink_window_dgim_traffic_spark.operators.rollup import (
+        gc_snapshots,
+    )
+
+    assert gc_snapshots(idx, keep=1) == 0
+    # post-compaction refresh: new delta lands on top of the compact
+    # snapshot and probes see the union
+    zero_new = emb.filter(F.col("vec_id") % 4 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    assert refresh_ivf_index(spark, idx, zero_new, tag="d4")
+    n_after = simsearch_ivf_indexed(spark, idx, nprobe=4).count()
+    assert n_after >= len(before)

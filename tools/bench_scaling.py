@@ -743,6 +743,22 @@ def main() -> None:
         "media_pixel_resize_stats": lambda docs, emb: (
             MM.media_pixel_resize_stats(docs)
         ),
+        # ---- round-10 additions ----
+        # audio perceptual near-dup: decoded-sample aHash + pigeonhole
+        # bucket join (the image twin saturated its 65k buckets at
+        # 30× — r9 verdict ask #4 pushes the audio sibling too)
+        "media_audio_ahash_pairs": lambda docs, emb: (
+            MM.media_audio_ahash_pairs(docs)
+        ),
+        # PNG codec path (inflate + unfilter per doc, map-only)
+        "media_png_stats": lambda docs, emb: MM.media_png_stats(docs),
+        # md5-family LSH (the oracle-checked hash family added in r10)
+        "minhash_lsh_pairs_md5": lambda docs, emb: D.minhash_lsh_pairs(
+            docs, threshold=0.8, hash_family="md5"
+        ),
+        "simhash_pairs_md5": lambda docs, emb: D.simhash_pairs(
+            docs, hash_family="md5"
+        ),
         # ---- round-9 additions ----
         # WAV encode -> RIFF/PCM16 decode -> aggregate, map-only
         "media_audio_stats": lambda docs, emb: MM.media_audio_stats(
