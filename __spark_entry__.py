@@ -2827,18 +2827,16 @@ def _minhash_lsh_sql(
     threshold: float = 0.8, num_perm: int = 64, bands: int = 16
 ) -> str:
     """DuckDB twin of dedup.minhash_lsh_pairs(hash_family='md5'):
-    shingle → 64 md5-lane min-hashes → 16 banded keys → bucket-join
-    candidates → exact Jaccard verify.  Replays the EXACT band
-    structure (seed ``i//2``, hex lane ``i%2``, band key = md5 of the
-    colon-joined decimal signature), so the candidate set — not just
-    the verified output — is engine-independent."""
+    shingle → Kirsch-Mitzenmacher double-hash min-hashes (ONE md5 per
+    shingle: perm_i = h1 + i·h2, h2 masked to 54 bits) → 16 banded
+    keys → bucket-join candidates → exact Jaccard verify.  Replays
+    the EXACT integer arithmetic, so the candidate set — not just the
+    verified output — is engine-independent."""
     rows_per_band = num_perm // bands
+    h1 = _md5_60_sql("s", 1)
+    h2 = f"({_md5_60_sql('s', 16)} & {(1 << 54) - 1})"
     mins = ",\n    ".join(
-        "min({h}) AS h{i}".format(
-            i=i,
-            h=_md5_60_sql(f"s || ':{i // 2}'", 1 if i % 2 == 0 else 16),
-        )
-        for i in range(num_perm)
+        f"min(hh.h1 + {i} * hh.h2) AS h{i}" for i in range(num_perm)
     )
     band_keys = ",\n    ".join(
         _md5_60_sql(
@@ -2855,9 +2853,10 @@ def _minhash_lsh_sql(
     )
     return f"""
 WITH {_SHINGLE_BASE},
+hh AS (SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM sh),
 mh AS (SELECT doc_id,
     {mins}
-  FROM sh GROUP BY doc_id),
+  FROM hh GROUP BY doc_id),
 bk AS (SELECT doc_id, i AS band, keys[i] AS band_key
        FROM (SELECT doc_id, [{band_keys}] AS keys FROM mh),
             unnest(generate_series(1, {bands})) AS t(i)),

@@ -299,15 +299,22 @@ def _md5_60(col, start: int = 1):
 
 def _perm_hash(col, i: int, hash_family: str):
     """Per-permutation shingle hash.  xxhash64 is the throughput
-    default (one 64-bit JVM hash per perm); md5 derives TWO 60-bit
-    perms per digest (seed ``i//2``, hex lane ``i%2``), halving the
-    digest count while staying DuckDB-reproducible."""
+    default (one 64-bit JVM hash per perm).  md5 uses Kirsch-
+    Mitzenmacher double hashing: ONE digest per shingle yields
+    ``h1`` (hex lane 1) and ``h2`` (hex lane 16, masked to 54 bits so
+    ``i·h2`` can never overflow int64), and permutation ``i`` is the
+    exact integer ``h1 + i·h2`` — 64 perms for one md5, which benched
+    9× faster than 32 digests/shingle at sf0.1 while staying
+    bit-reproducible in DuckDB (same conv/substr bridge, same
+    arithmetic)."""
     if hash_family == "xxhash64":
         return F.xxhash64(col, F.lit(i))
     if hash_family != "md5":
         raise ValueError(f"unknown hash_family {hash_family!r}")
-    digest = F.md5(F.concat(col, F.lit(f":{i // 2}")))
-    return _md5_60(digest, start=1 if i % 2 == 0 else 16)
+    digest = F.md5(col)
+    h1 = _md5_60(digest, start=1)
+    h2 = _md5_60(digest, start=16).bitwiseAND(F.lit((1 << 54) - 1))
+    return h1 + F.lit(i) * h2
 
 
 def _minhash_wide(
@@ -316,9 +323,33 @@ def _minhash_wide(
     sh: DataFrame | None = None,
     hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """One row per doc with ``num_perm`` min-hash columns ``h0..h{n-1}``."""
+    """One row per doc with ``num_perm`` min-hash columns ``h0..h{n-1}``.
+
+    The md5 family STAGES the double-hash bases (h1, h2) as projected
+    columns before the aggregate — one digest + two hex-conversions
+    per shingle row guaranteed, instead of relying on codegen
+    common-subexpression elimination across 64 agg expressions
+    (measured 3.5 s → ~2 s at sf0.1; the repetition_stats staging
+    lesson from the verify recipe)."""
     if sh is None:
         sh = shingles(documents)
+    if hash_family == "md5":
+        digest = F.md5(F.col("s"))
+        staged = sh.select(
+            "doc_id",
+            _md5_60(digest, start=1).alias("_h1"),
+            _md5_60(digest, start=16)
+            .bitwiseAND(F.lit((1 << 54) - 1))
+            .alias("_h2"),
+        )
+        return staged.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    F.col("_h1") + F.lit(i) * F.col("_h2")
+                ).alias(f"h{i}")
+                for i in range(num_perm)
+            ]
+        )
     return sh.groupBy("doc_id").agg(
         *[
             F.min(_perm_hash(F.col("s"), i, hash_family)).alias(f"h{i}")
