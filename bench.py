@@ -30,6 +30,15 @@ from flink_window_dgim_traffic_spark.session import get_spark, table  # noqa: E4
 # BASELINE.md §"Bench exclusions" (plan-identical twins and deliberate
 # anti-pattern parity demos).
 BENCH_QUERIES = [
+    # ---- round-10: PNG codec, real-TWS streaming DGIM, streaming
+    # IVF refresh, bound anchors (minhash_lsh_pairs / simhash_pairs
+    # keep their long-standing slots below — now on the md5 family) ----
+    "media_png_stats",
+    "media_png_ahash_pairs",
+    "stream_tumble_dgim_tws",
+    "stream_simsearch_ivf",
+    "compression_ratio_bound",
+    "kll_rollup_quantile_bound_1h",
     # ---- round-9: DGIM bound anchors for hop/cumulate, WAV decode ----
     "hop_dgim_bound",
     "cumulate_dgim_bound",

@@ -63,8 +63,13 @@ def test_media_blob_schema_and_features(documents):
 
 
 def test_decode_stub_contract():
-    with pytest.raises(NotImplementedError):
+    # PNG is REAL since r10: garbage bytes are a codec ValueError,
+    # not a missing-codec NotImplementedError
+    with pytest.raises(ValueError):
         M.decode_media(b"\x00\x01", "image/png")
+    # JPEG remains the documented codec boundary
+    with pytest.raises(NotImplementedError):
+        M.decode_media(b"\xff\xd8\xff", "image/jpeg")
 
 
 def test_resize_media_shape(spark):
@@ -409,7 +414,9 @@ def test_decode_media_pnm_hand_vectors():
     body5 = bytes([7, 8, 9])
     p5 = b"P5  3\t1\n255\n" + body5
     assert M.decode_media(p5, M.PGM_MIME) == (3, 1, 1, body5)
-    with pytest.raises(NotImplementedError):
+    # PNG dispatches to the real codec since r10: a truncated
+    # signature is a codec ValueError now
+    with pytest.raises(ValueError):
         M.decode_media(b"\x89PNG", "image/png")
     with pytest.raises(ValueError):
         M.decode_media(b"P6\n2 2\n255\n" + body6[:5], M.PPM_MIME)
