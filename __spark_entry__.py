@@ -1950,8 +1950,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round (the driver validates rows+schema for them; their
         # correctness anchors stay in pytest — see each origin
         # comment in the rows-only section below) ----
+        # r10: int_planes makes the bucket signs exact integer
+        # arithmetic (round-6 micro-units · int64 LCG planes), so the
+        # whole candidate→verify pipeline is DuckDB-replayable —
+        # flipped from rows-only to hash-checked; n_planes pinned at 8
+        # for the oracle (auto-sizing stays the scale-path default)
         "embedding_neardup_lsh": lambda s, d: S.embedding_neardup_lsh(
-            _embeddings(s, d), threshold=0.4
+            _embeddings(s, d), threshold=0.4, int_planes=True, n_planes=8
         ),
         "semantic_dedup_lsh": lambda s, d: S.semantic_dedup(
             _embeddings(s, d), use_lsh=True
@@ -2827,14 +2832,17 @@ def _minhash_lsh_sql(
     threshold: float = 0.8, num_perm: int = 64, bands: int = 16
 ) -> str:
     """DuckDB twin of dedup.minhash_lsh_pairs(hash_family='md5'):
-    shingle → Kirsch-Mitzenmacher double-hash min-hashes (ONE md5 per
-    shingle: perm_i = h1 + i·h2, h2 masked to 54 bits) → 16 banded
-    keys → bucket-join candidates → exact Jaccard verify.  Replays
-    the EXACT integer arithmetic, so the candidate set — not just the
-    verified output — is engine-independent."""
+    shingle → Kirsch-Mitzenmacher double-hash min-hashes (ONE md5 +
+    one hex-conversion per shingle: perm_i = h1 + i·h2, h2 an
+    overflow-free xorshift mix of h1) → 16 banded keys → bucket-join
+    candidates → exact Jaccard verify.  Replays the EXACT integer
+    arithmetic, so the candidate set — not just the verified output —
+    is engine-independent."""
     rows_per_band = num_perm // bands
     h1 = _md5_60_sql("s", 1)
-    h2 = f"({_md5_60_sql('s', 16)} & {(1 << 54) - 1})"
+    h2 = (
+        f"(xor((h1 & {(1 << 41) - 1}) << 13, h1 >> 19) | 1)"
+    )
     mins = ",\n    ".join(
         f"min(hh.h1 + {i} * hh.h2) AS h{i}" for i in range(num_perm)
     )
@@ -2853,7 +2861,8 @@ def _minhash_lsh_sql(
     )
     return f"""
 WITH {_SHINGLE_BASE},
-hh AS (SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM sh),
+hh AS (SELECT doc_id, h1, {h2} AS h2
+       FROM (SELECT doc_id, {h1} AS h1 FROM sh)),
 mh AS (SELECT doc_id,
     {mins}
   FROM hh GROUP BY doc_id),
@@ -2869,6 +2878,57 @@ FROM cand
 JOIN inter USING (doc_a, doc_b)
 JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
 WHERE {jac} >= {threshold}
+"""
+
+
+def _embedding_neardup_lsh_sql(
+    threshold: float = 0.4,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of similarity.embedding_neardup_lsh(int_planes=
+    True): the LCG planes' int64 components enter as a VALUES table,
+    bucket signs are the exact integer ``Σ ve6·w ≥ 0`` over round-6
+    micro-unit embeddings (order-independent — the reason the float
+    mode could never be oracled), candidates are the same (table,
+    bucket) equi-join, and verification reuses the oracle-green
+    round-6 cosine.  The whole candidate SET is engine-checked, not
+    just the verified pairs."""
+    from flink_window_dgim_traffic_spark.operators.similarity import (
+        _plane_int,
+    )
+
+    rows = []
+    for t in range(n_tables):
+        for i in range(n_planes):
+            for k, w in enumerate(_plane_int(131 + i, dim, t)):
+                rows.append(f"({t},{i},{k + 1},{w})")
+    values = ",\n".join(rows)
+    return f"""
+WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v,
+        sqrt({_SQN.format(a='embedding::DOUBLE[]')}) AS nrm
+        FROM embeddings),
+p(tbl, pl, k, w) AS (VALUES {values}),
+e6 AS (SELECT vec_id, u.i AS k,
+       CAST(round(round(v[u.i], 6) * 1000000.0) AS BIGINT) AS ve6
+       FROM e, unnest(generate_series(1, {dim})) AS u(i)),
+sg AS (SELECT e6.vec_id, p.tbl, p.pl,
+       CASE WHEN sum(e6.ve6 * p.w) >= 0 THEN 1 ELSE 0 END AS s
+       FROM e6 JOIN p ON p.k = e6.k GROUP BY 1, 2, 3),
+bk AS (SELECT vec_id, tbl,
+       sum(s * (CAST(1 AS BIGINT) << pl)) AS bucket
+       FROM sg GROUP BY vec_id, tbl),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM bk a JOIN bk b
+         ON a.tbl = b.tbl AND a.bucket = b.bucket
+            AND a.vec_id < b.vec_id),
+sc AS (SELECT vec_a, vec_b,
+       round({_DOT.format(a='ea.v', b='eb.v')} / (ea.nrm * eb.nrm), 6)
+         AS score
+       FROM cand JOIN e ea ON ea.vec_id = vec_a
+       JOIN e eb ON eb.vec_id = vec_b)
+SELECT vec_a, vec_b, score FROM sc WHERE score >= {threshold}
 """
 
 
@@ -6217,6 +6277,9 @@ WHERE {jac} >= 0.5
         # from rows-only to hash-checked (VERDICT r9 ask #1)
         "minhash_lsh_pairs": _minhash_lsh_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
+        # r10: integer-plane sign-LSH — the candidate set itself is
+        # engine-reproducible (see _embedding_neardup_lsh_sql)
+        "embedding_neardup_lsh": _embedding_neardup_lsh_sql(),
         # connected components of the jaccard>=0.8 pair graph via
         # recursive transitive closure (components are small dup
         # groups, so the closure stays tiny)

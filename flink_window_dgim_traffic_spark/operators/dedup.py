@@ -300,20 +300,21 @@ def _md5_60(col, start: int = 1):
 def _perm_hash(col, i: int, hash_family: str):
     """Per-permutation shingle hash.  xxhash64 is the throughput
     default (one 64-bit JVM hash per perm).  md5 uses Kirsch-
-    Mitzenmacher double hashing: ONE digest per shingle yields
-    ``h1`` (hex lane 1) and ``h2`` (hex lane 16, masked to 54 bits so
-    ``i·h2`` can never overflow int64), and permutation ``i`` is the
-    exact integer ``h1 + i·h2`` — 64 perms for one md5, which benched
-    9× faster than 32 digests/shingle at sf0.1 while staying
-    bit-reproducible in DuckDB (same conv/substr bridge, same
-    arithmetic)."""
+    Mitzenmacher double hashing off a SINGLE digest + hex-conversion:
+    ``h1`` from the first 15 hex chars, ``h2`` an overflow-free
+    xorshift mix of h1 (odd, < 2^54), permutation ``i`` the exact
+    integer ``h1 + i·h2`` — bit-reproducible in DuckDB.  Must stay
+    identical to the staged fast path in :func:`_minhash_wide`."""
     if hash_family == "xxhash64":
         return F.xxhash64(col, F.lit(i))
     if hash_family != "md5":
         raise ValueError(f"unknown hash_family {hash_family!r}")
-    digest = F.md5(col)
-    h1 = _md5_60(digest, start=1)
-    h2 = _md5_60(digest, start=16).bitwiseAND(F.lit((1 << 54) - 1))
+    h1 = _md5_60(F.md5(col), start=1)
+    h2 = (
+        F.shiftleft(h1.bitwiseAND(F.lit((1 << 41) - 1)), 13)
+        .bitwiseXOR(F.shiftrightunsigned(h1, 19))
+        .bitwiseOR(F.lit(1))
+    )
     return h1 + F.lit(i) * h2
 
 
@@ -334,13 +335,20 @@ def _minhash_wide(
     if sh is None:
         sh = shingles(documents)
     if hash_family == "md5":
-        digest = F.md5(F.col("s"))
-        staged = sh.select(
-            "doc_id",
-            _md5_60(digest, start=1).alias("_h1"),
-            _md5_60(digest, start=16)
-            .bitwiseAND(F.lit((1 << 54) - 1))
-            .alias("_h2"),
+        # ONE digest and ONE hex-conversion per shingle (conv() is
+        # the slow step — BigInteger parse): h2 derives from h1 with
+        # an overflow-free xorshift mix — mask to 41 bits BEFORE the
+        # left shift (both engines reject i64 shift overflow), giving
+        # h2 < 2^54 odd, so i·h2 < 2^60 never overflows in
+        # ``h1 + i·h2``.  DuckDB replays the identical bit ops.
+        h1 = _md5_60(F.md5(F.col("s")), start=1)
+        staged = sh.select("doc_id", h1.alias("_h1")).withColumn(
+            "_h2",
+            F.shiftleft(
+                F.col("_h1").bitwiseAND(F.lit((1 << 41) - 1)), 13
+            )
+            .bitwiseXOR(F.shiftrightunsigned(F.col("_h1"), 19))
+            .bitwiseOR(F.lit(1)),
         )
         return staged.groupBy("doc_id").agg(
             *[
@@ -537,45 +545,57 @@ SIMHASH_MD5_BITS = 60  # _md5_60 lanes are 60-bit
 
 
 def simhash_fingerprints_md5(documents: DataFrame) -> DataFrame:
-    """60-bit SimHash per doc with md5 token hashes — NO Python in
-    the plan: explode tokens, one md5 per token row, then the bit
-    votes are 60 map-side-combined ``sum`` aggregates and the
-    fingerprint reassembles as a codegen'd projection.  Same
-    algorithm as :func:`simhash_fingerprints` (bag-of-tokens ±1 bit
-    votes, bit set when votes > 0), different hash family and width —
-    chosen because md5 is reproducible in DuckDB, so this variant's
-    full near-dup pair set is oracle-hash-checked (r9 verdict ask #1).
+    """60-bit SimHash per doc with md5 token hashes — same algorithm
+    as :func:`simhash_fingerprints` (bag-of-tokens ±1 bit votes, bit
+    set when votes > 0), different hash family and width — chosen
+    because md5 is reproducible in DuckDB, so this variant's full
+    near-dup pair set is oracle-hash-checked (r9 verdict ask #1).
+
+    Same vectorized map-only Pandas-UDF shape as the blake2b variant
+    (per-batch token→votes cache; an earlier explode + 60-JVM-sum
+    formulation benched 2× slower at sf0.1 — the bit-vote loop really
+    is the imperative part).  ``hashlib.md5`` on the worker produces
+    the SAME integer as the DuckDB twin's ``md5()`` — the oracle
+    contract is on the VALUE, not the engine that computed it.
 
     Tokenization contract: single-space split, empty tokens dropped
-    (the corpus contract; mirrors the DuckDB twin's ``string_split``
-    + empty filter exactly).  Docs with no tokens get fingerprint 0,
-    like the blake2b variant."""
-    toks = documents.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).filter(F.col("tok") != "")
-    hashed = toks.select("doc_id", _md5_60(F.md5("tok")).alias("h"))
-    votes = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"v{j}")
-            for j in range(SIMHASH_MD5_BITS)
-        ]
-    )
-    fp_col = None
-    for j in range(SIMHASH_MD5_BITS):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        fp_col = bit if fp_col is None else fp_col + bit
-    fps = votes.select("doc_id", fp_col.cast("long").alias("simhash"))
-    # empty/whitespace-only docs produce no token rows — restore them
-    # with the 0 fingerprint for parity with the UDF variant
-    return (
-        documents.select("doc_id")
-        .join(fps, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"),
-        )
+    (mirrors the DuckDB twin's ``string_split`` + empty filter
+    exactly).  Docs with no tokens get fingerprint 0."""
+
+    @pandas_udf("long")
+    def _simhash60(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        tok_bits: dict = {}
+        shifts = np.arange(SIMHASH_MD5_BITS, dtype=np.uint64)
+
+        def bits_of(tok: str):
+            v = tok_bits.get(tok)
+            if v is None:
+                h = np.uint64(
+                    int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                )
+                v = tok_bits[tok] = (
+                    ((h >> shifts) & np.uint64(1)).astype(np.int32) * 2
+                    - 1
+                )
+            return v
+
+        def one(t: str) -> int:
+            toks = [w for w in (t or "").split(" ") if w]
+            if not toks:
+                return 0
+            votes = np.sum([bits_of(tok) for tok in toks], axis=0)
+            return int(
+                np.bitwise_or.reduce(
+                    (votes > 0).astype(np.uint64) << shifts
+                )
+            )
+
+        return texts.map(one)
+
+    return documents.select(
+        "doc_id", _simhash60(F.col("text")).alias("simhash")
     )
 
 

@@ -283,6 +283,7 @@ def embedding_neardup_lsh(
     target_bucket: int = 32,
     n_rows: int | None = None,
     max_bucket: int | None = None,
+    int_planes: bool = False,
 ) -> DataFrame:
     """100 TB path for embedding near-dup: sign-LSH bucket equi-join
     generates candidate pairs (same bucket in ANY of ``n_tables``
@@ -318,7 +319,17 @@ def embedding_neardup_lsh(
     ``semantic_dedup`` representative-collapse on byte-identical
     vectors first, so capped buckets are pathological residue.
     Default ``None`` keeps the uncapped semantics every existing
-    recall test pins."""
+    recall test pins.
+
+    ``int_planes=True`` (r10) computes the bucket signs as EXACT
+    INTEGER arithmetic — round-6 micro-unit embeddings dotted with
+    the LCG planes' int64 components (:func:`_plane_int`) — so the
+    candidate set, not just the verified output, is order-independent
+    and engine-reproducible: the driver hash-checks this mode against
+    a DuckDB twin that replays the same integers.  Same plane family
+    (the float plane IS ``p_int / 2^31``); bucket decisions differ
+    from the float mode only where the true dot is within round-6
+    quantization of zero."""
     import math
 
     import numpy as np
@@ -337,20 +348,36 @@ def embedding_neardup_lsh(
     # then pure (table, bucket) equi-joins over INT rows — vectors
     # never ride through the candidate shuffle/dedup, they are
     # attached once at the end by two key joins.
-    P = np.array(
-        [
-            _plane(131 + i, dim, t)
-            for t in range(n_tables)
-            for i in range(n_planes)
-        ],
-        dtype=np.float64,
-    )  # (n_tables*n_planes, dim)
+    if int_planes:
+        P = np.array(
+            [
+                _plane_int(131 + i, dim, t)
+                for t in range(n_tables)
+                for i in range(n_planes)
+            ],
+            dtype=np.int64,
+        )
+    else:
+        P = np.array(
+            [
+                _plane(131 + i, dim, t)
+                for t in range(n_tables)
+                for i in range(n_planes)
+            ],
+            dtype=np.float64,
+        )  # (n_tables*n_planes, dim)
     weights = (1 << np.arange(n_planes, dtype=np.int64))
 
     @pandas_udf("array<int>")
     def bucket_keys(vecs: pd.Series) -> pd.Series:
         V = np.array(list(vecs), dtype=np.float64)
-        signs = (V @ P.T >= 0).astype(np.int64)  # (n, tables*planes)
+        if int_planes:
+            # exact integer signs: round-6 micro-units · int64 plane
+            # components (≤ 1e6·2^31·dim < 2^63, no overflow)
+            V6 = np.rint(np.round(V, 6) * 1e6).astype(np.int64)
+            signs = (V6 @ P.T >= 0).astype(np.int64)
+        else:
+            signs = (V @ P.T >= 0).astype(np.int64)
         signs = signs.reshape(len(V), n_tables, n_planes)
         keys = (signs * weights).sum(axis=2).astype("int32")
         return pd.Series(list(keys))
@@ -763,15 +790,28 @@ N_PLANES = 8  # 8 sign bits → 256 buckets per table
 N_TABLES = 4  # OR-amplification across 4 independent tables
 
 
-def _plane(seed: int, dim: int, table: int) -> list:
-    """Deterministic pseudo-random hyperplane from a seeded LCG (no
-    numpy on executors needed — plain Python, computed driver-side)."""
+def _plane_int(seed: int, dim: int, table: int) -> list:
+    """Integer form of :func:`_plane`: the LCG words as exact int64
+    components ``(x >> 33) - 2^31`` in [-2^31, 2^31).  ``sign(v·p)``
+    is identical for the float and integer forms (the float plane is
+    exactly ``p_int / 2^31``), but the integer form makes the bucket
+    decision EXACT ORDER-INDEPENDENT ARITHMETIC — replayable bit-for-
+    bit in DuckDB over round-6 micro-unit embeddings, which is what
+    flips the sign-LSH family from rows-only to hash-checked (r10)."""
     x = (seed * 6364136223846793005 + 1442695040888963407 + table) % (1 << 64)
     out = []
     for _ in range(dim):
         x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-        out.append(((x >> 33) / float(1 << 31)) - 1.0)  # in [-1, 1)
+        out.append((x >> 33) - (1 << 31))
     return out
+
+
+def _plane(seed: int, dim: int, table: int) -> list:
+    """Deterministic pseudo-random hyperplane from a seeded LCG (no
+    numpy on executors needed — plain Python, computed driver-side)."""
+    return [
+        v / float(1 << 31) for v in _plane_int(seed, dim, table)
+    ]
 
 
 def simsearch_ann_lsh(

@@ -1405,3 +1405,64 @@ def test_compact_ivf_index_preserves_probes_and_gc_reclaims(
     assert refresh_ivf_index(spark, idx, zero_new, tag="d4")
     n_after = simsearch_ivf_indexed(spark, idx, nprobe=4).count()
     assert n_after >= len(before)
+
+
+def test_embedding_neardup_lsh_int_planes_contract(embeddings):
+    """int_planes mode (r10, the oracle-checkable sign-LSH): output
+    ⊆ exact brute-force pairs with identical rounded scores, recall
+    comparable to the float mode, and the integer signs agree with a
+    direct Python replay of ve6·p_int for a sample of vectors."""
+    import numpy as np
+
+    from flink_window_dgim_traffic_spark.operators.similarity import (
+        _plane_int,
+    )
+
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["score"]
+        for r in S.embedding_neardup(embeddings, 0.4).collect()
+    }
+    got = {
+        (r["vec_a"], r["vec_b"]): r["score"]
+        for r in S.embedding_neardup_lsh(
+            embeddings, 0.4, int_planes=True, n_planes=8
+        ).collect()
+    }
+    assert set(got) <= set(exact)
+    for k, v in got.items():
+        assert v == exact[k]
+    if exact:
+        assert len(got) / len(exact) >= 0.3
+    # full Python replay of the integer pipeline (buckets →
+    # candidates → round-6 cosine ≥ t) must reproduce the operator's
+    # pair set exactly — the same claim the DuckDB twin hash-checks
+    rows = embeddings.collect()
+    P = np.array(
+        [
+            _plane_int(131 + i, 64, t)
+            for t in range(8)
+            for i in range(8)
+        ],
+        dtype=np.int64,
+    )
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+    V6 = np.rint(np.round(V, 6) * 1e6).astype(np.int64)
+    signs = (V6 @ P.T >= 0).astype(np.int64).reshape(len(V), 8, 8)
+    keys = (signs * (1 << np.arange(8, dtype=np.int64))).sum(axis=2)
+    nrm = np.linalg.norm(V, axis=1)
+    want = set()
+    for t in range(8):
+        byb = {}
+        for j, vid in enumerate(ids):
+            byb.setdefault(keys[j, t], []).append(j)
+        for js in byb.values():
+            for x in range(len(js)):
+                for y in range(x + 1, len(js)):
+                    a, b = sorted((js[x], js[y]), key=lambda j: ids[j])
+                    sc = round(
+                        float(V[a] @ V[b]) / (nrm[a] * nrm[b]), 6
+                    )
+                    if sc >= 0.4:
+                        want.add((ids[a], ids[b]))
+    assert set(got) == want
