@@ -1732,6 +1732,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 s, _sketch_rollup_path(s, d), _events(s, d), 3600
             )
         ),
+        # integer-plane sign-LSH family (r10): bucket signs as exact
+        # integer arithmetic (round-6 micro-units · int64 LCG plane
+        # components) make the candidate SETS engine-reproducible —
+        # all three flip from rows-only to oracle-hash-checked;
+        # auto-sized planes stay the scale default, entries pin
+        # n_planes for the oracle
+        "embedding_neardup_lsh": lambda s, d: S.embedding_neardup_lsh(
+            _embeddings(s, d), threshold=0.4, int_planes=True, n_planes=8
+        ),
+        "semantic_dedup_lsh": lambda s, d: S.semantic_dedup(
+            _embeddings(s, d), use_lsh=True, int_planes=True, n_planes=8
+        ),
+        "simsearch_ann_lsh": lambda s, d: S.simsearch_ann_lsh(
+            _embeddings(s, d), int_planes=True
+        ),
         # ---- round-9 additions ----
         # DGIM bound anchors for the remaining two window kinds: the
         # estimate equals g(sum(bit)) because nothing expires within
@@ -1950,17 +1965,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round (the driver validates rows+schema for them; their
         # correctness anchors stay in pytest — see each origin
         # comment in the rows-only section below) ----
-        # r10: int_planes makes the bucket signs exact integer
-        # arithmetic (round-6 micro-units · int64 LCG planes), so the
-        # whole candidate→verify pipeline is DuckDB-replayable —
-        # flipped from rows-only to hash-checked; n_planes pinned at 8
-        # for the oracle (auto-sizing stays the scale-path default)
-        "embedding_neardup_lsh": lambda s, d: S.embedding_neardup_lsh(
-            _embeddings(s, d), threshold=0.4, int_planes=True, n_planes=8
-        ),
-        "semantic_dedup_lsh": lambda s, d: S.semantic_dedup(
-            _embeddings(s, d), use_lsh=True
-        ),
+
+        # (embedding_neardup_lsh / semantic_dedup_lsh /
+        # simsearch_ann_lsh moved to the round-10 head block:
+        # integer-plane rewrite flipped them to oracle-hash-checked)
         "neardup_incremental_lsh": lambda s, d: _neardup_incremental(s, d),
         "compression_ratio": lambda s, d: QL.compression_ratio(
             _documents(s, d)
@@ -1968,7 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_rollup_quantiles_1h": _kll_rollup_quantiles_1h,
         "bpe_token_count": lambda s, d: BP.bpe_token_count(_documents(s, d)),
         "bpe_vocab": lambda s, d: BP.bpe_vocab(_documents(s, d)),
-        "simsearch_ann_lsh": lambda s, d: S.simsearch_ann_lsh(_embeddings(s, d)),
+        
         "simsearch_ann_ivf": lambda s, d: S.simsearch_ann_ivf(_embeddings(s, d)),
         "simsearch_ann_ivfpq": lambda s, d: S.simsearch_ann_ivfpq(
             _embeddings(s, d)
@@ -2881,20 +2889,15 @@ WHERE {jac} >= {threshold}
 """
 
 
-def _embedding_neardup_lsh_sql(
-    threshold: float = 0.4,
-    n_tables: int = 8,
-    n_planes: int = 8,
-    dim: int = 64,
+def _int_lsh_bucket_ctes(
+    seed: int, n_tables: int, n_planes: int, dim: int = 64
 ) -> str:
-    """DuckDB twin of similarity.embedding_neardup_lsh(int_planes=
-    True): the LCG planes' int64 components enter as a VALUES table,
-    bucket signs are the exact integer ``Σ ve6·w ≥ 0`` over round-6
-    micro-unit embeddings (order-independent — the reason the float
-    mode could never be oracled), candidates are the same (table,
-    bucket) equi-join, and verification reuses the oracle-green
-    round-6 cosine.  The whole candidate SET is engine-checked, not
-    just the verified pairs."""
+    """Shared CTE block for the r10 integer-plane sign-LSH twins: the
+    LCG planes' int64 components as a VALUES table, bucket signs as
+    the exact integer ``Σ ve6·w ≥ 0`` over round-6 micro-unit
+    embeddings (order-independent — the reason the float mode could
+    never be oracled), packed per-(vec, table) bucket keys in ``bk``.
+    Expects an ``e(vec_id, v, nrm)`` CTE upstream."""
     from flink_window_dgim_traffic_spark.operators.similarity import (
         _plane_int,
     )
@@ -2902,13 +2905,10 @@ def _embedding_neardup_lsh_sql(
     rows = []
     for t in range(n_tables):
         for i in range(n_planes):
-            for k, w in enumerate(_plane_int(131 + i, dim, t)):
+            for k, w in enumerate(_plane_int(seed + i, dim, t)):
                 rows.append(f"({t},{i},{k + 1},{w})")
     values = ",\n".join(rows)
     return f"""
-WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v,
-        sqrt({_SQN.format(a='embedding::DOUBLE[]')}) AS nrm
-        FROM embeddings),
 p(tbl, pl, k, w) AS (VALUES {values}),
 e6 AS (SELECT vec_id, u.i AS k,
        CAST(round(round(v[u.i], 6) * 1000000.0) AS BIGINT) AS ve6
@@ -2918,7 +2918,30 @@ sg AS (SELECT e6.vec_id, p.tbl, p.pl,
        FROM e6 JOIN p ON p.k = e6.k GROUP BY 1, 2, 3),
 bk AS (SELECT vec_id, tbl,
        sum(s * (CAST(1 AS BIGINT) << pl)) AS bucket
-       FROM sg GROUP BY vec_id, tbl),
+       FROM sg GROUP BY vec_id, tbl)"""
+
+
+_INT_LSH_E_CTE = (
+    "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v,\n"
+    "        sqrt({sqn}) AS nrm FROM embeddings)"
+)
+
+
+def _embedding_neardup_lsh_sql(
+    threshold: float = 0.4,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of similarity.embedding_neardup_lsh(int_planes=
+    True): integer-plane buckets (seed 131), candidates from the same
+    (table, bucket) equi-join, verification via the oracle-green
+    round-6 cosine.  The whole candidate SET is engine-checked, not
+    just the verified pairs."""
+    e = _INT_LSH_E_CTE.format(sqn=_SQN.format(a="embedding::DOUBLE[]"))
+    return f"""
+WITH {e},
+{_int_lsh_bucket_ctes(131, n_tables, n_planes, dim)},
 cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          FROM bk a JOIN bk b
          ON a.tbl = b.tbl AND a.bucket = b.bucket
@@ -2929,6 +2952,83 @@ sc AS (SELECT vec_a, vec_b,
        FROM cand JOIN e ea ON ea.vec_id = vec_a
        JOIN e eb ON eb.vec_id = vec_b)
 SELECT vec_a, vec_b, score FROM sc WHERE score >= {threshold}
+"""
+
+
+def _simsearch_ann_lsh_sql(
+    n_query: int = 10,
+    k: int = 10,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of similarity.simsearch_ann_lsh(int_planes=True):
+    integer-plane buckets (seed 97), candidates = vectors sharing ANY
+    table's bucket with the query, exact round-6 cosine re-rank,
+    row_number top-k (score desc, neighbor_id tie-break — the same
+    deterministic ordering the green simsearch_topk oracle uses)."""
+    e = _INT_LSH_E_CTE.format(sqn=_SQN.format(a="embedding::DOUBLE[]"))
+    return f"""
+WITH {e},
+{_int_lsh_bucket_ctes(97, n_tables, n_planes, dim)},
+qb AS (SELECT vec_id AS query_id, tbl, bucket FROM bk
+       WHERE vec_id < {n_query}),
+cand AS (SELECT DISTINCT qb.query_id, bk.vec_id AS neighbor_id
+         FROM qb JOIN bk
+         ON bk.tbl = qb.tbl AND bk.bucket = qb.bucket
+         WHERE bk.vec_id <> qb.query_id),
+sc AS (SELECT query_id, neighbor_id,
+       round({_DOT.format(a='eq.v', b='en.v')} / (eq.nrm * en.nrm), 6)
+         AS score
+       FROM cand JOIN e eq ON eq.vec_id = query_id
+       JOIN e en ON en.vec_id = neighbor_id)
+SELECT query_id, neighbor_id, score, rnk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk FROM sc)
+WHERE rnk <= {k}
+"""
+
+
+def _semantic_dedup_lsh_sql(
+    threshold: float = 0.4,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of similarity.semantic_dedup(use_lsh=True,
+    int_planes=True): the integer-plane LSH pair graph (exactly
+    _embedding_neardup_lsh_sql's verified pairs), closed under the
+    same recursive-CTE transitive closure the oracle-green exact
+    semantic_dedup uses, min-label per component, keep = (label ==
+    vec_id)."""
+    e = _INT_LSH_E_CTE.format(sqn=_SQN.format(a="embedding::DOUBLE[]"))
+    return f"""
+WITH RECURSIVE {e},
+{_int_lsh_bucket_ctes(131, n_tables, n_planes, dim)},
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM bk a JOIN bk b
+         ON a.tbl = b.tbl AND a.bucket = b.bucket
+            AND a.vec_id < b.vec_id),
+jp AS (SELECT vec_a, vec_b FROM (
+       SELECT vec_a, vec_b,
+       round({_DOT.format(a='ea.v', b='eb.v')} / (ea.nrm * eb.nrm), 6)
+         AS score
+       FROM cand JOIN e ea ON ea.vec_id = vec_a
+       JOIN e eb ON eb.vec_id = vec_b)
+       WHERE score >= {threshold}),
+ed AS (SELECT vec_a AS a, vec_b AS b FROM jp
+       UNION SELECT vec_b, vec_a FROM jp),
+nodes AS (SELECT DISTINCT a AS doc FROM ed),
+reach AS (
+  SELECT doc, doc AS r FROM nodes
+  UNION
+  SELECT reach.doc, ed.b FROM reach JOIN ed ON reach.r = ed.a),
+lab AS (SELECT doc, min(r) AS cluster_id FROM reach GROUP BY doc)
+SELECT v.vec_id,
+       CAST(COALESCE(l.cluster_id, v.vec_id) AS BIGINT) AS cluster_id,
+       COALESCE(l.cluster_id, v.vec_id) = v.vec_id AS keep
+FROM (SELECT vec_id FROM embeddings) v
+LEFT JOIN lab l ON l.doc = v.vec_id
 """
 
 
@@ -6280,6 +6380,8 @@ WHERE {jac} >= 0.5
         # r10: integer-plane sign-LSH — the candidate set itself is
         # engine-reproducible (see _embedding_neardup_lsh_sql)
         "embedding_neardup_lsh": _embedding_neardup_lsh_sql(),
+        "simsearch_ann_lsh": _simsearch_ann_lsh_sql(),
+        "semantic_dedup_lsh": _semantic_dedup_lsh_sql(),
         # connected components of the jaccard>=0.8 pair graph via
         # recursive transitive closure (components are small dup
         # groups, so the closure stays tiny)

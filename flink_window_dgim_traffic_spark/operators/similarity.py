@@ -821,31 +821,50 @@ def simsearch_ann_lsh(
     dim: int = 64,
     n_planes: int = N_PLANES,
     n_tables: int = N_TABLES,
+    int_planes: bool = False,
 ) -> DataFrame:
     """ANN top-k: sign-LSH buckets (per table) restrict the candidate
     set; exact cosine re-rank inside the union of matching buckets.
     Recall < 1 by construction — measured against simsearch_topk in
-    tests, not oracle-checked."""
+    tests.  ``int_planes=True`` (r10) computes the bucket signs as
+    exact integer arithmetic (round-6 micro-units · int64 LCG plane
+    components), making the candidate set engine-reproducible — the
+    driver hash-checks that mode against a DuckDB twin, flipping this
+    entry from rows-only to oracle-checked."""
     import numpy as np
 
     e = _with_vec(embeddings)
     # bucket key per table: packed sign bits of dot(v, plane_i),
     # all tables in one vectorized gemm (keys are bucketing
     # heuristics; exact scores below use the JVM fold)
-    P = np.array(
-        [
-            _plane(97 + i, dim, t)
-            for t in range(n_tables)
-            for i in range(n_planes)
-        ],
-        dtype=np.float64,
-    )
+    if int_planes:
+        P = np.array(
+            [
+                _plane_int(97 + i, dim, t)
+                for t in range(n_tables)
+                for i in range(n_planes)
+            ],
+            dtype=np.int64,
+        )
+    else:
+        P = np.array(
+            [
+                _plane(97 + i, dim, t)
+                for t in range(n_tables)
+                for i in range(n_planes)
+            ],
+            dtype=np.float64,
+        )
     weights = 1 << np.arange(n_planes, dtype=np.int64)
 
     @pandas_udf("array<int>")
     def all_bucket_keys(vecs: pd.Series) -> pd.Series:
         V = np.array(list(vecs), dtype=np.float64)
-        signs = (V @ P.T >= 0).astype(np.int64)
+        if int_planes:
+            V6 = np.rint(np.round(V, 6) * 1e6).astype(np.int64)
+            signs = (V6 @ P.T >= 0).astype(np.int64)
+        else:
+            signs = (V @ P.T >= 0).astype(np.int64)
         keys = (
             signs.reshape(len(V), n_tables, n_planes) * weights
         ).sum(axis=2).astype("int32")
@@ -925,6 +944,8 @@ def semantic_dedup(
     threshold: float = 0.4,
     use_lsh: bool = False,
     max_bucket: int | None = None,
+    int_planes: bool = False,
+    n_planes: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication decisions: cluster the
     embedding space by cosine ≥ ``threshold`` (connected components
@@ -953,7 +974,11 @@ def semantic_dedup(
 
     if use_lsh:
         gen = lambda df, threshold: embedding_neardup_lsh(  # noqa: E731
-            df, threshold=threshold, max_bucket=max_bucket
+            df,
+            threshold=threshold,
+            max_bucket=max_bucket,
+            int_planes=int_planes,
+            n_planes=n_planes,
         )
     else:
         gen = embedding_neardup_blocked
