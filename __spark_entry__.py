@@ -172,13 +172,21 @@ def _stream_simsearch_ivf(s: SparkSession, d: str) -> DataFrame:
 def _neardup_incremental(s: SparkSession, d: str) -> DataFrame:
     """Persisted-MinHash-index deployment shape: index the even-doc_id
     half of the corpus on disk, probe the odd half (both halves from
-    the same crawl here, so true near-dups exist across them)."""
+    the same crawl here, so true near-dups exist across them).  r10:
+    md5 hash family — index signatures, band keys and the signature-
+    estimated Jaccard are all DuckDB-reproducible, so the whole
+    index-build → probe → estimate pipeline is hash-checked."""
 
     docs = _documents(s, d)
     idx = _mkdtemp(prefix="spark_graft_ndidx_")
-    D.build_neardup_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    D.build_neardup_index(
+        docs.filter(F.col("doc_id") % 2 == 0), idx, hash_family="md5"
+    )
     return D.neardup_incremental_lsh(
-        docs.filter(F.col("doc_id") % 2 == 1), idx, threshold=0.5
+        docs.filter(F.col("doc_id") % 2 == 1),
+        idx,
+        threshold=0.5,
+        hash_family="md5",
     )
 
 
@@ -1747,6 +1755,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_ann_lsh": lambda s, d: S.simsearch_ann_lsh(
             _embeddings(s, d), int_planes=True
         ),
+        # md5-family persisted MinHash index: build -> probe ->
+        # signature-estimated Jaccard, all hash-checked (r10)
+        "neardup_incremental_lsh": lambda s, d: _neardup_incremental(s, d),
         # ---- round-9 additions ----
         # DGIM bound anchors for the remaining two window kinds: the
         # estimate equals g(sum(bit)) because nothing expires within
@@ -1969,7 +1980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (embedding_neardup_lsh / semantic_dedup_lsh /
         # simsearch_ann_lsh moved to the round-10 head block:
         # integer-plane rewrite flipped them to oracle-hash-checked)
-        "neardup_incremental_lsh": lambda s, d: _neardup_incremental(s, d),
+        # (neardup_incremental_lsh moved to the round-10 head
+        # block: md5 index family flipped it to hash-checked)
         "compression_ratio": lambda s, d: QL.compression_ratio(
             _documents(s, d)
         ),
@@ -2886,6 +2898,63 @@ FROM cand
 JOIN inter USING (doc_a, doc_b)
 JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
 WHERE {jac} >= {threshold}
+"""
+
+
+def _neardup_incremental_sql(
+    threshold: float = 0.5, num_perm: int = 64, bands: int = 16
+) -> str:
+    """DuckDB twin of the _neardup_incremental entry (md5 family):
+    recompute BOTH halves' double-hash signatures and band keys from
+    the documents table, candidates = (odd new × even indexed) band
+    collisions, estimate = agreeing-permutation count / num_perm
+    (round 6) ≥ threshold.  Exactly the signature-estimated contract
+    the persisted index serves — the index is just these values on
+    disk."""
+    rows_per_band = num_perm // bands
+    h1 = _md5_60_sql("s", 1)
+    h2 = f"(xor((h1 & {(1 << 41) - 1}) << 13, h1 >> 19) | 1)"
+    mins = ",\n    ".join(
+        f"min(hh.h1 + {i} * hh.h2) AS h{i}" for i in range(num_perm)
+    )
+    band_keys = ",\n    ".join(
+        _md5_60_sql(
+            " || ':' || ".join(
+                f"CAST(h{b * rows_per_band + j} AS VARCHAR)"
+                for j in range(rows_per_band)
+            )
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN n.h{i} = o.h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_perm)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+        FROM tok),
+sh AS (SELECT DISTINCT doc_id,
+       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM idx),
+hh AS (SELECT doc_id, h1, {h2} AS h2
+       FROM (SELECT doc_id, {h1} AS h1 FROM sh)),
+mh AS MATERIALIZED (SELECT doc_id,
+    {mins}
+  FROM hh GROUP BY doc_id),
+bkk AS (SELECT doc_id, i AS band, keys[i] AS band_key
+        FROM (SELECT doc_id, [{band_keys}] AS keys FROM mh),
+             unnest(generate_series(1, {bands})) AS t(i)),
+cand AS (SELECT DISTINCT n.doc_id AS new_doc_id,
+                o.doc_id AS index_doc_id
+         FROM bkk n JOIN bkk o
+         ON n.band = o.band AND n.band_key = o.band_key
+         WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0)
+SELECT new_doc_id, index_doc_id,
+       round(({agree}) / {num_perm}.0, 6) AS est_jaccard
+FROM cand
+JOIN mh n ON n.doc_id = new_doc_id
+JOIN mh o ON o.doc_id = index_doc_id
+WHERE round(({agree}) / {num_perm}.0, 6) >= {threshold}
 """
 
 
@@ -6382,6 +6451,9 @@ WHERE {jac} >= 0.5
         "embedding_neardup_lsh": _embedding_neardup_lsh_sql(),
         "simsearch_ann_lsh": _simsearch_ann_lsh_sql(),
         "semantic_dedup_lsh": _semantic_dedup_lsh_sql(),
+        # r10: md5-family persisted index — build->probe->estimate
+        # all engine-reproducible (see _neardup_incremental_sql)
+        "neardup_incremental_lsh": _neardup_incremental_sql(),
         # connected components of the jaccard>=0.8 pair graph via
         # recursive transitive closure (components are small dup
         # groups, so the closure stays tiny)

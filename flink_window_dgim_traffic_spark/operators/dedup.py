@@ -1089,6 +1089,7 @@ def build_neardup_index(
     path: str,
     num_perm: int = NUM_PERM,
     bands: int = LSH_BANDS,
+    hash_family: str = "xxhash64",
 ) -> None:
     """Materialize the MinHash near-dup index of an ingested corpus:
     ``path/bands`` (band, band_key, doc_id — the LSH lookup side) and
@@ -1099,12 +1100,14 @@ def build_neardup_index(
     ingested corpus is never re-shingled.  At 100 TB the bands table
     is bucketed on (band, band_key) and the probe is a co-located
     join; signatures are ~`num_perm`·8 bytes per doc."""
-    wide = _minhash_wide(documents, num_perm).localCheckpoint(eager=True)
+    wide = _minhash_wide(
+        documents, num_perm, hash_family=hash_family
+    ).localCheckpoint(eager=True)
     wide.select(
         "doc_id",
-        F.posexplode(_band_key_array(num_perm, bands)).alias(
-            "band", "band_key"
-        ),
+        F.posexplode(
+            _band_key_array(num_perm, bands, hash_family=hash_family)
+        ).alias("band", "band_key"),
     ).write.mode("overwrite").parquet(f"{path}/bands")
     wide.select(
         "doc_id",
@@ -1118,6 +1121,7 @@ def neardup_incremental_lsh(
     threshold: float = 0.8,
     num_perm: int = NUM_PERM,
     bands: int = LSH_BANDS,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Probe a new crawl against a :func:`build_neardup_index` corpus:
     candidate (new, old) pairs from band-bucket collisions, verified
@@ -1132,14 +1136,20 @@ def neardup_incremental_lsh(
     shape: the new crawl's signatures build map-side (one shingle
     pass); candidates are a (band, band_key) equi-join against the
     index — shuffle keyed on buckets, never all-pairs; verification
-    is one ``zip_with`` fold over two 64-long arrays per candidate."""
+    is one ``zip_with`` fold over two 64-long arrays per candidate.
+    ``hash_family='md5'`` (r10) makes index AND probe signatures
+    DuckDB-reproducible, so the driver hash-checks the whole
+    index-build -> probe -> estimate pipeline (build the index
+    with the same family)."""
     spark = new_docs.sparkSession
-    wide = _minhash_wide(new_docs, num_perm).localCheckpoint(eager=True)
+    wide = _minhash_wide(
+        new_docs, num_perm, hash_family=hash_family
+    ).localCheckpoint(eager=True)
     new_bands = wide.select(
         F.col("doc_id").alias("new_doc_id"),
-        F.posexplode(_band_key_array(num_perm, bands)).alias(
-            "band", "band_key"
-        ),
+        F.posexplode(
+            _band_key_array(num_perm, bands, hash_family=hash_family)
+        ).alias("band", "band_key"),
     )
     idx_bands = spark.read.parquet(f"{index_path}/bands").select(
         F.col("doc_id").alias("index_doc_id"), "band", "band_key"
