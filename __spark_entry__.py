@@ -1758,6 +1758,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # md5-family persisted MinHash index: build -> probe ->
         # signature-estimated Jaccard, all hash-checked (r10)
         "neardup_incremental_lsh": lambda s, d: _neardup_incremental(s, d),
+        # md5 byte-gram media SimHash: fingerprint -> pigeonhole ->
+        # hamming, all hash-checked (r10); DuckDB recomputes gram
+        # hashes from BLOB substrings — byte-exact for any payload
+        "media_neardup": lambda s, d: M.media_neardup(
+            _documents(s, d), 3, hash_family="md5"
+        ),
         # ---- round-9 additions ----
         # DGIM bound anchors for the remaining two window kinds: the
         # estimate equals g(sum(bit)) because nothing expires within
@@ -2170,11 +2176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _events(s, d), "view", "purchase", 60, 10
         ),
         "dataset_diff": _dataset_diff_lineitem,
-        # rows-only BY DESIGN: blake2b byte-gram SimHash has no SQL
-        # twin; semantics pinned in tests/test_text_multimodal.py
-        "media_neardup": lambda s, d: M.media_neardup(
-            _documents(s, d), 3
-        ),
+        # (media_neardup moved to the round-10 head block: md5 gram
+        # family flipped it to oracle-hash-checked)
         # ---- round-4 additions ----
         "window_topn": lambda s, d: W.window_topn(_events(s, d), 60, 3),
         "sql_window_topn": lambda s, d: Q.sql_window_topn(s, d, 60, 3),
@@ -2955,6 +2958,49 @@ FROM cand
 JOIN mh n ON n.doc_id = new_doc_id
 JOIN mh o ON o.doc_id = index_doc_id
 WHERE round(({agree}) / {num_perm}.0, 6) >= {threshold}
+"""
+
+
+def _media_neardup_sql(max_hamming: int = 3, bits: int = 60) -> str:
+    """DuckDB twin of multimodal.media_neardup(hash_family='md5'):
+    the payload is the utf-8 text bytes (with_media_blob); byte
+    4-grams travel as their canonical UPPERCASE-HEX rendering —
+    ``md5(substr(hex(encode(text)), 2i-1, 8))`` — byte-exact for ANY
+    text (this DuckDB build has no BLOB substring/md5).  Bag ±1 votes
+    over the 60 md5 bits, fingerprint 0 for payloads under 4 bytes,
+    4×15-bit pigeonhole join, hamming filter — the media sibling of
+    the simhash_pairs twin."""
+    votes = ",\n    ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS n FROM documents),
+g AS (SELECT doc_id, substr(hx, 2 * t.i - 1, 8) AS gram
+      FROM b, unnest(generate_series(1, n - 3)) AS t(i)
+      WHERE n >= 4),
+h AS (SELECT doc_id,
+      CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h FROM g),
+v AS (SELECT doc_id,
+    {votes}
+  FROM h GROUP BY doc_id),
+f0 AS (SELECT doc_id, {fp} AS simhash FROM v),
+fp AS (SELECT d.doc_id, COALESCE(f0.simhash, 0) AS simhash
+       FROM documents d LEFT JOIN f0 USING (doc_id)),
+ch AS (SELECT doc_id, simhash, i AS chunk_no,
+              (simhash >> ((i - 1) * 15)) & 32767 AS chunk
+       FROM fp, unnest(generate_series(1, 4)) AS t(i)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.simhash AS ha, b.simhash AS hb
+         FROM ch a JOIN ch b
+         ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk
+            AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
 """
 
 
@@ -6454,6 +6500,10 @@ WHERE {jac} >= 0.5
         # r10: md5-family persisted index — build->probe->estimate
         # all engine-reproducible (see _neardup_incremental_sql)
         "neardup_incremental_lsh": _neardup_incremental_sql(),
+        # r10: md5 byte-gram media SimHash — grams are BLOB
+        # substrings of the payload (= utf-8 text bytes), hashed with
+        # the same md5-60 bridge; 60-bit votes, 4x15-bit pigeonhole
+        "media_neardup": _media_neardup_sql(),
         # connected components of the jaccard>=0.8 pair graph via
         # recursive transitive closure (components are small dup
         # groups, so the closure stays tiny)

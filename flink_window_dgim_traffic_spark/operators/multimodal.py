@@ -631,8 +631,72 @@ def media_simhash_fingerprints(blobs: DataFrame) -> DataFrame:
     return blobs.select("doc_id", _fp(F.col("payload")).alias("simhash"))
 
 
+def media_simhash_fingerprints_md5(blobs: DataFrame) -> DataFrame:
+    """60-bit byte-gram SimHash with md5 gram hashes — the
+    DuckDB-reproducible sibling of :func:`media_simhash_fingerprints`
+    (r10): gram hash = first 15 md5 hex chars of the gram's canonical
+    UPPERCASE-HEX rendering (8 chars for 4 bytes) — the transport
+    DuckDB can reproduce for ANY payload bytes via
+    ``md5(substr(hex(payload), 2i-1, 8))`` (this DuckDB build has no
+    BLOB substring/md5, so raw-byte hashing doesn't port; hex is the
+    canonical byte-exact encoding both engines share).  Same
+    per-batch gram-vote cache and bag voting; payloads shorter than
+    4 bytes fingerprint to 0."""
+    import hashlib
+
+    import numpy as np
+
+    @pandas_udf("long")
+    def _fp(payloads: pd.Series) -> pd.Series:
+        gram_votes: dict = {}
+        shifts = np.arange(60, dtype=np.uint64)
+
+        def votes_of(u: int):
+            v = gram_votes.get(u)
+            if v is None:
+                h = np.uint64(
+                    int(
+                        hashlib.md5(
+                            format(u, "08X").encode()
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                )
+                v = gram_votes[u] = (
+                    ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                    * 2 - 1
+                )
+            return v
+
+        def one(p) -> int:
+            b = bytes(p or b"")
+            if len(b) < 4:
+                return 0
+            a = np.frombuffer(b, dtype=np.uint8)
+            g = (
+                (a[:-3].astype(np.uint32) << 24)
+                | (a[1:-2].astype(np.uint32) << 16)
+                | (a[2:-1].astype(np.uint32) << 8)
+                | a[3:].astype(np.uint32)
+            )
+            uniq, counts = np.unique(g, return_counts=True)
+            M = np.stack([votes_of(int(u)) for u in uniq])
+            votes = (M * counts[:, None]).sum(axis=0)
+            return int(
+                np.bitwise_or.reduce(
+                    (votes > 0).astype(np.uint64) << shifts
+                )
+            )
+
+        return payloads.map(one)
+
+    return blobs.select("doc_id", _fp(F.col("payload")).alias("simhash"))
+
+
 def media_neardup(
-    documents: DataFrame, max_hamming: int = 3
+    documents: DataFrame,
+    max_hamming: int = 3,
+    hash_family: str = "blake2b",
 ) -> DataFrame:
     """NEAR-duplicate media detection over binary payloads: byte-gram
     SimHash fingerprints, then the 4×16-bit chunk pigeonhole bucket
@@ -643,8 +707,17 @@ def media_neardup(
     put); candidates come from a keyed equi-join on (chunk_no,
     chunk), never an all-pairs scan.
 
-    Output: ``doc_a, doc_b, hamming`` (doc_a < doc_b)."""
-    fps = media_simhash_fingerprints(with_media_blob(documents))
+    Output: ``doc_a, doc_b, hamming`` (doc_a < doc_b).
+
+    ``hash_family='md5'`` (r10) uses 60-bit md5 gram hashes with
+    4×15-bit chunks — DuckDB-reproducible end to end, so the driver
+    hash-checks the whole fingerprint→pigeonhole→hamming pipeline."""
+    if hash_family == "md5":
+        fps = media_simhash_fingerprints_md5(with_media_blob(documents))
+        chunk_bits, chunk_mask = 15, 0x7FFF
+    else:
+        fps = media_simhash_fingerprints(with_media_blob(documents))
+        chunk_bits, chunk_mask = 16, 0xFFFF
     # pin + spread: without the pin BOTH join aliases re-run the
     # decode/fingerprint UDF; without the explicit repartition (AQE-
     # coalesce-exempt) the few-MB chunk table collapses to one
@@ -660,8 +733,8 @@ def media_neardup(
                 F.array(
                     *[
                         F.shiftrightunsigned(
-                            F.col("simhash"), 16 * i
-                        ).bitwiseAND(F.lit(0xFFFF))
+                            F.col("simhash"), chunk_bits * i
+                        ).bitwiseAND(F.lit(chunk_mask))
                         for i in range(4)
                     ]
                 )
