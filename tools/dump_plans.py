@@ -235,6 +235,15 @@ SHOWCASE = {
     "mmr_diverse_topk": "pool build broadcasts queries; the greedy "
     "step is per-query applyInPandas over 50-row groups — integer "
     "objective, one shuffle on query_id",
+    "media_png_stats": "PNG encode → CRC walk + inflate + unfilter → "
+    "aggregate inside one mapInPandas — map-only, no shuffle",
+    "embedding_neardup_lsh": "integer-plane buckets from one Arrow "
+    "pass; candidates are (table, bucket) equi-joins over INT rows — "
+    "vectors attach only at the final verify joins",
+    "stream_tumble_dgim_tws": "transformWithStateInPandas on the real "
+    "RocksDB-backed runtime; state = O(log²N) sketch per open window",
+    "compression_ratio_bound": "map-only deflate + closed-form bound "
+    "projection; no shuffle at all",
     "zorder_layout_stats": "deterministic Morton buckets: one "
     "repartition on the bucket id, hive partitionBy write, footer "
     "walk driver-side (the metadata scan a table format would do)",
