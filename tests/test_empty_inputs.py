@@ -312,3 +312,52 @@ def test_round9_ops_empty(empty, spark):
 
     e = spark.createDataFrame([], "src bigint, dst bigint")
     assert connected_components_star(e).count() == 0
+
+
+def test_r10_md5_family_empty(empty):
+    docs = empty("documents")
+    assert D.minhash_lsh_pairs(docs, hash_family="md5").count() == 0
+    assert D.simhash_pairs(docs, hash_family="md5").count() == 0
+    assert D.simhash_fingerprints_md5(docs).count() == 0
+    assert M.media_neardup(docs, hash_family="md5").count() == 0
+
+
+def test_r10_png_empty(empty):
+    docs = empty("documents")
+    assert M.media_png_stats(docs).count() == 0
+    assert M.media_png_ahash_pairs(docs).count() == 0
+
+
+def test_r10_int_plane_lsh_empty(empty):
+    emb = empty("embeddings")
+    # n_planes pinned: auto-sizing would count() the empty frame (fine
+    # too, but the entry's pinned shape is what ships)
+    assert (
+        S.embedding_neardup_lsh(
+            emb, int_planes=True, n_planes=8
+        ).count()
+        == 0
+    )
+    assert S.simsearch_ann_lsh(emb, int_planes=True).count() == 0
+    assert (
+        S.semantic_dedup(
+            emb, use_lsh=True, int_planes=True, n_planes=8
+        ).count()
+        == 0
+    )
+
+
+def test_r10_bound_anchors_empty(empty, spark, tmp_path):
+    from flink_window_dgim_traffic_spark.operators import quality as QL
+    from flink_window_dgim_traffic_spark.operators import sketches as SK
+
+    assert QL.compression_ratio_bound(empty("documents")).count() == 0
+    # sketch store built from empty events serves no windows
+    path = str(tmp_path / "kllb")
+    SK.build_sketch_rollup(empty("events"), path)
+    assert (
+        SK.kll_rollup_quantile_bound(
+            spark, path, empty("events"), 3600
+        ).count()
+        == 0
+    )
