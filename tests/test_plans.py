@@ -783,3 +783,43 @@ def test_dgim_bound_single_shuffle(t):
     ):
         assert I.exchange_count(df) == 1
         assert I.read_columns(df, "events") == {"event_id", "ts"}
+
+
+def test_media_png_stats_map_only(t):
+    """PNG encode → decode → aggregate must stay a zero-shuffle
+    map-only pipeline (one row out per row in; any exchange here
+    would ship blobs)."""
+    from flink_window_dgim_traffic_spark.operators import (
+        multimodal as M,
+    )
+
+    df = M.media_png_stats(t("documents"))
+    assert I.exchange_count(df) == 0
+    assert not I.has_cartesian(df)
+
+
+def test_minhash_md5_signature_single_shuffle(t):
+    """The md5-family signature aggregate: staged h1/h2 projection
+    feeding ONE partial-aggregated shuffle on doc_id — the wide
+    64-min aggregate must not add exchanges over the xxhash64 twin."""
+    for fam in ("xxhash64", "md5"):
+        df = D._minhash_wide(t("documents"), hash_family=fam)
+        assert I.exchange_count(df) == 1, fam
+
+
+def test_int_plane_lsh_no_cartesian_and_pruned_verify(t):
+    """Integer-plane sign-LSH: bucket candidates + verify joins — no
+    cartesian anywhere, and the embeddings scan reads only the two
+    columns the pipeline needs."""
+    df = S.embedding_neardup_lsh(
+        t("embeddings"), 0.4, int_planes=True, n_planes=8
+    )
+    assert not I.has_cartesian(df)
+    assert I.read_columns(df, "embeddings") <= {"vec_id", "embedding"}
+
+
+def test_compression_bound_map_only(t):
+    from flink_window_dgim_traffic_spark.operators import quality as QL
+
+    df = QL.compression_ratio_bound(t("documents"))
+    assert I.exchange_count(df) == 0

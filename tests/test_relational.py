@@ -1038,3 +1038,40 @@ def test_asof_join_nearest_matches_pandas(spark):
     assert list(got["asof_rid"].fillna(-1).astype("int64")) == list(
         want["rid"].fillna(-1).astype("int64")
     )
+
+
+def test_salted_join_equals_unsalted_under_zipf_head(events):
+    """Skew robustness pin (r10, VERDICT r9 ask #6 companion): with
+    ~10% of ALL rows reassigned to one hot user — the Zipf-head crawl
+    shape — the salted join still equals the plain formulation
+    exactly (salts cancel regardless of key distribution; the
+    BASELINE skew study measures the runtime side at 30×)."""
+    skewed = events.withColumn(
+        "user_id",
+        F.when(
+            F.pmod(F.xxhash64("event_id"), F.lit(10)) == 0, F.lit(0)
+        ).otherwise(F.col("user_id")),
+    )
+    salted = {
+        r["event_type"]: r
+        for r in R.user_spend_salted_join(skewed).collect()
+    }
+    dim = skewed.groupBy(F.col("user_id").alias("d_user")).agg(
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("user_total")
+    )
+    plain = (
+        skewed.join(dim, F.col("user_id") == F.col("d_user"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.sum("user_total").cast("double").alias("sum_user_totals"),
+        )
+    )
+    for r in plain.collect():
+        s = salted[r["event_type"]]
+        assert (
+            s["n_events"], s["sum_value"], s["sum_user_totals"]
+        ) == (r["n_events"], r["sum_value"], r["sum_user_totals"])
