@@ -357,6 +357,90 @@ class DGIMProcessor(StatefulProcessor):
         pass
 
 
+class HopDGIMProcessor(StatefulProcessor):
+    """TWS StatefulProcessor for the HOP (sliding) DGIM — keyed by
+    the COMPOSITE (window_start, window_end) tuple, the reference's
+    sliding-job upsert key (``SlidingWindowStreamingJob.java:72-74``).
+    Same sketch state contract as :class:`DGIMProcessor`; exercises
+    multi-column grouping keys on the real TWS runtime (r10 — the
+    second window kind through transformWithStateInPandas)."""
+
+    def __init__(self, size_sec: int, mode: str = MODE_JAVA) -> None:
+        self._size_sec = size_sec
+        self._mode = mode
+
+    def init(self, handle) -> None:
+        self._st = handle.getValueState(
+            "sketch", "flat array<bigint>, ones bigint, nrows bigint"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._st.exists():
+            flat, ones, nrows = self._st.get()
+            sk = DGIM.from_flat(self._size_sec, list(flat), mode=self._mode)
+        else:
+            sk, ones, nrows = DGIM(self._size_sec, mode=self._mode), 0, 0
+        frames = [pdf for pdf in rows]
+        sub = (
+            pd.concat(frames).sort_values("ts_sec", kind="mergesort")
+            if frames
+            else pd.DataFrame({"bit": [], "ts_sec": []})
+        )
+        for b, t in zip(sub["bit"].to_numpy(), sub["ts_sec"].to_numpy()):
+            if b == 1:
+                sk.add(int(t))
+                ones += 1
+        nrows += len(sub)
+        self._st.update((sk.to_flat(), ones, nrows))
+        yield pd.DataFrame(
+            {
+                "window_start": [key[0].strftime("%Y-%m-%d %H:%M:%S")],
+                "window_end": [key[1].strftime("%Y-%m-%d %H:%M:%S")],
+                "count_estimate": [sk.estimate()],
+                "exact_count": [ones],
+                "n_rows": [nrows],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def hop_dgim_stream_tws(
+    parsed, size_sec: int = 60, slide_sec: int = 10, mode: str = MODE_JAVA
+):
+    """Sliding-window DGIM on the real ``transformWithStateInPandas``
+    runtime: the native ``window(ts, size, slide)`` generator fans
+    each row to its covering windows (exactly as the
+    applyInPandasWithState twin :func:`hop_dgim_stream`) and the
+    composite (window_start, window_end) key addresses one sketch per
+    window instance — exercising multi-column TWS grouping keys.
+    Requirements as :func:`tumble_dgim_stream_tws` (RocksDB provider
+    + protobuf — :func:`ship_tws_runtime` is called automatically);
+    output equals batch replay, pinned in tests."""
+    from pyspark.sql import functions as F
+
+    ship_tws_runtime(parsed.sparkSession)
+    keyed = parsed.select(
+        F.window(
+            "ts", f"{size_sec} seconds", f"{slide_sec} seconds"
+        ).alias("w"),
+        "bit",
+        "ts_sec",
+    ).select(
+        F.col("w.start").alias("ws"),
+        F.col("w.end").alias("we"),
+        "bit",
+        "ts_sec",
+    )
+    return keyed.groupBy("ws", "we").transformWithStateInPandas(
+        statefulProcessor=HopDGIMProcessor(size_sec, mode),
+        outputStructType=HOP_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def tumble_dgim_stream_tws(parsed, size_sec: int = 60, mode: str = MODE_JAVA):
     """Same incremental tumbling DGIM as :func:`tumble_dgim_stream`,
     on the current-generation ``transformWithStateInPandas`` API.

@@ -770,3 +770,48 @@ def test_hop_dgim_eviction_timeout_is_host_tz_independent():
         else:
             os.environ["TZ"] = old_tz
         _time.tzset()
+
+
+def test_tws_hop_dgim_matches_batch_replay(spark, fixture_dir, batch_parsed):
+    """The SECOND window kind on the real transformWithStateInPandas
+    runtime (r10): sliding DGIM with the COMPOSITE (window_start,
+    window_end) grouping key.  Final per-window values must equal the
+    batch hop replay; skips only where the TWS runtime is genuinely
+    unavailable (it runs in CI since r10)."""
+    from flink_window_dgim_traffic_spark.streaming.stateful_dgim import (
+        hop_dgim_stream_tws,
+        tws_available,
+        tws_state_store_conf,
+    )
+
+    if not tws_available():
+        pytest.skip("TWS protobuf runtime unavailable")
+    ev = batch_parsed.withColumn("event_id", F.col("bit").cast("bigint"))
+    expect = {
+        (r["window_start"], r["window_end"]): (
+            r["count_estimate"],
+            r["exact_count"],
+        )
+        for r in W.hop_dgim(ev, 60, 10).collect()
+    }
+    stream = J.parse_traffic(J.file_traffic_stream(spark, fixture_dir))
+    with tws_state_store_conf(spark):
+        J.run_stream_to_memory(
+            hop_dgim_stream_tws(stream, 60, 10), "t_hop_dgim_tws", "update"
+        )
+    rows = spark.sql(
+        """
+        SELECT window_start, window_end,
+               max_by(count_estimate, n_rows) AS count_estimate,
+               max_by(exact_count, n_rows) AS exact_count
+        FROM t_hop_dgim_tws GROUP BY window_start, window_end
+        """
+    ).collect()
+    got = {
+        (r["window_start"], r["window_end"]): (
+            r["count_estimate"],
+            r["exact_count"],
+        )
+        for r in rows
+    }
+    assert got == expect
