@@ -357,6 +357,94 @@ class DGIMProcessor(StatefulProcessor):
         pass
 
 
+class EvictingDGIMProcessor(StatefulProcessor):
+    """Tumbling DGIM on TWS with EVENT-TIME TIMERS (r10): every
+    update re-registers a timer at the window end, and
+    ``handleExpiredTimer`` drops the window's state once the
+    watermark passes — the TWS-native form of the
+    applyInPandasWithState eviction path (``EventTimeTimeout``),
+    making TOTAL state O(open windows).  The final value was already
+    emitted in update mode, so expiry yields nothing."""
+
+    def __init__(self, size_sec: int, mode: str = MODE_JAVA) -> None:
+        self._size_sec = size_sec
+        self._mode = mode
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._st = handle.getValueState(
+            "sketch", "flat array<bigint>, ones bigint, nrows bigint"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._st.exists():
+            flat, ones, nrows = self._st.get()
+            sk = DGIM.from_flat(self._size_sec, list(flat), mode=self._mode)
+        else:
+            sk, ones, nrows = DGIM(self._size_sec, mode=self._mode), 0, 0
+        frames = [pdf for pdf in rows]
+        sub = (
+            pd.concat(frames).sort_values("ts_sec", kind="mergesort")
+            if frames
+            else pd.DataFrame({"bit": [], "ts_sec": []})
+        )
+        for b, t in zip(sub["bit"].to_numpy(), sub["ts_sec"].to_numpy()):
+            if b == 1:
+                sk.add(int(t))
+                ones += 1
+        nrows += len(sub)
+        self._st.update((sk.to_flat(), ones, nrows))
+        # naive-as-UTC key reading (see make_dgim_update_fn): drop
+        # this window's state once the watermark reaches its end
+        we_utc = key[0].replace(tzinfo=timezone.utc)
+        self._handle.registerTimer(int(we_utc.timestamp() * 1000))
+        yield pd.DataFrame(
+            {
+                "window_end": [we_utc.strftime("%Y-%m-%d %H:%M:%S")],
+                "count_estimate": [sk.estimate()],
+                "exact_count": [ones],
+                "n_rows": [nrows],
+            }
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        self._st.clear()
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def tumble_dgim_stream_tws_evict(
+    parsed,
+    size_sec: int = 60,
+    mode: str = MODE_JAVA,
+    watermark: str = "0 seconds",
+):
+    """Update-mode TWS tumbling DGIM WITH state eviction: event-time
+    ``timeMode`` + per-window timers at the window end.  The input
+    must carry a watermark (the TWS event-time clock); same output
+    contract as :func:`tumble_dgim_stream_tws`, with bounded state —
+    equality to batch replay AND the state bound are pinned in
+    tests."""
+    from pyspark.sql import functions as F
+
+    ship_tws_runtime(parsed.sparkSession)
+    src = parsed.withWatermark("ts", watermark)
+    keyed = src.select(
+        F.window("ts", f"{size_sec} seconds").getItem("end").alias("we"),
+        "bit",
+        "ts_sec",
+        "ts",
+    )
+    return keyed.groupBy("we").transformWithStateInPandas(
+        statefulProcessor=EvictingDGIMProcessor(size_sec, mode),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="EventTime",
+    )
+
+
 class HopDGIMProcessor(StatefulProcessor):
     """TWS StatefulProcessor for the HOP (sliding) DGIM — keyed by
     the COMPOSITE (window_start, window_end) tuple, the reference's

@@ -815,3 +815,43 @@ def test_tws_hop_dgim_matches_batch_replay(spark, fixture_dir, batch_parsed):
         for r in rows
     }
     assert got == expect
+
+
+def test_tws_dgim_eviction_matches_and_bounds_state(
+    spark, fixture_dir, batch_parsed
+):
+    """TWS EVENT-TIME TIMERS (r10): the evicting processor's final
+    values equal batch replay AND closed-window state is dropped
+    (numRowsTotal < windows seen) — the TWS-native twin of the
+    applyInPandasWithState EventTimeTimeout eviction test."""
+    from flink_window_dgim_traffic_spark.streaming.stateful_dgim import (
+        tumble_dgim_stream_tws_evict,
+        tws_available,
+        tws_state_store_conf,
+    )
+
+    if not tws_available():
+        pytest.skip("TWS protobuf runtime unavailable")
+    stream = J.parse_traffic(J.file_traffic_stream(spark, fixture_dir))
+    with tws_state_store_conf(spark):
+        q = (
+            tumble_dgim_stream_tws_evict(stream, 60)
+            .writeStream.format("memory")
+            .queryName("t_dgim_tws_evict")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    final = {}
+    for r in spark.sql("SELECT * FROM t_dgim_tws_evict").collect():
+        final[r["window_end"]] = (r["count_estimate"], r["exact_count"])
+    ev = batch_parsed.withColumn("event_id", F.col("bit").cast("bigint"))
+    expect = {
+        r["window_end"]: (r["count_estimate"], r["exact_count"])
+        for r in W.tumble_dgim(ev, 60).collect()
+    }
+    assert final == expect
+    # closed windows evicted: fewer state rows than windows seen
+    assert state_rows < len(expect), (state_rows, len(expect))
