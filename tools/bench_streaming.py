@@ -32,6 +32,8 @@ from flink_window_dgim_traffic_spark.sources.traffic import (  # noqa: E402
 from flink_window_dgim_traffic_spark.streaming import jobs as J  # noqa: E402
 from flink_window_dgim_traffic_spark.streaming.stateful_dgim import (  # noqa: E402
     tumble_dgim_stream,
+    tumble_dgim_stream_tws,
+    tws_state_store_conf,
 )
 
 
@@ -52,6 +54,14 @@ def _topn_agg(parsed):
     return windowed_user_counts_stream(ev, 60, watermark="10 seconds")
 
 
+class _nullcontext:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
 def run_pipeline(spark, fixture_dir: str, name: str, build) -> dict:
     """Replay the whole fixture through `build(parsed)` and time it."""
     stream = J.parse_traffic(
@@ -59,16 +69,24 @@ def run_pipeline(spark, fixture_dir: str, name: str, build) -> dict:
     )
     df, mode = build(stream)
     ckpt = tempfile.mkdtemp(prefix=f"bench_stream_{name}_")
-    t0 = time.time()
-    q = (
-        df.writeStream.format("memory")
-        .queryName(f"bench_{name}")
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    # TWS pipelines need the RocksDB provider (multi-column-family
+    # state); scoping it per query leaves the others on the default
+    cm = (
+        tws_state_store_conf(spark)
+        if "tws" in name
+        else _nullcontext()
     )
-    q.awaitTermination()
+    t0 = time.time()
+    with cm:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(f"bench_{name}")
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     elapsed = time.time() - t0
     n_in = sum(
         p["numInputRows"] for p in q.recentProgress if p["numInputRows"]
@@ -121,6 +139,12 @@ def main() -> None:
                 tumble_dgim_stream(s, 60, watermark="10 seconds"),
                 "update",
             ),
+        ),
+        run_pipeline(
+            spark,
+            fixture,
+            "tumble_dgim_stream_tws",
+            lambda s: (tumble_dgim_stream_tws(s, 60), "update"),
         ),
         run_pipeline(
             spark,
