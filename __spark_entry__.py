@@ -1764,6 +1764,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_neardup": lambda s, d: M.media_neardup(
             _documents(s, d), 3, hash_family="md5"
         ),
+        # DGIM over SESSION windows — the 4th window kind for the
+        # sketch family (r10); closed-form estimate, lag+cumsum
+        # session oracle
+        "session_dgim": lambda s, d: W.session_dgim(_events(s, d)),
         # ---- round-9 additions ----
         # DGIM bound anchors for the remaining two window kinds: the
         # estimate equals g(sum(bit)) because nothing expires within
@@ -6045,6 +6049,33 @@ FROM c ORDER BY n DESC, ngram LIMIT 20
         # r10: the REAL TWS runtime replays the same time-ordered
         # sequence, so the final state matches the closed form too
         "stream_tumble_dgim_tws": _tumble_dgim_sql(n_rows=True),
+        # session DGIM: sessions via the lag+cumsum twin (gap >= at
+        # the boundary, the engine's session_window semantics);
+        # estimate = the closed form over the session's ones
+        "session_dgim": f"""
+WITH o AS (SELECT user_id, ts, event_id % 2 AS bit, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+             AS prev_us
+           FROM events),
+m AS (SELECT user_id, ts, bit,
+      CASE WHEN prev_us IS NULL OR us - prev_us >= 14400000000
+           THEN 1 ELSE 0 END AS new_sess
+      FROM o),
+s AS (SELECT user_id, ts, bit,
+      sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS UNBOUNDED PRECEDING) AS sess
+      FROM m),
+c AS (SELECT user_id, sess,
+      strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      strftime(max(ts) + INTERVAL '14400 seconds',
+               '%Y-%m-%d %H:%M:%S') AS session_end_plus_gap,
+      CAST(sum(bit) AS BIGINT) AS n, count(*) AS n_rows
+      FROM s GROUP BY user_id, sess)
+SELECT user_id, session_start, session_end_plus_gap,
+       {_dgim_g_sql('n')} AS count_estimate,
+       n AS exact_count, CAST(n_rows AS BIGINT) AS n_rows
+FROM c
+""",
         # r10 bound anchors (ask #8): all columns except the verdict
         # are closed forms; the verdict must be uniformly TRUE
         "compression_ratio_bound": """

@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     # IVF refresh, bound anchors (minhash_lsh_pairs / simhash_pairs
     # keep their long-standing slots below — now on the md5 family) ----
     "media_png_stats",
+    "session_dgim",
     "media_png_ahash_pairs",
     "stream_tumble_dgim_tws",
     "stream_simsearch_ivf",

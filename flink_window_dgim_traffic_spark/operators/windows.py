@@ -1815,3 +1815,49 @@ def time_weighted_avg(
             "n_rows",
         )
     )
+
+
+def session_dgim(
+    events: DataFrame, gap_sec: int = 14400, mode: str = MODE_JAVA
+) -> DataFrame:
+    """DGIM over SESSION windows — the fourth and last Flink window
+    kind for the sketch family (tumble/hop/cumulate shipped earlier;
+    the reference itself only uses the first two).  Per-user gap
+    sessions come from the ENGINE's ``session_window`` operator;
+    within one session nothing can expire during a sequential replay
+    (every bit is within the horizon of the newest when horizon ≥
+    session span), so the estimate is the replay-equivalent closed
+    form ``g(sum(bit))`` — the same ``tumble_dgim_fast`` rewrite,
+    property-tested against a direct per-session sketch replay in
+    tests.  Plan shape: one session-window aggregation (map-side
+    partial), Python only as the memoized g() lookup per output row.
+
+    Output: (user_id, session_start, session_end_plus_gap,
+    count_estimate, exact_count, n_rows) — session bounds formatted
+    exactly as relational.session_window_counts so the oracle shares
+    the lag+cumsum session definition (new session at gap ≥, the
+    engine's boundary semantics)."""
+    return (
+        with_bit(events)
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{gap_sec} seconds").alias("w"),
+        )
+        .agg(
+            F.sum("bit").cast("bigint").alias("exact_count"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ts").alias("first_ts"),
+        )
+        .select(
+            "user_id",
+            F.date_format("first_ts", TS_FMT_SPARK).alias("session_start"),
+            F.date_format("w.end", TS_FMT_SPARK).alias(
+                "session_end_plus_gap"
+            ),
+            _count_est_udf(mode)(F.col("exact_count")).alias(
+                "count_estimate"
+            ),
+            "exact_count",
+            "n_rows",
+        )
+    )

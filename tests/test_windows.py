@@ -900,3 +900,57 @@ def test_window_join_property_equals_bruteforce(spark):
                 )
 
     run()
+
+
+def test_session_dgim_closed_form_equals_replay(spark, events):
+    """The 4th window kind for the sketch family (r10): per-session
+    closed-form g(ones) must equal a DIRECT sequential DGIM replay of
+    each session's bits with horizon ≥ the session span — the same
+    within-horizon equivalence the tumble/hop/cumulate families pin.
+    Session membership replays the engine's gap semantics (new
+    session at gap ≥)."""
+    from pyspark.sql import functions as F
+
+    from flink_window_dgim_traffic_spark.dgim import DGIM
+
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["count_estimate"],
+            r["exact_count"],
+            r["n_rows"],
+        )
+        for r in W.session_dgim(events.limit(4000)).collect()
+    }
+    rows = (
+        events.limit(4000)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            (F.col("event_id") % 2).cast("int").alias("bit"),
+            "ts",
+        )
+        .orderBy("user_id", "us")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    want = {}
+    for uid, rs in by_user.items():
+        sess, prev = [], None
+        for r in rs:
+            if prev is None or r["us"] - prev >= 14_400 * 1_000_000:
+                sess.append([])
+            sess[-1].append(r)
+            prev = r["us"]
+        for s in sess:
+            span = (s[-1]["us"] - s[0]["us"]) // 1_000_000 + 1
+            sk = DGIM(max(int(span), 1) + 1)
+            ones = 0
+            for r in s:
+                if r["bit"] == 1:
+                    sk.add(r["us"] // 1_000_000)
+                    ones += 1
+            key = (uid, s[0]["ts"].strftime("%Y-%m-%d %H:%M:%S"))
+            want[key] = (sk.estimate(), ones, len(s))
+    assert got == want
