@@ -350,6 +350,35 @@ def session_exact_stream(
     )
 
 
+def session_dgim_stream(
+    parsed: DataFrame,
+    gap_sec: int = 300,
+    watermark: str = "10 seconds",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming SESSION-window DGIM (r10 — the 4th window kind for
+    the sketch family, streamed): :func:`session_exact_stream`'s
+    merging session aggregation plus the replay-equivalent closed
+    form ``g(ones)`` as a post-aggregation projection (nothing
+    expires within a session when horizon ≥ span — the same
+    equivalence ``windows.session_dgim`` property-tests).  Closed
+    sessions equal the batch operator; state stays bounded by active
+    sessions via the watermark."""
+    from flink_window_dgim_traffic_spark.operators.windows import (
+        _count_est_udf,
+    )
+
+    base = session_exact_stream(parsed, gap_sec, watermark, key_cols)
+    return base.select(
+        *base.columns[:-2],
+        _count_est_udf("java")(F.col("ones_exact")).alias(
+            "count_estimate"
+        ),
+        F.col("ones_exact").alias("exact_count"),
+        "n_rows",
+    )
+
+
 def stream_to_parquet(
     df: DataFrame,
     out_dir: str,

@@ -169,3 +169,32 @@ def test_stream_sessions_keyed(spark, burst_dir):
     for counts in per_key.values():
         assert len(counts) == len(BURSTS)
         assert all(c == PER_BURST // 2 for c in counts)
+
+
+def test_stream_session_dgim_matches_batch(spark, burst_dir):
+    """Streaming session DGIM (r10): closed sessions carry the same
+    closed-form estimate the batch session family computes — the 4th
+    window kind's batch==stream contract."""
+    from flink_window_dgim_traffic_spark.dgim import (
+        count_estimate_closed,
+    )
+
+    J.run_stream_to_memory(
+        J.session_dgim_stream(_stream(spark, burst_dir), gap_sec=GAP_SEC),
+        "t_sessions_dgim",
+    )
+    got = {
+        (r["session_start"], r["session_end_plus_gap"]): (
+            r["count_estimate"],
+            r["exact_count"],
+            r["n_rows"],
+        )
+        for r in spark.sql("SELECT * FROM t_sessions_dgim").collect()
+    }
+    expect = {
+        k: (count_estimate_closed(ones), ones, n)
+        for k, (ones, n) in _batch_sessions(spark, keyed=False).items()
+    }
+    assert got.items() <= expect.items()
+    burst_got = {k: v for k, v in got.items() if k[0] < BURST_CUTOFF}
+    assert len(burst_got) == len(BURSTS)
