@@ -807,21 +807,18 @@ def test_png_roundtrip_all_filters_and_channels():
 
 
 def test_png_decodes_real_encoder_output():
-    """A PNG written by a REAL encoder (stdlib test fixture shipped
-    with CPython's IPython/jupyter deps, 8-bit grayscale) decodes to
-    the expected uniform raster — validates CRC framing, inflate and
+    """A PNG written by a REAL third-party encoder decodes to the
+    expected uniform raster — validates CRC framing, inflate and
     unfiltering against an independent implementation, not just our
-    own round-trip."""
-    import os
+    own round-trip.  Fixture: IPython's 71-byte 2×2 grayscale test
+    asset (BSD-licensed), embedded verbatim."""
+    import base64
 
-    p = (
-        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
-        "python3.11/site-packages/IPython/core/tests/2x2.png"
+    data = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAIAAAACCAAAAABX3VL4AAAADklEQVR4nGNs"
+        "YGBiYAAAApIAhPd8o1gAAAAASUVORK5CYII="
     )
-    if not os.path.exists(p):
-        pytest.skip("reference PNG fixture not present")
-    with open(p, "rb") as fh:
-        w, h, ch, px = M.decode_png(fh.read())
+    w, h, ch, px = M.decode_png(data)
     assert (w, h, ch) == (2, 2, 1)
     assert px == bytes([128] * 4)
 
