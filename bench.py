@@ -30,6 +30,19 @@ from flink_window_dgim_traffic_spark.session import get_spark, table  # noqa: E4
 # BASELINE.md §"Bench exclusions" (plan-identical twins and deliberate
 # anti-pattern parity demos).
 BENCH_QUERIES = [
+    # ---- round-11: bound anchors (VERDICT r10 ask #1).  The two
+    # index-pipeline bounds (simsearch_ann_ivf_incremental_bound,
+    # stream_simsearch_ivf_bound) are bench-excluded like the other
+    # disk-index/stream replay entries — their probe path is benched
+    # via simsearch_ann_ivf_bound / stream_simsearch_ivf ----
+    "tumble_dgim_two_phase_bound",
+    "hop_dgim_two_phase_bound",
+    "approx_distinct_users_bound",
+    "windowed_distinct_users_approx_bound",
+    "table_profile_events_approx_bound",
+    "pca_project_bound",
+    "simsearch_ann_ivf_bound",
+    "simsearch_ann_ivfpq_bound",
     # ---- round-10: PNG codec, real-TWS streaming DGIM, streaming
     # IVF refresh, bound anchors (minhash_lsh_pairs / simhash_pairs
     # keep their long-standing slots below — now on the md5 family) ----
@@ -287,45 +300,67 @@ def main() -> None:
     if extra:
         raise SystemExit(f"bench queries missing from queries(): {extra}")
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        # warm run (untimed): plan compilation, UDF pickling/shipping,
-        # Python worker spin-up — fixed per-query overheads that
-        # amortize to zero at scale and would otherwise dominate these
-        # ~1 s queries (steady-state timing methodology, BASELINE.md)
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        # bench hygiene: drop Python-side py4j handles FIRST (they pin
-        # prior queries' localCheckpoint RDD blocks — the ContextCleaner
-        # can only release them once the Python references die), then
-        # drain accumulated JVM garbage, so query N doesn't pay query
-        # N-1's GC debt or hold its checkpoint blocks (measured noise
-        # was up to 5x on otherwise ~1 s queries, growing with the
-        # number of checkpoint-heavy queries already run)
-        gc.collect()
-        spark._jvm.System.gc()
-        # let the async ContextCleaner finish dropping freed blocks —
-        # it otherwise competes with the timed run (measured +1 s on
-        # checkpoint-heavy queries late in the bench order)
-        time.sleep(0.5)
-        # min of TWO timed runs: identical whole-bench invocations on
-        # this host vary up to 2.5x end-to-end (hypervisor neighbor
-        # noise — vmstat shows nonzero steal with the box otherwise
-        # idle), and a single sample confuses that noise with plan
-        # regressions.  The min is the steady-state estimator the
-        # cross-round comparison needs; BASELINE.md documents it.
-        runs = []
-        for _ in range(2):
+    def bench_pass(warm: bool) -> dict[str, float]:
+        """One timed sample per query across the whole list."""
+        out: dict[str, float] = {}
+        for name in BENCH_QUERIES:
+            if warm:
+                # warm run (untimed): plan compilation, UDF pickling/
+                # shipping, Python worker spin-up — fixed per-query
+                # overheads that amortize to zero at scale and would
+                # otherwise dominate these ~1 s queries (steady-state
+                # timing methodology, BASELINE.md)
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            # bench hygiene: drop Python-side py4j handles FIRST (they
+            # pin prior queries' localCheckpoint RDD blocks — the
+            # ContextCleaner can only release them once the Python
+            # references die), then drain accumulated JVM garbage, so
+            # query N doesn't pay query N-1's GC debt or hold its
+            # checkpoint blocks (measured noise was up to 5x on
+            # otherwise ~1 s queries, growing with the number of
+            # checkpoint-heavy queries already run)
+            gc.collect()
+            spark._jvm.System.gc()
+            # let the async ContextCleaner finish dropping freed
+            # blocks — it otherwise competes with the timed run
+            # (measured +1 s on checkpoint-heavy queries late in the
+            # bench order)
+            time.sleep(0.5)
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
+            out[name] = time.time() - t0
             gc.collect()
-        timings[name] = round(min(runs), 3)
-        if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE"):
-            # live progress is opt-in so the driver's capture buffer
-            # holds nothing but the JSON lines below (the r2 run
-            # truncated mid-stream and lost the headline total)
-            print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+            if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE"):
+                # live progress is opt-in so the driver's capture
+                # buffer holds nothing but the JSON lines below (the
+                # r2 run truncated mid-stream and lost the headline
+                # total)
+                print(
+                    f"# [{'A' if warm else 'B'}] {name}: "
+                    f"{out[name]:.3f}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
+        return out
+
+    # A/B INTERLEAVED whole-bench passes, per-query MIN (r11
+    # methodology, BASELINE.md): identical invocations on this host
+    # vary up to 2.5x (hypervisor neighbor noise — vmstat shows
+    # nonzero steal with the box otherwise idle).  Back-to-back
+    # same-query repeats both land inside one noisy window and the
+    # r10 driver record disagreed with the repo ledger by a uniform
+    # 1.20x; two FULL passes separate each query's samples by the
+    # whole bench duration, so a transient window can inflate at most
+    # one of them and min() recovers the steady state.
+    pass_a = bench_pass(warm=True)
+    pass_b = bench_pass(warm=False)
+    timings = {
+        name: round(min(pass_a[name], pass_b[name]), 3)
+        for name in BENCH_QUERIES
+    }
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

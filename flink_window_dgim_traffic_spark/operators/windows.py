@@ -525,6 +525,94 @@ def hop_dgim_two_phase(
     )
 
 
+def _two_phase_bound_cols(df: DataFrame) -> DataFrame:
+    """Replace a two-phase DGIM estimate column with its BOUND VERDICT
+    so the output is DuckDB-hashable (r11, VERDICT r10 ask #1): the
+    merged-sketch estimate deviates from the sequential closed form
+    (deliberate commutative-merge total-order deviation, dgim.py
+    header) so its VALUE has no SQL twin, but the reference's
+    ``C/2 ≤ E ≤ 3C/2`` guarantee (``DGIMAccumulator.java:76-87``) must
+    still hold — asserted since round 1 in tests as
+    ``exact/2 − 1 ≤ est ≤ 1.5·exact + 1``.  Emit that inequality in
+    exact INTEGER arithmetic as ``within_bound`` next to the exact
+    count; the oracle recomputes the exact count and claims TRUE, so a
+    merge-path regression breaks the hash."""
+    return df.select(
+        *[c for c in df.columns if c != "count_estimate"],
+        (
+            (F.col("count_estimate") * 2 >= F.col("exact_count") - 2)
+            & (F.col("count_estimate") * 2 <= F.col("exact_count") * 3 + 2)
+        ).alias("within_bound"),
+    )
+
+
+def tumble_dgim_two_phase_bound(
+    events: DataFrame, size_sec: int = 60, mode: str = MODE_JAVA
+) -> DataFrame:
+    """Bound anchor for :func:`tumble_dgim_two_phase` — same plan
+    (partition-local sketches, sketch-only shuffle, per-window merge),
+    output ``(window_end, exact_count, n_rows, within_bound)`` with
+    the estimate folded into the C/2..3C/2 verdict
+    (:func:`_two_phase_bound_cols`) so the DISTRIBUTED merge path gets
+    a full DuckDB hash check instead of rows-only."""
+    return _two_phase_bound_cols(
+        tumble_dgim_two_phase(events, size_sec, mode)
+    )
+
+
+def hop_dgim_two_phase_bound(
+    events: DataFrame,
+    size_sec: int = 60,
+    slide_sec: int = 10,
+    mode: str = MODE_JAVA,
+) -> DataFrame:
+    """Bound anchor for :func:`hop_dgim_two_phase` (pane-sharing
+    two-phase hop DGIM) — the C/2..3C/2 verdict next to the exact
+    count, full hash check for the fan-out + merge path."""
+    return _two_phase_bound_cols(
+        hop_dgim_two_phase(events, size_sec, slide_sec, mode)
+    )
+
+
+def windowed_distinct_users_approx_bound(
+    events: DataFrame, size_sec: int = 60, rsd: float = 0.02
+) -> DataFrame:
+    """Bound anchor for :func:`windowed_distinct_users_approx` (HLL++
+    per-window distinct): emit the EXACT count (SQL-recomputable) next
+    to ``within_bound`` — the approx estimate within ``3·rsd``
+    relative error or ±2 absolute (small windows sit in HLL++'s
+    sparse/linear-counting regime where the estimate is exact; the ±2
+    slack keeps the verdict integer-robust).  Integer arithmetic:
+    ``1000·|approx − exact| ≤ 3000·rsd·exact`` avoids any float round
+    step, so the boolean hashes identically in both engines.  Same
+    single sketch-per-window aggregation plan as the approx twin —
+    the verdict costs one extra exact-distinct aggregation, which is
+    precisely the oracle anchor."""
+    tol_permille = int(3000 * rsd)
+    return (
+        events.groupBy(F.window("ts", f"{size_sec} seconds").alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("approx"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.date_format(F.col("w.end"), TS_FMT_SPARK).alias(
+                "window_end"
+            ),
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            (
+                (
+                    F.abs(F.col("approx") - F.col("n_users")) * 1000
+                    <= F.col("n_users") * tol_permille
+                )
+                | (F.abs(F.col("approx") - F.col("n_users")) <= 2)
+            ).alias("within_bound"),
+        )
+    )
+
+
 def cumulate_exact(
     events: DataFrame, max_size_sec: int = 60, step_sec: int = 10
 ) -> DataFrame:
@@ -1823,13 +1911,23 @@ def session_dgim(
     """DGIM over SESSION windows — the fourth and last Flink window
     kind for the sketch family (tumble/hop/cumulate shipped earlier;
     the reference itself only uses the first two).  Per-user gap
-    sessions come from the ENGINE's ``session_window`` operator;
-    within one session nothing can expire during a sequential replay
-    (every bit is within the horizon of the newest when horizon ≥
-    session span), so the estimate is the replay-equivalent closed
-    form ``g(sum(bit))`` — the same ``tumble_dgim_fast`` rewrite,
-    property-tested against a direct per-session sketch replay in
-    tests.  Plan shape: one session-window aggregation (map-side
+    sessions come from the ENGINE's ``session_window`` operator.
+
+    HORIZON SEMANTICS (explicit, because it is NOT ``gap_sec``): the
+    estimate models a DGIM whose bit horizon covers the WHOLE session
+    span — i.e. at session close the sketch is queried for "ones since
+    the session opened", the per-session analogue of tumble's
+    size-long horizon.  Under that model nothing expires during a
+    sequential replay (every bit is within the horizon of the newest),
+    so the estimate is the replay-equivalent closed form
+    ``g(sum(bit))`` — the same ``tumble_dgim_fast`` rewrite,
+    property-tested against a direct per-session sketch replay (the
+    replay test sizes its DGIM horizon to span+1 per session, which is
+    exactly this model, not an independent check of a fixed-horizon
+    sketch).  A chained session whose span exceeds ``gap_sec`` would
+    give a DIFFERENT (smaller) answer under a horizon=gap_sec sketch;
+    that variant is intentionally not what this operator computes.
+    Plan shape: one session-window aggregation (map-side
     partial), Python only as the memoized g() lookup per output row.
 
     Output: (user_id, session_start, session_end_plus_gap,

@@ -135,21 +135,126 @@ _PROTOBUF_FALLBACK_DIRS = (
 )
 
 
-_TWS_RUNTIME = {"dir": None, "zip": None, "shipped": set()}
+_TWS_RUNTIME = {"dir": None, "zip": None, "shipped": set(), "reason": None}
+
+#: max (major, minor) skew between PySpark's protobuf GENCODE and a
+#: staged pure-Python RUNTIME that we will paper over by disabling
+#: the runtime-version validator.  Pure-Python descriptors are
+#: wire-compatible across one minor; a larger skew must raise so a
+#: misparse surfaces as a version error, not silent wire corruption.
+_PROTOBUF_MAX_MINOR_SKEW = 1
+
+
+def _pkg_parent_dir() -> str:
+    """Directory containing the ``flink_window_dgim_traffic_spark``
+    package — what the TWS driver worker needs on PYTHONPATH."""
+    return os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+
+def _prepend_pythonpath(path: str) -> None:
+    """Idempotently prepend ``path`` to ``$PYTHONPATH`` so JVMs (and
+    their TWS driver workers) started AFTER this call inherit it."""
+    pp = os.environ.get("PYTHONPATH", "")
+    parts = pp.split(os.pathsep) if pp else []
+    if path not in parts:
+        parts.insert(0, path)
+        os.environ["PYTHONPATH"] = os.pathsep.join(parts)
+
+
+def _staged_runtime_version(src_dir: str) -> tuple[int, int] | None:
+    """(major, minor) of the pure-Python protobuf runtime under
+    ``src_dir`` — read textually from ``runtime_version.py`` (new
+    layout) or ``__init__.py``'s ``__version__`` (pre-4.25 layout)
+    without importing it (it isn't on sys.path yet)."""
+    import re
+
+    pb = os.path.join(src_dir, "google", "protobuf")
+    for name, pat in (
+        ("runtime_version.py", r"MINOR\s*=\s*(\d+)"),
+        ("__init__.py", r"__version__\s*=\s*['\"](\d+)\.(\d+)"),
+    ):
+        path = os.path.join(pb, name)
+        if not os.path.exists(path):
+            continue
+        with open(path) as fh:
+            text = fh.read()
+        if name == "runtime_version.py":
+            major = re.search(r"MAJOR\s*=\s*(\d+)", text)
+            minor = re.search(r"MINOR\s*=\s*(\d+)", text)
+            if major and minor:
+                return int(major.group(1)), int(minor.group(1))
+        else:
+            m = re.search(pat, text)
+            if m:
+                # 3.x pure-Python releases: "3.19.6" → gencode era 19
+                major, minor = int(m.group(1)), int(m.group(2))
+                return (4, minor) if major == 3 else (major, minor)
+    return None
+
+
+def _gencode_expected_version() -> tuple[int, int] | None:
+    """(major, minor) the PySpark-generated state-server stubs were
+    built against, read textually from the generated module so it
+    works before protobuf itself is importable."""
+    import re
+
+    try:
+        import pyspark
+
+        gen = os.path.join(
+            os.path.dirname(os.path.abspath(pyspark.__file__)),
+            "sql",
+            "streaming",
+            "proto",
+            "StateMessage_pb2.py",
+        )
+        with open(gen) as fh:
+            m = re.search(
+                r"ValidateProtobufRuntimeVersion\(\s*"
+                r"_runtime_version\.Domain\.PUBLIC,\s*(\d+),\s*(\d+)",
+                fh.read(),
+            )
+        if m:
+            return int(m.group(1)), int(m.group(2))
+    except Exception:
+        pass
+    return None
 
 
 def _build_portable_protobuf(src_dir: str) -> tuple[str, str]:
     """Copy the pure-Python ``google/protobuf`` tree from ``src_dir``
     into a temp staging dir, append a no-op override of
     ``ValidateProtobufRuntimeVersion`` to its ``runtime_version.py``
-    (the probed runtimes are one minor behind PySpark's gencode;
-    pure-Python descriptors are wire-compatible across that skew and
-    the batch==stream equality test is the real gate), and zip it —
-    the zip is what :func:`ship_tws_runtime` sends to workers via
-    ``addPyFile``.  Returns (staging_dir, zip_path)."""
+    (pure-Python descriptors are wire-compatible across a one-minor
+    skew and the batch==stream equality test is the real gate), and
+    zip it — the zip is what :func:`ship_tws_runtime` sends to
+    workers via ``addPyFile``.  Returns (staging_dir, zip_path).
+
+    The validator is only disarmed when the measured skew between the
+    staged RUNTIME and PySpark's GENCODE is within
+    ``_PROTOBUF_MAX_MINOR_SKEW`` (same major); a larger skew raises
+    ``RuntimeError`` here so it surfaces as a clear version error,
+    never a silent wire misparse."""
     import shutil
     import tempfile
     import zipfile
+
+    runtime_v = _staged_runtime_version(src_dir)
+    gencode_v = _gencode_expected_version()
+    if runtime_v is not None and gencode_v is not None:
+        same_major = runtime_v[0] == gencode_v[0]
+        skew = abs(runtime_v[1] - gencode_v[1])
+        if not (same_major and skew <= _PROTOBUF_MAX_MINOR_SKEW):
+            raise RuntimeError(
+                "TWS protobuf staging refused: staged pure-Python "
+                f"runtime {runtime_v[0]}.{runtime_v[1]} vs PySpark "
+                f"gencode {gencode_v[0]}.{gencode_v[1]} exceeds the "
+                f"±{_PROTOBUF_MAX_MINOR_SKEW}-minor window this shim "
+                "is validated for.  Install a matching protobuf or "
+                "point $SPARK_GRAFT_PROTOBUF_PATH at a closer runtime."
+            )
 
     stage = tempfile.mkdtemp(prefix="spark_graft_tws_pb_")
     dst = os.path.join(stage, "google", "protobuf")
@@ -188,6 +293,14 @@ def enable_tws_runtime() -> bool:
     :func:`tumble_dgim_stream_tws` calls it automatically."""
     import sys
 
+    # The package parent must reach the TWS driver worker's
+    # PYTHONPATH REGARDLESS of where protobuf comes from — a real
+    # site-packages install satisfies the protobuf import but the
+    # StreamingPythonRunner still unpickles our StatefulProcessor
+    # from scratch and only sees PYTHONPATH captured at JVM start
+    # (addPyFile/ship_package don't reach it).
+    _prepend_pythonpath(_pkg_parent_dir())
+
     if _TWS_RUNTIME["dir"] is None:
         try:
             from google.protobuf import descriptor  # noqa: F401
@@ -206,29 +319,27 @@ def enable_tws_runtime() -> bool:
             None,
         )
         if src is None:
+            _TWS_RUNTIME["reason"] = (
+                "no google.protobuf importable and no pure-Python "
+                "runtime found at $SPARK_GRAFT_PROTOBUF_PATH or "
+                f"{_PROTOBUF_FALLBACK_DIRS}"
+            )
             return False
-        stage, zip_path = _build_portable_protobuf(src)
+        try:
+            stage, zip_path = _build_portable_protobuf(src)
+        except RuntimeError as exc:  # version-skew refusal: be loud
+            _TWS_RUNTIME["reason"] = str(exc)
+            return False
         _TWS_RUNTIME["dir"], _TWS_RUNTIME["zip"] = stage, zip_path
     stage = _TWS_RUNTIME["dir"]
     if stage not in sys.path:
         sys.path.insert(0, stage)
-    # The TWS *driver worker* (StreamingPythonRunner) does NOT apply
-    # addPyFile includes when unpickling the StatefulProcessor — it
-    # only sees PYTHONPATH captured at JVM start.  Prepend both the
-    # protobuf stage and this package's parent dir so a session
-    # created AFTER this call can run TWS from any cwd (observed:
+    # Stage dir too: the TWS driver worker resolves protobuf via
+    # PYTHONPATH captured at JVM start (see note above) — observed:
     # without this, STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE /
     # ModuleNotFoundError from /tmp even though ship_package covered
-    # the regular workers).
-    pkg_parent = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    pp = os.environ.get("PYTHONPATH", "")
-    parts = pp.split(os.pathsep) if pp else []
-    for extra in (stage, pkg_parent):
-        if extra not in parts:
-            parts.insert(0, extra)
-    os.environ["PYTHONPATH"] = os.pathsep.join(parts)
+    # the regular workers.
+    _prepend_pythonpath(stage)
     try:
         from google.protobuf import descriptor  # noqa: F401
 
@@ -260,15 +371,34 @@ def tws_available() -> bool:
     """True when the transformWithStateInPandas runtime can start:
     :func:`enable_tws_runtime` made ``google.protobuf`` importable AND
     PySpark's generated ``StateMessage_pb2`` actually loads under it
-    (the version-checked step)."""
+    (the version-checked step).  When False,
+    :func:`tws_unavailable_reason` says why."""
     if not enable_tws_runtime():
+        if _TWS_RUNTIME.get("reason") is None:
+            _TWS_RUNTIME["reason"] = (
+                "no google.protobuf importable and no pure-Python "
+                "runtime found at $SPARK_GRAFT_PROTOBUF_PATH or "
+                f"{_PROTOBUF_FALLBACK_DIRS}"
+            )
         return False
     try:
         import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
 
+        _TWS_RUNTIME["reason"] = None
         return True
-    except Exception:
+    except Exception as exc:
+        _TWS_RUNTIME["reason"] = (
+            f"StateMessage_pb2 failed to load under the available "
+            f"protobuf: {type(exc).__name__}: {exc}"
+        )
         return False
+
+
+def tws_unavailable_reason() -> str | None:
+    """Human-readable reason the last :func:`tws_available` call
+    returned False (None when it returned True or never ran) — the
+    loud-degrade surface asked of the protobuf gate."""
+    return _TWS_RUNTIME.get("reason")
 
 
 class tws_state_store_conf:

@@ -1466,3 +1466,30 @@ def test_embedding_neardup_lsh_int_planes_contract(embeddings):
                     if sc >= 0.4:
                         want.add((ids[a], ids[b]))
     assert set(got) == want
+
+
+def test_ann_recall_bound_and_pca_bound(embeddings):
+    """r11 bound anchors: ann_recall_bound emits one row with the
+    integer-arithmetic recall verdict (TRUE for IVF and IVF-PQ at the
+    long-standing 30% pin, FALSE for an empty candidate set);
+    pca_project_bound's three structural verdicts hold on the
+    fixture."""
+    ivf = S.ann_recall_bound(embeddings, S.simsearch_ann_ivf(embeddings))
+    r = ivf.collect()
+    assert len(r) == 1 and r[0]["recall_within"] and r[0]["n_queries"] >= 1
+    pq = S.ann_recall_bound(embeddings, S.simsearch_ann_ivfpq(embeddings))
+    assert pq.collect()[0]["recall_within"]
+    # adversarial: an empty ANN result must FAIL the bound, proving
+    # the verdict is measured, not vacuous
+    empty = embeddings.sparkSession.createDataFrame(
+        [], "query_id bigint, neighbor_id bigint"
+    )
+    assert not S.ann_recall_bound(embeddings, empty).collect()[0][
+        "recall_within"
+    ]
+
+    b = S.pca_project_bound(embeddings).collect()
+    assert len(b) == 1
+    row = b[0]
+    assert row["orthonormal_ok"] and row["variance_ordered_ok"]
+    assert row["centered_ok"] and row["n_rows"] >= 1

@@ -855,3 +855,76 @@ def test_tws_dgim_eviction_matches_and_bounds_state(
     assert final == expect
     # closed windows evicted: fewer state rows than windows seen
     assert state_rows < len(expect), (state_rows, len(expect))
+
+
+def test_tws_protobuf_version_guard_and_reason():
+    """The portable-protobuf shim must refuse to disarm the runtime
+    version validator beyond a one-minor skew (a larger skew must be
+    a loud version error, never a silent wire misparse), and
+    tws_unavailable_reason() must carry a human-readable message when
+    the gate says no."""
+    import os
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from flink_window_dgim_traffic_spark.streaming import stateful_dgim as SD
+
+    # a fake staged runtime three minors behind the gencode
+    gencode = SD._gencode_expected_version()
+    if gencode is None:
+        pytest.skip("no PySpark StateMessage gencode on this host")
+    stale = tempfile.mkdtemp(prefix="tws_guard_test_")
+    try:
+        pb = os.path.join(stale, "google", "protobuf")
+        os.makedirs(pb)
+        with open(os.path.join(pb, "runtime_version.py"), "w") as fh:
+            fh.write(
+                f"MAJOR = {gencode[0]}\nMINOR = {gencode[1] - 3}\n"
+                "PATCH = 0\n"
+            )
+        assert SD._staged_runtime_version(stale) == (
+            gencode[0],
+            gencode[1] - 3,
+        )
+        with pytest.raises(RuntimeError, match="minor window"):
+            SD._build_portable_protobuf(stale)
+    finally:
+        shutil.rmtree(stale, ignore_errors=True)
+
+    # a one-minor-behind runtime is accepted (the validated skew)
+    ok = tempfile.mkdtemp(prefix="tws_guard_ok_")
+    try:
+        pb = os.path.join(ok, "google", "protobuf")
+        os.makedirs(pb)
+        with open(os.path.join(pb, "runtime_version.py"), "w") as fh:
+            fh.write(
+                f"MAJOR = {gencode[0]}\nMINOR = {gencode[1] - 1}\n"
+                "PATCH = 0\n"
+            )
+        stage, zip_path = SD._build_portable_protobuf(ok)
+        assert os.path.exists(zip_path)
+        shutil.rmtree(stage, ignore_errors=True)
+    finally:
+        shutil.rmtree(ok, ignore_errors=True)
+
+    # the loud-degrade surface: when available, reason is None; the
+    # reason string is populated by a failed gate (simulated via a
+    # skew refusal routed through enable_tws_runtime's handler)
+    if SD.tws_available():
+        assert SD.tws_unavailable_reason() is None
+
+
+def test_tws_pkg_parent_on_pythonpath_even_with_real_protobuf():
+    """enable_tws_runtime must prepend the package parent dir to
+    PYTHONPATH even when a real google.protobuf install exists — the
+    TWS driver worker resolves our StatefulProcessor module through
+    PYTHONPATH captured at JVM start, not addPyFile."""
+    import os
+
+    from flink_window_dgim_traffic_spark.streaming import stateful_dgim as SD
+
+    SD.enable_tws_runtime()
+    parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    assert SD._pkg_parent_dir() in parts

@@ -954,3 +954,37 @@ def test_session_dgim_closed_form_equals_replay(spark, events):
             key = (uid, s[0]["ts"].strftime("%Y-%m-%d %H:%M:%S"))
             want[key] = (sk.estimate(), ones, len(s))
     assert got == want
+
+
+def test_two_phase_bound_anchors(events):
+    """r11 bound anchors: the two-phase verdict column must be TRUE on
+    every window (the C/2..3C/2 merge guarantee), the estimate column
+    must be gone (it has no SQL twin), and the exact counts must equal
+    the plain tumble/hop aggregation."""
+    tb = W.tumble_dgim_two_phase_bound(events, 60)
+    assert set(tb.columns) == {
+        "window_end", "exact_count", "n_rows", "within_bound"
+    }
+    rows = tb.collect()
+    assert rows and all(r["within_bound"] for r in rows)
+    exact = {
+        r["window_end"]: r["ones_exact"]
+        for r in W.tumble_exact(events, 60).collect()
+    }
+    assert {r["window_end"]: r["exact_count"] for r in rows} == exact
+
+    hb = W.hop_dgim_two_phase_bound(events, 60, 10).collect()
+    assert hb and all(r["within_bound"] for r in hb)
+
+
+def test_windowed_distinct_approx_bound(events):
+    """HLL per-window envelope: every window's verdict TRUE, exact
+    counts equal the exact twin."""
+    b = W.windowed_distinct_users_approx_bound(events, 60)
+    rows = b.collect()
+    assert rows and all(r["within_bound"] for r in rows)
+    exact = {
+        r["window_end"]: r["n_users"]
+        for r in W.windowed_distinct_users(events, 60).collect()
+    }
+    assert {r["window_end"]: r["n_users"] for r in rows} == exact
