@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     # stream_simsearch_ivf_bound) are bench-excluded like the other
     # disk-index/stream replay entries — their probe path is benched
     # via simsearch_ann_ivf_bound / stream_simsearch_ivf ----
+    "media_jpeg_stats",
+    "media_jpeg_ahash_pairs",
     "tumble_dgim_two_phase_bound",
     "hop_dgim_two_phase_bound",
     "approx_distinct_users_bound",

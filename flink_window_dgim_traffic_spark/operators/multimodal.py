@@ -2,12 +2,17 @@
 payload columns + typed metadata, processed with Arrow-batched
 ``mapInPandas``.
 
-The container has no image/audio codecs, so the *decode* step is a
-clearly-marked stub (``decode_media`` raises NotImplementedError; the
-pipeline uses a deterministic byte-level feature extractor instead).
-The Spark-side plumbing — binary schema, metadata struct, Arrow batch
-shapes, partition-preserving mapInPandas — is real and tested, and the
-byte-level features are oracle-checkable against the source text.
+The container has no image/audio codec LIBRARIES, so the decoders are
+pure-Python/stdlib implementations: binary netpbm P6/P5 (r8),
+RIFF/WAVE PCM-16 (r9), PNG via stdlib zlib with CRC-verified chunk
+walk and all five unfilters (r10), and baseline-sequential JPEG —
+Annex-K Huffman entropy decode, restart markers, dequant, float64
+IDCT, YCbCr (r11).  The remaining NotImplementedError boundary is
+documented and negative-tested: progressive/arithmetic JPEG, chroma
+subsampling, 16-bit quant tables, and compressed audio.  The
+Spark-side plumbing — binary schema, metadata struct, Arrow batch
+shapes, partition-preserving mapInPandas — is real and tested, and
+every decode family has a closed-form integer oracle.
 """
 
 from __future__ import annotations
@@ -73,15 +78,20 @@ def decode_media(payload: bytes, mime: str):
     decoder would hand back for these formats.
 
     ``image/png`` dispatches to the stdlib-zlib :func:`decode_png`
-    (r10).  Other mimes still raise NotImplementedError: real
-    JPEG/compressed-audio codecs are not in this container (reference
-    has no media at all; this surface is north-star scope)."""
+    (r10); ``image/jpeg`` to the numpy baseline-sequential
+    :func:`decode_jpeg` (r11).  Other mimes (progressive JPEG,
+    compressed audio) still raise NotImplementedError — the
+    documented codec boundary (reference has no media at all; this
+    surface is north-star scope)."""
     if mime == PNG_MIME:
         return decode_png(payload)
+    if mime == JPEG_MIME:
+        return decode_jpeg(payload)
     if mime not in (PPM_MIME, PGM_MIME):
         raise NotImplementedError(
             f"no codec for {mime!r} in this environment; supported: "
-            f"{PPM_MIME} (P6), {PGM_MIME} (P5), {PNG_MIME}"
+            f"{PPM_MIME} (P6), {PGM_MIME} (P5), {PNG_MIME}, "
+            f"{JPEG_MIME} (baseline sequential)"
         )
     (magic, w_b, h_b, maxval), off = _pnm_header_tokens(payload, 4)
     channels = 3 if magic == b"P6" else 1
@@ -1492,4 +1502,662 @@ def media_png_ahash_pairs(
         max_hamming=max_hamming,
         group_size=group_size,
         blob_fn=with_png_blob_grouped,
+    )
+
+
+# ----------------------------------------------------------------------
+# Baseline JPEG (r11, VERDICT r10 ask #3) — stdlib + numpy only.
+#
+# Scope: SEQUENTIAL baseline DCT (SOF0), 8-bit, grayscale or YCbCr
+# 4:4:4, standard ITU T.81 Annex K Huffman tables, optional restart
+# intervals.  Progressive (SOF2) and chroma subsampling raise
+# NotImplementedError — the documented codec boundary, mirroring the
+# r10 PNG discipline (real bitstream walk, deterministic synthetic
+# fixtures, closed-form pixel oracles, fuzz vs truncation).
+#
+# The FIXTURES use all-ones quantization tables and rasters that are
+# FLAT PER 8x8 BLOCK: a flat block's DCT is DC-only with an exactly
+# representable integer coefficient (8·(v-128)), so quantize→dequant→
+# IDCT→round reconstructs the block bit-exactly and every pixel stays
+# a closed-form integer function of (doc_id, block index) that the
+# DuckDB oracle replays without a decoder.  The codec itself is
+# general: arbitrary rasters round-trip within quantization error
+# (pinned in tests), truncated/corrupt streams raise ValueError.
+# ----------------------------------------------------------------------
+
+JPEG_MIME = "image/jpeg"
+
+# ITU T.81 Annex K (public spec) Huffman table specs: (bits[1..16],
+# values).  K.3.3.1/2 DC, K.3.3.1/2 AC for luminance/chrominance.
+_JPG_DC_LUM = (
+    (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_JPG_DC_CHR = (
+    (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_JPG_AC_LUM = (
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+    (
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+        0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+        0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+        0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+        0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+        0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+        0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+        0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+        0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+        0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+_JPG_AC_CHR = (
+    (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    (
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+        0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+        0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+        0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+        0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+        0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+        0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+        0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+        0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+
+#: zigzag order: _JPG_ZIGZAG[k] = (row, col) of the k-th coefficient
+_JPG_ZIGZAG = []
+for _s in range(15):
+    _d = range(_s + 1)
+    for _j in (_d if _s % 2 else reversed(_d)):
+        _r = _s - _j
+        if _r < 8 and _j < 8:
+            _JPG_ZIGZAG.append((_r, _j))
+del _s, _d, _j, _r
+
+
+def _jpg_dct_mat():
+    """Orthonormal-ish 8-point DCT-II basis with JPEG scaling: row u of
+    the returned matrix is C(u)/2 · cos((2x+1)uπ/16)."""
+    import numpy as np
+
+    M = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            M[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16)
+    return M
+
+
+def _huff_encoder_table(spec):
+    """DHT spec -> {symbol: (code, length)} by canonical assignment."""
+    bits, vals = spec
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decoder_table(spec):
+    """DHT spec -> {(length, code): symbol}."""
+    bits, vals = spec
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpgBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # pad with 1s per spec
+
+
+class _JpgBitReader:
+    """Entropy-coded-segment bit reader: un-stuffs 0xFF00, stops at
+    any other marker (leaves position ON the 0xFF)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        d, p = self.data, self.pos
+        if p >= len(d):
+            raise ValueError("truncated entropy-coded segment")
+        b = d[p]
+        if b == 0xFF:
+            if p + 1 >= len(d):
+                raise ValueError("truncated entropy-coded segment")
+            nxt = d[p + 1]
+            if nxt == 0x00:
+                self.pos = p + 2  # stuffed 0xFF data byte
+            else:
+                raise ValueError(
+                    f"marker 0xFF{nxt:02X} inside entropy segment"
+                )
+        else:
+            self.pos = p + 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self) -> None:
+        """Drop partial byte (used before RST markers)."""
+        self.n = 0
+        self.acc = 0
+
+
+def _jpg_magnitude(v: int):
+    """JPEG magnitude coding: value -> (size, raw bits)."""
+    if v == 0:
+        return 0, 0
+    a, size = abs(v), 0
+    while a:
+        a >>= 1
+        size += 1
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _jpg_extend(bits: int, size: int) -> int:
+    """Inverse of _jpg_magnitude."""
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def encode_jpeg(
+    w: int,
+    h: int,
+    channels: int,
+    pixels: bytes,
+    quant: int = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline sequential JPEG encoder (SOF0, Annex K Huffman
+    tables, 4:4:4, uniform quantizer value ``quant``): the fixture
+    generator and fuzz-roundtrip partner of :func:`decode_jpeg`.
+    ``channels`` 1 (grayscale) or 3 (RGB; encoded via the exact
+    integer-neutral YCbCr when R==G==B, else float BT.601).  Width
+    and height need not be block-aligned — edge blocks replicate the
+    last row/column, as real encoders do."""
+    import struct
+
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    X = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64)
+    X = X.reshape(h, w, channels)
+    if channels == 3:
+        R, G, B = X[..., 0], X[..., 1], X[..., 2]
+        Y = 0.299 * R + 0.587 * G + 0.114 * B
+        Cb = 128.0 + (-0.168736 * R - 0.331264 * G + 0.5 * B)
+        Cr = 128.0 + (0.5 * R - 0.418688 * G - 0.081312 * B)
+        comps = [Y, Cb, Cr]
+    else:
+        comps = [X[..., 0]]
+    # pad to 8x8 blocks by edge replication
+    bw, bh = -(-w // 8) * 8, -(-h // 8) * 8
+    comps = [
+        np.pad(c, ((0, bh - h), (0, bw - w)), mode="edge") for c in comps
+    ]
+    M = _jpg_dct_mat()
+    Q = np.full((8, 8), float(quant))
+
+    dc_specs = [_JPG_DC_LUM] + [_JPG_DC_CHR] * 2
+    ac_specs = [_JPG_AC_LUM] + [_JPG_AC_CHR] * 2
+    dc_tabs = [_huff_encoder_table(s) for s in dc_specs]
+    ac_tabs = [_huff_encoder_table(s) for s in ac_specs]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT: one table (id 0) used by every component
+    qz = bytes(int(quant) & 0xFF for _ in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qz
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOF0
+    nf = len(comps)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)
+    for ci in range(nf):
+        out += struct.pack(">BBB", ci + 1, 0x11, 0)  # 4:4:4, qtable 0
+    # DHT (the tables actually used)
+    for cls, specs in ((0, dc_specs[:nf]), (1, ac_specs[:nf])):
+        for ti, spec in enumerate(dict.fromkeys(specs[: min(nf, 2)])):
+            bits, vals = spec
+            out += (
+                b"\xff\xc4"
+                + struct.pack(">H", 19 + len(vals))
+                + struct.pack(">B", (cls << 4) | ti)
+                + bytes(bits)
+                + bytes(vals)
+            )
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nf, nf)
+    for ci in range(nf):
+        t = 0 if ci == 0 else 1
+        out += struct.pack(">BB", ci + 1, (t << 4) | t)
+    out += b"\x00\x3f\x00"
+
+    wtr = _JpgBitWriter()
+    pred = [0] * nf
+    n_mcu_x, n_mcu_y = bw // 8, bh // 8
+    mcu_count = 0
+    rst_no = 0
+    for by in range(n_mcu_y):
+        for bx in range(n_mcu_x):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                wtr.flush()
+                wtr.out += bytes((0xFF, 0xD0 + (rst_no % 8)))
+                rst_no += 1
+                pred = [0] * nf
+            for ci, comp in enumerate(comps):
+                blk = comp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                F_ = M @ (blk - 128.0) @ M.T
+                qc = np.round(F_ / Q).astype(np.int64)
+                t = 0 if ci == 0 else 1
+                dct, act = dc_tabs[t], ac_tabs[t]
+                # DC
+                diff = int(qc[0, 0]) - pred[ci]
+                pred[ci] = int(qc[0, 0])
+                size, bits_ = _jpg_magnitude(diff)
+                code, ln = dct[size]
+                wtr.put(code, ln)
+                if size:
+                    wtr.put(bits_, size)
+                # AC run-length
+                zz = [int(qc[r, c]) for (r, c) in _JPG_ZIGZAG[1:]]
+                run = 0
+                for v in zz:
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = act[0xF0]  # ZRL
+                        wtr.put(code, ln)
+                        run -= 16
+                    size, bits_ = _jpg_magnitude(v)
+                    code, ln = act[(run << 4) | size]
+                    wtr.put(code, ln)
+                    wtr.put(bits_, size)
+                    run = 0
+                if run:
+                    code, ln = act[0x00]  # EOB
+                    wtr.put(code, ln)
+            mcu_count += 1
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(payload: bytes):
+    """Pure-Python baseline JPEG decode: marker walk, DQT/DHT/SOF0/
+    SOS/DRI parse, Huffman + magnitude entropy decode with byte
+    un-stuffing and restart handling, dequantize, un-zigzag, float64
+    IDCT, level shift, clamp — then YCbCr→RGB for 3-component scans.
+    Returns ``(width, height, channels, pixels: bytes)`` row-major,
+    the same contract as :func:`decode_png` / :func:`decode_media`.
+
+    Raises ValueError on structural corruption (bad SOI, truncation,
+    unknown Huffman code, marker inside entropy data) and
+    NotImplementedError on the documented scope boundary: progressive
+    (SOF2), 12-bit, arithmetic coding, chroma subsampling."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (bad SOI)")
+    pos, n = 2, len(payload)
+    qtables: dict[int, list[int]] = {}
+    dc_dec: dict[int, dict] = {}
+    ac_dec: dict[int, dict] = {}
+    sof = None
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError(f"truncated segment 0xFF{marker:02X}")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qtables[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                cls, ti = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                tab = _huff_decoder_table((bits, vals))
+                (dc_dec if cls == 0 else ac_dec)[ti] = tab
+                i += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            depth, hh, ww, nf = struct.unpack(">BHHB", body[:6])
+            if depth != 8:
+                raise NotImplementedError("only 8-bit baseline JPEG")
+            comps = []
+            for ci in range(nf):
+                cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling not supported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            sof = (ww, hh, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline SOF 0xFF{marker:02X} (progressive/"
+                "arithmetic) — baseline sequential only"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for ci in range(ns):
+                cid, tt = body[1 + 2 * ci : 3 + 2 * ci]
+                scan_comps.append((cid, tt >> 4, tt & 0xF))
+            scan = (scan_comps, pos + 2 + seglen)
+            break
+        pos += 2 + seglen
+    if sof is None or scan is None:
+        raise ValueError("missing SOF0 or SOS")
+    w, h, comps = sof
+    scan_comps, data_pos = scan
+    nf = len(comps)
+    if nf not in (1, 3) or len(scan_comps) != nf:
+        raise NotImplementedError("only 1- or 3-component single scan")
+
+    M = _jpg_dct_mat()
+    bw, bh = -(-w // 8) * 8, -(-h // 8) * 8
+    n_mcu_x, n_mcu_y = bw // 8, bh // 8
+    planes = [np.zeros((bh, bw)) for _ in range(nf)]
+    rdr = _JpgBitReader(payload, data_pos)
+    pred = [0] * nf
+    mcu_count = 0
+    rst_no = 0
+
+    def read_symbol(tab) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | rdr.bit()
+            length += 1
+            sym = tab.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy segment")
+
+    for by in range(n_mcu_y):
+        for bx in range(n_mcu_x):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                rdr.align_to_marker()
+                if (
+                    rdr.pos + 2 > n
+                    or payload[rdr.pos] != 0xFF
+                    or payload[rdr.pos + 1] != 0xD0 + (rst_no % 8)
+                ):
+                    raise ValueError("missing/mismatched RST marker")
+                rdr.pos += 2
+                rst_no += 1
+                pred = [0] * nf
+            for ci in range(nf):
+                cid, td, ta = scan_comps[ci]
+                q = qtables.get(comps[ci][1])
+                if q is None:
+                    raise ValueError("missing quant table")
+                blk = np.zeros(64)
+                size = read_symbol(dc_dec[td])
+                diff = _jpg_extend(rdr.bits(size), size)
+                pred[ci] += diff
+                blk[0] = pred[ci] * q[0]
+                k = 1
+                while k < 64:
+                    rs = read_symbol(ac_dec[ta])
+                    r, s = rs >> 4, rs & 0xF
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC coefficient run overflow")
+                    blk[k] = _jpg_extend(rdr.bits(s), s) * q[k]
+                    k += 1
+                B = np.zeros((8, 8))
+                for kk, (r_, c_) in enumerate(_JPG_ZIGZAG):
+                    B[r_, c_] = blk[kk]
+                spat = M.T @ B @ M + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spat
+            mcu_count += 1
+
+    planes = [p[:h, :w] for p in planes]
+    if nf == 1:
+        px = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, px.tobytes()
+    Y, Cb, Cr = planes
+    R = Y + 1.402 * (Cr - 128.0)
+    G = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
+    B_ = Y + 1.772 * (Cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.round(c), 0, 255) for c in (R, G, B_)], axis=-1
+    ).astype(np.uint8)
+    return w, h, 3, rgb.tobytes()
+
+
+def with_jpeg_blob(documents: DataFrame) -> DataFrame:
+    """Attach a REAL baseline-JPEG payload per doc whose raster is
+    FLAT PER 8x8 BLOCK — block value ``v(d, bi) = (d*7 + bi*13) %
+    256`` over row-major block index ``bi``, dims ``w = 8·(d%4+1)``,
+    ``h = 8·(d%3+1)``, RGB (gray-valued, so YCbCr is chroma-neutral
+    and exact) for even doc_ids / grayscale for odd, all-ones quant
+    tables, restart interval ``d % 3`` (0 = none) — so the full
+    Huffman + DCT round trip is BIT-EXACT and every pixel stays a
+    closed-form integer the DuckDB oracle replays without a decoder
+    (see the module's JPEG section note).  Map-only."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mimes = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                wb, hb = d % 4 + 1, d % 3 + 1
+                w, h = wb * 8, hb * 8
+                ch = 3 if d % 2 == 0 else 1
+                body = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        v = (d * 7 + ((y // 8) * wb + x // 8) * 13) % 256
+                        body += bytes((v,) * ch)
+                payloads.append(
+                    encode_jpeg(
+                        w, h, ch, bytes(body), restart_interval=d % 3
+                    )
+                )
+                mimes.append(JPEG_MIME)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": mimes,
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        encode, "doc_id bigint, payload binary, mime string"
+    )
+
+
+def with_jpeg_blob_grouped(
+    documents: DataFrame, group_size: int = 10
+) -> DataFrame:
+    """JPEG twin of :func:`with_pnm_blob_grouped` at BLOCK granularity
+    (flat-block rasters keep the decode exact): docs in one group
+    (``g = doc_id // group_size``) share a base raster (dims from g),
+    each doc perturbs ONE block (``pb = d % (wb·hb)``, value +128 mod
+    256) — near-dups within a group, distinct across groups."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mimes = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d // group_size
+                wb, hb = g % 4 + 1, g % 3 + 1
+                w, h = wb * 8, hb * 8
+                ch = 3 if g % 2 == 0 else 1
+                pb = d % (wb * hb)
+                body = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        bi = (y // 8) * wb + x // 8
+                        v = (g * 7 + bi * 13) % 256
+                        if bi == pb:
+                            v = (v + 128) % 256
+                        body += bytes((v,) * ch)
+                payloads.append(encode_jpeg(w, h, ch, bytes(body)))
+                mimes.append(JPEG_MIME)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": mimes,
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        encode, "doc_id bigint, payload binary, mime string"
+    )
+
+
+def media_jpeg_stats(documents: DataFrame) -> DataFrame:
+    """Pixel aggregates through the REAL baseline-JPEG decode path:
+    encode (DCT + Annex-K Huffman + byte stuffing + restarts) →
+    :func:`decode_jpeg` (marker walk, entropy decode, dequant, IDCT)
+    → per-doc integer aggregates.  Same schema as
+    :func:`media_pixel_stats`; the flat-block fixture keeps the
+    oracle closed-form.  Map-only."""
+    blobs = with_jpeg_blob(documents)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sums, mins, maxs, cnts = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, ch, px = decode_jpeg(bytes(payload))
+                ids.append(doc_id)
+                sums.append(sum(px))
+                mins.append(min(px))
+                maxs.append(max(px))
+                cnts.append(len(px))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "px_sum": pd.Series(sums, dtype="int64"),
+                    "px_min": pd.Series(mins, dtype="int64"),
+                    "px_max": pd.Series(maxs, dtype="int64"),
+                    "n_px": pd.Series(cnts, dtype="int64"),
+                }
+            )
+
+    return blobs.mapInPandas(
+        stats,
+        "doc_id bigint, px_sum bigint, px_min bigint, "
+        "px_max bigint, n_px bigint",
+    )
+
+
+def media_jpeg_ahash_pairs(
+    documents: DataFrame, max_hamming: int = 3, group_size: int = 10
+) -> DataFrame:
+    """Perceptual near-dup pairs over DECODED baseline-JPEG pixels:
+    identical candidate/verify structure to :func:`media_ahash_pairs`
+    (aHash → 4×16-bit pigeonhole bucket join → hamming), fingerprints
+    through the full Huffman + IDCT decode.  The grouped flat-block
+    fixture keeps every decoded pixel closed-form, so the DuckDB
+    oracle replays the aHash from (doc_id, block index) arithmetic
+    alone."""
+    return media_ahash_pairs(
+        documents,
+        max_hamming=max_hamming,
+        group_size=group_size,
+        blob_fn=with_jpeg_blob_grouped,
     )

@@ -1,0 +1,227 @@
+"""text registry: text analysis: lang-id, n-grams, entropy, fingerprints, BPE.
+
+Query callables + DuckDB oracle twins, split verbatim from
+__spark_entry__.py (round 11).  Same driver contract, per-family
+files."""
+
+from flink_window_dgim_traffic_spark.registry.common import *  # noqa: F401,F403
+from flink_window_dgim_traffic_spark.registry.sqlc import *  # noqa: F401,F403
+
+
+def queries():
+    return {
+        # oracle tokenization twin corrected this round (advisor r9:
+        # empty-token pairs on doubled/leading spaces) — re-verify
+        "top_ngrams": lambda s, d: T.top_ngrams(_documents(s, d)),
+        "lang_id": lambda s, d: T.lang_id(_documents(s, d)),
+        "bpe_token_count": lambda s, d: BP.bpe_token_count(_documents(s, d)),
+        "bpe_vocab": lambda s, d: BP.bpe_vocab(_documents(s, d)),
+        
+        "bigram_surprisal": lambda s, d: T.bigram_surprisal(
+            _documents(s, d)
+        ),
+        "bigram_kn_stats": lambda s, d: T.bigram_kn_stats(
+            _documents(s, d)
+        ),
+        "collocations_pmi": lambda s, d: T.collocations_pmi(
+            _documents(s, d), 5
+        ),
+        "tfidf_top_terms": lambda s, d: RT.tfidf_top_terms(
+            _documents(s, d), 3
+        ),
+        "word_entropy": lambda s, d: T.word_entropy(_documents(s, d)),
+        "doc_length_histogram": lambda s, d: T.doc_length_histogram(
+            _documents(s, d)
+        ),
+        "text_normalize": lambda s, d: T.text_normalize(_documents(s, d)),
+        "token_count_regex": lambda s, d: T.token_count_regex(_documents(s, d)),
+        "quality_score": lambda s, d: T.quality_score(_documents(s, d)),
+        "unigram_commonness": lambda s, d: QL.unigram_commonness(
+            _documents(s, d)
+        ),
+        "top_words_udtf": lambda s, d: TF.top_words_per_doc(_documents(s, d)),
+        "text_stats": lambda s, d: T.text_stats(_documents(s, d)),
+        # (top_ngrams moved to the round-10 window block: its oracle's
+        # tokenization twin changed this round)
+        "ngram_jaccard_pairs": lambda s, d: D.ngram_jaccard_pairs(
+            _documents(s, d), threshold=0.5
+        ),
+        "doc_fingerprint": lambda s, d: T.doc_fingerprint(_documents(s, d)),
+    }
+
+
+def oracles():
+    out = {
+        # Integer bigram surprisal: length(bin(c)) is the exact
+        # integer log2 in both engines — no float log anywhere.
+        "bigram_surprisal": """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws
+             FROM documents),
+bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+       FROM tok, unnest(generate_series(1, len(ws)-1)) AS t(i)
+       WHERE len(ws) >= 2),
+c AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1),
+tot AS (SELECT length(bin(CAST(sum(c) AS BIGINT))) AS nb FROM c),
+sc AS (SELECT doc_id, count(*) AS n_bigrams,
+              sum(nb - length(bin(c))) * 1000 // count(*) AS m
+       FROM bg JOIN c USING (b) CROSS JOIN tot
+       GROUP BY doc_id),
+SELECT_BASE AS (SELECT doc_id FROM documents)
+SELECT d.doc_id,
+       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(m, 0) AS BIGINT) AS mean_bits_milli
+FROM SELECT_BASE d LEFT JOIN sc USING (doc_id)
+""",
+        # PMI ratio kept as an exact integer in HUGEINT (Spark side:
+        # DECIMAL(38,0) with integral div) — the all-integer recipe.
+        "collocations_pmi": """
+WITH tok AS (SELECT string_split(text,' ') AS ws FROM documents),
+uni AS (SELECT u.w, count(*) AS c_w
+        FROM tok, unnest(ws) AS u(w) GROUP BY 1),
+tot AS (SELECT sum(c_w) AS n_uni FROM uni),
+bgall AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+          FROM tok, unnest(generate_series(1, len(ws)-1)) AS u(i)),
+nbg AS (SELECT count(*) AS n_bg FROM bgall),
+bg AS (SELECT w1, w2, count(*) AS c_xy FROM bgall GROUP BY 1,2
+       HAVING count(*) >= 5)
+SELECT bg.w1, bg.w2, CAST(c_xy AS BIGINT) AS c_xy,
+       CAST(x.c_w AS BIGINT) AS c_x, CAST(y.c_w AS BIGINT) AS c_y,
+       CAST((CAST(c_xy AS HUGEINT) * CAST(n_uni AS HUGEINT)
+             * CAST(n_uni AS HUGEINT) * 1000000)
+            // (CAST(n_bg AS HUGEINT) * CAST(x.c_w AS HUGEINT)
+                * CAST(y.c_w AS HUGEINT)) AS BIGINT) AS pmi_ratio_micro
+FROM bg JOIN uni x ON bg.w1 = x.w JOIN uni y ON bg.w2 = y.w, tot, nbg
+""",
+        # Kneser-Ney continuation statistics over corpus bigrams;
+        # continuation probability in exact ppm of distinct bigrams.
+        "bigram_kn_stats": """
+WITH tok AS (SELECT string_split(text,' ') AS ws FROM documents),
+bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+       FROM tok, unnest(generate_series(1, len(ws)-1)) AS u(i)),
+t AS (SELECT count(*) AS types
+      FROM (SELECT DISTINCT w1, w2 FROM bg)),
+s AS (SELECT w2 AS word, count(*) AS c_right,
+             count(DISTINCT w1) AS n_left_types
+      FROM bg GROUP BY 1)
+SELECT word, CAST(c_right AS BIGINT) AS c_right,
+       CAST(n_left_types AS BIGINT) AS n_left_types,
+       CAST(n_left_types * 1000000 // types AS BIGINT) AS p_cont_ppm
+FROM s, t
+""",
+        # Per-doc top-3 TF-IDF terms; idf quantized once to micro-nats
+        # (single-ln recipe), rank on exact BIGINT tf*idf_micro.
+        "tfidf_top_terms": """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+sc AS (SELECT doc_id, tf.term, tf,
+       CAST(round(ln(n_docs / df) * 1000000.0) AS BIGINT) AS idf_micro
+       FROM tf JOIN df ON tf.term = df.term, n),
+r AS (SELECT doc_id, term, tf, idf_micro,
+      tf * idf_micro AS score_micro,
+      row_number() OVER (PARTITION BY doc_id
+        ORDER BY tf * idf_micro DESC, term ASC) AS rnk
+      FROM sc)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, idf_micro, score_micro,
+       CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+""",
+        # Exact integer micro-nat entropy: both engines quantize each
+        # ln term to a BIGINT before summing, then integer-divide.
+        "word_entropy": """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+c AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+p AS (SELECT doc_id, sum(c) AS n,
+        sum(CAST(round(c * ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT))
+          AS sum_clnc_e6
+      FROM c GROUP BY doc_id)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+  CAST(CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+       - (sum_clnc_e6 // n) AS BIGINT) AS entropy_micro_nats
+FROM p
+""",
+        # lang_id is a deterministic marker/charset heuristic —
+        # expressible as membership tests + one charset regex
+        "lang_id": _lang_id_sql(),
+        "text_normalize": """
+SELECT doc_id,
+ trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                     ' +', ' ', 'g')) AS norm_text,
+ CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+FROM documents
+""",
+        "ngram_jaccard_pairs": f"""
+WITH {_SHINGLE_BASE}
+SELECT doc_a, doc_b, {jac} AS jaccard
+FROM inter JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+WHERE {jac} >= 0.5
+""",
+        # same single-space adjacency twin as heavy_hitters_ngrams:
+        # empty-token pairs (doubled/leading spaces) yield no bigram
+        "top_ngrams": """
+WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT ws[i] || ' ' || ws[i+1] AS ngram
+      FROM t, unnest(range(1, len(ws))) AS r(i)
+      WHERE ws[i] <> '' AND ws[i+1] <> '')
+SELECT ngram, count(*) AS n_occurrences FROM g GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram LIMIT 20
+""",
+        "top_words_udtf": """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+c AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY doc_id, word),
+r AS (SELECT doc_id, word, n,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY n DESC, word) AS rnk
+      FROM c)
+SELECT doc_id, word, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 5
+""",
+        "unigram_commonness": """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+tot AS (SELECT sum(c) AS t FROM vocab),
+ppm AS (SELECT w, CAST(c * 1000000 // t AS BIGINT) AS ppm FROM vocab, tot)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(ppm) AS BIGINT) AS sum_ppm,
+       CAST(sum(ppm) // count(*) AS BIGINT) AS mean_ppm
+FROM toks JOIN ppm USING (w) GROUP BY doc_id
+""",
+        "doc_length_histogram": """
+SELECT CAST((length(text) // 100) * 100 AS BIGINT) AS len_from,
+       CAST((length(text) // 100 + 1) * 100 AS BIGINT) AS len_to,
+       count(*) AS n_docs
+FROM documents GROUP BY 1, 2
+""",
+        "text_stats": """
+SELECT doc_id,
+ CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+ CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+ CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents
+""",
+        "token_count_regex": r"""
+SELECT doc_id,
+ CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_regex_tokens
+FROM documents
+""",
+        "doc_fingerprint": """
+SELECT doc_id,
+ list_reduce(list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)),
+             (a, b) -> (a * 131 + b) % 2147483647) AS fingerprint
+FROM documents
+""",
+        "quality_score": f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (SELECT doc_id, len(ws) AS n,
+      len(list_filter(ws, w -> w IN {_STOP_LIST})) AS stop_cnt FROM t)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(stop_cnt AS BIGINT) AS n_stopwords,
+ round(least(n, 50) / 50 * 0.5 + (1 - stop_cnt / n) * 0.5, 6) AS quality_score
+FROM c
+""",
+    }
+    return out

@@ -918,3 +918,126 @@ def test_decode_media_dispatches_png():
     assert M.decode_media(enc, M.PNG_MIME) == (4, 3, 1, px)
     with pytest.raises(NotImplementedError):
         M.decode_media(b"\xff\xd8\xff", "image/jpeg")
+
+
+def test_jpeg_flat_block_roundtrip_exact():
+    """Flat-per-8x8-block rasters with all-ones quant tables must
+    round-trip BIT-EXACTLY through the full baseline pipeline (DCT →
+    quantize → Huffman → byte stuffing → entropy decode → dequant →
+    IDCT → clamp), in grayscale AND gray-valued RGB (chroma-neutral
+    YCbCr), with and without restart intervals."""
+    for d in (0, 1, 5, 11, 42):
+        wb, hb = d % 4 + 1, d % 3 + 1
+        w, h = wb * 8, hb * 8
+        for ch in (1, 3):
+            body = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    v = (d * 7 + ((y // 8) * wb + x // 8) * 13) % 256
+                    body += bytes((v,) * ch)
+            for rst in (0, 1, 3):
+                enc = M.encode_jpeg(
+                    w, h, ch, bytes(body), restart_interval=rst
+                )
+                assert M.decode_jpeg(enc) == (w, h, ch, bytes(body))
+
+
+def test_jpeg_lossy_roundtrip_bounded():
+    """Arbitrary rasters (including non-block-aligned dims) must
+    round-trip within quantization error: with the all-ones quantizer
+    the reconstruction differs from the source only by DCT/IDCT float
+    rounding, bounded by ±2 per pixel."""
+    import random
+
+    rng = random.Random(97)
+    for w, h, ch in ((16, 24, 1), (13, 9, 1), (8, 8, 3), (21, 10, 3)):
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        enc = M.encode_jpeg(w, h, ch, px)
+        w2, h2, ch2, out = M.decode_jpeg(enc)
+        assert (w2, h2, ch2) == (w, h, ch)
+        if ch == 1:
+            # grayscale has no color-transform rounding: +/-2
+            assert max(abs(a - b) for a, b in zip(px, out)) <= 2
+        else:
+            # RGB pays YCbCr forward+inverse float rounding too
+            assert max(abs(a - b) for a, b in zip(px, out)) <= 6
+
+
+def test_jpeg_corruption_and_scope_raise():
+    """Truncation, bad SOI, in-stream markers, and out-of-scope
+    encodings must fail loudly: ValueError for corruption,
+    NotImplementedError for the documented progressive/subsampling
+    boundary."""
+    import struct
+
+    import pytest
+
+    d = 6
+    wb, hb = d % 4 + 1, d % 3 + 1
+    w, h = wb * 8, hb * 8
+    body = bytes(
+        (d * 7 + ((i // w // 8) * wb + (i % w) // 8) * 13) % 256
+        for i in range(w * h)
+    )
+    enc = M.encode_jpeg(w, h, 1, body)
+    with pytest.raises(ValueError):
+        M.decode_jpeg(b"\x00\x01" + enc[2:])  # bad SOI
+    with pytest.raises(ValueError):
+        M.decode_jpeg(enc[: len(enc) // 2])  # truncated mid-stream
+    # flip SOF0 -> SOF2 (progressive): documented scope boundary
+    sof_at = enc.find(b"\xff\xc0")
+    prog = enc[:sof_at] + b"\xff\xc2" + enc[sof_at + 2 :]
+    with pytest.raises(NotImplementedError):
+        M.decode_jpeg(prog)
+    # claim 2x2 subsampling in SOF: documented scope boundary
+    sub = bytearray(enc)
+    sub[sof_at + 11] = 0x22  # component 1 sampling factors
+    with pytest.raises(NotImplementedError):
+        M.decode_jpeg(bytes(sub))
+    # corrupt a Huffman-coded byte so an invalid code appears
+    sos_at = enc.find(b"\xff\xda")
+    bad = bytearray(enc)
+    # force an impossible all-ones 16-bit prefix run inside entropy data
+    for i in range(sos_at + 14, min(sos_at + 20, len(bad) - 2)):
+        bad[i] = 0xEE
+    with pytest.raises(ValueError):
+        M.decode_jpeg(bytes(bad))
+
+
+def test_jpeg_hypothesis_flat_blocks():
+    """Property: ANY flat-block raster (random block values, random
+    block-grid dims, random restart interval) round-trips exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        wb=st.integers(1, 5),
+        hb=st.integers(1, 4),
+        ch=st.sampled_from([1, 3]),
+        seed=st.integers(0, 2**31),
+        rst=st.integers(0, 4),
+    )
+    def check(wb, hb, ch, seed, rst):
+        import random
+
+        rng = random.Random(seed)
+        vals = [rng.randrange(256) for _ in range(wb * hb)]
+        w, h = wb * 8, hb * 8
+        body = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = vals[(y // 8) * wb + x // 8]
+                body += bytes((v,) * ch)
+        enc = M.encode_jpeg(w, h, ch, bytes(body), restart_interval=rst)
+        assert M.decode_jpeg(enc) == (w, h, ch, bytes(body))
+
+    check()
+
+
+def test_decode_media_dispatches_jpeg():
+    """decode_media routes image/jpeg to the baseline decoder (so the
+    aHash fingerprint family works over JPEG blobs unchanged)."""
+    body = bytes([17] * 64)
+    enc = M.encode_jpeg(8, 8, 1, body)
+    assert M.decode_media(enc, M.JPEG_MIME) == (8, 8, 1, body)
