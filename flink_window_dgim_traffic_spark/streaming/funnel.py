@@ -174,3 +174,122 @@ def funnel_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ----------------------------------------------------------------------
+# transformWithStateInPandas twin (r11, VERDICT r10 ask #5)
+# ----------------------------------------------------------------------
+from pyspark.sql.streaming import StatefulProcessor  # noqa: E402
+
+
+class FunnelProcessor(StatefulProcessor):
+    """TWS StatefulProcessor for the CEP-style funnel: the same
+    buffer-until-ripe fold as :func:`funnel_update`, with the classic
+    API's ``EventTimeTimeout`` replaced by an explicit event-time
+    timer registered at the earliest buffered timestamp (ms-ceil,
+    strictly above the current watermark).  Output and state contract
+    identical to the classic twin; equality pinned in tests.
+    Runtime-independent class (drivable with a fake handle)."""
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._st = handle.getValueState("funnel", STATE_SCHEMA)
+
+    def _load(self):
+        if self._st.exists():
+            s1, s2, s3, bts, beid, bst = self._st.get()
+            return [s1, s2, s3], list(zip(bts, beid, bst))
+        return [_UNSET, _UNSET, _UNSET], []
+
+    def _fold_and_emit(self, key, s, buf, wm_ms):
+        buf.sort()
+        wm_us = wm_ms * 1000
+        n_ripe = 0
+        while n_ripe < len(buf) and buf[n_ripe][0] <= wm_us:
+            n_ripe += 1
+        _fold(s, buf[:n_ripe])
+        buf = buf[n_ripe:]
+        self._st.update(
+            (
+                s[0],
+                s[1],
+                s[2],
+                [int(e[0]) for e in buf],
+                [int(e[1]) for e in buf],
+                [int(e[2]) for e in buf],
+            )
+        )
+        if buf:
+            t_ms = max(wm_ms + 1, -(-buf[0][0] // 1000))
+            self._handle.registerTimer(t_ms)
+        reached = 3 if s[2] != _UNSET else 2 if s[1] != _UNSET else (
+            1 if s[0] != _UNSET else 0
+        )
+        out = {
+            "user_id": pd.array([int(key[0])], dtype="Int64"),
+            "reached_stage": pd.array([reached], dtype="Int64"),
+        }
+        for i, col in enumerate(("s1_us", "s2_us", "s3_us")):
+            out[col] = pd.array(
+                [None if s[i] == _UNSET else int(s[i])], dtype="Int64"
+            )
+        yield pd.DataFrame(out)
+
+    def handleInputRows(self, key, rows, timerValues):
+        s, buf = self._load()
+        for pdf in rows:
+            buf.extend(
+                zip(
+                    pdf["ts_us"].astype("int64"),
+                    pdf["event_id"].astype("int64"),
+                    pdf["st"].astype("int64"),
+                )
+            )
+        yield from self._fold_and_emit(
+            key, s, buf, timerValues.getCurrentWatermarkInMs()
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        s, buf = self._load()
+        yield from self._fold_and_emit(
+            key, s, buf, timerValues.getCurrentWatermarkInMs()
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def funnel_stream_tws(
+    events: DataFrame,
+    delay: str = "60 seconds",
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """:func:`funnel_stream` on the transformWithStateInPandas
+    runtime (event-time timeMode, RocksDB provider + protobuf via
+    ``stateful_dgim.ship_tws_runtime``).  Same non-stage-event
+    pass-through discipline — a filter on a non-event-time column
+    would be pushed below the watermark node and stall the fold."""
+    from flink_window_dgim_traffic_spark.streaming.stateful_dgim import (
+        ship_tws_runtime,
+    )
+
+    ship_tws_runtime(events.sparkSession)
+    st = (
+        F.when(F.col("event_type") == stages[0], 1)
+        .when(F.col("event_type") == stages[1], 2)
+        .when(F.col("event_type") == stages[2], 3)
+        .otherwise(0)
+    )
+    src = events.withWatermark("ts", delay).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        st.alias("st"),
+        "ts",
+    )
+    return src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=FunnelProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="EventTime",
+    )

@@ -139,3 +139,90 @@ def merge_sharded_sketches(rows: list, k: int = TOP_K) -> list:
     ]
     out.sort(key=lambda d: (-d["est_upper"], d["ngram"]))
     return out[:k]
+
+
+# ----------------------------------------------------------------------
+# transformWithStateInPandas twin (r11, VERDICT r10 ask #5): the
+# classic applyInPandasWithState API is legacy in Spark 4 — every
+# stateful processor gets a TWS twin equality-pinned against it.
+# ----------------------------------------------------------------------
+from pyspark.sql.streaming import StatefulProcessor  # noqa: E402
+
+
+class HeavyHittersProcessor(StatefulProcessor):
+    """TWS StatefulProcessor holding one SpaceSaving sketch per shard
+    key in a typed ValueState — same fold, same emission contract as
+    :func:`make_update_fn` (full sketch re-emitted per trigger tagged
+    with ``n_seen``).  Runtime-independent class: tests drive
+    init/handleInputRows directly with a fake handle where the TWS
+    protobuf runtime is absent."""
+
+    def __init__(self, capacity: int = CAPACITY) -> None:
+        self._capacity = capacity
+
+    def init(self, handle) -> None:
+        self._st = handle.getValueState("sketch", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        ss = SpaceSaving(self._capacity)
+        n_seen = 0
+        if self._st.exists():
+            items, ests, errs, n_seen = self._st.get()
+            ss = SpaceSaving.from_counters(
+                self._capacity,
+                {i: (int(c), int(e)) for i, c, e in zip(items, ests, errs)},
+            )
+        for pdf in rows:
+            for g in pdf["ngram"]:
+                ss.add(g)
+                n_seen += 1
+        items = sorted(ss.counters.items())
+        self._st.update(
+            (
+                [g for g, _ in items],
+                [c for _, (c, _) in items],
+                [e for _, (_, e) in items],
+                n_seen,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": pd.Series([key[0]] * len(items), dtype="int64"),
+                "ngram": [g for g, _ in items],
+                "est": pd.Series([c for _, (c, _) in items], dtype="int64"),
+                "err": pd.Series([e for _, (_, e) in items], dtype="int64"),
+                "min_count": pd.Series(
+                    [ss.min_count] * len(items), dtype="int64"
+                ),
+                "n_seen": pd.Series([n_seen] * len(items), dtype="int64"),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def heavy_hitters_stream_tws(
+    documents_stream: DataFrame,
+    n: int = 2,
+    capacity: int = CAPACITY,
+    n_shards: int = N_SHARDS,
+) -> DataFrame:
+    """:func:`heavy_hitters_stream` on the transformWithStateInPandas
+    runtime (RocksDB provider + protobuf via
+    ``stateful_dgim.ship_tws_runtime``); output equality against the
+    classic-API twin is pinned in tests."""
+    from flink_window_dgim_traffic_spark.streaming.stateful_dgim import (
+        ship_tws_runtime,
+    )
+
+    ship_tws_runtime(documents_stream.sparkSession)
+    grams = documents_stream.select(_ngram_col(n)).withColumn(
+        "shard", F.pmod(F.xxhash64("ngram"), F.lit(n_shards)).cast("bigint")
+    )
+    return grams.groupBy("shard").transformWithStateInPandas(
+        statefulProcessor=HeavyHittersProcessor(capacity),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -18,7 +18,11 @@ from typing import Iterator, Tuple
 import pandas as pd
 from pyspark.sql.streaming import StatefulProcessor
 
-from flink_window_dgim_traffic_spark.dgim import DGIM, MODE_JAVA
+from flink_window_dgim_traffic_spark.dgim import (
+    DGIM,
+    MODE_JAVA,
+    count_estimate_closed,
+)
 
 STATE_SCHEMA = "flat array<bigint>"
 OUTPUT_SCHEMA = (
@@ -846,4 +850,178 @@ def hop_dgim_stream(
         stateStructType=STATE_SCHEMA + ", ones bigint, nrows bigint",
         outputMode="update",
         timeoutConf="EventTimeTimeout" if evict else "NoTimeout",
+    )
+
+
+class SessionDGIMProcessor(StatefulProcessor):
+    """TWS StatefulProcessor for SESSION-window DGIM (r11, VERDICT
+    r10 ask #5): the engine-native ``session_window`` aggregation of
+    ``jobs.session_dgim_stream`` re-expressed as explicit per-key
+    session-merge state + event-time timers, so the 4th window kind
+    runs on the current-generation stateful API too.
+
+    State: the OPEN sessions of one key as parallel arrays
+    (start_us, last_us, ones, n).  An event at ``t`` joins a session
+    iff its gap window overlaps the session's
+    (``start − gap < t < last + gap``, strict — an event exactly at
+    ``last + gap`` starts a new session, the engine's boundary rule),
+    and a bridging event merges neighbors.  A timer at the earliest
+    ``last + gap`` closes ripe sessions when the watermark passes:
+    closed sessions emit ``(session_start, session_end_plus_gap,
+    count_estimate = g(ones), exact_count, n_rows)`` — the
+    replay-equivalent closed form (horizon ≥ span, the same
+    equivalence ``windows.session_dgim`` property-tests) — and their
+    state is dropped, so state is bounded by OPEN sessions exactly
+    like the engine operator.  Equality against
+    ``jobs.session_dgim_stream`` is pinned in tests."""
+
+    def __init__(self, gap_sec: int, mode: str = MODE_JAVA) -> None:
+        self._gap_us = gap_sec * 1_000_000
+        self._mode = mode
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._st = handle.getValueState(
+            "sessions",
+            "starts array<bigint>, lasts array<bigint>, "
+            "oness array<bigint>, ns array<bigint>",
+        )
+
+    def _load(self):
+        if self._st.exists():
+            starts, lasts, oness, ns = self._st.get()
+            return [list(t) for t in zip(starts, lasts, oness, ns)]
+        return []
+
+    def _save(self, sess) -> None:
+        sess.sort()
+        self._st.update(
+            (
+                [s[0] for s in sess],
+                [s[1] for s in sess],
+                [s[2] for s in sess],
+                [s[3] for s in sess],
+            )
+        )
+
+    def _insert(self, sess, t: int, bit: int) -> None:
+        g = self._gap_us
+        lo, hi = None, None
+        for i, s in enumerate(sess):
+            if s[0] - g < t < s[1] + g:
+                if lo is None:
+                    lo = i
+                hi = i
+        if lo is None:
+            sess.append([t, t, bit, 1])
+            sess.sort()
+            # a lone event can still bridge two neighbors checked
+            # separately above only via overlap; nothing more to do
+            return
+        # fold the event into the first overlapping session, then
+        # merge every session the event bridges
+        tgt = sess[lo]
+        tgt[0] = min(tgt[0], t)
+        tgt[1] = max(tgt[1], t)
+        tgt[2] += bit
+        tgt[3] += 1
+        for s in sess[lo + 1 : hi + 1]:
+            tgt[0] = min(tgt[0], s[0])
+            tgt[1] = max(tgt[1], s[1])
+            tgt[2] += s[2]
+            tgt[3] += s[3]
+        del sess[lo + 1 : hi + 1]
+
+    def _close_ripe(self, sess, wm_ms: int):
+        """Emit and drop sessions whose end passed the watermark."""
+        from datetime import datetime, timezone
+
+        g = self._gap_us
+        wm_us = wm_ms * 1000
+        closed = [s for s in sess if s[1] + g <= wm_us]
+        kept = [s for s in sess if s[1] + g > wm_us]
+
+        def fmt(us: int) -> str:
+            return datetime.fromtimestamp(
+                us / 1_000_000, tz=timezone.utc
+            ).strftime("%Y-%m-%d %H:%M:%S")
+
+        frames = []
+        for s in sorted(closed):
+            frames.append(
+                {
+                    "session_start": fmt(s[0]),
+                    "session_end_plus_gap": fmt(s[1] + g),
+                    "count_estimate": count_estimate_closed(
+                        s[2], mode=self._mode
+                    ),
+                    "exact_count": s[2],
+                    "n_rows": s[3],
+                }
+            )
+        return kept, frames
+
+    def _arm_timer(self, sess, wm_ms: int) -> None:
+        if sess:
+            t_ms = min(s[1] + self._gap_us for s in sess) // 1000 + 1
+            self._handle.registerTimer(max(t_ms, wm_ms + 1))
+
+    def handleInputRows(self, key, rows, timerValues):
+        sess = self._load()
+        for pdf in rows:
+            for t, b in zip(
+                pdf["ts_us"].astype("int64"), pdf["bit"].astype("int64")
+            ):
+                self._insert(sess, int(t), int(b))
+        wm_ms = timerValues.getCurrentWatermarkInMs()
+        sess, frames = self._close_ripe(sess, wm_ms)
+        self._save(sess)
+        self._arm_timer(sess, wm_ms)
+        if frames:
+            yield pd.DataFrame(frames)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        sess = self._load()
+        wm_ms = timerValues.getCurrentWatermarkInMs()
+        sess, frames = self._close_ripe(sess, wm_ms)
+        self._save(sess)
+        self._arm_timer(sess, wm_ms)
+        if frames:
+            yield pd.DataFrame(frames)
+
+    def close(self) -> None:
+        pass
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "session_start string, session_end_plus_gap string, "
+    "count_estimate bigint, exact_count bigint, n_rows bigint"
+)
+
+
+def session_dgim_stream_tws(
+    parsed,
+    gap_sec: int = 300,
+    watermark: str = "10 seconds",
+    key_col: str = "user_id",
+):
+    """Session-window DGIM on the transformWithStateInPandas runtime:
+    per-``key_col`` session merge + event-time close timers
+    (:class:`SessionDGIMProcessor`).  Emits only CLOSED sessions —
+    the append-mode contract of the engine-native
+    ``jobs.session_dgim_stream`` twin it is equality-pinned against
+    in tests.  RocksDB provider + protobuf required, as every TWS
+    entry point (``ship_tws_runtime`` is called automatically)."""
+    from pyspark.sql import functions as F
+
+    ship_tws_runtime(parsed.sparkSession)
+    cols = [F.col(key_col), F.unix_micros("ts").alias("ts_us"), F.col("ts")]
+    if key_col != "bit":  # when keying BY bit, one column serves both
+        cols.insert(2, F.col("bit"))
+    src = parsed.withWatermark("ts", watermark).select(*cols)
+    return src.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=SessionDGIMProcessor(gap_sec),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="EventTime",
     )

@@ -88,3 +88,47 @@ def test_incremental_equals_one_shot(spark, doc_chunks):
         _run(spark, _stream(spark, doc_chunks, 4), "t_hh_1")
     )
     assert inc == one
+
+
+def test_tws_heavy_hitters_matches_classic(spark, doc_chunks):
+    """r11 TWS parity: HeavyHittersProcessor must land every shard on
+    the same final sketch (items, estimates, errors, n_seen) as the
+    classic applyInPandasWithState twin over the same replay."""
+    from flink_window_dgim_traffic_spark.streaming.stateful_dgim import (
+        tws_available,
+        tws_state_store_conf,
+    )
+
+    if not tws_available():
+        pytest.skip("TWS protobuf runtime unavailable on this host")
+
+    def final_sketches(rows):
+        latest = {}
+        for r in rows:
+            latest[r["shard"]] = max(latest.get(r["shard"], -1), r["n_seen"])
+        out = {}
+        for r in rows:
+            if r["n_seen"] == latest[r["shard"]]:
+                out.setdefault(r["shard"], set()).add(
+                    (r["ngram"], r["est"], r["err"], r["min_count"],
+                     r["n_seen"])
+                )
+        return out
+
+    classic = final_sketches(
+        _run(spark, _stream(spark, doc_chunks, 1), "t_hh_classic_ref")
+    )
+
+    with tws_state_store_conf(spark):
+        q = (
+            SH.heavy_hitters_stream_tws(_stream(spark, doc_chunks, 1))
+            .writeStream.format("memory")
+            .queryName("t_hh_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    tws = final_sketches(spark.sql("SELECT * FROM t_hh_tws").collect())
+    assert tws == classic
+    assert len(tws) == SH.N_SHARDS

@@ -127,3 +127,65 @@ def test_funnel_stream_matches_batch_across_restarts(spark, tmp_path):
         for k in (1, 2, 3)
     }
     assert got == expect
+
+
+def test_tws_funnel_matches_classic(spark, tmp_path):
+    """r11 TWS parity: FunnelProcessor (explicit event-time timers on
+    transformWithStateInPandas) must land every user on the same
+    final (reached_stage, stage times) as the classic
+    applyInPandasWithState twin — including user 2, whose stage-2
+    fold only happens through the ripe-buffer replay."""
+    import pytest
+
+    from flink_window_dgim_traffic_spark.streaming.funnel import (
+        funnel_stream_tws,
+    )
+    from flink_window_dgim_traffic_spark.streaming.stateful_dgim import (
+        tws_available,
+        tws_state_store_conf,
+    )
+
+    if not tws_available():
+        pytest.skip("TWS protobuf runtime unavailable on this host")
+
+    chunks = [("c1", CHUNK1), ("c2", CHUNK2), ("c3", SENTINEL1),
+              ("c4", SENTINEL2)]
+
+    def run(builder, tag):
+        src = tmp_path / f"src_{tag}"
+        src.mkdir()
+        out = str(tmp_path / f"out_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        for name, rows in chunks:
+            _write_chunk(spark, tmp_path, src, f"{tag}_{name}", rows)
+        stream = spark.readStream.schema(SCHEMA).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(src))
+        with tws_state_store_conf(spark):
+            q = (
+                builder(stream, delay="60 seconds")
+                .writeStream.outputMode("update")
+                .foreachBatch(
+                    J.upsert_foreach_batch_writer(out, ["user_id"])
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        final = {}
+        for r in J.read_upsert_state(spark, out).collect():
+            v = json.loads(r["value"])
+            # to_json drops null fields: absent stage time == NULL
+            final[v["user_id"]] = (
+                v["reached_stage"],
+                v.get("s1_us"),
+                v.get("s2_us"),
+                v.get("s3_us"),
+            )
+        return final
+
+    classic = run(funnel_stream, "classic")
+    tws = run(funnel_stream_tws, "tws")
+    assert tws == classic
+    assert tws[1][0] == 3 and tws[2][0] == 2  # the buffered-fold user
