@@ -97,6 +97,8 @@ _FAMILIES = [
 _ORDER = [
     "media_jpeg_stats",
     "media_jpeg_ahash_pairs",
+    "bpe_roundtrip_bound",
+    "stream_kll_quantile_bound_60s",
     "tumble_dgim_two_phase_bound",
     "hop_dgim_two_phase_bound",
     "approx_distinct_users_bound",

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     # via simsearch_ann_ivf_bound / stream_simsearch_ivf ----
     "media_jpeg_stats",
     "media_jpeg_ahash_pairs",
+    "bpe_roundtrip_bound",
     "tumble_dgim_two_phase_bound",
     "hop_dgim_two_phase_bound",
     "approx_distinct_users_bound",

@@ -168,3 +168,68 @@ def bpe_vocab(
         [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
         "rank bigint, left string, right string, merged string",
     )
+
+
+def bpe_roundtrip_bound(
+    documents: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    n_merges: int = VOCAB_MERGES,
+    sample_rows: int = TRAIN_SAMPLE_ROWS,
+) -> DataFrame:
+    """Bound anchor for the BPE family (r11, VERDICT r10 ask #1
+    pattern): the vocab/token counts depend on the training sample
+    order (rows-only by design), but the ENCODE PATH's invariants are
+    SQL-expressible verdicts per doc:
+
+    - ``roundtrip_ok`` — concatenating each word's BPE tokens
+      reproduces the word exactly (merges never drop or reorder
+      characters), for every word of the doc;
+    - ``token_bounds_ok`` — ``n_ws_tokens ≤ n_bpe_tokens ≤
+      n_chars_nonspace`` (each word encodes to between 1 token and
+      len(word) single-char tokens).
+
+    Emitted next to the exact ``n_ws_tokens`` / ``n_chars_nonspace``
+    (both recomputable in DuckDB), so a broken merge-apply, memo or
+    tokenizer regression breaks the hash."""
+    if merges is None:
+        merges = bpe_train_merges(documents, n_merges, sample_rows)
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def check_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            n_ws_l, n_nsp_l, rt_l, tb_l = [], [], [], []
+            for text in pdf["text"]:
+                words = [w for w in (text or "").split(" ") if w]
+                n_bpe = 0
+                ok = True
+                for w in words:
+                    toks = memo.get(w)
+                    if toks is None:
+                        toks = _encode_word(w, ranks)
+                        memo[w] = toks
+                    n_bpe += len(toks)
+                    if "".join(toks) != w:
+                        ok = False
+                n_nsp = sum(len(w) for w in words)
+                n_ws_l.append(len(words))
+                n_nsp_l.append(n_nsp)
+                rt_l.append(ok)
+                tb_l.append(len(words) <= n_bpe <= n_nsp)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_ws_tokens": pd.Series(n_ws_l, dtype="int64"),
+                    "n_chars_nonspace": pd.Series(n_nsp_l, dtype="int64"),
+                    "roundtrip_ok": pd.Series(rt_l, dtype="bool"),
+                    "token_bounds_ok": pd.Series(tb_l, dtype="bool"),
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        check_batches,
+        "doc_id bigint, n_ws_tokens bigint, n_chars_nonspace bigint, "
+        "roundtrip_ok boolean, token_bounds_ok boolean",
+    )

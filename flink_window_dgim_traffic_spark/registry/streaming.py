@@ -1033,6 +1033,16 @@ def queries():
         # store (rows-only — KLL is approximate by design; rank-error
         # bound pinned in tests/test_sketches.py)
         "stream_kll_quantiles_60s": _stream_kll_quantiles_60s,
+        # r11 bound anchor for the STREAMED KLL store: the same
+        # tie-tolerant two-sided rank-error verdict as
+        # kll_rollup_quantile_bound_1h, but the quantiles come from
+        # sketches merged ACROSS micro-batches — a broken streaming
+        # merge breaks the hash
+        "stream_kll_quantile_bound_60s": lambda s, d: (
+            SK.kll_rollup_quantile_bound(
+                s, _streamed_sketch_store(s, d), _events(s, d), 60
+            )
+        ),
         "stream_window_join": _stream_window_join,
         "stream_window_dedup": _stream_window_dedup,
         "stream_event_funnel": _stream_event_funnel,
@@ -1049,6 +1059,16 @@ def queries():
 
 def oracles():
     out = {
+        "stream_kll_quantile_bound_60s": """
+WITH w AS (SELECT (CAST(floor(epoch(ts)/60) AS BIGINT)+1)*60 AS we
+           FROM events),
+c AS (SELECT we, count(*) AS n FROM w GROUP BY we)
+SELECT strftime(make_timestamp(we*1000000), '%Y-%m-%d %H:%M:%S')
+         AS window_end,
+       CAST(p.phi_ppm AS BIGINT) AS phi_ppm,
+       CAST(n AS BIGINT) AS n_rows, TRUE AS within_bound
+FROM c, (SELECT unnest([500000, 950000]) AS phi_ppm) p
+""",
         "stream_simsearch_ivf_bound": ann_recall_sql,
         "stream_ivm_join": ivm_digest_sql,
         "stream_cdc_user_snapshot": cdc_snapshot_sql,

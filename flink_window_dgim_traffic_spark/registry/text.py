@@ -16,6 +16,14 @@ def queries():
         "lang_id": lambda s, d: T.lang_id(_documents(s, d)),
         "bpe_token_count": lambda s, d: BP.bpe_token_count(_documents(s, d)),
         "bpe_vocab": lambda s, d: BP.bpe_vocab(_documents(s, d)),
+        # r11 bound anchor completing the BPE family: the vocab is
+        # sample-order-dependent (rows-only by design) but the encode
+        # path's invariants — per-word roundtrip and token-count
+        # bounds — are SQL-expressible verdicts beside exact
+        # recomputable counts
+        "bpe_roundtrip_bound": lambda s, d: BP.bpe_roundtrip_bound(
+            _documents(s, d)
+        ),
         
         "bigram_surprisal": lambda s, d: T.bigram_surprisal(
             _documents(s, d)
@@ -52,6 +60,17 @@ def queries():
 
 def oracles():
     out = {
+        # r11 BPE bound anchor: exact tokenizer counts + claimed-TRUE
+        # encode-path verdicts (roundtrip, 1..len(word) token bounds)
+        "bpe_roundtrip_bound": """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+            AS BIGINT) AS n_ws_tokens,
+       CAST(length(replace(text, ' ', '')) AS BIGINT)
+         AS n_chars_nonspace,
+       TRUE AS roundtrip_ok, TRUE AS token_bounds_ok
+FROM documents
+""",
         # Integer bigram surprisal: length(bin(c)) is the exact
         # integer log2 in both engines — no float log anywhere.
         "bigram_surprisal": """
