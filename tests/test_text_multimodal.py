@@ -63,13 +63,15 @@ def test_media_blob_schema_and_features(documents):
 
 
 def test_decode_stub_contract():
-    # PNG is REAL since r10: garbage bytes are a codec ValueError,
-    # not a missing-codec NotImplementedError
+    # PNG is REAL since r10, JPEG since r11: garbage bytes are a
+    # codec ValueError, not a missing-codec NotImplementedError
     with pytest.raises(ValueError):
         M.decode_media(b"\x00\x01", "image/png")
-    # JPEG remains the documented codec boundary
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         M.decode_media(b"\xff\xd8\xff", "image/jpeg")
+    # the remaining documented codec boundary: unsupported mimes
+    with pytest.raises(NotImplementedError):
+        M.decode_media(b"\x00\x01", "image/webp")
 
 
 def test_resize_media_shape(spark):
@@ -912,12 +914,13 @@ def test_media_png_ahash_pairs_matches_pnm_pairs(spark, sf_dir):
 
 def test_decode_media_dispatches_png():
     """decode_media('image/png') goes through decode_png; unknown
-    mimes still raise NotImplementedError."""
+    mimes still raise NotImplementedError (JPEG is a real codec
+    since r11 — truncated bytes are its ValueError now)."""
     px = bytes((3 * 7 + i * 13) % 256 for i in range(12))
     enc = M.encode_png(4, 3, 1, px, [0, 2, 4])
     assert M.decode_media(enc, M.PNG_MIME) == (4, 3, 1, px)
     with pytest.raises(NotImplementedError):
-        M.decode_media(b"\xff\xd8\xff", "image/jpeg")
+        M.decode_media(b"\xff\xd8\xff", "image/webp")
 
 
 def test_jpeg_flat_block_roundtrip_exact():
