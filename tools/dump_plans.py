@@ -247,6 +247,20 @@ SHOWCASE = {
     "zorder_layout_stats": "deterministic Morton buckets: one "
     "repartition on the bucket id, hive partitionBy write, footer "
     "walk driver-side (the metadata scan a table format would do)",
+    # ---- round-11 additions ----
+    "tumble_dgim_two_phase_bound": "same sketch-only shuffle as the "
+    "two-phase plan; the bound verdict is a post-agg projection — "
+    "zero extra exchanges",
+    "table_profile_events_approx_bound": "exact profile and HLL "
+    "sketches as TWO single-row aggs cross-joined (free at 1 row "
+    "each); planning them together re-evaluates the HLLs under the "
+    "multi-distinct Expand — measured 42x slower",
+    "simsearch_ann_ivf_bound": "both topk sides are n_query*k rows; "
+    "the recall join is broadcast, verdict in integer arithmetic",
+    "media_jpeg_stats": "map-only mapInPandas: encode->Huffman/IDCT "
+    "decode->aggregate inside one Arrow batch pass, no shuffle",
+    "bpe_roundtrip_bound": "map-only encode-path verdicts with a "
+    "per-batch word memo; exact counts ride the same pass",
 }
 
 
