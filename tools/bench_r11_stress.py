@@ -247,8 +247,14 @@ def rung_study(spark, rungs=(1, 30, 100)) -> None:
                     D.ngram_jaccard_pairs(docs, threshold=0.8)
                 )
             ),
-            "semantic_dedup_lsh": lambda: run_noop(
-                S.semantic_dedup(emb, use_lsh=True)
+            # max_bucket is REQUIRED here: sign-LSH bucket occupancy
+            # on the clustered embedding cloud is heavily skewed
+            # (measured at 30x: one bucket held 21% of all vectors vs
+            # mean 30), and the unguarded candidate join died in
+            # spill-out-of-disk at 30x AND 100x.  BASELINE.md "100x
+            # rung" documents the finding.
+            "semantic_dedup_lsh_guarded1000": lambda: run_noop(
+                S.semantic_dedup(emb, use_lsh=True, max_bucket=1000)
             ),
             "semantic_dedup": lambda: run_noop(S.semantic_dedup(emb)),
             "table_profile_events": lambda: run_noop(
