@@ -274,6 +274,10 @@ def embedding_neardup_blocked(
     )
 
 
+#: extra sign bits appended per hot-bucket split round (16-way fanout)
+_SPLIT_PLANES = 4
+
+
 def embedding_neardup_lsh(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -284,6 +288,7 @@ def embedding_neardup_lsh(
     n_rows: int | None = None,
     max_bucket: int | None = None,
     int_planes: bool = False,
+    split_hot_buckets: int = 0,
 ) -> DataFrame:
     """100 TB path for embedding near-dup: sign-LSH bucket equi-join
     generates candidate pairs (same bucket in ANY of ``n_tables``
@@ -329,7 +334,24 @@ def embedding_neardup_lsh(
     a DuckDB twin that replays the same integers.  Same plane family
     (the float plane IS ``p_int / 2^31``); bucket decisions differ
     from the float mode only where the true dot is within round-6
-    quantization of zero."""
+    quantization of zero.
+
+    ``split_hot_buckets=R`` (r11) upgrades the guard from EXCLUSION to
+    HIERARCHICAL SPLITTING: the r11 100× study measured 21% of a
+    clustered corpus landing in ONE bucket (sign-LSH concentrates
+    directions; auto-sizing ``n_planes`` fixes MEAN width, not skew),
+    and exclusion throws those members' recall away.  With splitting,
+    any bucket wider than ``max_bucket`` gets ``_SPLIT_PLANES`` extra
+    reserved sign bits appended to its key (16-way fanout per round,
+    up to ``R`` rounds; extra planes are computed in the SAME gemm as
+    the base keys, so no second pass over vectors).  Members of a
+    split bucket can still pair — just within their refined sub-
+    bucket — so recall degrades gracefully toward the plane family's
+    resolution instead of dropping to zero; buckets still wider after
+    ``R`` rounds are near-identical mass and are excluded as before.
+    Keys live in (table, depth, bucket) space so refined keys never
+    collide with settled ones.  Requires ``max_bucket``; composes
+    with both plane modes."""
     import math
 
     import numpy as np
@@ -388,29 +410,123 @@ def embedding_neardup_lsh(
         keys = (signs * weights).sum(axis=2).astype("int32")
         return pd.Series(list(keys))
 
-    buckets = e.select(
-        "vec_id",
-        F.posexplode(bucket_keys(F.col("v"))).alias("tbl", "bucket"),
-    )
-    if max_bucket is not None:
-        buckets = (
-            buckets.withColumn(
-                "_bucket_n",
+    if split_hot_buckets:
+        if max_bucket is None:
+            raise ValueError("split_hot_buckets requires max_bucket")
+        # reserved split planes, same gemm as the base keys: per
+        # table the UDF emits [base_key, nibble_0, .., nibble_{R-1}]
+        RP = np.array(
+            [
+                _plane(1031 + _SPLIT_PLANES * r + j, dim, t)
+                for t in range(n_tables)
+                for r in range(split_hot_buckets)
+                for j in range(_SPLIT_PLANES)
+            ],
+            dtype=np.float64,
+        )
+        nib_w = 1 << np.arange(_SPLIT_PLANES, dtype=np.int64)
+
+        @pandas_udf("array<array<int>>")
+        def keys_and_nibbles(vecs: pd.Series) -> pd.Series:
+            V = np.array(list(vecs), dtype=np.float64)
+            if int_planes:
+                V6 = (
+                    np.sign(V) * np.floor(np.abs(V) * 1e6 + 0.5)
+                ).astype(np.int64)
+                base_signs = (V6 @ P.T >= 0).astype(np.int64)
+            else:
+                base_signs = (V @ P.T >= 0).astype(np.int64)
+            base = (
+                base_signs.reshape(len(V), n_tables, n_planes) * weights
+            ).sum(axis=2)
+            nibs = (
+                (V @ RP.T >= 0)
+                .astype(np.int64)
+                .reshape(len(V), n_tables, split_hot_buckets, _SPLIT_PLANES)
+                * nib_w
+            ).sum(axis=3)
+            out = np.concatenate(
+                [base[:, :, None], nibs], axis=2
+            ).astype("int32")
+            return pd.Series([list(map(list, row)) for row in out])
+
+        per_tbl = e.select(
+            "vec_id",
+            F.posexplode(keys_and_nibbles(F.col("v"))).alias(
+                "tbl", "kn"
+            ),
+        ).select(
+            "vec_id",
+            "tbl",
+            F.col("kn")[0].cast("bigint").alias("bucket"),
+            F.slice("kn", 2, split_hot_buckets).alias("nibs"),
+        )
+        parts = []
+        cur = per_tbl
+        for r in range(split_hot_buckets):
+            cur = cur.withColumn(
+                "_n",
                 F.count(F.lit(1)).over(
                     Window.partitionBy("tbl", "bucket")
                 ),
             )
-            .filter(F.col("_bucket_n") <= max_bucket)
-            .drop("_bucket_n")
+            parts.append(
+                cur.filter(F.col("_n") <= max_bucket)
+                .select("vec_id", "tbl", "bucket")
+                .withColumn("depth", F.lit(r))
+            )
+            cur = cur.filter(F.col("_n") > max_bucket).select(
+                "vec_id",
+                "tbl",
+                (
+                    F.col("bucket") * (1 << _SPLIT_PLANES)
+                    + F.element_at("nibs", r + 1)
+                ).alias("bucket"),
+                "nibs",
+            )
+        # after the last round: keep what settled, exclude the
+        # still-wide residue (near-identical mass, as in pure
+        # exclusion mode)
+        parts.append(
+            cur.withColumn(
+                "_n",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("tbl", "bucket")
+                ),
+            )
+            .filter(F.col("_n") <= max_bucket)
+            .select("vec_id", "tbl", "bucket")
+            .withColumn("depth", F.lit(split_hot_buckets))
         )
+        buckets = parts[0]
+        for p in parts[1:]:
+            buckets = buckets.unionAll(p)
+        join_keys = ["tbl", "depth", "bucket"]
+    else:
+        buckets = e.select(
+            "vec_id",
+            F.posexplode(bucket_keys(F.col("v"))).alias("tbl", "bucket"),
+        )
+        if max_bucket is not None:
+            buckets = (
+                buckets.withColumn(
+                    "_bucket_n",
+                    F.count(F.lit(1)).over(
+                        Window.partitionBy("tbl", "bucket")
+                    ),
+                )
+                .filter(F.col("_bucket_n") <= max_bucket)
+                .drop("_bucket_n")
+            )
+        join_keys = ["tbl", "bucket"]
     a = buckets.select(
-        F.col("vec_id").alias("vec_a"), "tbl", "bucket"
+        F.col("vec_id").alias("vec_a"), *join_keys
     )
     b = buckets.select(
-        F.col("vec_id").alias("vec_b"), "tbl", "bucket"
+        F.col("vec_id").alias("vec_b"), *join_keys
     )
     pairs = (
-        a.join(b, ["tbl", "bucket"])
+        a.join(b, join_keys)
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
         .distinct()
@@ -962,6 +1078,7 @@ def semantic_dedup(
     max_bucket: int | None = None,
     int_planes: bool = False,
     n_planes: int | None = None,
+    split_hot_buckets: int = 0,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication decisions: cluster the
     embedding space by cosine ≥ ``threshold`` (connected components
@@ -995,6 +1112,7 @@ def semantic_dedup(
             max_bucket=max_bucket,
             int_planes=int_planes,
             n_planes=n_planes,
+            split_hot_buckets=split_hot_buckets,
         )
     else:
         gen = embedding_neardup_blocked

@@ -1493,3 +1493,42 @@ def test_ann_recall_bound_and_pca_bound(embeddings):
     row = b[0]
     assert row["orthonormal_ok"] and row["variance_ordered_ok"]
     assert row["centered_ok"] and row["n_rows"] >= 1
+
+
+def test_lsh_hot_bucket_splitting(embeddings):
+    """r11: split_hot_buckets upgrades the hot-bucket guard from
+    exclusion to hierarchical refinement — precision stays 1 (every
+    pair verified exact), recall dominates exclusion mode (split
+    buckets can still pair within their refined sub-bucket), and the
+    option demands max_bucket."""
+    import pytest
+
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.embedding_neardup(embeddings, 0.4).collect()
+    }
+    excl = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.embedding_neardup_lsh(
+            embeddings, 0.4, max_bucket=20
+        ).collect()
+    }
+    split = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.embedding_neardup_lsh(
+            embeddings, 0.4, max_bucket=20, split_hot_buckets=2
+        ).collect()
+    }
+    assert split <= exact  # precision 1: exact verify unchanged
+    assert split >= excl  # splitting never loses what exclusion kept
+    assert len(split) > len(excl)  # and recovers hot-bucket members
+    with pytest.raises(ValueError):
+        S.embedding_neardup_lsh(embeddings, 0.4, split_hot_buckets=2)
+    # determinism across runs
+    split2 = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.embedding_neardup_lsh(
+            embeddings, 0.4, max_bucket=20, split_hot_buckets=2
+        ).collect()
+    }
+    assert split2 == split
