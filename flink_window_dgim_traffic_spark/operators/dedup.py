@@ -391,6 +391,7 @@ def minhash_lsh_pairs(
     bands: int = LSH_BANDS,
     max_bucket: int | None = None,
     hash_family: str = "xxhash64",
+    split_hot_buckets: int = 0,
 ) -> DataFrame:
     """Candidate pairs from LSH band buckets, verified with exact
     shingle Jaccard ≥ threshold.  Output ≡ ngram_jaccard_pairs minus
@@ -415,8 +416,33 @@ def minhash_lsh_pairs(
     md5-derived 60-bit integers (``_md5_60``): identical LSH
     structure, but every hash is reproducible in DuckDB, so the full
     candidate→verify output is oracle-HASH-checked by the driver
-    (entry ``minhash_lsh_pairs``) instead of rows-only."""
+    (entry ``minhash_lsh_pairs``) instead of rows-only.
+
+    ``split_hot_buckets=R`` (r11, the embedding-LSH twin): instead of
+    EXCLUDING over-wide buckets, refine them — reserved permutations
+    ``h{num_perm}..h{num_perm+R-1}`` (computed in the SAME wide
+    aggregate, no extra shingle pass) extend an over-wide bucket's
+    band key one signature at a time, in (band, depth, band_key)
+    space.  This separates DISSIMILAR docs that collided on a band
+    (boilerplate shingle collisions) while keeping genuine
+    near-identical families together — identical shingle sets have
+    identical minhashes for every permutation, so a true mass-dup
+    family is unsplittable BY CONSTRUCTION and falls through to the
+    residue exclusion after R rounds, exactly like exclusion mode.
+    Requires ``max_bucket``.
+
+    Honest scope note (vs the embedding twin, where splitting
+    measured +19% recall): with the default 16×4 banding, four equal
+    minhashes already imply high Jaccard w.h.p., so wide TEXT buckets
+    are usually real similarity families and splitting recovers
+    little — its value concentrates at small ``rows_per_band`` (more
+    coincidental collisions) and at web scale where boilerplate
+    slices collide across dissimilar pages.  The contract
+    (pairs ⊆ exact, pairs ⊇ exclusion-mode, mass-dup fallthrough,
+    determinism) is what tests pin."""
     rows_per_band = num_perm // bands
+    if split_hot_buckets and max_bucket is None:
+        raise ValueError("split_hot_buckets requires max_bucket")
     # ONE regex pass feeds both the signature aggregate and the
     # exact-Jaccard verification below
     arrs = _shingle_arrays(documents).localCheckpoint(eager=True)
@@ -424,30 +450,78 @@ def minhash_lsh_pairs(
     # band key = hash of the band's r signature columns, computed on
     # the one-row-per-doc wide aggregate (no per-perm rows, no
     # collect_list shuffle)
-    band_keys = _minhash_wide(
-        documents, num_perm, sh=sh, hash_family=hash_family
-    ).select(
+    wide = _minhash_wide(
+        documents,
+        num_perm + split_hot_buckets,
+        sh=sh,
+        hash_family=hash_family,
+    )
+    xsig = (
+        [
+            F.array(
+                *[
+                    F.col(f"h{num_perm + r}")
+                    for r in range(split_hot_buckets)
+                ]
+            ).alias("_xsigs")
+        ]
+        if split_hot_buckets
+        else []
+    )
+    band_keys = wide.select(
         "doc_id",
         F.posexplode(
             _band_key_array(num_perm, bands, hash_family=hash_family)
         ).alias("band", "band_key"),
+        *xsig,
     )
-    if max_bucket is not None:
-        ok = (
-            band_keys.groupBy("band", "band_key")
-            .agg(F.count(F.lit(1)).alias("_bucket_n"))
-            .filter(F.col("_bucket_n") <= max_bucket)
-            .select("band", "band_key")
+    if split_hot_buckets:
+        parts = []
+        cur = band_keys
+        for r in range(split_hot_buckets + 1):
+            w = (
+                cur.groupBy("band", "band_key")
+                .agg(F.count(F.lit(1)).alias("_n"))
+            )
+            cur = cur.join(w, ["band", "band_key"])
+            parts.append(
+                cur.filter(F.col("_n") <= max_bucket)
+                .select("doc_id", "band", "band_key")
+                .withColumn("depth", F.lit(r))
+            )
+            if r == split_hot_buckets:
+                break  # still-wide residue: excluded (see docstring)
+            cur = cur.filter(F.col("_n") > max_bucket).select(
+                "doc_id",
+                "band",
+                F.xxhash64(
+                    F.col("band_key"), F.element_at("_xsigs", r + 1)
+                ).alias("band_key"),
+                "_xsigs",
+            )
+        band_keys = parts[0]
+        for p in parts[1:]:
+            band_keys = band_keys.unionAll(p)
+        key_eq = (
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.depth") == F.col("b.depth"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
         )
-        band_keys = band_keys.join(ok, ["band", "band_key"])
+    else:
+        if max_bucket is not None:
+            ok = (
+                band_keys.groupBy("band", "band_key")
+                .agg(F.count(F.lit(1)).alias("_bucket_n"))
+                .filter(F.col("_bucket_n") <= max_bucket)
+                .select("band", "band_key")
+            )
+            band_keys = band_keys.join(ok, ["band", "band_key"])
+        key_eq = (F.col("a.band") == F.col("b.band")) & (
+            F.col("a.band_key") == F.col("b.band_key")
+        )
     a, b = band_keys.alias("a"), band_keys.alias("b")
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, key_eq & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )

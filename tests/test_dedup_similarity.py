@@ -1532,3 +1532,58 @@ def test_lsh_hot_bucket_splitting(embeddings):
         ).collect()
     }
     assert split2 == split
+
+
+def test_minhash_hot_bucket_splitting_contract(spark, documents):
+    """r11: minhash split_hot_buckets contract — pairs stay a subset
+    of exact Jaccard, a superset of exclusion mode, deterministic;
+    a true mass-dup family (identical shingle sets => identical
+    minhashes for every reserved permutation) is UNSPLITTABLE and
+    falls through to residue exclusion in both modes."""
+    import pytest
+
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(documents, threshold=0.8).collect()
+    }
+    excl = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_pairs(
+            documents, threshold=0.8, max_bucket=3
+        ).collect()
+    }
+    split = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_pairs(
+            documents, threshold=0.8, max_bucket=3, split_hot_buckets=2
+        ).collect()
+    }
+    assert split <= exact
+    assert excl <= split
+    with pytest.raises(ValueError):
+        D.minhash_lsh_pairs(documents, split_hot_buckets=2)
+    split2 = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_pairs(
+            documents, threshold=0.8, max_bucket=3, split_hot_buckets=2
+        ).collect()
+    }
+    assert split2 == split
+
+    # mass-dup fallthrough: 12 identical docs + 3 distinct ones,
+    # max_bucket=5 — the identical family shares EVERY band bucket
+    # and every reserved permutation, so splitting cannot separate
+    # it: both modes exclude it entirely, and the distinct docs'
+    # (empty) pair set is unaffected
+    fam = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(12)]
+    others = [
+        (100, "one two three four five six seven eight"),
+        (101, "nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+        (102, "seventeen eighteen nineteen twenty apple banana cherry date"),
+    ]
+    docs = spark.createDataFrame(fam + others, "doc_id long, text string")
+    for mode_kw in ({}, {"split_hot_buckets": 2}):
+        got = D.minhash_lsh_pairs(
+            docs, threshold=0.8, max_bucket=5, **mode_kw
+        ).collect()
+        assert got == [], (mode_kw, got)
