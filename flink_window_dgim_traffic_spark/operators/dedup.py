@@ -491,12 +491,29 @@ def minhash_lsh_pairs(
             )
             if r == split_hot_buckets:
                 break  # still-wide residue: excluded (see docstring)
+            # refined key goes through the SAME hash-family dispatch
+            # as the base band keys (ADVICE r11): md5 mode must stay
+            # DuckDB-reproducible end to end, so its refinement is
+            # the same colon-joined-decimal md5 used by
+            # _band_key_array rather than a hard-coded xxhash64
+            nxt = F.element_at("_xsigs", r + 1)
+            refined = (
+                F.xxhash64(F.col("band_key"), nxt)
+                if hash_family == "xxhash64"
+                else _md5_60(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("band_key").cast("string"),
+                            nxt.cast("string"),
+                        )
+                    )
+                )
+            )
             cur = cur.filter(F.col("_n") > max_bucket).select(
                 "doc_id",
                 "band",
-                F.xxhash64(
-                    F.col("band_key"), F.element_at("_xsigs", r + 1)
-                ).alias("band_key"),
+                refined.alias("band_key"),
                 "_xsigs",
             )
         band_keys = parts[0]

@@ -414,15 +414,22 @@ def embedding_neardup_lsh(
         if max_bucket is None:
             raise ValueError("split_hot_buckets requires max_bucket")
         # reserved split planes, same gemm as the base keys: per
-        # table the UDF emits [base_key, nibble_0, .., nibble_{R-1}]
+        # table the UDF emits [base_key, nibble_0, .., nibble_{R-1}].
+        # The split planes follow the SAME plane-mode dispatch as the
+        # base keys (ADVICE r11): with int_planes the nibble signs
+        # come from exact V6 · int64 components too, so refined
+        # bucket decisions keep the int-plane family's DuckDB-
+        # replayable determinism instead of silently downgrading to
+        # float.
+        _mk_plane = _plane_int if int_planes else _plane
         RP = np.array(
             [
-                _plane(1031 + _SPLIT_PLANES * r + j, dim, t)
+                _mk_plane(1031 + _SPLIT_PLANES * r + j, dim, t)
                 for t in range(n_tables)
                 for r in range(split_hot_buckets)
                 for j in range(_SPLIT_PLANES)
             ],
-            dtype=np.float64,
+            dtype=np.int64 if int_planes else np.float64,
         )
         nib_w = 1 << np.arange(_SPLIT_PLANES, dtype=np.int64)
 
@@ -434,14 +441,15 @@ def embedding_neardup_lsh(
                     np.sign(V) * np.floor(np.abs(V) * 1e6 + 0.5)
                 ).astype(np.int64)
                 base_signs = (V6 @ P.T >= 0).astype(np.int64)
+                nib_signs = (V6 @ RP.T >= 0).astype(np.int64)
             else:
                 base_signs = (V @ P.T >= 0).astype(np.int64)
+                nib_signs = (V @ RP.T >= 0).astype(np.int64)
             base = (
                 base_signs.reshape(len(V), n_tables, n_planes) * weights
             ).sum(axis=2)
             nibs = (
-                (V @ RP.T >= 0)
-                .astype(np.int64)
+                nib_signs
                 .reshape(len(V), n_tables, split_hot_buckets, _SPLIT_PLANES)
                 * nib_w
             ).sum(axis=3)

@@ -957,10 +957,22 @@ def _stream_tumble_dgim_tws(s: SparkSession, d: str) -> DataFrame:
         # failure whose PYTHONPATH predates runtime priming).  Any
         # other error is a genuine TWS regression and must surface.
         msg = f"{type(exc).__name__}: {exc}"
+        # ModuleNotFoundError alone is NOT recoverable (ADVICE r11 —
+        # a genuine TWS packaging regression would otherwise hide
+        # behind the twin): only the two known runtime-priming
+        # modules whose import fails when a stale JVM's worker
+        # PYTHONPATH predates ship_tws_runtime qualify.
         recoverable = (
             "tws runtime unavailable" in msg
             or "STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE" in msg
-            or "ModuleNotFoundError" in msg
+            or (
+                "ModuleNotFoundError" in msg
+                and (
+                    "google.protobuf" in msg
+                    or "'google'" in msg
+                    or "pyspark.sql.streaming.proto" in msg
+                )
+            )
         )
         if not recoverable:
             raise

@@ -875,9 +875,15 @@ class SessionDGIMProcessor(StatefulProcessor):
     like the engine operator.  Equality against
     ``jobs.session_dgim_stream`` is pinned in tests."""
 
-    def __init__(self, gap_sec: int, mode: str = MODE_JAVA) -> None:
+    def __init__(
+        self,
+        gap_sec: int,
+        mode: str = MODE_JAVA,
+        key_name: str = "key",
+    ) -> None:
         self._gap_us = gap_sec * 1_000_000
         self._mode = mode
+        self._key_name = key_name
 
     def init(self, handle) -> None:
         self._handle = handle
@@ -932,8 +938,14 @@ class SessionDGIMProcessor(StatefulProcessor):
             tgt[3] += s[3]
         del sess[lo + 1 : hi + 1]
 
-    def _close_ripe(self, sess, wm_ms: int):
-        """Emit and drop sessions whose end passed the watermark."""
+    def _close_ripe(self, sess, wm_ms: int, key0=None):
+        """Emit and drop sessions whose end passed the watermark.
+
+        ``key0`` is the grouping-key value, emitted as the leading
+        column — matching the engine-native twin (and the other TWS
+        processors, FunnelProcessor/HeavyHittersProcessor), which
+        all emit their keys so sessions from different keys stay
+        distinguishable (ADVICE r11)."""
         from datetime import datetime, timezone
 
         g = self._gap_us
@@ -950,6 +962,7 @@ class SessionDGIMProcessor(StatefulProcessor):
         for s in sorted(closed):
             frames.append(
                 {
+                    self._key_name: key0,
                     "session_start": fmt(s[0]),
                     "session_end_plus_gap": fmt(s[1] + g),
                     "count_estimate": count_estimate_closed(
@@ -974,7 +987,7 @@ class SessionDGIMProcessor(StatefulProcessor):
             ):
                 self._insert(sess, int(t), int(b))
         wm_ms = timerValues.getCurrentWatermarkInMs()
-        sess, frames = self._close_ripe(sess, wm_ms)
+        sess, frames = self._close_ripe(sess, wm_ms, key[0])
         self._save(sess)
         self._arm_timer(sess, wm_ms)
         if frames:
@@ -983,7 +996,7 @@ class SessionDGIMProcessor(StatefulProcessor):
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
         sess = self._load()
         wm_ms = timerValues.getCurrentWatermarkInMs()
-        sess, frames = self._close_ripe(sess, wm_ms)
+        sess, frames = self._close_ripe(sess, wm_ms, key[0])
         self._save(sess)
         self._arm_timer(sess, wm_ms)
         if frames:
@@ -997,6 +1010,12 @@ SESSION_OUTPUT_SCHEMA = (
     "session_start string, session_end_plus_gap string, "
     "count_estimate bigint, exact_count bigint, n_rows bigint"
 )
+
+
+def session_output_schema(key_col: str) -> str:
+    """TWS output schema WITH the grouping key as leading column —
+    the engine-native twin's shape (ADVICE r11)."""
+    return f"{key_col} bigint, " + SESSION_OUTPUT_SCHEMA
 
 
 def session_dgim_stream_tws(
@@ -1020,8 +1039,8 @@ def session_dgim_stream_tws(
         cols.insert(2, F.col("bit"))
     src = parsed.withWatermark("ts", watermark).select(*cols)
     return src.groupBy(key_col).transformWithStateInPandas(
-        statefulProcessor=SessionDGIMProcessor(gap_sec),
-        outputStructType=SESSION_OUTPUT_SCHEMA,
+        statefulProcessor=SessionDGIMProcessor(gap_sec, key_name=key_col),
+        outputStructType=session_output_schema(key_col),
         outputMode="Update",
         timeMode="EventTime",
     )

@@ -222,6 +222,7 @@ def test_tws_session_dgim_matches_engine_twin(spark, burst_dir):
     )
     engine = sorted(
         (
+            r["bit"],
             r["session_start"],
             r["session_end_plus_gap"],
             r["count_estimate"],
@@ -247,5 +248,8 @@ def test_tws_session_dgim_matches_engine_twin(spark, burst_dir):
         tuple(r)
         for r in spark.sql("SELECT * FROM t_sess_dgim_tws").collect()
     )
+    # key included on BOTH sides (ADVICE r11): sessions from
+    # different keys must stay distinguishable in TWS output
     assert tws == engine
     assert len(tws) >= 2 * len(BURSTS)  # both bit-keys, every burst
+    assert {t[0] for t in tws} == {0, 1}
