@@ -95,6 +95,7 @@ _FAMILIES = [
 #: their *_bound verdicts hold the slots instead).  Keys later added
 #: to a family module but absent here append after, in family order.
 _ORDER = [
+    "media_jpeg420_stats",
     "media_jpeg_stats",
     "media_jpeg_ahash_pairs",
     "bpe_roundtrip_bound",

@@ -19,6 +19,14 @@ def queries():
         "media_jpeg_stats": lambda s, d: M.media_jpeg_stats(
             _documents(s, d)
         ),
+        # r12 (VERDICT r11 ask #3): same aggregates through the 4:2:0
+        # chroma-subsampled decode path — 2×2 luma blocks + box-mean
+        # chroma per MCU, replication upsample, ragged-dim crop,
+        # restart markers; flat 16×16 macroblocks keep the lossy path
+        # bit-exact so the oracle is closed-form in (doc_id, mi)
+        "media_jpeg420_stats": lambda s, d: M.media_jpeg420_stats(
+            _documents(s, d)
+        ),
         "media_jpeg_ahash_pairs": lambda s, d: (
             M.media_jpeg_ahash_pairs(_documents(s, d))
         ),
@@ -103,6 +111,32 @@ SELECT doc_id,
        CAST(max(v) AS BIGINT) AS px_max,
        CAST(64 * wb * hb * ch AS BIGINT) AS n_px
 FROM bv GROUP BY doc_id, wb, hb, ch
+""",
+        # r12 4:2:0 fixture: macroblock value v(d,mi) = (d*11 +
+        # mi*29) % 256, wm = d%3+1 macroblocks wide, hm = d%2+1 high,
+        # ragged dims w = 16*wm - d%5 / h = 16*hm - d%7 (edge blocks
+        # replicate on encode, decode crops back) — every decoded
+        # pixel equals its macroblock value, so the aggregates are
+        # per-macroblock pixel-count arithmetic
+        "media_jpeg420_stats": """
+WITH dim AS (SELECT doc_id,
+                    doc_id % 3 + 1 AS wm, doc_id % 2 + 1 AS hm,
+                    16 * (doc_id % 3 + 1) - doc_id % 5 AS w,
+                    16 * (doc_id % 2 + 1) - doc_id % 7 AS h
+             FROM documents),
+mb AS (SELECT doc_id, w, h,
+              (doc_id * 11 + (my.i * wm + mx.i) * 29) % 256 AS v,
+              least(16, w - 16 * mx.i) AS nx,
+              least(16, h - 16 * my.i) AS ny
+       FROM dim,
+            unnest(generate_series(0, wm - 1)) AS mx(i),
+            unnest(generate_series(0, hm - 1)) AS my(i))
+SELECT doc_id,
+       CAST(3 * sum(v * nx * ny) AS BIGINT) AS px_sum,
+       CAST(min(v) AS BIGINT) AS px_min,
+       CAST(max(v) AS BIGINT) AS px_max,
+       CAST(3 * w * h AS BIGINT) AS n_px
+FROM mb GROUP BY doc_id, w, h
 """,
         # grouped flat-block near-dup fixture: group g = doc_id//10
         # shares the base raster, each doc flips ONE block (+128 mod

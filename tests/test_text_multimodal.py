@@ -1038,6 +1038,131 @@ def test_jpeg_hypothesis_flat_blocks():
     check()
 
 
+def test_jpeg_420_flat_macroblock_roundtrip_exact():
+    """4:2:0 (r12): gray-valued RGB rasters flat per 16x16 MACROBLOCK
+    round-trip BIT-EXACTLY through the subsampled pipeline — 2x2 luma
+    blocks per MCU, box-mean chroma downsample (exact on flat
+    chroma), replication upsample, ragged-dim edge replication +
+    crop, restart markers.  Mirrors the with_jpeg420_blob fixture."""
+    for d in (0, 1, 7, 13, 29, 38):
+        wm, hm = d % 3 + 1, d % 2 + 1
+        w, h = wm * 16 - d % 5, hm * 16 - d % 7
+        body = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = (d * 11 + ((y // 16) * wm + x // 16) * 29) % 256
+                body += bytes((v, v, v))
+        enc = M.encode_jpeg(
+            w, h, 3, bytes(body), restart_interval=d % 3,
+            subsampling="420",
+        )
+        assert M.decode_jpeg(enc) == (w, h, 3, bytes(body))
+
+
+def test_jpeg_420_color_macroblocks_bounded():
+    """4:2:0 with NON-neutral chroma: flat-per-16x16 COLOR macroblocks
+    keep the box-mean downsample exact (chroma is flat inside every
+    2x2 group), so reconstruction error is only DC-quantize rounding
+    spread over the block plus YCbCr float round-trip: within +/-3."""
+    import random
+
+    rng = random.Random(7)
+    for w, h in ((32, 16), (48, 32), (29, 23)):
+        wm, hm = -(-w // 16), -(-h // 16)
+        cols = [
+            tuple(rng.randrange(256) for _ in range(3))
+            for _ in range(wm * hm)
+        ]
+        body = bytearray()
+        for y in range(h):
+            for x in range(w):
+                body += bytes(cols[(y // 16) * wm + x // 16])
+        enc = M.encode_jpeg(w, h, 3, bytes(body), subsampling="420")
+        w2, h2, ch2, out = M.decode_jpeg(enc)
+        assert (w2, h2, ch2) == (w, h, 3)
+        assert max(abs(a - b) for a, b in zip(body, out)) <= 3
+
+
+def test_jpeg_420_lossy_roundtrip_bounded():
+    """Color rasters constant per 2x2 pixel group (random otherwise)
+    through 4:2:0: the box-mean chroma downsample is EXACT on such
+    rasters while the chroma blocks still carry full random AC
+    content (real chroma entropy decode, not just DC), so the
+    round trip stays within the 444 RGB float-rounding bound (+/-6
+    per channel) — no subsampling information loss to excuse."""
+    import random
+
+    rng = random.Random(41)
+    w, h = 21, 18
+    gw = -(-w // 2)
+    cols = [
+        tuple(rng.randrange(256) for _ in range(3))
+        for _ in range(gw * -(-h // 2))
+    ]
+    body = bytearray()
+    for y in range(h):
+        for x in range(w):
+            body += bytes(cols[(y // 2) * gw + x // 2])
+    enc = M.encode_jpeg(w, h, 3, bytes(body), subsampling="420")
+    w2, h2, ch2, out = M.decode_jpeg(enc)
+    assert (w2, h2, ch2) == (w, h, 3)
+    assert max(abs(a - b) for a, b in zip(body, out)) <= 6
+
+
+def test_jpeg_420_scope_and_corruption_raise():
+    """4:2:2 stays a documented NotImplementedError boundary; a
+    truncated 4:2:0 stream still fails loudly with ValueError."""
+    import pytest
+
+    body = bytes(64 * [33]) * 4 * 3
+    enc = M.encode_jpeg(16, 16, 3, body, subsampling="420")
+    sof_at = enc.find(b"\xff\xc0")
+    sub = bytearray(enc)
+    sub[sof_at + 11] = 0x21  # component 1: 4:2:2 — out of scope
+    with pytest.raises(NotImplementedError):
+        M.decode_jpeg(bytes(sub))
+    with pytest.raises(ValueError):
+        M.decode_jpeg(enc[: len(enc) - 4])  # truncated entropy data
+    with pytest.raises(ValueError):
+        M.encode_jpeg(16, 16, 3, body, subsampling="422")
+
+
+def test_jpeg_420_hypothesis_flat_macroblocks():
+    """Property: ANY flat-macroblock gray-valued raster (random
+    values, grid dims, ragged crop, restart interval) round-trips
+    exactly through the 4:2:0 path."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        wm=st.integers(1, 3),
+        hm=st.integers(1, 3),
+        dx=st.integers(0, 15),
+        dy=st.integers(0, 15),
+        seed=st.integers(0, 2**31),
+        rst=st.integers(0, 3),
+    )
+    def check(wm, hm, dx, dy, seed, rst):
+        import random
+
+        rng = random.Random(seed)
+        vals = [rng.randrange(256) for _ in range(wm * hm)]
+        w, h = max(1, wm * 16 - dx), max(1, hm * 16 - dy)
+        body = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = vals[(y // 16) * wm + x // 16]
+                body += bytes((v, v, v))
+        enc = M.encode_jpeg(
+            w, h, 3, bytes(body), restart_interval=rst,
+            subsampling="420",
+        )
+        assert M.decode_jpeg(enc) == (w, h, 3, bytes(body))
+
+    check()
+
+
 def test_decode_media_dispatches_jpeg():
     """decode_media routes image/jpeg to the baseline decoder (so the
     aHash fingerprint family works over JPEG blobs unchanged)."""
