@@ -99,6 +99,67 @@ def broadcast_exchange_count(df: DataFrame) -> int:
     return len(re.findall(r"\(\d+\) BroadcastExchange\b", txt))
 
 
+def _top_level_bracket_groups(s: str) -> int:
+    """Number of top-level ``[...]`` groups in a plan Arguments line
+    (nested brackets inside expressions don't count)."""
+    depth = 0
+    groups = 0
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+    return groups
+
+
+def global_window_subtrees(df: DataFrame) -> list[str]:
+    """For each UNPARTITIONED ``Window`` node in the physical plan,
+    the formatted-detail text of its entire input subtree.
+
+    A ``Window`` whose ``Arguments:`` line has two top-level bracket
+    groups (functions, order) is global — no PARTITION BY — so its
+    input sorts into ONE task.  That is only scale-safe when the
+    input is structurally bounded first (a keyed aggregate over a
+    small domain, or a ``TakeOrderedAndProject``/limit).  Callers
+    assert a bound WITNESS inside the returned subtree text; the
+    audit test in tests/test_plans.py pins one witness per operator
+    that plans a global window (VERDICT r11 ask #4)."""
+    txt = plan_text(df)
+    # node details: "(N) NodeName [codegen id : x]\n...\n\n"
+    details: dict[int, str] = {}
+    for m in re.finditer(
+        r"^\((\d+)\) (.*?)(?=\n\(\d+\) |\n*\Z)",
+        txt.split("\n\n", 1)[-1] if "\n\n" in txt else txt,
+        re.S | re.M,
+    ):
+        details[int(m.group(1))] = m.group(2)
+    # pre-order tree walk with depths from the ASCII tree section
+    tree: list[tuple[int, int]] = []  # (depth, id)
+    for line in txt.splitlines():
+        tm = re.match(r"^([ :+|-]*)([A-Za-z]\w*(?: [a-z]\w*)*) \((\d+)\)\s*$", line)
+        if tm:
+            tree.append((len(tm.group(1)) // 3, int(tm.group(3))))
+        elif tree and not line.strip():
+            break  # end of tree section
+    out = []
+    for i, (depth, nid) in enumerate(tree):
+        det = details.get(nid, "")
+        if not det.startswith("Window"):
+            continue
+        am = re.search(r"Arguments: (.*)", det)
+        if am and _top_level_bracket_groups(am.group(1)) != 2:
+            continue  # partitioned window — fine at scale
+        sub = []
+        for d2, nid2 in tree[i + 1 :]:
+            if d2 <= depth:
+                break
+            sub.append(details.get(nid2, ""))
+        out.append("\n".join(sub))
+    return out
+
+
 def codegen_span_count(df: DataFrame) -> int:
     """Number of WholeStageCodegen subtrees (wider/fewer spans = more
     of the plan fused into single JVM loops).

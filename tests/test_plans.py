@@ -850,3 +850,89 @@ def test_table_profile_approx_bound_split_agg(t):
             assert ":" in prefix, ln[:160]  # exact side (left)
         if "partial_approx_count_distinct" in ln:
             assert ":" not in prefix, ln[:160]  # approx side (right)
+
+
+# ---------------------------------------------------------------------------
+# r12 (VERDICT r11 ask #4): the unpartitioned-WindowExec audit.
+# Exactly 13 operators plan a global (no PARTITION BY) window; each is
+# bounded BY DESIGN before the window — the table below carries the
+# bound, and the test asserts a structural WITNESS for it inside every
+# global window's input subtree, so a refactor that silently grows an
+# unbounded global sort fails here instead of at 100 TB.
+#
+#   rank-over-limit: the window ranks the <= k survivors of an
+#     orderBy().limit(k) planned as TakeOrderedAndProject (per-
+#     partition heads + one k-row merge, never a global sort).
+#   bucket/series table: the window runs over a keyed aggregate whose
+#     key domain is small by construction (time buckets, <= 256 shard
+#     offsets, distinct frequencies, the 1e6-bounded score codomain).
+#
+# stream_late_audit (the 13th site) replays lateness_rows inside
+# foreachBatch — same sharded-prefix shape as late_data_audit below;
+# it is side-effecting so the batch twin carries its pin.
+_GLOBAL_WINDOW_AUDIT = {
+    # rank over <= k survivors (TakeOrderedAndProject below)
+    "hybrid_rrf_topk": [r"TakeOrderedAndProject|GlobalLimit"],
+    "ts_pattern_topk": [r"TakeOrderedAndProject|GlobalLimit"],
+    "corpus_weighted_sample": [r"TakeOrderedAndProject|GlobalLimit"],
+    # kmeans: the per-round localCheckpoint truncates the seed
+    # lineage out of the default plan, so the audit constructs
+    # rounds=0 (identical seed subplan, no checkpoint) — see below
+    "kmeans_quantized": [r"TakeOrderedAndProject|GlobalLimit"],
+    "join_hotspots": [r"TakeOrderedAndProject|GlobalLimit"],
+    # series table: one row per tumbling window of span
+    "ewma_anomaly": [r"Keys \[\d+\]: \[window"],
+    # gap_fill: the LOCF window's input is the dense grid exploded
+    # from a ONE-ROW min/max aggregate (sequence step = window size);
+    # the groupBy(we_sec) agg itself is behind a localCheckpoint, so
+    # the grid generator is the in-plan witness
+    "gap_fill_60s": [r"explode\(sequence\("],
+    # sharded prefix sum: global window over the <= |span/shard|-row
+    # (late audit, concurrency) or <= 256-row (quantiles) shard table
+    "late_data_audit": [r"Keys \[\d+\]: \[_shard"],
+    "max_concurrent_users": [r"Keys \[\d+\]: \[_shard"],
+    "global_value_quantiles": [r"Keys \[\d+\]: \[_s1"],
+    # count-of-counts table: <= |distinct frequencies| rows
+    "skew_report": [r"Keys \[\d+\]: \[cnt"],
+    # distinct-score buckets: <= 1e6 rows (score codomain)
+    "token_budget_select": [r"Keys \[\d+\]: \[q_e6"],
+}
+
+
+def test_global_windows_all_carry_bound_witness(spark, sf_dir):
+    """Every unpartitioned Window in each audited query's physical
+    plan must have a bound witness in its input subtree; and no
+    OTHER query-level operator in the audit table may have lost its
+    global window silently (witness count >= 1 keeps the table
+    honest if a rewrite removes the window altogether, which would
+    be fine but should prune the table entry)."""
+    import __spark_entry__ as entry
+
+    from flink_window_dgim_traffic_spark.session import table
+
+    qs = entry.queries()
+    overrides = {
+        # rounds=0 keeps the seed TakeOrderedAndProject + rank window
+        # in the plan (each Lloyd round localCheckpoints, which would
+        # truncate the seed lineage away)
+        "kmeans_quantized": lambda s, d: S.kmeans_quantized(
+            table(s, d, "embeddings"), rounds=0
+        ),
+    }
+    failures = []
+    for name, patterns in _GLOBAL_WINDOW_AUDIT.items():
+        df = overrides.get(name, qs[name])(spark, sf_dir)
+        subs = I.global_window_subtrees(df)
+        if not subs:
+            failures.append(f"{name}: no global window found (prune entry?)")
+            continue
+        import re as _re
+
+        for j, sub in enumerate(subs):
+            if not any(_re.search(p, sub) for p in patterns):
+                failures.append(
+                    f"{name}: global window #{j} lacks bound witness "
+                    f"{patterns} in input subtree:\n"
+                    + sub[:800]
+                )
+    assert not failures, "\n\n".join(failures)
