@@ -96,6 +96,7 @@ _FAMILIES = [
 #: to a family module but absent here append after, in family order.
 _ORDER = [
     "media_jpeg420_stats",
+    "media_adpcm_stats",
     "media_jpeg_stats",
     "media_jpeg_ahash_pairs",
     "bpe_roundtrip_bound",

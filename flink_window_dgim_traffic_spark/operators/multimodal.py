@@ -7,9 +7,10 @@ pure-Python/stdlib implementations: binary netpbm P6/P5 (r8),
 RIFF/WAVE PCM-16 (r9), PNG via stdlib zlib with CRC-verified chunk
 walk and all five unfilters (r10), and baseline-sequential JPEG —
 Annex-K Huffman entropy decode, restart markers, dequant, float64
-IDCT, YCbCr (r11).  The remaining NotImplementedError boundary is
-documented and negative-tested: progressive/arithmetic JPEG, chroma
-subsampling, 16-bit quant tables, and compressed audio.  The
+IDCT, YCbCr (r11), 4:2:0 chroma subsampling and IMA-ADPCM compressed
+audio (r12).  The remaining NotImplementedError boundary is
+documented and negative-tested: progressive/arithmetic JPEG, 4:2:2
+subsampling, and 16-bit quant tables.  The
 Spark-side plumbing — binary schema, metadata struct, Arrow batch
 shapes, partition-preserving mapInPandas — is real and tested, and
 every decode family has a closed-form integer oracle.
@@ -796,13 +797,15 @@ WAV_MIME = "audio/x-wav"  # RIFF/WAVE, PCM (format 1), 16-bit LE
 
 def decode_audio(payload: bytes, mime: str):
     """Pure-Python WAV decode: walk the RIFF chunk list (tolerating
-    extra chunks like LIST/fact before ``data``), require PCM
-    (wFormatTag=1) at 16 bits, and return
+    extra chunks like LIST before ``data``), accept PCM
+    (wFormatTag=1, 16-bit) or — r12 — IMA/DVI ADPCM (wFormatTag=0x11,
+    4-bit, decoded via the 89-step state machine with per-block
+    headers and fact-chunk trim), and return
     ``(sample_rate, channels, samples)`` with ``samples`` the
     interleaved int16 frames as a list — what a soundfile-backed
-    reader would hand back for this format.  Other mimes raise
-    NotImplementedError (no codecs in this container; the reference
-    has no media at all — north-star scope)."""
+    reader would hand back for these formats.  Other mimes raise
+    NotImplementedError (no codec libraries in this container; the
+    reference has no media at all — north-star scope)."""
     import struct
 
     if mime != WAV_MIME:
@@ -814,20 +817,33 @@ def decode_audio(payload: bytes, mime: str):
         raise ValueError("not a RIFF/WAVE payload")
     pos, n = 12, len(payload)
     fmt = None
+    fact_samples = None
     while pos + 8 <= n:
         cid, size = payload[pos : pos + 4], struct.unpack(
             "<I", payload[pos + 4 : pos + 8]
         )[0]
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            tag, ch, rate, _br, _ba, bits = struct.unpack(
+            tag, ch, rate, _br, ba, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
-            if tag != 1 or bits != 16:
+            if tag == 1 and bits == 16:
+                fmt = (1, rate, ch, ba, None)
+            elif tag == 0x11 and bits == 4:
+                # IMA/DVI ADPCM (r12): the extension word carries
+                # wSamplesPerBlock; block layout is per-channel
+                # 4-byte headers + interleaved 4-byte nibble words
+                if size < 20:
+                    raise ValueError("ADPCM fmt missing extension")
+                spb = struct.unpack("<H", body[18:20])[0]
+                fmt = (0x11, rate, ch, ba, spb)
+            else:
                 raise ValueError(
-                    f"only PCM16 supported (tag={tag}, bits={bits})"
+                    "only PCM16 or IMA-ADPCM supported "
+                    f"(tag={tag}, bits={bits})"
                 )
-            fmt = (rate, ch)
+        elif cid == b"fact":
+            fact_samples = struct.unpack("<I", body[:4])[0]
         elif cid == b"data":
             if fmt is None:
                 raise ValueError("data chunk before fmt chunk")
@@ -835,14 +851,184 @@ def decode_audio(payload: bytes, mime: str):
                 raise ValueError(
                     f"truncated data chunk: want {size}, got {len(body)}"
                 )
-            rate, ch = fmt
-            samples = list(
-                struct.unpack(f"<{size // 2}h", body[: size // 2 * 2])
+            tag, rate, ch, ba, spb = fmt
+            if tag == 1:
+                samples = list(
+                    struct.unpack(f"<{size // 2}h", body[: size // 2 * 2])
+                )
+                return rate, ch, samples
+            samples = _adpcm_decode_blocks(
+                body, ch, ba, spb, fact_samples
             )
             return rate, ch, samples
         # chunks are word-aligned: odd sizes carry a pad byte
         pos += 8 + size + (size & 1)
     raise ValueError("no data chunk found")
+
+
+# IMA/DVI ADPCM (r12, VERDICT r11 ask #7): the third real audio-path
+# codec after PCM16 parse + the resampler.  Tables per the IMA spec.
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_step(pred: int, index: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: (predictor, index) -> next state
+    for a 4-bit code.  Pure-spec arithmetic; shared by the decoder,
+    the encoder's in-loop reconstruction, and the test vectors."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nib & 4:
+        diff += step
+    if nib & 2:
+        diff += step >> 1
+    if nib & 1:
+        diff += step >> 2
+    if nib & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    index = max(0, min(88, index + _IMA_INDEX_ADJ[nib & 7]))
+    return pred, index
+
+
+def _adpcm_decode_blocks(
+    data: bytes, ch: int, block_align: int, spb, fact_samples
+) -> list:
+    """Decode the IMA-ADPCM ``data`` chunk into interleaved int16
+    frames.  Per block and channel: a 4-byte header (int16 predictor
+    = sample 0, step index, reserved) then nibble words interleaved
+    4 bytes per channel; low nibble first within a byte.  The last
+    block may cover fewer frames (``fact_samples`` trims)."""
+    import struct
+
+    if block_align < 4 * ch or (block_align - 4 * ch) % (4 * ch):
+        raise ValueError(f"bad ADPCM block align {block_align}")
+    if len(data) % block_align:
+        raise ValueError("truncated ADPCM block")
+    frames_per_block = 1 + (block_align - 4 * ch) * 2 // ch
+    if spb is not None and spb != frames_per_block:
+        raise ValueError(
+            f"wSamplesPerBlock {spb} != block capacity {frames_per_block}"
+        )
+    out: list[int] = []
+    for b0 in range(0, len(data), block_align):
+        preds, idxs = [], []
+        for c in range(ch):
+            p, i, resv = struct.unpack(
+                "<hBB", data[b0 + 4 * c : b0 + 4 * c + 4]
+            )
+            if i > 88:
+                raise ValueError(f"ADPCM step index {i} out of range")
+            preds.append(p)
+            idxs.append(i)
+        frames = [[p for p in preds]]
+        # nibble words: 4 bytes (8 samples) per channel, round-robin
+        for w0 in range(b0 + 4 * ch, b0 + block_align, 4 * ch):
+            group = [[0] * 8 for _ in range(ch)]
+            for c in range(ch):
+                for bi in range(4):
+                    byte = data[w0 + 4 * c + bi]
+                    for half, nib in enumerate(
+                        (byte & 0xF, byte >> 4)
+                    ):
+                        preds[c], idxs[c] = _adpcm_step(
+                            preds[c], idxs[c], nib
+                        )
+                        group[c][bi * 2 + half] = preds[c]
+            for j in range(8):
+                frames.append([group[c][j] for c in range(ch)])
+        for fr in frames:
+            out.extend(fr)
+    if fact_samples is not None:
+        out = out[: fact_samples * ch]
+    return out
+
+
+def encode_adpcm_wav(
+    rate: int,
+    channels: int,
+    samples: list,
+    frames_per_block: int = 505,
+) -> bytes:
+    """IMA-ADPCM WAV encoder (format tag 0x11): the fixture generator
+    and fuzz-roundtrip partner of the ADPCM path of
+    :func:`decode_audio`.  Greedy nearest-nibble quantization with
+    in-loop reconstruction (encoder state == decoder state, the
+    standard scheme).  ``frames_per_block - 1`` must be a multiple of
+    8 per the block layout.  The ``fact`` chunk records the true
+    frame count; the last block zero-pads."""
+    import struct
+
+    if (frames_per_block - 1) % 8:
+        raise ValueError("frames_per_block - 1 must be divisible by 8")
+    ch = channels
+    n_frames = len(samples) // ch
+    block_align = 4 * ch + (frames_per_block - 1) // 2 * ch
+    byte_rate = rate * block_align // frames_per_block
+    out = bytearray()
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, ch, rate, byte_rate, block_align, 4, 2,
+        frames_per_block,
+    )
+    data = bytearray()
+    idxs = [0] * ch
+    for f0 in range(0, n_frames, frames_per_block):
+        frames = [
+            [
+                samples[(f0 + j) * ch + c] if f0 + j < n_frames else 0
+                for c in range(ch)
+            ]
+            for j in range(frames_per_block)
+        ]
+        preds = []
+        for c in range(ch):
+            p = frames[0][c]
+            data += struct.pack("<hBB", p, idxs[c], 0)
+            preds.append(p)
+        nibs = [[] for _ in range(ch)]
+        for j in range(1, frames_per_block):
+            for c in range(ch):
+                target = frames[j][c]
+                step = _IMA_STEPS[idxs[c]]
+                diff = target - preds[c]
+                nib = 8 if diff < 0 else 0
+                if diff < 0:
+                    diff = -diff
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                preds[c], idxs[c] = _adpcm_step(preds[c], idxs[c], nib)
+                nibs[c].append(nib)
+        # serialize: per 8-sample group, 4 bytes per channel
+        for g0 in range(0, frames_per_block - 1, 8):
+            for c in range(ch):
+                for bi in range(4):
+                    lo = nibs[c][g0 + bi * 2]
+                    hi = nibs[c][g0 + bi * 2 + 1]
+                    data += bytes(((hi << 4) | lo,))
+    out += b"RIFF"
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_frames)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    out += struct.pack("<I", len(body)) + body
+    return bytes(out)
 
 
 def _wav_params(d: int) -> tuple[int, int, int]:
@@ -906,6 +1092,142 @@ def with_wav_blob(documents: DataFrame) -> DataFrame:
         encode,
         "doc_id bigint, payload binary, mime string, "
         "sample_rate int, channels int, n_frames bigint",
+    )
+
+
+def _adpcm_fixture_params(d: int) -> tuple[int, int, int, int, int]:
+    """(rate, channels, n_blocks, frames_per_block, trim) for the
+    closed-form ADPCM fixture of doc_id ``d``."""
+    return (
+        8000 + 4000 * (d % 3),
+        1 + d % 2,
+        d % 3 + 1,
+        1 + 8 * (d % 3 + 2),
+        d % 3,
+    )
+
+
+def with_adpcm_blob(documents: DataFrame) -> DataFrame:
+    """Attach a REAL IMA-ADPCM WAV payload per doc whose nibble
+    stream is the constant byte ``0x91`` — nibble 1 (+step>>2) then
+    nibble 9 (−step>>2), each with index adjust −1 so the step STAYS
+    at table[0] = 7 and every decoded sample is exactly
+    ``predictor + (frame_idx odd ? 1 : 0)``.  Block/channel
+    predictors are ``p(d, b, c) = ((d*37 + b*101 + c*53) % 4001) −
+    2000``; the ``fact`` chunk trims ``d % 3`` frames off the last
+    block, exercising the partial-final-block path.  The whole
+    decode (block headers, per-channel word interleave, state
+    machine, fact trim) is closed-form in (doc_id, block, channel,
+    frame) — no decoder needed DuckDB-side.  Map-only."""
+    import struct
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mimes, metas = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate, ch, nb, spb, trim = _adpcm_fixture_params(d)
+                dbc = (spb - 1) // 2  # data bytes per channel
+                ba = 4 * ch + dbc * ch
+                data = bytearray()
+                for b in range(nb):
+                    for c in range(ch):
+                        p = (d * 37 + b * 101 + c * 53) % 4001 - 2000
+                        data += struct.pack("<hBB", p, 0, 0)
+                    # per 8-frame group: 4 bytes per channel
+                    for _ in range(dbc // 4):
+                        data += bytes((0x91,)) * (4 * ch)
+                n_frames = nb * spb - trim
+                fmt = struct.pack(
+                    "<HHIIHHHH", 0x11, ch, rate,
+                    rate * ba // spb, ba, 4, 2, spb,
+                )
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"fact" + struct.pack("<II", 4, n_frames)
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", len(body)) + body
+                )
+                mimes.append(WAV_MIME)
+                metas.append((rate, ch, n_frames))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": mimes,
+                    "sample_rate": pd.Series(
+                        [m[0] for m in metas], dtype="int64"
+                    ),
+                    "channels": pd.Series(
+                        [m[1] for m in metas], dtype="int64"
+                    ),
+                    "n_frames": pd.Series(
+                        [m[2] for m in metas], dtype="int64"
+                    ),
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        encode,
+        "doc_id bigint, payload binary, mime string, "
+        "sample_rate bigint, channels bigint, n_frames bigint",
+    )
+
+
+def media_adpcm_stats(documents: DataFrame) -> DataFrame:
+    """:func:`media_audio_stats` through the IMA-ADPCM decode path
+    (r12, VERDICT r11 ask #7): RIFF walk → format-0x11 block decode
+    (per-channel headers, interleaved nibble words, the 89-step
+    state machine, fact-chunk trim) → the same per-doc integer
+    aggregates.  The constant-nibble fixture keeps every decoded
+    sample closed-form, so the DuckDB oracle replays the aggregates
+    without a decoder.  Map-only."""
+    blobs = with_adpcm_blob(documents)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, rates, chs, sums, mins, maxs, sqs, cnts = (
+                [], [], [], [], [], [], [], [],
+            )
+            for doc_id, payload, mime, r0, c0, nf0 in zip(
+                pdf["doc_id"], pdf["payload"], pdf["mime"],
+                pdf["sample_rate"], pdf["channels"], pdf["n_frames"],
+            ):
+                rate, ch, samples = decode_audio(bytes(payload), mime)
+                assert (rate, ch) == (int(r0), int(c0))
+                s = np.asarray(samples, dtype=np.int64)
+                assert len(s) == int(nf0) * ch
+                ids.append(doc_id)
+                rates.append(rate)
+                chs.append(ch)
+                sums.append(int(s.sum()))
+                mins.append(int(s.min()))
+                maxs.append(int(s.max()))
+                sqs.append(int((s * s).sum()))
+                cnts.append(len(s))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sample_rate": pd.Series(rates, dtype="int64"),
+                    "channels": pd.Series(chs, dtype="int64"),
+                    "amp_sum": pd.Series(sums, dtype="int64"),
+                    "amp_min": pd.Series(mins, dtype="int64"),
+                    "amp_max": pd.Series(maxs, dtype="int64"),
+                    "sq_sum": pd.Series(sqs, dtype="int64"),
+                    "n_samples": pd.Series(cnts, dtype="int64"),
+                }
+            )
+
+    return blobs.mapInPandas(
+        stats,
+        "doc_id bigint, sample_rate bigint, channels bigint, "
+        "amp_sum bigint, amp_min bigint, amp_max bigint, "
+        "sq_sum bigint, n_samples bigint",
     )
 
 

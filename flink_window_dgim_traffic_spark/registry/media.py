@@ -53,6 +53,15 @@ def queries():
         "media_audio_stats": lambda s, d: M.media_audio_stats(
             _documents(s, d)
         ),
+        # r12 (VERDICT r11 ask #7): same aggregates through the
+        # IMA-ADPCM decode path — format-0x11 block decode with
+        # per-channel headers, interleaved nibble words, the 89-step
+        # state machine, and fact-chunk trim; the constant-0x91
+        # nibble fixture pins the step at table[0] so every sample is
+        # predictor + (frame odd), closed-form for the oracle
+        "media_adpcm_stats": lambda s, d: M.media_adpcm_stats(
+            _documents(s, d)
+        ),
         "media_audio_resample_stats": lambda s, d: (
             M.media_audio_resample_stats(_documents(s, d))
         ),
@@ -352,6 +361,38 @@ FROM h GROUP BY digest
         # (with_wav_blob), frames = doc_id%50+20, channels = 1+doc_id%2,
         # rate = 8000+4000*(doc_id%3) — replayed over generate_series,
         # no decoder needed DuckDB-side
+        # r12 IMA-ADPCM fixture: nb = d%3+1 blocks of spb = 1+8*(d%3+2)
+        # frames, channels = 1+d%2, fact trims d%3 frames off the last
+        # block; the constant-0x91 nibble stream decodes to
+        # predictor + (frame odd) with predictor
+        # p(d,b,c) = ((d*37 + b*101 + c*53) % 4001) - 2000
+        "media_adpcm_stats": """
+WITH p AS (SELECT doc_id,
+            8000 + 4000 * (doc_id % 3) AS sample_rate,
+            1 + doc_id % 2 AS channels,
+            doc_id % 3 + 1 AS nb,
+            1 + 8 * (doc_id % 3 + 2) AS spb,
+            doc_id % 3 AS trim
+           FROM documents),
+b AS (SELECT doc_id, sample_rate, channels, spb, bb.i AS b,
+        CASE WHEN bb.i = nb - 1 THEN spb - trim ELSE spb END AS k
+      FROM p, unnest(generate_series(0, nb - 1)) AS bb(i)),
+f AS (SELECT doc_id, sample_rate, channels,
+        ((doc_id * 37 + b * 101 + cc.i * 53) % 4001) - 2000
+          + CASE WHEN jj.i % 2 = 1 THEN 1 ELSE 0 END AS v
+      FROM b,
+           unnest(generate_series(0, channels - 1)) AS cc(i),
+           unnest(generate_series(0, k - 1)) AS jj(i))
+SELECT doc_id,
+ CAST(min(sample_rate) AS BIGINT) AS sample_rate,
+ CAST(min(channels) AS BIGINT) AS channels,
+ CAST(sum(v) AS BIGINT) AS amp_sum,
+ CAST(min(v) AS BIGINT) AS amp_min,
+ CAST(max(v) AS BIGINT) AS amp_max,
+ CAST(sum(v * v) AS BIGINT) AS sq_sum,
+ count(*) AS n_samples
+FROM f GROUP BY doc_id
+""",
         "media_audio_stats": """
 WITH p AS (SELECT doc_id,
             8000 + 4000 * (doc_id % 3) AS sample_rate,

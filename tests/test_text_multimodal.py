@@ -923,6 +923,133 @@ def test_decode_media_dispatches_png():
         M.decode_media(b"\xff\xd8\xff", "image/webp")
 
 
+def test_adpcm_step_hand_vector():
+    """The IMA state machine against a pinned vector (generated with
+    stdlib audioop.adpcm2lin, the Intel/DVI IMA reference, and baked
+    as literals so the pin survives audioop's 3.13 removal)."""
+    nibs = [0, 1, 2, 4, 7, 8, 9, 15, 4, 4, 4, 4, 8, 12, 3, 5]
+    expect = [0, 1, 4, 11, 27, 25, 19, -11, 27, 73, 129, 196,
+              187, 113, 183, 283]
+    pred, idx = 0, 0
+    got = []
+    for n in nibs:
+        pred, idx = M._adpcm_step(pred, idx, n)
+        got.append(pred)
+    assert got == expect
+
+
+def test_adpcm_step_matches_audioop():
+    """Property pin against stdlib audioop while it exists: random
+    nibble streams decode identically (audioop packs high nibble
+    first in its raw stream; the WAV container is low-first)."""
+    import random
+    import struct
+
+    audioop = pytest.importorskip("audioop")
+    rng = random.Random(11)
+    nibs = [rng.randrange(16) for _ in range(512)]
+    data = bytes(
+        (nibs[i] << 4) | nibs[i + 1] for i in range(0, len(nibs), 2)
+    )
+    pcm, _ = audioop.adpcm2lin(data, 2, (0, 0))
+    ref = list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
+    pred, idx = 0, 0
+    mine = []
+    for n in nibs:
+        pred, idx = M._adpcm_step(pred, idx, n)
+        mine.append(pred)
+    assert mine == ref
+
+
+def test_adpcm_wav_roundtrip_bounded():
+    """Smooth signals round-trip through encode_adpcm_wav +
+    decode_audio within the adaptive quantizer's tracking error,
+    mono and stereo, including the zero-padded + fact-trimmed last
+    block."""
+    import math
+
+    src = [int(3000 * math.sin(i / 30)) for i in range(2000)]
+    wav = M.encode_adpcm_wav(8000, 1, src, frames_per_block=505)
+    rate, ch, out = M.decode_audio(wav, M.WAV_MIME)
+    assert (rate, ch) == (8000, 1)
+    assert len(out) == len(src)
+    assert max(abs(a - b) for a, b in zip(src, out)) <= 512
+
+    st = []
+    for i in range(600):
+        st += [int(2000 * math.sin(i / 25)), int(1500 * math.cos(i / 40))]
+    wav2 = M.encode_adpcm_wav(11025, 2, st, frames_per_block=249)
+    rate2, ch2, out2 = M.decode_audio(wav2, M.WAV_MIME)
+    assert (rate2, ch2) == (11025, 2)
+    assert len(out2) == len(st)
+    assert max(abs(a - b) for a, b in zip(st, out2)) <= 512
+
+
+def test_adpcm_fixture_closed_form():
+    """The with_adpcm_blob container decodes to exactly
+    predictor + (frame odd) per block/channel with the fact trim —
+    the closed form the DuckDB oracle replays."""
+    import struct
+
+    for d in (0, 1, 2, 3, 4, 5, 11):
+        rate, ch, nb, spb, trim = M._adpcm_fixture_params(d)
+        dbc = (spb - 1) // 2
+        ba = 4 * ch + dbc * ch
+        data = bytearray()
+        for b in range(nb):
+            for c in range(ch):
+                p = (d * 37 + b * 101 + c * 53) % 4001 - 2000
+                data += struct.pack("<hBB", p, 0, 0)
+            for _ in range(dbc // 4):
+                data += bytes((0x91,)) * (4 * ch)
+        n_frames = nb * spb - trim
+        fmt = struct.pack(
+            "<HHIIHHHH", 0x11, ch, rate, rate * ba // spb, ba, 4, 2, spb
+        )
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, n_frames)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        wav = b"RIFF" + struct.pack("<I", len(body)) + body
+        r2, c2, out = M.decode_audio(wav, M.WAV_MIME)
+        assert (r2, c2) == (rate, ch)
+        expect = []
+        for b in range(nb):
+            k = spb - trim if b == nb - 1 else spb
+            for j in range(k):
+                for c in range(ch):
+                    p = (d * 37 + b * 101 + c * 53) % 4001 - 2000
+                    expect.append(p + (1 if j % 2 else 0))
+        assert out == expect
+
+
+def test_adpcm_corruption_raises():
+    """Structural corruption fails loudly: truncated block, step
+    index out of range, inconsistent wSamplesPerBlock, bad encoder
+    block size."""
+    import struct
+
+    src = list(range(0, 600, 3))
+    wav = M.encode_adpcm_wav(8000, 1, src, frames_per_block=65)
+    with pytest.raises(ValueError):
+        M.decode_audio(wav[:-5], M.WAV_MIME)  # truncated data chunk
+    # step index byte > 88 in the first block header
+    data_at = wav.find(b"data") + 8
+    bad = bytearray(wav)
+    bad[data_at + 2] = 97
+    with pytest.raises(ValueError):
+        M.decode_audio(bytes(bad), M.WAV_MIME)
+    # wSamplesPerBlock inconsistent with block_align
+    bad2 = bytearray(wav)
+    fmt_at = wav.find(b"fmt ") + 8
+    bad2[fmt_at + 18 : fmt_at + 20] = struct.pack("<H", 9)
+    with pytest.raises(ValueError):
+        M.decode_audio(bytes(bad2), M.WAV_MIME)
+    with pytest.raises(ValueError):
+        M.encode_adpcm_wav(8000, 1, src, frames_per_block=64)
+
+
 def test_jpeg_flat_block_roundtrip_exact():
     """Flat-per-8x8-block rasters with all-ones quant tables must
     round-trip BIT-EXACTLY through the full baseline pipeline (DCT →
