@@ -1170,7 +1170,7 @@ def with_adpcm_blob(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_ids(documents).mapInPandas(
         encode,
         "doc_id bigint, payload binary, mime string, "
         "sample_rate bigint, channels bigint, n_frames bigint",
@@ -2576,6 +2576,17 @@ def decode_jpeg(payload: bytes):
     return w, h, 3, rgb.tobytes()
 
 
+def _spread_ids(documents: DataFrame) -> DataFrame:
+    """doc_id-only input spread to the default parallelism — the
+    pre-encode stage of the heavy-codec blob fns (r12).  The codec is
+    real CPU work; without this its parallelism is hostage to the
+    scan's split layout (one small parquet file = ONE task for the
+    whole corpus).  Only 8-byte ids shuffle — blobs still never
+    move, so the family's blobs-never-shuffle posture holds."""
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    return documents.select("doc_id").repartition(par, "doc_id")
+
+
 def with_jpeg_blob(documents: DataFrame) -> DataFrame:
     """Attach a REAL baseline-JPEG payload per doc whose raster is
     FLAT PER 8x8 BLOCK — block value ``v(d, bi) = (d*7 + bi*13) %
@@ -2585,9 +2596,17 @@ def with_jpeg_blob(documents: DataFrame) -> DataFrame:
     tables, restart interval ``d % 3`` (0 = none) — so the full
     Huffman + DCT round trip is BIT-EXACT and every pixel stays a
     closed-form integer the DuckDB oracle replays without a decoder
-    (see the module's JPEG section note).  Map-only."""
+    (see the module's JPEG section note).
+
+    The doc_id-only input is repartitioned to the default parallelism
+    BEFORE the encode (r12): the codec is real CPU work, and without
+    the spread its parallelism is hostage to the scan's split layout
+    (a single small parquet file = ONE task for the whole corpus).
+    Only 8-byte ids shuffle — blobs still never move."""
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             payloads, mimes = [], []
             for doc_id in pdf["doc_id"]:
@@ -2595,15 +2614,16 @@ def with_jpeg_blob(documents: DataFrame) -> DataFrame:
                 wb, hb = d % 4 + 1, d % 3 + 1
                 w, h = wb * 8, hb * 8
                 ch = 3 if d % 2 == 0 else 1
-                body = bytearray()
-                for y in range(h):
-                    for x in range(w):
-                        v = (d * 7 + ((y // 8) * wb + x // 8) * 13) % 256
-                        body += bytes((v,) * ch)
+                # raster built vectorized (r12): the per-pixel Python
+                # loop dominated the query once the codec was LUT-ed
+                bi = (
+                    np.arange(hb)[:, None] * wb + np.arange(wb)[None, :]
+                )
+                V = ((d * 7 + bi * 13) % 256).astype(np.uint8)
+                px = V.repeat(8, axis=0).repeat(8, axis=1)
+                body = np.repeat(px.reshape(-1), ch).tobytes()
                 payloads.append(
-                    encode_jpeg(
-                        w, h, ch, bytes(body), restart_interval=d % 3
-                    )
+                    encode_jpeg(w, h, ch, body, restart_interval=d % 3)
                 )
                 mimes.append(JPEG_MIME)
             yield pd.DataFrame(
@@ -2614,7 +2634,7 @@ def with_jpeg_blob(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_ids(documents).mapInPandas(
         encode, "doc_id bigint, payload binary, mime string"
     )
 
@@ -2629,6 +2649,8 @@ def with_jpeg_blob_grouped(
     256) — near-dups within a group, distinct across groups."""
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             payloads, mimes = [], []
             for doc_id in pdf["doc_id"]:
@@ -2638,15 +2660,13 @@ def with_jpeg_blob_grouped(
                 w, h = wb * 8, hb * 8
                 ch = 3 if g % 2 == 0 else 1
                 pb = d % (wb * hb)
-                body = bytearray()
-                for y in range(h):
-                    for x in range(w):
-                        bi = (y // 8) * wb + x // 8
-                        v = (g * 7 + bi * 13) % 256
-                        if bi == pb:
-                            v = (v + 128) % 256
-                        body += bytes((v,) * ch)
-                payloads.append(encode_jpeg(w, h, ch, bytes(body)))
+                bi = (
+                    np.arange(hb)[:, None] * wb + np.arange(wb)[None, :]
+                )
+                V = (g * 7 + bi * 13 + np.where(bi == pb, 128, 0)) % 256
+                px = V.astype(np.uint8).repeat(8, axis=0).repeat(8, axis=1)
+                body = np.repeat(px.reshape(-1), ch).tobytes()
+                payloads.append(encode_jpeg(w, h, ch, body))
                 mimes.append(JPEG_MIME)
             yield pd.DataFrame(
                 {
@@ -2656,7 +2676,7 @@ def with_jpeg_blob_grouped(
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_ids(documents).mapInPandas(
         encode, "doc_id bigint, payload binary, mime string"
     )
 
@@ -2673,20 +2693,23 @@ def with_jpeg420_blob(documents: DataFrame) -> DataFrame:
     stays closed-form in (doc_id, macroblock index).  Map-only."""
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             payloads, mimes = [], []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 wm, hm = d % 3 + 1, d % 2 + 1
                 w, h = wm * 16 - d % 5, hm * 16 - d % 7
-                body = bytearray()
-                for y in range(h):
-                    for x in range(w):
-                        v = (d * 11 + ((y // 16) * wm + x // 16) * 29) % 256
-                        body += bytes((v, v, v))
+                mi = (
+                    np.arange(hm)[:, None] * wm + np.arange(wm)[None, :]
+                )
+                V = ((d * 11 + mi * 29) % 256).astype(np.uint8)
+                px = V.repeat(16, axis=0).repeat(16, axis=1)[:h, :w]
+                body = np.repeat(px.reshape(-1), 3).tobytes()
                 payloads.append(
                     encode_jpeg(
-                        w, h, 3, bytes(body),
+                        w, h, 3, body,
                         restart_interval=d % 3,
                         subsampling="420",
                     )
@@ -2700,7 +2723,7 @@ def with_jpeg420_blob(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_ids(documents).mapInPandas(
         encode, "doc_id bigint, payload binary, mime string"
     )
 
@@ -2719,15 +2742,18 @@ def media_jpeg_stats(
     blobs = blob_fn(documents)
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             ids, sums, mins, maxs, cnts = [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w, h, ch, px = decode_jpeg(bytes(payload))
+                s = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
                 ids.append(doc_id)
-                sums.append(sum(px))
-                mins.append(min(px))
-                maxs.append(max(px))
-                cnts.append(len(px))
+                sums.append(int(s.sum()))
+                mins.append(int(s.min()))
+                maxs.append(int(s.max()))
+                cnts.append(len(s))
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
