@@ -30,11 +30,38 @@ from flink_window_dgim_traffic_spark.sources.traffic import (  # noqa: E402
     write_traffic_json,
 )
 from flink_window_dgim_traffic_spark.streaming import jobs as J  # noqa: E402
+from flink_window_dgim_traffic_spark.streaming import funnel as SF  # noqa: E402
 from flink_window_dgim_traffic_spark.streaming.stateful_dgim import (  # noqa: E402
+    session_dgim_stream_tws,
     tumble_dgim_stream,
     tumble_dgim_stream_tws,
     tws_state_store_conf,
 )
+
+
+def _funnel_src(parsed):
+    """Funnel-shaped stream from the traffic fixture: user_id and a
+    view/click/purchase/other event_type synthesized deterministically
+    from the parsed columns (the fixture has neither), so the classic
+    and TWS runs fold identical per-user event sequences."""
+    from pyspark.sql import functions as F
+
+    return parsed.select(
+        F.pmod("ts_sec", F.lit(1000)).cast("bigint").alias("user_id"),
+        "ts",
+        F.element_at(
+            F.array(
+                F.lit("view"), F.lit("click"),
+                F.lit("purchase"), F.lit("other"),
+            ),
+            (
+                F.pmod(
+                    F.col("ts_sec") * F.lit(31) + F.col("bit"), F.lit(4)
+                ) + F.lit(1)
+            ).cast("int"),
+        ).alias("event_type"),
+        F.unix_micros("ts").alias("event_id"),
+    )
 
 
 def _topn_agg(parsed):
@@ -164,17 +191,52 @@ def main() -> None:
                 "append",
             ),
         ),
+        # r12 (VERDICT r11 ask #6): classic-vs-TWS throughput for the
+        # remaining twins that gained equality pins in r11 — funnel
+        # and session DGIM here, heavy hitters in its own harness
+        run_pipeline(
+            spark,
+            fixture,
+            "funnel_stream",
+            lambda s: (SF.funnel_stream(_funnel_src(s)), "update"),
+        ),
+        run_pipeline(
+            spark,
+            fixture,
+            "funnel_stream_tws",
+            lambda s: (SF.funnel_stream_tws(_funnel_src(s)), "update"),
+        ),
+        run_pipeline(
+            spark,
+            fixture,
+            "session_dgim_stream",
+            lambda s: (
+                J.session_dgim_stream(s, 300, key_cols=["bit"]),
+                "append",
+            ),
+        ),
+        run_pipeline(
+            spark,
+            fixture,
+            "session_dgim_stream_tws",
+            lambda s: (
+                session_dgim_stream_tws(s, 300, key_col="bit"),
+                "update",
+            ),
+        ),
     ]
     shutil.rmtree(fixture, ignore_errors=True)
-    results.append(bench_heavy_hitters_stream(spark))
+    results.extend(bench_heavy_hitters_stream(spark))
     for r in results:
         print(json.dumps(r))
 
 
-def bench_heavy_hitters_stream(spark) -> dict:
+def bench_heavy_hitters_stream(spark) -> list:
     """Streaming SpaceSaving capacity: replay the sf0.1 documents
-    (~0.27M bigrams) through the disjoint-shard sketch and report
-    docs/sec and ngrams/sec (state stays O(shards × capacity))."""
+    (~0.27M bigrams) through the disjoint-shard sketch — classic
+    applyInPandasWithState AND the TWS twin (r12, VERDICT r11 ask
+    #6) — and report docs/sec and ngrams/sec for each (state stays
+    O(shards × capacity))."""
     from flink_window_dgim_traffic_spark.session import table
     from flink_window_dgim_traffic_spark.streaming import heavy_hitters as SH
 
@@ -191,7 +253,7 @@ def bench_heavy_hitters_stream(spark) -> dict:
         chunk.to_parquet(p, index=False)
         os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
 
-    def run(name):
+    def run(name, build, tws=False):
         src = (
             spark.readStream.schema(
                 "doc_id bigint, text string, lang string, "
@@ -201,33 +263,43 @@ def bench_heavy_hitters_stream(spark) -> dict:
             .parquet(fixture)
         )
         ckpt = tempfile.mkdtemp(prefix=f"bench_hh_ckpt_{name}_")
+        cm = tws_state_store_conf(spark) if tws else _nullcontext()
         t0 = time.time()
-        q = (
-            SH.heavy_hitters_stream(src)
-            .writeStream.format("memory")
-            .queryName(f"bench_hh_{name}")
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with cm:
+            q = (
+                build(src)
+                .writeStream.format("memory")
+                .queryName(f"bench_hh_{name}")
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         dt = time.time() - t0
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
         return dt
 
-    run("warmup")
-    dt = run("timed")
+    out = []
+    for pipeline, build, tws in (
+        ("heavy_hitters_stream", SH.heavy_hitters_stream, False),
+        ("heavy_hitters_stream_tws", SH.heavy_hitters_stream_tws, True),
+    ):
+        run(f"warmup_{pipeline}", build, tws)
+        dt = run(f"timed_{pipeline}", build, tws)
+        out.append(
+            {
+                "pipeline": pipeline,
+                "docs": n_docs,
+                "ngrams": n_grams,
+                "sec": round(dt, 2),
+                "docs_per_sec": round(n_docs / dt),
+                "ngrams_per_sec": round(n_grams / dt),
+            }
+        )
     shutil.rmtree(fixture, ignore_errors=True)
-    return {
-        "pipeline": "heavy_hitters_stream",
-        "docs": n_docs,
-        "ngrams": n_grams,
-        "sec": round(dt, 2),
-        "docs_per_sec": round(n_docs / dt),
-        "ngrams_per_sec": round(n_grams / dt),
-    }
+    return out
 
 
 if __name__ == "__main__":
