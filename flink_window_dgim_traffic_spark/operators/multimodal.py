@@ -2164,13 +2164,28 @@ def _jpg_extend(bits: int, size: int) -> int:
     return bits
 
 
+_JPG_SUBSAMPLING = {
+    # luma (h1, v1); chroma is always (1, 1) in these shapes
+    "444": (1, 1),
+    "420": (2, 2),
+    "422": (2, 1),  # horizontal-only (DV / many JPEGs)
+    "440": (1, 2),  # vertical-only (rarer, same machinery)
+}
+
+
 def _jpg_sampling(channels: int, subsampling: str):
-    """(h_i, v_i) per component for the supported scan shapes."""
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    """(h_i, v_i) per component for the supported scan shapes.  The
+    MCU loops are generic over the factors, so every shape with
+    full-res luma tiles in {1,2}×{1,2} and (1,1) chroma is one table
+    entry here."""
+    if subsampling not in _JPG_SUBSAMPLING:
+        raise ValueError(
+            "subsampling must be one of "
+            + "/".join(sorted(_JPG_SUBSAMPLING))
+        )
     if channels == 1 or subsampling == "444":
         return [(1, 1)] * channels
-    return [(2, 2), (1, 1), (1, 1)]
+    return [_JPG_SUBSAMPLING[subsampling], (1, 1), (1, 1)]
 
 
 def encode_jpeg(
@@ -2183,7 +2198,8 @@ def encode_jpeg(
     subsampling: str = "444",
 ) -> bytes:
     """Baseline sequential JPEG encoder (SOF0, Annex K Huffman
-    tables, 4:4:4 or — r12 — 4:2:0 chroma subsampling, uniform
+    tables, 4:4:4 or — r12 — 4:2:0/4:2:2/4:4:0 chroma subsampling,
+    uniform
     quantizer value ``quant``): the fixture generator and
     fuzz-roundtrip partner of :func:`decode_jpeg`.  ``channels`` 1
     (grayscale) or 3 (RGB via float BT.601 YCbCr; gray-valued RGB is
@@ -2341,8 +2357,9 @@ def decode_jpeg(payload: bytes):
     SOS/DRI parse, Huffman + magnitude entropy decode with byte
     un-stuffing and restart handling, dequantize, un-zigzag, float64
     IDCT, level shift, clamp — then YCbCr→RGB for 3-component scans.
-    Supports 4:4:4 and (r12) 4:2:0 chroma subsampling — 2×2 luma
-    blocks per MCU with replication-upsampled chroma.  Returns
+    Supports 4:4:4 and (r12) 4:2:0 / 4:2:2 / 4:4:0 chroma
+    subsampling — multi-block luma tiles per MCU with
+    replication-upsampled chroma.  Returns
     ``(width, height, channels, pixels: bytes)`` row-major, the same
     contract as :func:`decode_png` / :func:`decode_media`.
 
@@ -2359,7 +2376,7 @@ def decode_jpeg(payload: bytes):
     unknown Huffman code, marker inside entropy data) and
     NotImplementedError on the documented scope boundary: progressive
     (SOF2), 12-bit, arithmetic coding, sampling shapes other than
-    4:4:4 / 4:2:0."""
+    4:4:4 / 4:2:0 / 4:2:2 / 4:4:0."""
     import struct
 
     import numpy as np
@@ -2434,12 +2451,15 @@ def decode_jpeg(payload: bytes):
     if nf not in (1, 3) or len(scan_comps) != nf:
         raise NotImplementedError("only 1- or 3-component single scan")
     samp = [(hi, vi) for (_, hi, vi, _) in comps]
-    if samp != _jpg_sampling(nf, "444") and samp != (
-        _jpg_sampling(nf, "420") if nf == 3 else None
-    ):
+    allowed = [_jpg_sampling(nf, "444")] + (
+        [_jpg_sampling(3, s) for s in ("420", "422", "440")]
+        if nf == 3
+        else []
+    )
+    if samp not in allowed:
         raise NotImplementedError(
             "chroma subsampling shape not supported "
-            "(4:4:4 and 4:2:0 only)"
+            "(4:4:4, 4:2:0, 4:2:2, 4:4:0 only)"
         )
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)

@@ -1237,21 +1237,44 @@ def test_jpeg_420_lossy_roundtrip_bounded():
 
 
 def test_jpeg_420_scope_and_corruption_raise():
-    """4:2:2 stays a documented NotImplementedError boundary; a
-    truncated 4:2:0 stream still fails loudly with ValueError."""
+    """4:4:4:4-ish luma factors beyond 2 stay a documented
+    NotImplementedError boundary; a truncated 4:2:0 stream still
+    fails loudly with ValueError."""
     import pytest
 
     body = bytes(64 * [33]) * 4 * 3
     enc = M.encode_jpeg(16, 16, 3, body, subsampling="420")
     sof_at = enc.find(b"\xff\xc0")
     sub = bytearray(enc)
-    sub[sof_at + 11] = 0x21  # component 1: 4:2:2 — out of scope
+    sub[sof_at + 11] = 0x44  # component 1: 4x4 tiles — out of scope
     with pytest.raises(NotImplementedError):
         M.decode_jpeg(bytes(sub))
     with pytest.raises(ValueError):
         M.decode_jpeg(enc[: len(enc) - 4])  # truncated entropy data
     with pytest.raises(ValueError):
-        M.encode_jpeg(16, 16, 3, body, subsampling="422")
+        M.encode_jpeg(16, 16, 3, body, subsampling="411")
+
+
+def test_jpeg_422_440_flat_macroblock_roundtrip_exact():
+    """4:2:2 and 4:4:0 (r12): the same generic MCU machinery at
+    (2,1) / (1,2) luma factors — gray-valued rasters flat per MCU
+    tile round-trip bit-exactly, ragged dims included."""
+    for subsampling, tw, th in (("422", 16, 8), ("440", 8, 16)):
+        for d in (0, 3, 10, 21):
+            wm, hm = d % 3 + 1, d % 2 + 2
+            w, h = wm * tw - d % 5, hm * th - d % 7
+            body = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    v = (d * 13 + ((y // th) * wm + x // tw) * 41) % 256
+                    body += bytes((v, v, v))
+            enc = M.encode_jpeg(
+                w, h, 3, bytes(body), restart_interval=d % 3,
+                subsampling=subsampling,
+            )
+            assert M.decode_jpeg(enc) == (w, h, 3, bytes(body)), (
+                subsampling, d,
+            )
 
 
 def test_jpeg_420_hypothesis_flat_macroblocks():
