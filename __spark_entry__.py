@@ -95,6 +95,7 @@ _FAMILIES = [
 #: their *_bound verdicts hold the slots instead).  Keys later added
 #: to a family module but absent here append after, in family order.
 _ORDER = [
+    "media_jpeg_progressive_stats",
     "media_jpeg420_stats",
     "media_adpcm_stats",
     "media_jpeg_stats",

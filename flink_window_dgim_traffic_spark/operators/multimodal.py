@@ -2049,14 +2049,18 @@ class _JpgBitWriter:
 
 def _jpg_split_ecs(payload: bytes, pos: int):
     """Pre-scan the entropy-coded data starting at ``pos`` into
-    UN-STUFFED segments split at markers: returns a list of
-    ``(clean_bytes, terminator)`` where terminator is the marker
-    byte that ended the segment (RST segments are followed by the
-    next segment) or ``None`` if the payload ran out mid-data.  One
-    linear bytes pass replaces the per-bit un-stuffing of the r11
-    reader; scanning stops after the first non-RST marker (EOI or a
-    stray marker — the decoder raises on the latter only if it still
-    needs bits, matching the old reader's lazy semantics)."""
+    UN-STUFFED segments split at markers: returns
+    ``(segments, end_pos)`` where segments is a list of
+    ``(clean_bytes, terminator)`` — terminator is the marker byte
+    that ended the segment (RST segments are followed by the next
+    segment) or ``None`` if the payload ran out mid-data — and
+    ``end_pos`` is the offset of the ``0xFF`` of the first non-RST
+    marker (so a multi-scan/progressive walker resumes there), or
+    ``len(payload)`` if the data ran out.  One linear bytes pass
+    replaces the per-bit un-stuffing of the r11 reader; scanning
+    stops after the first non-RST marker (EOI or a stray marker —
+    the decoder raises on the latter only if it still needs bits,
+    matching the old reader's lazy semantics)."""
     segs = []
     buf = bytearray()
     n = len(payload)
@@ -2065,11 +2069,11 @@ def _jpg_split_ecs(payload: bytes, pos: int):
         if nxt_ff < 0:
             buf += payload[pos:]
             segs.append((bytes(buf), None))
-            return segs
+            return segs, n
         buf += payload[pos:nxt_ff]
         if nxt_ff + 1 >= n:
             segs.append((bytes(buf), None))
-            return segs
+            return segs, n
         m = payload[nxt_ff + 1]
         if m == 0x00:
             buf.append(0xFF)
@@ -2079,7 +2083,7 @@ def _jpg_split_ecs(payload: bytes, pos: int):
         buf = bytearray()
         pos = nxt_ff + 2
         if not (0xD0 <= m <= 0xD7):
-            return segs
+            return segs, nxt_ff
 
 
 class _JpgSegReader:
@@ -2143,6 +2147,281 @@ class _JpgSegReader:
         return s
 
 
+def _jpg_prog_init(sof):
+    """Per-component geometry + zeroed coefficient grids for a
+    progressive frame: true block dims (ceil of the component's
+    sampled size) and MCU-padded dims — interleaved scans cover the
+    padded grid, non-interleaved scans the true grid."""
+    import numpy as np
+
+    w, h, comps = sof
+    nf = len(comps)
+    if nf not in (1, 3):
+        raise NotImplementedError("only 1- or 3-component frames")
+    samp = [(hi, vi) for (_, hi, vi, _) in comps]
+    allowed = [_jpg_sampling(nf, "444")] + (
+        [_jpg_sampling(3, s) for s in ("420", "422", "440")]
+        if nf == 3
+        else []
+    )
+    if samp not in allowed:
+        raise NotImplementedError(
+            "chroma subsampling shape not supported "
+            "(4:4:4, 4:2:0, 4:2:2, 4:4:0 only)"
+        )
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    n_mcu_x, n_mcu_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    geom, pcoefs, cid_to_ix = [], [], {}
+    for ix, (cid, hi, vi, _tq) in enumerate(comps):
+        cw = -(-(w * hi) // hmax)
+        ch_ = -(-(h * vi) // vmax)
+        bx, by = -(-cw // 8), -(-ch_ // 8)
+        bxp, byp = n_mcu_x * hi, n_mcu_y * vi
+        geom.append((bxp, byp, bx, by, hi, vi))
+        pcoefs.append(np.zeros((byp * bxp, 64), np.int64))
+        cid_to_ix[cid] = ix
+    return geom, pcoefs, n_mcu_x, n_mcu_y, cid_to_ix
+
+
+def _jpg_planes_to_pixels(planes, w, h, nf):
+    """Shared decode tail: clamp + (for color) BT.601 inverse."""
+    import numpy as np
+
+    if nf == 1:
+        px = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, px.tobytes()
+    Y, Cb, Cr = planes
+    R = Y + 1.402 * (Cr - 128.0)
+    G = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
+    B_ = Y + 1.772 * (Cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.round(c), 0, 255) for c in (R, G, B_)], axis=-1
+    ).astype(np.uint8)
+    return w, h, 3, rgb.tobytes()
+
+
+def _jpg_prog_assemble(sof, prog, qtables):
+    """Dequantize → un-zigzag → batched IDCT per component grid,
+    upsample, crop — the progressive twin of the baseline tail
+    (component grids are block-row-major, not MCU-interleaved)."""
+    import numpy as np
+
+    w, h, comps = sof
+    geom, pcoefs, _n_mcu_x, _n_mcu_y, _ = prog
+    samp = [(hi, vi) for (_, hi, vi, _) in comps]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    M = _jpg_dct_mat()
+    pos_zz = _jpg_zigzag_pos()
+    planes = []
+    for ix, (_cid, hi, vi, tq) in enumerate(comps):
+        q = qtables.get(tq)
+        if q is None:
+            raise ValueError("missing quant table")
+        qv = np.array(q, dtype=np.float64)
+        coefs = pcoefs[ix].astype(np.float64) * qv[None, :]
+        B = np.empty_like(coefs)
+        B[:, pos_zz] = coefs
+        bxp, byp = geom[ix][0], geom[ix][1]
+        spat = M.T @ B.reshape(-1, 8, 8) @ M + 128.0
+        plane = (
+            spat.reshape(byp, bxp, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(byp * 8, bxp * 8)
+        )
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:
+            plane = plane.repeat(fy, axis=0).repeat(fx, axis=1)
+        planes.append(plane[:h, :w])
+    return _jpg_planes_to_pixels(planes, w, h, len(comps))
+
+
+def _jpg_decode_prog_scan(
+    segs,
+    restart_interval,
+    scan_comps,
+    ss,
+    se,
+    ah,
+    al,
+    dc_spec,
+    ac_spec,
+    geom,
+    pcoefs,
+    n_mcu_x,
+    n_mcu_y,
+):
+    """Decode ONE progressive scan (r12) into the per-component
+    coefficient grids.  The four scan types of ITU-T T.81 Annex G
+    (spectral selection × successive approximation):
+
+    - DC first (Ss=Se=0, Ah=0): interleaved or single-component; the
+      usual DPCM categories, value stored ``<< Al``.
+    - DC refinement (Ah>0): one appended magnitude bit per block.
+    - AC first (Ss>0, Ah=0, single component): run/size coding with
+      EOBn band-skip runs (``eobrun`` persists across blocks).
+    - AC refinement (Ss>0, Ah>0): libjpeg's algorithm — newly
+      significant coefficients arrive as ±1<<Al, previously nonzero
+      coefficients absorb correction bits in zigzag order, EOB runs
+      carry correction bits through the remainder of each band.
+
+    ``geom[ci] = (bxp, byp, bx, by, hi, vi)``: padded and true block
+    dims per component — interleaved scans cover the padded MCU
+    grid, non-interleaved scans the true grid, per spec."""
+    si = 0
+    rdr = _JpgSegReader(*segs[0])
+    rst_no = 0
+
+    def advance_restart():
+        nonlocal si, rdr, rst_no
+        if rdr.nbits - ((rdr.p + 7) & ~7) >= 8 or not (
+            rdr.term is not None and rdr.term == 0xD0 + (rst_no % 8)
+        ):
+            raise ValueError("missing/mismatched RST marker")
+        si += 1
+        if si >= len(segs):
+            raise ValueError("truncated entropy-coded segment")
+        rdr = _JpgSegReader(*segs[si])
+        rst_no += 1
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        luts = {}
+        for ci, td, _ in scan_comps:
+            if ah == 0:
+                if td not in dc_spec:
+                    raise ValueError("missing Huffman table")
+                luts[ci] = _huff_decoder_lut(dc_spec[td])
+        preds = {ci: 0 for ci, _, _ in scan_comps}
+
+        def dc_block(ci, row):
+            if ah == 0:
+                dsym, dln = luts[ci]
+                size = rdr.read_symbol(dsym, dln)
+                preds[ci] += _jpg_extend(rdr.take(size), size)
+                row[0] = preds[ci] << al
+            elif rdr.take(1):
+                row[0] |= 1 << al
+
+        unit = 0
+        if len(scan_comps) > 1:
+            for my in range(n_mcu_y):
+                for mx in range(n_mcu_x):
+                    if (
+                        restart_interval
+                        and unit
+                        and unit % restart_interval == 0
+                    ):
+                        advance_restart()
+                        preds.update({c: 0 for c in preds})
+                    unit += 1
+                    for ci, _, _ in scan_comps:
+                        bxp, byp, bx, by, hi, vi = geom[ci]
+                        for ty in range(vi):
+                            for tx in range(hi):
+                                row = pcoefs[ci][
+                                    (my * vi + ty) * bxp + mx * hi + tx
+                                ]
+                                dc_block(ci, row)
+        else:
+            ci = scan_comps[0][0]
+            bxp, byp, bx, by, hi, vi = geom[ci]
+            for b_y in range(by):
+                for b_x in range(bx):
+                    if (
+                        restart_interval
+                        and unit
+                        and unit % restart_interval == 0
+                    ):
+                        advance_restart()
+                        preds.update({c: 0 for c in preds})
+                    unit += 1
+                    dc_block(ci, pcoefs[ci][b_y * bxp + b_x])
+        return
+
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    ci, _, ta = scan_comps[0]
+    if ta not in ac_spec:
+        raise ValueError("missing Huffman table")
+    asym, aln = _huff_decoder_lut(ac_spec[ta])
+    bxp, byp, bx, by, hi, vi = geom[ci]
+    arr = pcoefs[ci]
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    unit = 0
+    for b_y in range(by):
+        for b_x in range(bx):
+            if restart_interval and unit and unit % restart_interval == 0:
+                advance_restart()
+                eobrun = 0
+            unit += 1
+            row = arr[b_y * bxp + b_x]
+            if ah == 0:
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = rdr.read_symbol(asym, aln)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += rdr.take(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC coefficient run overflow")
+                    row[k] = _jpg_extend(rdr.take(s), s) << al
+                    k += 1
+                continue
+            # AC refinement
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = rdr.read_symbol(asym, aln)
+                    r, s = rs >> 4, rs & 0xF
+                    newval = 0
+                    if s:
+                        if s != 1:
+                            raise ValueError(
+                                "bad AC refinement magnitude"
+                            )
+                        newval = p1 if rdr.take(1) else m1
+                    elif r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += rdr.take(r)
+                        break
+                    while k <= se:
+                        if row[k] != 0:
+                            if rdr.take(1) and (row[k] & p1) == 0:
+                                row[k] += p1 if row[k] >= 0 else m1
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if newval:
+                        if k > se:
+                            raise ValueError("AC refinement overflow")
+                        row[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if row[k] != 0:
+                        if rdr.take(1) and (row[k] & p1) == 0:
+                            row[k] += p1 if row[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+
+
 def _jpg_magnitude(v: int):
     """JPEG magnitude coding: value -> (size, raw bits)."""
     if v == 0:
@@ -2188,6 +2467,236 @@ def _jpg_sampling(channels: int, subsampling: str):
     return [_JPG_SUBSAMPLING[subsampling], (1, 1), (1, 1)]
 
 
+# flat canonical Huffman tables for the progressive scan script: the
+# Annex-K tables lack the EOBn symbols (0x10..0xE0) progressive AC
+# scans need, so the encoder ships its own complete-enough tables —
+# all DC categories at 4 bits, every AC run/size + EOBn + ZRL symbol
+# at 8 bits (canonical, prefix-free, deliberately unoptimized; bit
+# cost is irrelevant for the fixture/roundtrip role)
+_JPG_DC_PROG = ((0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+                tuple(range(12)))
+_JPG_AC_PROG = (
+    (0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0),
+    tuple(r << 4 for r in range(15))        # EOB1..EOB16384
+    + (0xF0,)                               # ZRL
+    + tuple((r << 4) | s for r in range(16) for s in range(1, 11)),
+)
+
+
+def _jpg_encode_progressive(
+    w, h, nf, samp, quant, zz_comp, hmax, vmax
+) -> bytes:
+    """Serialize the progressive (SOF2) stream from the quantized
+    zigzag coefficient grids — see :func:`encode_jpeg`."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    qz = bytes([quant & 0xFF]) * 64
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qz
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)
+    for ci in range(nf):
+        hi, vi = samp[ci]
+        out += struct.pack(">BBB", ci + 1, (hi << 4) | vi, 0)
+    for cls, spec in ((0, _JPG_DC_PROG), (1, _JPG_AC_PROG)):
+        bits, vals = spec
+        out += (
+            b"\xff\xc4"
+            + struct.pack(">H", 19 + len(vals))
+            + struct.pack(">B", cls << 4)  # table id 0 both classes
+            + bytes(bits)
+            + bytes(vals)
+        )
+    dct = _huff_encoder_table(_JPG_DC_PROG)
+    act = _huff_encoder_table(_JPG_AC_PROG)
+
+    # per-component geometry: padded grid dims (the zz arrays) and
+    # true block dims (non-interleaved AC scans cover only these)
+    geom = []
+    for ci in range(nf):
+        hi, vi = samp[ci]
+        cbh, cbw = zz_comp[ci].shape[0], zz_comp[ci].shape[1]
+        cw = -(-(w * hi) // hmax)
+        ch_ = -(-(h * vi) // vmax)
+        geom.append((cbw, cbh, -(-cw // 8), -(-ch_ // 8)))
+
+    def sos_header(comp_ixs, ss, se, ah, al):
+        hdr = b"\xff\xda" + struct.pack(
+            ">HB", 6 + 2 * len(comp_ixs), len(comp_ixs)
+        )
+        for ci in comp_ixs:
+            hdr += struct.pack(">BB", ci + 1, 0x00)  # tables 0/0
+        return hdr + struct.pack(">BBB", ss, se, (ah << 4) | al)
+
+    def dc_first(al):
+        wtr = _JpgBitWriter()
+        pred = [0] * nf
+        n_mcu_x = geom[0][0] // samp[0][0]
+        n_mcu_y = geom[0][1] // samp[0][1]
+        for my in range(n_mcu_y):
+            for mx in range(n_mcu_x):
+                for ci in range(nf):
+                    hi, vi = samp[ci]
+                    cbw = geom[ci][0]
+                    for ty in range(vi):
+                        for tx in range(hi):
+                            v = int(
+                                zz_comp[ci][my * vi + ty, mx * hi + tx, 0]
+                            ) >> al
+                            size, bits_ = _jpg_magnitude(v - pred[ci])
+                            pred[ci] = v
+                            code, ln = dct[size]
+                            wtr.put(code, ln)
+                            if size:
+                                wtr.put(bits_, size)
+        wtr.flush()
+        return wtr.out
+
+    def dc_refine(al):
+        wtr = _JpgBitWriter()
+        n_mcu_x = geom[0][0] // samp[0][0]
+        n_mcu_y = geom[0][1] // samp[0][1]
+        for my in range(n_mcu_y):
+            for mx in range(n_mcu_x):
+                for ci in range(nf):
+                    hi, vi = samp[ci]
+                    for ty in range(vi):
+                        for tx in range(hi):
+                            v = int(
+                                zz_comp[ci][my * vi + ty, mx * hi + tx, 0]
+                            )
+                            wtr.put((v >> al) & 1, 1)
+        wtr.flush()
+        return wtr.out
+
+    def ac_first(ci, ss, se, al):
+        wtr = _JpgBitWriter()
+        cbw, _cbh, bx, by = geom[ci]
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = act[r << 4]
+                wtr.put(code, ln)
+                if r:
+                    wtr.put(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for b_y in range(by):
+            for b_x in range(bx):
+                zz = zz_comp[ci][b_y, b_x]
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    if v < 0:
+                        t = (-v) >> al
+                        t2 = ~t
+                    else:
+                        t = v >> al
+                        t2 = t
+                    if t == 0:
+                        r += 1
+                        continue
+                    flush_eob()
+                    while r > 15:
+                        code, ln = act[0xF0]
+                        wtr.put(code, ln)
+                        r -= 16
+                    nbits = t.bit_length()
+                    code, ln = act[(r << 4) | nbits]
+                    wtr.put(code, ln)
+                    wtr.put(t2 & ((1 << nbits) - 1), nbits)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x4000:
+                        flush_eob()
+        flush_eob()
+        wtr.flush()
+        return wtr.out
+
+    def ac_refine(ci, ss, se, al):
+        wtr = _JpgBitWriter()
+        cbw, _cbh, bx, by = geom[ci]
+        eobrun = 0
+        be_bits: list[int] = []
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = act[r << 4]
+                wtr.put(code, ln)
+                if r:
+                    wtr.put(eobrun - (1 << r), r)
+                eobrun = 0
+            for b in be_bits:
+                wtr.put(b, 1)
+            be_bits.clear()
+
+        for b_y in range(by):
+            for b_x in range(bx):
+                zz = zz_comp[ci][b_y, b_x]
+                absv = []
+                eob_k = ss - 1
+                for k in range(ss, se + 1):
+                    t = abs(int(zz[k])) >> al
+                    absv.append(t)
+                    if t == 1:
+                        eob_k = k
+                r = 0
+                br: list[int] = []
+                for k in range(ss, se + 1):
+                    t = absv[k - ss]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob_k:
+                        flush_eob()
+                        code, ln = act[0xF0]
+                        wtr.put(code, ln)
+                        r -= 16
+                        for b in br:
+                            wtr.put(b, 1)
+                        br = []
+                    if t > 1:
+                        br.append(t & 1)
+                        continue
+                    flush_eob()
+                    code, ln = act[(r << 4) | 1]
+                    wtr.put(code, ln)
+                    wtr.put(1 if int(zz[k]) >= 0 else 0, 1)
+                    for b in br:
+                        wtr.put(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    be_bits.extend(br)
+                    if eobrun == 0x4000 or len(be_bits) > 900:
+                        flush_eob()
+        flush_eob()
+        wtr.flush()
+        return wtr.out
+
+    bands = [(1, 5), (6, 63)]
+    out += sos_header(list(range(nf)), 0, 0, 0, 1) + dc_first(1)
+    for ci in range(nf):
+        for ss, se in bands if ci == 0 else [(1, 63)]:
+            out += sos_header([ci], ss, se, 0, 1) + ac_first(
+                ci, ss, se, 1
+            )
+    out += sos_header(list(range(nf)), 0, 0, 1, 0) + dc_refine(0)
+    for ci in range(nf):
+        for ss, se in bands if ci == 0 else [(1, 63)]:
+            out += sos_header([ci], ss, se, 1, 0) + ac_refine(
+                ci, ss, se, 0
+            )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg(
     w: int,
     h: int,
@@ -2196,11 +2705,19 @@ def encode_jpeg(
     quant: int = 1,
     restart_interval: int = 0,
     subsampling: str = "444",
+    progressive: bool = False,
 ) -> bytes:
     """Baseline sequential JPEG encoder (SOF0, Annex K Huffman
     tables, 4:4:4 or — r12 — 4:2:0/4:2:2/4:4:0 chroma subsampling,
-    uniform
-    quantizer value ``quant``): the fixture generator and
+    uniform quantizer value ``quant``), or — ``progressive=True``,
+    r12 — a progressive (SOF2) encoder emitting a two-precision
+    spectral-selection + successive-approximation scan script (DC at
+    Al=1, AC bands 1-5 / 6-63 at Al=1, then DC and AC refinement
+    scans to full precision) with EOBn band-skip runs and libjpeg's
+    AC-refinement correction-bit buffering.  The quantized
+    coefficients are IDENTICAL between the two modes, so progressive
+    decode must reproduce the baseline decode bit-for-bit — the
+    equivalence property the tests pin.  The fixture generator and
     fuzz-roundtrip partner of :func:`decode_jpeg`.  ``channels`` 1
     (grayscale) or 3 (RGB via float BT.601 YCbCr; gray-valued RGB is
     chroma-neutral and exact).  Width and height need not be
@@ -2247,6 +2764,30 @@ def encode_jpeg(
     M = _jpg_dct_mat()
     pos = _jpg_zigzag_pos()
 
+    # batched forward DCT + quantize + zigzag per component: one
+    # broadcast matmul pair over ALL blocks replaces the per-block
+    # python/numpy loop of r11 (≈50% of the encode profile)
+    zz_comp = []
+    nblocks = []
+    for ci, c in enumerate(comps):
+        cbh, cbw = c.shape[0] // 8, c.shape[1] // 8
+        blocks = c.reshape(cbh, 8, cbw, 8).transpose(0, 2, 1, 3)
+        F_ = M @ (blocks - 128.0) @ M.T
+        qc = np.round(F_ / float(quant)).astype(np.int64)
+        zz = qc.reshape(cbh, cbw, 64)[..., pos]
+        zz_comp.append(zz)
+        nblocks.append((cbw, cbh))
+
+    nf = len(comps)
+    if progressive:
+        if restart_interval:
+            raise ValueError(
+                "restart intervals not supported in progressive mode"
+            )
+        return _jpg_encode_progressive(
+            w, h, nf, samp, int(quant), zz_comp, hmax, vmax
+        )
+
     dc_specs = [_JPG_DC_LUM] + [_JPG_DC_CHR] * 2
     ac_specs = [_JPG_AC_LUM] + [_JPG_AC_CHR] * 2
     dc_tabs = [_huff_encoder_table(s) for s in dc_specs]
@@ -2259,7 +2800,6 @@ def encode_jpeg(
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOF0
-    nf = len(comps)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)
     for ci in range(nf):
         hi, vi = samp[ci]
@@ -2281,20 +2821,6 @@ def encode_jpeg(
         t = 0 if ci == 0 else 1
         out += struct.pack(">BB", ci + 1, (t << 4) | t)
     out += b"\x00\x3f\x00"
-
-    # batched forward DCT + quantize + zigzag per component: one
-    # broadcast matmul pair over ALL blocks replaces the per-block
-    # python/numpy loop of r11 (≈50% of the encode profile)
-    zz_comp = []
-    nblocks = []
-    for ci, c in enumerate(comps):
-        cbh, cbw = c.shape[0] // 8, c.shape[1] // 8
-        blocks = c.reshape(cbh, 8, cbw, 8).transpose(0, 2, 1, 3)
-        F_ = M @ (blocks - 128.0) @ M.T
-        qc = np.round(F_ / float(quant)).astype(np.int64)
-        zz = qc.reshape(cbh, cbw, 64)[..., pos]
-        zz_comp.append(zz)
-        nblocks.append((cbw, cbh))
 
     wtr = _JpgBitWriter()
     pred = [0] * nf
@@ -2390,6 +2916,8 @@ def decode_jpeg(payload: bytes):
     sof = None
     restart_interval = 0
     scan = None
+    progressive = False
+    prog = None
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -2417,20 +2945,21 @@ def decode_jpeg(payload: bytes):
                 vals = tuple(body[i + 17 : i + 17 + nv])
                 (dc_spec if cls == 0 else ac_spec)[ti] = (bits, vals)
                 i += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             depth, hh, ww, nf = struct.unpack(">BHHB", body[:6])
             if depth != 8:
-                raise NotImplementedError("only 8-bit baseline JPEG")
+                raise NotImplementedError("only 8-bit JPEG")
             comps = []
             for ci in range(nf):
                 cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, sampling >> 4, sampling & 0xF, tq))
             sof = (ww, hh, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline SOF 0xFF{marker:02X} (progressive/"
-                "arithmetic) — baseline sequential only"
+                f"unsupported SOF 0xFF{marker:02X} (hierarchical/"
+                "arithmetic/lossless) — sequential + progressive only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -2440,9 +2969,34 @@ def decode_jpeg(payload: bytes):
             for ci in range(ns):
                 cid, tt = body[1 + 2 * ci : 3 + 2 * ci]
                 scan_comps.append((cid, tt >> 4, tt & 0xF))
-            scan = (scan_comps, pos + 2 + seglen)
-            break
+            if not progressive:
+                scan = (scan_comps, pos + 2 + seglen)
+                break
+            # ---- progressive (r12): decode this scan inline, then
+            # resume the marker walk after its entropy data ----
+            ss_, se_ = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if prog is None:
+                prog = _jpg_prog_init(sof)
+            geom, pcoefs, n_mcu_x, n_mcu_y, cid_to_ix = prog
+            sc = []
+            for cid, td, ta in scan_comps:
+                if cid not in cid_to_ix:
+                    raise ValueError(f"scan references unknown comp {cid}")
+                sc.append((cid_to_ix[cid], td, ta))
+            segs, end_pos = _jpg_split_ecs(payload, pos + 2 + seglen)
+            _jpg_decode_prog_scan(
+                segs, restart_interval, sc,
+                ss_, se_, ahal >> 4, ahal & 0xF,
+                dc_spec, ac_spec, geom, pcoefs, n_mcu_x, n_mcu_y,
+            )
+            pos = end_pos
+            continue
         pos += 2 + seglen
+    if progressive:
+        if prog is None:
+            raise ValueError("progressive JPEG with no scan")
+        return _jpg_prog_assemble(sof, prog, qtables)
     if sof is None or scan is None:
         raise ValueError("missing SOF0 or SOS")
     w, h, comps = sof
@@ -2497,7 +3051,7 @@ def decode_jpeg(payload: bytes):
             _JPG_CACHE[("qv", q)] = qv
         qvecs.append(qv)
 
-    segs = _jpg_split_ecs(payload, data_pos)
+    segs, _ = _jpg_split_ecs(payload, data_pos)
     si = 0
     rdr = _JpgSegReader(*segs[0])
     pred = [0] * nf
@@ -2583,17 +3137,7 @@ def decode_jpeg(payload: bytes):
         if fy > 1 or fx > 1:
             plane = plane.repeat(fy, axis=0).repeat(fx, axis=1)
         planes.append(plane[:h, :w])
-    if nf == 1:
-        px = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-        return w, h, 1, px.tobytes()
-    Y, Cb, Cr = planes
-    R = Y + 1.402 * (Cr - 128.0)
-    G = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
-    B_ = Y + 1.772 * (Cb - 128.0)
-    rgb = np.stack(
-        [np.clip(np.round(c), 0, 255) for c in (R, G, B_)], axis=-1
-    ).astype(np.uint8)
-    return w, h, 3, rgb.tobytes()
+    return _jpg_planes_to_pixels(planes, w, h, nf)
 
 
 def _spread_ids(documents: DataFrame) -> DataFrame:
@@ -2607,7 +3151,9 @@ def _spread_ids(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").repartition(par, "doc_id")
 
 
-def with_jpeg_blob(documents: DataFrame) -> DataFrame:
+def with_jpeg_blob(
+    documents: DataFrame, progressive: bool = False
+) -> DataFrame:
     """Attach a REAL baseline-JPEG payload per doc whose raster is
     FLAT PER 8x8 BLOCK — block value ``v(d, bi) = (d*7 + bi*13) %
     256`` over row-major block index ``bi``, dims ``w = 8·(d%4+1)``,
@@ -2643,7 +3189,11 @@ def with_jpeg_blob(documents: DataFrame) -> DataFrame:
                 px = V.repeat(8, axis=0).repeat(8, axis=1)
                 body = np.repeat(px.reshape(-1), ch).tobytes()
                 payloads.append(
-                    encode_jpeg(w, h, ch, body, restart_interval=d % 3)
+                    encode_jpeg(
+                        w, h, ch, body,
+                        restart_interval=0 if progressive else d % 3,
+                        progressive=progressive,
+                    )
                 )
                 mimes.append(JPEG_MIME)
             yield pd.DataFrame(
@@ -2788,6 +3338,20 @@ def media_jpeg_stats(
         stats,
         "doc_id bigint, px_sum bigint, px_min bigint, "
         "px_max bigint, n_px bigint",
+    )
+
+
+def media_jpeg_progressive_stats(documents: DataFrame) -> DataFrame:
+    """:func:`media_jpeg_stats` through the PROGRESSIVE (SOF2)
+    decode path (r12): the multi-scan walk — DC at reduced
+    precision, AC spectral bands, DC/AC successive-approximation
+    refinement with EOBn runs and correction bits — reassembles the
+    identical quantized coefficients, so the flat-block fixture's
+    pixels (and therefore this query's aggregates AND its DuckDB
+    oracle) are byte-identical to the sequential twin.  Map-only."""
+    return media_jpeg_stats(
+        documents,
+        blob_fn=lambda docs: with_jpeg_blob(docs, progressive=True),
     )
 
 

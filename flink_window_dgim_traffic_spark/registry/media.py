@@ -27,6 +27,13 @@ def queries():
         "media_jpeg420_stats": lambda s, d: M.media_jpeg420_stats(
             _documents(s, d)
         ),
+        # r12: the PROGRESSIVE (SOF2) decode path - multi-scan walk,
+        # spectral selection, successive approximation, EOBn runs,
+        # correction bits; identical quantized coefficients, so the
+        # sequential fixture's closed-form oracle carries over
+        "media_jpeg_progressive_stats": lambda s, d: (
+            M.media_jpeg_progressive_stats(_documents(s, d))
+        ),
         "media_jpeg_ahash_pairs": lambda s, d: (
             M.media_jpeg_ahash_pairs(_documents(s, d))
         ),
@@ -107,6 +114,20 @@ def oracles():
         # hb = d%3+1 high, RGB (gray-valued) for even / gray for odd
         # doc_ids — every decoded pixel equals its block value, so the
         # aggregates are 64-pixel-per-block arithmetic ----
+        "media_jpeg_progressive_stats": """
+WITH dim AS (SELECT doc_id, doc_id % 4 + 1 AS wb, doc_id % 3 + 1 AS hb,
+                    CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+             FROM documents),
+bv AS (SELECT doc_id, wb, hb, ch,
+              (doc_id * 7 + b.i * 13) % 256 AS v
+       FROM dim, unnest(generate_series(0, wb * hb - 1)) AS b(i))
+SELECT doc_id,
+       CAST(64 * ch * sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS BIGINT) AS px_min,
+       CAST(max(v) AS BIGINT) AS px_max,
+       CAST(64 * wb * hb * ch AS BIGINT) AS n_px
+FROM bv GROUP BY doc_id, wb, hb, ch
+""",
         "media_jpeg_stats": """
 WITH dim AS (SELECT doc_id, doc_id % 4 + 1 AS wb, doc_id % 3 + 1 AS hb,
                     CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch

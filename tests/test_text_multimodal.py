@@ -1114,11 +1114,17 @@ def test_jpeg_corruption_and_scope_raise():
         M.decode_jpeg(b"\x00\x01" + enc[2:])  # bad SOI
     with pytest.raises(ValueError):
         M.decode_jpeg(enc[: len(enc) // 2])  # truncated mid-stream
-    # flip SOF0 -> SOF2 (progressive): documented scope boundary
+    # SOF2 is SUPPORTED since r12, but a sequential full-band scan
+    # inside a progressive frame is structurally invalid — loud
+    # ValueError, not a silent mis-decode
     sof_at = enc.find(b"\xff\xc0")
     prog = enc[:sof_at] + b"\xff\xc2" + enc[sof_at + 2 :]
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         M.decode_jpeg(prog)
+    # lossless (SOF3) / arithmetic (SOF9) stay scope boundaries
+    for m in (b"\xff\xc3", b"\xff\xc9"):
+        with pytest.raises(NotImplementedError):
+            M.decode_jpeg(enc[:sof_at] + m + enc[sof_at + 2 :])
     # claim 2x2 subsampling in SOF: documented scope boundary
     sub = bytearray(enc)
     sub[sof_at + 11] = 0x22  # component 1 sampling factors
@@ -1309,6 +1315,94 @@ def test_jpeg_420_hypothesis_flat_macroblocks():
             subsampling="420",
         )
         assert M.decode_jpeg(enc) == (w, h, 3, bytes(body))
+
+    check()
+
+
+def test_jpeg_progressive_equals_baseline():
+    """THE progressive property (r12): the scan script (DC at Al=1,
+    AC bands at Al=1, DC/AC refinement to full precision, EOBn runs,
+    correction-bit buffering) reassembles the IDENTICAL quantized
+    coefficients, so progressive decode == baseline decode
+    bit-for-bit on any raster, every subsampling shape."""
+    import random
+
+    rng = random.Random(5)
+    for w, h, ch, sub in (
+        (8, 8, 1, "444"), (16, 24, 1, "444"), (13, 9, 1, "444"),
+        (21, 10, 3, "444"), (32, 16, 3, "420"), (29, 23, 3, "420"),
+        (24, 16, 3, "422"), (16, 24, 3, "440"),
+    ):
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        base = M.decode_jpeg(M.encode_jpeg(w, h, ch, px, subsampling=sub))
+        prog = M.decode_jpeg(
+            M.encode_jpeg(
+                w, h, ch, px, subsampling=sub, progressive=True
+            )
+        )
+        assert base == prog, (w, h, ch, sub)
+
+
+def test_jpeg_progressive_flat_block_exact():
+    """Flat-block rasters stay bit-exact through the progressive
+    path (DC-only blocks exercise the EOBn band-skip runs across
+    whole scans)."""
+    for d in (0, 1, 5, 11, 42):
+        wb, hb = d % 4 + 1, d % 3 + 1
+        w, h = wb * 8, hb * 8
+        for ch in (1, 3):
+            body = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    v = (d * 7 + ((y // 8) * wb + x // 8) * 13) % 256
+                    body += bytes((v,) * ch)
+            enc = M.encode_jpeg(w, h, ch, bytes(body), progressive=True)
+            assert M.decode_jpeg(enc) == (w, h, ch, bytes(body))
+
+
+def test_jpeg_progressive_corruption_raises():
+    """Truncating a progressive stream mid-scan fails loudly; restart
+    intervals are rejected at encode (documented)."""
+    import random
+
+    rng = random.Random(9)
+    px = bytes(rng.randrange(256) for _ in range(24 * 16 * 3))
+    enc = M.encode_jpeg(24, 16, 3, px, progressive=True)
+    for cut in (len(enc) // 2, len(enc) - 6):
+        with pytest.raises(ValueError):
+            M.decode_jpeg(enc[:cut])
+    with pytest.raises(ValueError):
+        M.encode_jpeg(
+            24, 16, 3, px, progressive=True, restart_interval=2
+        )
+
+
+def test_jpeg_progressive_hypothesis_equivalence():
+    """Property: progressive == baseline on arbitrary random rasters
+    and shapes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        w=st.integers(4, 33),
+        h=st.integers(4, 33),
+        ch=st.sampled_from([1, 3]),
+        sub=st.sampled_from(["444", "420", "422", "440"]),
+        seed=st.integers(0, 2**31),
+    )
+    def check(w, h, ch, sub, seed):
+        import random
+
+        if ch == 1:
+            sub = "444"
+        rng = random.Random(seed)
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        base = M.decode_jpeg(M.encode_jpeg(w, h, ch, px, subsampling=sub))
+        prog = M.decode_jpeg(
+            M.encode_jpeg(w, h, ch, px, subsampling=sub, progressive=True)
+        )
+        assert base == prog
 
     check()
 
