@@ -7,10 +7,13 @@ pure-Python/stdlib implementations: binary netpbm P6/P5 (r8),
 RIFF/WAVE PCM-16 (r9), PNG via stdlib zlib with CRC-verified chunk
 walk and all five unfilters (r10), and baseline-sequential JPEG —
 Annex-K Huffman entropy decode, restart markers, dequant, float64
-IDCT, YCbCr (r11), 4:2:0 chroma subsampling and IMA-ADPCM compressed
-audio (r12).  The remaining NotImplementedError boundary is
-documented and negative-tested: progressive/arithmetic JPEG, 4:2:2
-subsampling, and 16-bit quant tables.  The
+IDCT, YCbCr (r11), then r12: 4:2:0/4:2:2/4:4:0 chroma subsampling,
+PROGRESSIVE (SOF2) multi-scan decode with spectral selection +
+successive approximation (equivalence-pinned against the sequential
+path), and IMA-ADPCM compressed audio.  The remaining
+NotImplementedError boundary is documented and negative-tested:
+arithmetic/lossless/hierarchical JPEG, 12-bit precision, 16-bit
+quant tables.  The
 Spark-side plumbing — binary schema, metadata struct, Arrow batch
 shapes, partition-preserving mapInPandas — is real and tested, and
 every decode family has a closed-form integer oracle.
