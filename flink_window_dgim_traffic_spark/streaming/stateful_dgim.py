@@ -911,26 +911,34 @@ class SessionDGIMProcessor(StatefulProcessor):
         )
 
     def _insert(self, sess, t: int, bit: int) -> None:
+        self._insert_span(sess, t, t, bit, 1)
+
+    def _insert_span(
+        self, sess, t0: int, t1: int, ones: int, n: int
+    ) -> None:
+        """Merge a pre-aggregated session span [t0, t1] (``ones``
+        1-bits over ``n`` events) into the sorted session list —
+        the generalization of the r11 single-event insert (a point
+        is a span with t0 == t1).  A span bridges every existing
+        session within the strict gap on either side."""
         g = self._gap_us
         lo, hi = None, None
         for i, s in enumerate(sess):
-            if s[0] - g < t < s[1] + g:
+            if s[0] - g < t1 and t0 < s[1] + g:
                 if lo is None:
                     lo = i
                 hi = i
         if lo is None:
-            sess.append([t, t, bit, 1])
+            sess.append([t0, t1, ones, n])
             sess.sort()
-            # a lone event can still bridge two neighbors checked
-            # separately above only via overlap; nothing more to do
             return
-        # fold the event into the first overlapping session, then
-        # merge every session the event bridges
+        # fold the span into the first overlapping session, then
+        # merge every session the span bridges
         tgt = sess[lo]
-        tgt[0] = min(tgt[0], t)
-        tgt[1] = max(tgt[1], t)
-        tgt[2] += bit
-        tgt[3] += 1
+        tgt[0] = min(tgt[0], t0)
+        tgt[1] = max(tgt[1], t1)
+        tgt[2] += ones
+        tgt[3] += n
         for s in sess[lo + 1 : hi + 1]:
             tgt[0] = min(tgt[0], s[0])
             tgt[1] = max(tgt[1], s[1])
@@ -980,12 +988,38 @@ class SessionDGIMProcessor(StatefulProcessor):
             self._handle.registerTimer(max(t_ms, wm_ms + 1))
 
     def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
+
         sess = self._load()
+        # pre-sessionize the batch VECTORIZED (r12): sort, break at
+        # gaps, reduceat the per-segment sums — then merge only the
+        # few span summaries into state.  Sessionization is uniquely
+        # determined by the point set, so sub-sessionizing any subset
+        # first and span-merging after yields the same sessions as
+        # the r11 per-event loop (equality with the engine-native
+        # twin stays pinned in tests); this removes the per-event
+        # Python cost that made the TWS twin 2.4x the JVM twin.
+        g = self._gap_us
         for pdf in rows:
-            for t, b in zip(
-                pdf["ts_us"].astype("int64"), pdf["bit"].astype("int64")
-            ):
-                self._insert(sess, int(t), int(b))
+            ts = pdf["ts_us"].to_numpy(np.int64)
+            bits = pdf["bit"].to_numpy(np.int64)
+            if len(ts) == 0:
+                continue
+            order = np.argsort(ts, kind="stable")
+            ts, bits = ts[order], bits[order]
+            starts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(ts) >= g) + 1)
+            )
+            ones = np.add.reduceat(bits, starts)
+            ends = np.concatenate((starts[1:], [len(ts)]))
+            for st, en, o in zip(starts, ends, ones):
+                self._insert_span(
+                    sess,
+                    int(ts[st]),
+                    int(ts[en - 1]),
+                    int(o),
+                    int(en - st),
+                )
         wm_ms = timerValues.getCurrentWatermarkInMs()
         sess, frames = self._close_ripe(sess, wm_ms, key[0])
         self._save(sess)
