@@ -103,10 +103,15 @@ def _scaled_graph_events(spark, scale: int):
 
 
 def _scaled_suppliers(spark, scale: int):
-    """Suppliers replicated with per-replica repeated 2-digit name
-    suffixes: any two replicas of one name are edit distance >= 2
-    apart, so the distance<=1 graph grows linearly (no cross-replica
-    cliques)."""
+    """Suppliers replicated with the 2-digit replica tag injected
+    into BOTH halves of the name (mid-string AND suffix).  Two
+    lessons combined: the tag must make replicas edit distance >= 2
+    apart (no cross-replica edges), AND it must land in EVERY
+    PassJoin segment — a suffix-only tag leaves the first half
+    shared verbatim across all replicas, which makes that signature
+    bucket O(corpus) wide and the candidate join quadratic (measured
+    142x wall at 30x before this fix — the exact hot-bucket
+    pathology edit_distance_join's max_bucket guard documents)."""
     path = f"{OUT}/supplier_x{scale}.parquet"
     if not os.path.exists(path):
         sup = table(spark, SF_DIR, "supplier")
@@ -115,7 +120,10 @@ def _scaled_suppliers(spark, scale: int):
             sup.select(
                 (F.col("s_suppkey") + k * n).alias("s_suppkey"),
                 F.concat(
-                    F.col("s_name"), F.lit(f"{k:02d}{k:02d}")
+                    F.substring("s_name", 1, 9),
+                    F.lit(f"{k:02d}"),
+                    F.substring("s_name", 10, 99),
+                    F.lit(f"{k:02d}"),
                 ).alias("s_name"),
                 "s_nationkey",
             )
