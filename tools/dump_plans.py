@@ -257,10 +257,20 @@ SHOWCASE = {
     "multi-distinct Expand — measured 42x slower",
     "simsearch_ann_ivf_bound": "both topk sides are n_query*k rows; "
     "the recall join is broadcast, verdict in integer arithmetic",
-    "media_jpeg_stats": "map-only mapInPandas: encode->Huffman/IDCT "
-    "decode->aggregate inside one Arrow batch pass, no shuffle",
+    "media_jpeg_stats": "encode->Huffman/IDCT decode->aggregate in "
+    "one Arrow pass; the only exchange moves 8-byte doc ids "
+    "(_spread_ids, r12) so codec parallelism never depends on the "
+    "scan's split layout — blobs themselves never shuffle",
     "bpe_roundtrip_bound": "map-only encode-path verdicts with a "
     "per-batch word memo; exact counts ride the same pass",
+    # ---- round-12 additions ----
+    "media_jpeg_progressive_stats": "the SOF2 multi-scan decode is "
+    "still one mapInPandas stage: spectral/successive reassembly "
+    "happens inside the UDF, plan-identical to the sequential twin",
+    "media_jpeg420_stats": "subsampled decode, same id-only "
+    "exchange + map-only codec stage shape",
+    "media_adpcm_stats": "RIFF walk + 89-step state machine inside "
+    "the codec stage; 8 bigints per doc leave it",
 }
 
 
