@@ -118,7 +118,17 @@ class DGIM:
 
     def _expire(self, now: int) -> None:
         w = self.window_size
-        self.buckets = [bk for bk in self.buckets if now - bk[0] < w]
+        b = self.buckets
+        # _expire runs on EVERY add, but a tumbling window keyed by
+        # window_end never expires in-window — skip the list rebuild
+        # unless some bucket is actually out of window (min() is one
+        # allocation-free C pass over ≤ O(log²N) buckets; the list
+        # comprehension below allocated a fresh list per add).  The
+        # min scan, not a newest-first assumption: out-of-order adds
+        # insert at the front, so position does not imply age.
+        if not b or now - min(bk[0] for bk in b) < w:
+            return
+        self.buckets = [bk for bk in b if now - bk[0] < w]
 
     def estimate(self, at: int | None = None) -> int:
         """Approximate number of 1-bits with ts in ``(at - window, at]``.

@@ -79,6 +79,32 @@ def _delta_dir(path: str, side: str, tag: str) -> str:
     return f"{path}/{side}/delta-{tag}"
 
 
+def _write_staged(jobs: list[tuple[DataFrame, str]]) -> None:
+    """Stage several delta dirs CONCURRENTLY (guide §2.6: overlap
+    independent jobs so one write's task tail back-fills with the next
+    write's tasks — these staged writes are independent by
+    construction, none reads another's output dir, and the commit
+    marker is written by the caller only after ALL of them return).
+    Spark's scheduler runs driver-thread-submitted jobs FIFO, which is
+    exactly the back-fill behaviour wanted; job descriptions are
+    thread-local so the UI stays readable.  Sequentially these
+    ~O(|Δ|) writes each paid a full job latency on top of tiny data
+    (measured: 3 staged writes per refresh dominated ivm_join_orders
+    at sf0.1)."""
+    if len(jobs) == 1:
+        df, p = jobs[0]
+        df.write.mode("overwrite").parquet(p)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(job: tuple[DataFrame, str]) -> None:
+        df, p = job
+        df.write.mode("overwrite").parquet(p)
+
+    with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+        list(ex.map(_one, jobs))
+
+
 def _read_deltas(spark, path: str, side: str, tags: list[str]) -> DataFrame | None:
     dirs = [
         _delta_dir(path, side, t)
@@ -124,12 +150,12 @@ def build_join_view(
         )
     if _committed(path):
         return False
-    left.write.mode("overwrite").parquet(_delta_dir(path, "left", tag))
-    right.write.mode("overwrite").parquet(
-        _delta_dir(path, "right", tag)
-    )
-    left.join(right, keys).write.mode("overwrite").parquet(
-        _delta_dir(path, "view", tag)
+    _write_staged(
+        [
+            (left, _delta_dir(path, "left", tag)),
+            (right, _delta_dir(path, "right", tag)),
+            (left.join(right, keys), _delta_dir(path, "view", tag)),
+        ]
     )
     _write_marker(path, 1, tag, {"keys": keys, "sides": ["left", "right", "view"]})
     return True
@@ -176,19 +202,16 @@ def refresh_join_view(
     right_state = _read_deltas(spark, path, "right", tags)
     sides = []
     view_terms = []
+    staged: list[tuple[DataFrame, str]] = []
     if delta_left is not None:
         if right_state is not None:
             view_terms.append(delta_left.join(right_state, keys))
-        delta_left.write.mode("overwrite").parquet(
-            _delta_dir(path, "left", tag)
-        )
+        staged.append((delta_left, _delta_dir(path, "left", tag)))
         sides.append("left")
     if delta_right is not None:
         if left_state is not None:
             view_terms.append(left_state.join(delta_right, keys))
-        delta_right.write.mode("overwrite").parquet(
-            _delta_dir(path, "right", tag)
-        )
+        staged.append((delta_right, _delta_dir(path, "right", tag)))
         sides.append("right")
     if delta_left is not None and delta_right is not None:
         view_terms.append(delta_left.join(delta_right, keys))
@@ -196,10 +219,14 @@ def refresh_join_view(
         dv = view_terms[0]
         for t in view_terms[1:]:
             dv = dv.unionByName(t)
-        dv.write.mode("overwrite").parquet(
-            _delta_dir(path, "view", tag)
-        )
+        # the ΔV terms join the deltas against the PRE-refresh state
+        # DataFrames (read from already-committed dirs), never against
+        # this refresh's own staged output — safe to stage all sides
+        # concurrently
+        staged.append((dv, _delta_dir(path, "view", tag)))
         sides.append("view")
+    if staged:
+        _write_staged(staged)
     _write_marker(path, base_seq + 1, tag, {"keys": keys, "sides": sides})
     if compact_after is not None and len(_visible_tags(path)) > compact_after:
         compact_join_view(spark, path)
@@ -344,6 +371,7 @@ def compact_join_view(
     ctag = f"compact-{base_seq + 1}"
     zset = bool(meta0.get("zset"))
     sides = []
+    staged: list[tuple[DataFrame, str]] = []
     for side in ("left", "right", "view"):
         df = _read_deltas(spark, path, side, vis)
         if df is None:
@@ -355,8 +383,10 @@ def compact_join_view(
                 .agg(F.sum("_mult").cast("bigint").alias("_mult"))
                 .filter(F.col("_mult") != 0)
             )
-        df.write.mode("overwrite").parquet(_delta_dir(path, side, ctag))
+        staged.append((df, _delta_dir(path, side, ctag)))
         sides.append(side)
+    if staged:
+        _write_staged(staged)
     meta = {"keys": meta0["keys"], "sides": sides, "absorbs": vis}
     if zset:
         meta["zset"] = True
@@ -429,10 +459,12 @@ def build_join_view_zset(
     if _committed(path):
         return False
     l, r = _with_mult(left, True), _with_mult(right, True)
-    l.write.mode("overwrite").parquet(_delta_dir(path, "left", tag))
-    r.write.mode("overwrite").parquet(_delta_dir(path, "right", tag))
-    _join_deltas(l, r, keys, True).write.mode("overwrite").parquet(
-        _delta_dir(path, "view", tag)
+    _write_staged(
+        [
+            (l, _delta_dir(path, "left", tag)),
+            (r, _delta_dir(path, "right", tag)),
+            (_join_deltas(l, r, keys, True), _delta_dir(path, "view", tag)),
+        ]
     )
     _write_marker(
         path, 1, tag,
@@ -481,15 +513,16 @@ def refresh_join_view_zset(
     dr = _with_mult(delta_right, True) if delta_right is not None else None
     sides = []
     view_terms = []
+    staged: list[tuple[DataFrame, str]] = []
     if dl is not None:
         if right_state is not None:
             view_terms.append(_join_deltas(dl, right_state, keys, True))
-        dl.write.mode("overwrite").parquet(_delta_dir(path, "left", tag))
+        staged.append((dl, _delta_dir(path, "left", tag)))
         sides.append("left")
     if dr is not None:
         if left_state is not None:
             view_terms.append(_join_deltas(left_state, dr, keys, True))
-        dr.write.mode("overwrite").parquet(_delta_dir(path, "right", tag))
+        staged.append((dr, _delta_dir(path, "right", tag)))
         sides.append("right")
     if dl is not None and dr is not None:
         view_terms.append(_join_deltas(dl, dr, keys, True))
@@ -497,8 +530,10 @@ def refresh_join_view_zset(
         dv = view_terms[0]
         for t in view_terms[1:]:
             dv = dv.unionByName(t)
-        dv.write.mode("overwrite").parquet(_delta_dir(path, "view", tag))
+        staged.append((dv, _delta_dir(path, "view", tag)))
         sides.append("view")
+    if staged:
+        _write_staged(staged)
     _write_marker(
         path, base_seq + 1, tag,
         {"keys": keys, "sides": sides, "zset": True},

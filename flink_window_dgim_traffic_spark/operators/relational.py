@@ -1706,7 +1706,22 @@ def table_profile(df: DataFrame, exact: bool = True,
     turning the whole profile into ONE map-side-combinable pass with
     sketch-sized partial state.  The oracle pins the exact variant;
     the approx twin is bound-tested (within 3·rsd of exact on every
-    column) and benched separately."""
+    column) and benched separately.
+
+    PLAN SHAPE (r12, the r11 ``table_profile_approx_bound`` finding
+    applied to the exact variant): |columns| ``count_distinct`` in
+    ONE aggregation plans the multi-distinct EXPAND — one expanded
+    row per distinct column per input row, with every non-distinct
+    aggregate (the dtype-pinned min/max strings included) re-planned
+    under a SORT-aggregate keyed on all columns.  Instead the
+    non-distinct stats run as one hash-aggregate pass and each
+    column's distinct count as its OWN single-distinct single-row
+    aggregation (Expand-free two-level hash aggregate over that one
+    pruned parquet column), all cross-joined at the end — every side
+    is a single row, so the joins are free.  |columns| extra scans of
+    one column each beat a |columns|+1× row expand + global sort of
+    the whole table (measured 4.8 s → see OPTIMIZATION_r12.md;
+    the same trade the r11 fix measured at 42× for the bound twin)."""
     from pyspark.sql.types import DoubleType, FloatType, TimestampType
 
     def s_form(c: str):
@@ -1723,19 +1738,24 @@ def table_profile(df: DataFrame, exact: bool = True,
     aggs = []
     for c in df.columns:
         s = s_form(c)
-        dist = (
-            F.count_distinct(F.col(c))
-            if exact
-            else F.approx_count_distinct(F.col(c), rsd)
-        )
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__null"),
-            dist.alias(f"{c}__dist"),
             F.min(s).alias(f"{c}__min"),
             F.max(s).alias(f"{c}__max"),
         ]
+        if not exact:
+            aggs.append(
+                F.approx_count_distinct(F.col(c), rsd).alias(f"{c}__dist")
+            )
     wide = df.agg(*aggs)
+    if exact:
+        # one single-distinct aggregation per column: Expand-free,
+        # column-pruned, single-row — the cross joins are free
+        for c in df.columns:
+            wide = wide.crossJoin(
+                df.agg(F.count_distinct(F.col(c)).alias(f"{c}__dist"))
+            )
     stacked = wide.select(
         F.explode(
             F.array(
@@ -1775,7 +1795,14 @@ def table_profile_approx_bound(
     distinct column per input row), re-evaluating every non-distinct
     aggregate |columns|+1 times — measured 69.7 s vs 1.65 s for the
     split shape on 100k rows × 6 columns.  Two scans of the base
-    relation beat a 7× expand of it."""
+    relation beat a 7× expand of it.
+
+    r12: the EXACT side is split further — |columns| co-planned
+    ``count_distinct`` still carried their own multi-distinct EXPAND
+    (+ an all-columns SortAggregate under it); each distinct count
+    now runs as its own Expand-free single-distinct single-row
+    aggregation over one pruned column, cross-joined like the HLL
+    side (same rationale as :func:`table_profile`)."""
     from pyspark.sql.types import DoubleType, FloatType, TimestampType
 
     def s_form(c: str):
@@ -1796,7 +1823,6 @@ def table_profile_approx_bound(
         exact_aggs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__null"),
-            F.count_distinct(F.col(c)).alias(f"{c}__dist"),
             F.min(s).alias(f"{c}__min"),
             F.max(s).alias(f"{c}__max"),
         ]
@@ -1804,8 +1830,12 @@ def table_profile_approx_bound(
         F.approx_count_distinct(F.col(c), rsd).alias(f"{c}__adist")
         for c in df.columns
     ]
-    # both sides are single-row aggregates: the cross join is free
+    # every side is a single-row aggregate: the cross joins are free
     wide = df.agg(*exact_aggs).crossJoin(df.agg(*approx_aggs))
+    for c in df.columns:
+        wide = wide.crossJoin(
+            df.agg(F.count_distinct(F.col(c)).alias(f"{c}__dist"))
+        )
     stacked = wide.select(
         F.explode(
             F.array(

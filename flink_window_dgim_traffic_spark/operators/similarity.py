@@ -1286,10 +1286,16 @@ def build_ivf_index(
         V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
         return pd.Series(np.argmax(V @ C.T, axis=1).astype("int32"))
 
+    # repartition(1), NOT coalesce(1): a Python createDataFrame local
+    # relation is sliced across defaultParallelism partitions, and
+    # coalesce folds those INTO the single write task — which then
+    # drains ~32 Python runner slices sequentially (measured 4.4-5.3 s
+    # for 16 rows at local[32]; r12).  repartition keeps the slice
+    # evaluation parallel and shuffles 16 tiny rows to one writer.
     spark.createDataFrame(
         [(int(i), [float(x) for x in row]) for i, row in enumerate(C)],
         "cluster int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/centroids")
     embeddings.withColumn(
         "cluster", nearest_centroid(as_double(F.col("embedding")))
     ).select("vec_id", "embedding", "cluster").write.mode(

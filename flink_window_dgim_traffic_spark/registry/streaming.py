@@ -905,12 +905,15 @@ def _stream_tumble_dgim_tws(s: SparkSession, d: str) -> DataFrame:
     lo, hi = parsed.agg(F.min("ts_sec"), F.max("ts_sec")).collect()[0]
     span = (hi - lo) // 3 + 1
     for i in range(3):
+        # r12: no orderBy — the processor sorts each batch by ts_sec
+        # itself (handleInputRows' mergesort), and adds of equal-ts
+        # one-bits are order-invariant in the DGIM bucket algebra, so
+        # the global sort per slice bought nothing (output pinned
+        # identical by the oracle + TWS equality tests)
         parsed.filter(
             (F.col("ts_sec") >= lo + i * span)
             & (F.col("ts_sec") < lo + (i + 1) * span)
-        ).orderBy("ts_sec").coalesce(1).write.mode("overwrite").parquet(
-            f"{src}/c{i}"
-        )
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/c{i}")
     files = sorted(
         f"{src}/c{i}/{n}"
         for i in range(3)

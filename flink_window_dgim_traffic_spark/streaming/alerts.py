@@ -177,13 +177,13 @@ def make_ewma_batch_fn(
             "window_end string, ones_exact bigint, ewma_e6 bigint,"
             " is_anomaly bigint"
         )
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        spark.createDataFrame(rows, schema).repartition(1).write.mode(
             "overwrite"
         ).parquet(f"{state_root}/out/batch-{batch_id}")
         new_tail = (hist + new)[-lookback:]
         spark.createDataFrame(
             new_tail, "window_end string, ones_exact bigint"
-        ).coalesce(1).write.mode("overwrite").parquet(
+        ).repartition(1).write.mode("overwrite").parquet(
             f"{state_root}/tail/batch-{batch_id}"
         )
         os.makedirs(f"{state_root}/_done", exist_ok=True)
@@ -456,7 +456,7 @@ def make_late_audit_batch_fn(
         )
         spark.createDataFrame(
             [(int(new_wm),)], "wm_us bigint"
-        ).coalesce(1).write.mode("overwrite").parquet(
+        ).repartition(1).write.mode("overwrite").parquet(
             f"{state_root}/wm/batch-{batch_id}"
         )
         os.makedirs(f"{state_root}/_done", exist_ok=True)

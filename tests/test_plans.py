@@ -833,23 +833,21 @@ def test_table_profile_approx_bound_split_agg(t):
     (one expanded row per distinct column per input row) — measured
     42x slower at sf0.1.  Pinned: the physical plan carries a
     nested-loop/cartesian join of two aggregates (single-row sides),
-    and no Expand node computes approx_count_distinct."""
-    df = R.table_profile_approx_bound(t("events"))
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert (
-        "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
-    ), plan[:2000]
-    # tree-prefix check: the join's LEFT subtree prints with ':' in
-    # the line prefix.  Expand (the exact multi-distinct) must live
-    # on one side and every approx_count_distinct on the other — no
-    # line may carry both markers' placement.
-    for ln in plan.split("\n"):
-        body_at = ln.find("+-")
-        prefix = ln[:body_at] if body_at != -1 else ""
-        if "Expand [[" in ln:
-            assert ":" in prefix, ln[:160]  # exact side (left)
-        if "partial_approx_count_distinct" in ln:
-            assert ":" not in prefix, ln[:160]  # approx side (right)
+    and no Expand node computes approx_count_distinct.  r12: the
+    exact side's co-planned count_distincts were split into per-column
+    single-distinct aggregations, so the plan now carries NO Expand at
+    all — each distinct count is an Expand-free two-level hash
+    aggregate over its own pruned column (same pin for the exact
+    ``table_profile``)."""
+    for df in (
+        R.table_profile_approx_bound(t("events")),
+        R.table_profile(t("events")),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert (
+            "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+        ), plan[:2000]
+        assert "Expand [[" not in plan, plan[:2000]
 
 
 # ---------------------------------------------------------------------------
