@@ -183,8 +183,13 @@ def edit_distance_join(
         )
         .distinct()
     )
-    return cand.select(
-        "id_lo",
-        "id_hi",
-        F.levenshtein("t_lo", "t_hi").cast("bigint").alias("ed"),
-    ).filter(F.col("ed") <= k)
+    # banded verify (r12): levenshtein with a threshold runs the
+    # O(len·k) diagonal band and bails out early instead of the full
+    # O(len²) DP — exact for every distance ≤ k (it returns the true
+    # distance, or -1 past the threshold, which the old ed <= k filter
+    # discarded anyway).  On templated corpora a shared segment makes
+    # the candidate set O(bucket²), so the verify is the volume stage.
+    ed = F.levenshtein("t_lo", "t_hi", threshold=k).cast("bigint")
+    return cand.select("id_lo", "id_hi", ed.alias("ed")).filter(
+        (F.col("ed") >= 0) & (F.col("ed") <= k)
+    )
