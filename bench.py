@@ -317,15 +317,83 @@ def plan_fingerprint(df) -> str | None:
     return hashlib.md5(s.encode()).hexdigest()
 
 
+def source_tree_hash(repo: str) -> str:
+    """md5 over every .py source that can affect query semantics
+    (the package plus the entrypoint).  Part of the rolling-MIN carry
+    key (VERDICT r12 ask #1): the plan fingerprint is blind to Python
+    UDF BODIES (a regression inside a pandas_udf changes no plan
+    text), so any source change invalidates the carry wholesale and
+    the record re-bases on fresh samples.  Coarser than a per-module
+    hash, but strictly safe: a too-wide key can only suppress carries,
+    never wrongly apply one, and ``fresh_queries`` is always recorded."""
+    import hashlib
+
+    h = hashlib.md5()
+    roots = [os.path.join(repo, "flink_window_dgim_traffic_spark")]
+    files = [os.path.join(repo, "__spark_entry__.py")]
+    for root in roots:
+        for dirpath, _, names in os.walk(root):
+            for n in names:
+                if n.endswith(".py"):
+                    files.append(os.path.join(dirpath, n))
+    for f in sorted(files):
+        h.update(os.path.relpath(f, repo).encode())
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()
+
+
+def apply_carry(
+    fresh: dict[str, float],
+    fingerprints: dict[str, str | None],
+    prev: dict,
+    cpus: int,
+    sf_val,
+    source_hash: str,
+) -> tuple[dict[str, float], list[str]]:
+    """Min-merge the previous committed record into this run's fresh
+    timings.  The carry key is (plan fingerprint, cpus, sf,
+    source hash) — VERDICT r12 ask #1: the r12 carry was keyed on the
+    fingerprint alone, so the driver's 8-core scaling run inherited
+    114 thirty-two-core minima and printed a total BELOW its own
+    fresh total (a physical absurdity).  Any environment or source
+    mismatch now disables the carry for the whole run."""
+    env_ok = (
+        prev.get("cpus") == cpus
+        and prev.get("sf") == sf_val
+        and prev.get("source_hash") == source_hash
+    )
+    prev_q = prev.get("queries", {}) if env_ok else {}
+    prev_fp = prev.get("fingerprints", {}) if env_ok else {}
+    timings: dict[str, float] = {}
+    carried: list[str] = []
+    for name, t in fresh.items():
+        fp = fingerprints.get(name)
+        if (
+            fp is not None
+            and prev_fp.get(name) == fp
+            and isinstance(prev_q.get(name), (int, float))
+            and prev_q[name] < t
+        ):
+            t = prev_q[name]
+            carried.append(name)
+        timings[name] = round(t, 3)
+    return timings, carried
+
+
 def _prev_record(repo: str, cur_round: int):
-    """Latest committed bench_per_query_r{M}.json with M < cur_round
-    (the rolling-MIN carry source)."""
+    """Latest bench_per_query_r{M}.json with M <= cur_round (the
+    rolling-MIN carry source).  Same-round records are eligible since
+    r13: the carry key now includes cpus/sf/source-hash, so an
+    in-round committed record can safely damp host noise for the
+    driver's own run of the SAME code in the SAME environment, and
+    can never leak across environments or source changes."""
     import re as _re
 
     best = None
     for f in os.listdir(repo):
         m = _re.match(r"bench_per_query_r(\d+)\.json$", f)
-        if m and int(m.group(1)) < cur_round:
+        if m and int(m.group(1)) <= cur_round:
             if best is None or int(m.group(1)) > best[0]:
                 best = (int(m.group(1)), f)
     if best is None:
@@ -448,36 +516,42 @@ def main() -> None:
     except OSError:
         pass
     prev = _prev_record(REPO, cur_round) or {}
-    prev_q = prev.get("queries", {})
-    prev_fp = prev.get("fingerprints", {})
-    timings: dict[str, float] = {}
-    carried: list[str] = []
-    for name in BENCH_QUERIES:
-        t = fresh[name]
-        fp = fingerprints.get(name)
-        if (
-            fp is not None
-            and prev_fp.get(name) == fp
-            and isinstance(prev_q.get(name), (int, float))
-            and prev_q[name] < t
-        ):
-            t = prev_q[name]
-            carried.append(name)
-        timings[name] = round(t, 3)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    source_hash = source_tree_hash(REPO)
+    timings, carried = apply_carry(
+        fresh, fingerprints, prev, cpus, sf_val, source_hash
+    )
     total = round(sum(timings.values()), 3)
+    fresh_total = round(sum(fresh.values()), 3)
 
     try:
         art = os.path.join(
             REPO, f"bench_per_query_r{cur_round:02d}.json"
         )
+        # never stomp a different environment's record (r13: an
+        # sf0.01 verify run overwrote the round's sf0.1 baseline):
+        # mismatched (sf, cpus) runs write an env-suffixed artifact
+        try:
+            with open(art) as fh:
+                ex = json.load(fh)
+            if (ex.get("sf"), ex.get("cpus")) != (sf_val, cpus):
+                art = os.path.join(
+                    REPO,
+                    f"bench_per_query_r{cur_round:02d}"
+                    f"_sf{sf_val}_c{cpus}.json",
+                )
+        except (OSError, ValueError):
+            pass
         with open(art, "w") as fh:
             json.dump(
                 {
                     "sf": sf_val,
+                    "cpus": cpus,
+                    "source_hash": source_hash,
                     "total_sec": total,
                     "queries": timings,
                     "fresh_queries": fresh,
-                    "fresh_total_sec": round(sum(fresh.values()), 3),
+                    "fresh_total_sec": fresh_total,
                     "fingerprints": fingerprints,
                     "carried": sorted(carried),
                     "passes": n_passes,
@@ -514,6 +588,9 @@ def main() -> None:
                 "unit": "sec",
                 "n": len(timings),
                 "sf": sf_val,
+                "fresh": fresh_total,
+                "cpus": cpus,
+                "carried": len(carried),
             }
         ),
         flush=True,

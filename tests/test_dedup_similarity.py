@@ -184,6 +184,43 @@ def test_neardup_clusters_transitive_closure(spark):
     }
 
 
+def test_neardup_clusters_chain_rounds_and_labels(spark):
+    """The sf0.1 pathology graph: a 16-hop chain.  Pointer-jumped
+    label propagation must converge strictly faster than plain
+    propagation's O(diameter) (r12 measured 12 rounds vs 16) with
+    exact component-min labels.  (The large-star/small-star variant
+    closes this in 6 rounds but was measured slower end-to-end at
+    sf0.1 — see OPTIMIZATION_r13.md; it remains available as
+    graph.connected_components_star.)"""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(16)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.neardup_clusters(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(17)}
+    assert D.neardup_clusters.last_rounds < 16
+
+
+def test_neardup_clusters_self_pairs_kept(spark):
+    """Self-pairs keep their node in the output (the pairs
+    contract), and a quickly-converging star graph closes in a
+    handful of rounds."""
+    pairs = spark.createDataFrame(
+        [(99, 99)] + [(0, i) for i in range(1, 8)],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.neardup_clusters(pairs).collect()
+    }
+    want = {i: 0 for i in range(8)}
+    want[99] = 99
+    assert got == want
+    assert D.neardup_clusters.last_rounds <= 3
+
+
 def test_neardup_clusters_on_lsh_pairs(documents):
     """End-to-end: LSH pairs -> clusters; every edge must be within
     one cluster, and cluster ids are component minima."""
@@ -689,6 +726,47 @@ def test_cdc_chunk_dedup_property_matches_python(spark):
             assert got[i] == (len(cs), dup)
 
     run()
+
+
+def test_cdc_chunk_dedup_overflow_params_exact(spark):
+    """ADVICE r12: at w=8/base=131 the int64 convolution would wrap
+    (products reach 2^78) and at w=10 kern construction would raise
+    OverflowError — both must take the exact arbitrary-precision
+    fallback and match the Python brute force bit-for-bit."""
+    import hashlib
+
+    texts = [
+        "aa bb cc dd ee ff aa bb cc dd ee ff aa bb",
+        "bb cc dd ee ff aa bb cc dd ee ff aa bb aa",
+        "cc cc cc cc cc cc cc cc cc cc cc cc",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def chunks_of(t, w, div, base):
+        ws = t.split(" ")
+        h = [int(hashlib.md5(x.encode()).hexdigest()[:7], 16) for x in ws]
+        if len(ws) < w:
+            return [" ".join(ws)] if ws else []
+        out, prev = [], 0
+        for i in range(w, len(ws) + 1):
+            if sum(h[i - 1 - j] * base**j for j in range(w)) % div == 0:
+                out.append(" ".join(ws[prev:i]))
+                prev = i
+        if prev < len(ws):
+            out.append(" ".join(ws[prev:]))
+        return out
+
+    for w in (8, 10):
+        got = {
+            r["doc_id"]: r["n_chunks"]
+            for r in D.cdc_chunk_dedup(docs, w=w, div=2).collect()
+        }
+        want = {
+            i: len(chunks_of(t, w, 2, 131)) for i, t in enumerate(texts)
+        }
+        assert got == want, f"w={w}"
 
 
 def test_quantize_embeddings_bound_and_roundtrip(spark, sf_dir):

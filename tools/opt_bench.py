@@ -4,10 +4,13 @@
 their ``explain("formatted")`` plans.
 
 Usage:
-  python tools/opt_bench.py [--sf DIR] [--samples N] [--plans TAG] q1 q2 ...
+  python tools/opt_bench.py [--sf DIR] [--samples N] [--plans TAG]
+                            [--plans-dir plans/rNN] q1 q2 ...
 
 With ``--plans before`` the formatted plan of each query is written to
-``plans/r12/<query>_before.txt`` (the judge-facing plan evidence).
+``<plans-dir>/<query>_before.txt`` (the judge-facing plan evidence);
+``--plans-dir`` defaults to ``plans/r<N>`` where N is 1 + the highest
+committed ``BENCH_r*.json`` round (the round currently being built).
 Timing methodology matches bench.py: untimed warm run first (plan
 compilation, UDF shipping), then N timed noop materializations with
 GC hygiene between samples; min and all samples are reported."""
@@ -42,6 +45,11 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--samples", type=int, default=3)
     ap.add_argument("--plans", default=None, help="plan file tag (before/after)")
+    ap.add_argument(
+        "--plans-dir",
+        default=None,
+        help="plan evidence directory (default: plans/r<current round>)",
+    )
     ap.add_argument("--no-warm", action="store_true")
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
@@ -50,7 +58,17 @@ def main() -> None:
     table(spark, args.sf, "events").count()  # session warm-up
 
     qs = entrymod.queries()
-    plans_dir = os.path.join(REPO, "plans", "r12")
+    if args.plans_dir:
+        plans_dir = os.path.join(REPO, args.plans_dir)
+    else:
+        import re as _re
+
+        ns = [
+            int(m.group(1))
+            for f in os.listdir(REPO)
+            if (m := _re.match(r"BENCH_r(\d+)\.json$", f))
+        ]
+        plans_dir = os.path.join(REPO, "plans", f"r{max(ns, default=0) + 1}")
     if args.plans:
         os.makedirs(plans_dir, exist_ok=True)
 
@@ -58,6 +76,7 @@ def main() -> None:
     for name in args.queries:
         if name not in qs:
             print(f"!! unknown query: {name}", file=sys.stderr)
+            results[name] = None  # explicit error entry, not a silent drop
             continue
         spark.sparkContext.setJobDescription(f"opt_bench:{name}")
         df = None
@@ -82,7 +101,12 @@ def main() -> None:
                 fh.write(formatted_plan(df))
             print(f"  plan -> {path}", flush=True)
         spark.sparkContext.setJobDescription(None)
-    print(json.dumps({k: min(v) for k, v in results.items()}, indent=1))
+    print(
+        json.dumps(
+            {k: (min(v) if v else None) for k, v in results.items()},
+            indent=1,
+        )
+    )
 
 
 if __name__ == "__main__":
