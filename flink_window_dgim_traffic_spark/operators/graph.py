@@ -577,20 +577,27 @@ def connected_components_star(
         return out.distinct()
 
     converged = False
+    prev_n = e.count()
     for _ in range(max_iters):
-        new = _star(_star(e, large=True), large=False).localCheckpoint(
-            eager=True
-        )
-        # fixed point: canonical distinct edge sets equal (cheap —
-        # both sides are checkpointed, component-count-sized tables)
-        if (
-            new.count() == e.count()
-            and new.exceptAll(e).isEmpty()
-        ):
+        # r13: LAZY checkpoint between the stars and on the round
+        # output, with the count as the single materializing action —
+        # one job per round.  The mid pin is load-bearing: small-star
+        # consumes its input twice (symmetric union + min join), and
+        # unpinned the large-star subtree re-executed ~4× per round
+        # (measured on the sf0.1 embedding near-dup graph: 6.5 s vs
+        # 4.1 s end-to-end; the r12 pin-both-aliases lesson).  The
+        # previous round's count is cached driver-side instead of
+        # re-counting ``e`` every round.
+        mid = _star(e, large=True).localCheckpoint(eager=False)
+        new = _star(mid, large=False).localCheckpoint(eager=False)
+        n = new.count()
+        # fixed point: canonical distinct edge sets equal (the
+        # exceptAll only runs on count-stable rounds)
+        if n == prev_n and new.exceptAll(e).isEmpty():
             e = new
             converged = True
             break
-        e = new
+        e, prev_n = new, n
     if not converged:
         # On a non-star edge set the parent extraction below would
         # fan out to conflicting component_id rows per node — refuse

@@ -113,6 +113,11 @@ def frequent_itemsets(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
     )
+    # NOT pinned (r13 A/B): l2 is consumed three ways (output union +
+    # two broadcast builds), but an eager checkpoint here LOST the
+    # interleaved A/B (4.00 vs 3.70 s min-of-4) — the extra barrier
+    # and checkpoint job cost more than the duplicate pair-count
+    # evaluation, which overlaps inside the final job's task pool.
     l2 = pair_counts.filter(F.col("support") >= s)
     l2k = l2.select("w1", "w2")
     # L3 from the PAIR table, not three basket joins: a basket
